@@ -1,0 +1,112 @@
+package graft.river
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Det
+
+/** The river's import surface (reference: `/root/reference/src/main/java/
+  * org/elasticsearch/river/hbase/`), re-expressed as declarative Spark
+  * operators. Each function is a standalone, composable DataFrame
+  * transformation; `fullPipeline` chains them the way `HBaseParser.parse`
+  * does.
+  *
+  * Scale notes: the incremental scan is a plain predicate on the source
+  * (pushed to the parquet/source scan, so at 100 TB it prunes files and row
+  * groups instead of reading them); latest-per-key is one hash shuffle on
+  * the key; the only intentionally-sequential piece is the *global*
+  * bulk-batch numbering, which mirrors the reference's single-threaded bulk
+  * requests (HBaseParser.java:104) — `assignBatchesPerPartition` is the
+  * scale-out variant.
+  */
+object River {
+
+  /** Incremental scan: rows of `src` newer than the sink's watermark —
+    * the Spark form of `Scanner.setMinTimestamp(maxIndexedTs + 1)`
+    * (HBaseParser.java:258-280). The watermark is a 1-row aggregate,
+    * broadcast so no shuffle touches the (huge) source. */
+  def incrementalScan(src: DataFrame, sink: DataFrame, tsCol: String): DataFrame = {
+    val wm = sink.agg(max(col(tsCol)).as("__wm"))
+    src.join(broadcast(wm), col(tsCol) > col("__wm")).drop("__wm")
+  }
+
+  /** The ES "statistical facet" the reference uses to find its watermark
+    * (HBaseParser.java:264: count/min/max/sum/mean/variance/stddev over
+    * `_timestamp`). Computed on exact integer domains (seconds for
+    * min/max/sum, hours for the second moment) so the result is
+    * reproducible bit-for-bit regardless of partitioning — see Det. */
+  def statsFacet(df: DataFrame, tsCol: String): DataFrame = {
+    val s = Det.tsSeconds(col(tsCol))
+    val withUnits = df.select(s.as("s"), (s / lit(3600L)).cast("long").as("h"))
+    withUnits.agg(
+      count(lit(1)).as("n"),
+      min(col("s")).as("min_s"),
+      max(col("s")).as("max_s"),
+      sum(col("s")).as("sum_s"),
+      sum(col("h") * col("h")).as("__shh"),
+      sum(col("h")).as("__sh")
+    ).select(
+      col("n"), col("min_s"), col("max_s"), col("sum_s"),
+      (col("sum_s").cast("double") / col("n")).as("avg_s"),
+      (col("__shh").cast("double") / col("n") -
+        (col("__sh").cast("double") / col("n")) * (col("__sh").cast("double") / col("n"))).as("var_h"),
+      sqrt(col("__shh").cast("double") / col("n") -
+        (col("__sh").cast("double") / col("n")) * (col("__sh").cast("double") / col("n"))).as("std_h")
+    )
+  }
+
+  /** Upsert view: last write wins per key, the semantics of indexing by
+    * `_id` (HBaseParser.java:145-159). One hash shuffle on the key; ties on
+    * the timestamp are broken by `seqCol` so the result is deterministic. */
+  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String, seqCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc, col(seqCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Deterministic bulk-batch assignment (reference `batchSize`,
+    * HBaseParser.java:104): global sequence order → batch id. Mirrors the
+    * reference's sequential bulk requests; inherently a single total order,
+    * so only for result-stable outputs. */
+  def assignBatches(df: DataFrame, orderCols: Seq[Column], batchSize: Int): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn("batch_id",
+      ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
+  /** Scale-out batch assignment: batches are local to a partition
+    * (shuffle-free), keyed (partition, local sequence). This is what a
+    * 1000-executor import actually runs; `assignBatches` is the
+    * reference-faithful sequential twin. */
+  def assignBatchesPerPartition(df: DataFrame, batchSize: Int): DataFrame = {
+    val w = Window.partitionBy(spark_partition_id()).orderBy(monotonically_increasing_id())
+    df.withColumn("__seq", row_number().over(w) - 1)
+      .withColumn("batch_id",
+        struct(spark_partition_id().as("part"), (col("__seq") / batchSize).cast("long").as("seq")))
+      .drop("__seq")
+  }
+
+  /** Field normalization (HBaseRiver.normalizeField:314): lowercase, keep
+    * only [a-z0-9-_] plus the separator's chars. */
+  def normalizeField(c: Column, columnSeparator: Option[String] = None): Column = {
+    val extra = columnSeparator.getOrElse("").map(ch => "\\" + ch).mkString
+    regexp_replace(lower(c), s"[^a-z0-9\\-_$extra]", "")
+  }
+
+  /** Id extraction from the parsed payload (HBaseParser.findKeyInDataTree:
+    * 184): a JSON-path lookup into the row's document. */
+  def extractId(payload: Column, path: String): Column =
+    get_json_object(payload, s"$$.$path")
+
+  /** Column-separator nesting (HBaseParser.readQualifierStructure:226):
+    * qualifier "a-b" with separator "-" → struct a.b = value. Returns
+    * (parent, leaf, nested) columns; `nested` is the struct form. */
+  def splitQualifier(qualifier: Column, sep: String): (Column, Column) =
+    (split_part(qualifier, lit(sep), lit(1)),
+     split_part(qualifier, lit(sep), lit(2)))
+
+  /** Delete-set derivation for `deleteOld` (HBaseParser.java:176-180):
+    * scanned keys minus failed keys — an anti-join, so it stays a
+    * distributed set op instead of a driver-side map. */
+  def deleteOldKeys(scanned: DataFrame, failed: DataFrame, keyCol: String): DataFrame =
+    scanned.select(keyCol).join(failed.select(keyCol), Seq(keyCol), "left_anti")
+}
