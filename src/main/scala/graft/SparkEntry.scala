@@ -108,6 +108,35 @@ object SparkEntry {
       River.deleteOldKeys(scanned, failed, "event_id")
     }),
 
+    // ----- analytics (SURVEY §2 group 2) -----
+
+    "q1_pricing_summary" -> ((s, dir) =>
+      operators.Analytics.pricingSummary(Tables.lineitem(s, dir), "1998-09-02")),
+
+    "q3_shipping_priority" -> ((s, dir) =>
+      operators.Analytics.shippingPriority(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), "BUILDING", "1997-06-01", 10)),
+
+    "q5_region_revenue" -> ((s, dir) =>
+      operators.Analytics.regionRevenue(Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), "ASIA", "1997-01-01", "1998-01-01")),
+
+    "q_order_priority" -> ((s, dir) =>
+      operators.Analytics.orderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir), 60)),
+
+    "q_top_customers" -> ((s, dir) =>
+      operators.Analytics.topCustomers(Tables.customer(s, dir), Tables.orders(s, dir), 20)),
+
+    "q_supplier_window" -> ((s, dir) =>
+      operators.Analytics.supplierRunning(Tables.lineitem(s, dir), 5)),
+
+    "q_events_sessionize" -> ((s, dir) =>
+      operators.Analytics.sessionize(Tables.events(s, dir), 1800000000L)),
+
+    "q_events_time_window" -> ((s, dir) =>
+      operators.Analytics.timeWindow(Tables.events(s, dir), "5 minutes", 300L)),
+
     "river_full_pipeline" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val scanned = River.incrementalScan(ev, sinkHalf(ev), "ts")
@@ -130,7 +159,84 @@ object SparkEntry {
     """half AS (SELECT max(event_id) // 2 AS h FROM events),
       |wm AS (SELECT max(epoch_us(ts)) AS w FROM events, half WHERE event_id < h)""".stripMargin
 
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
   def oracleSql: Map[String, String] = Map(
+
+    // ----- analytics -----
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1997-06-01'
+         |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         |WHERE l_shipdate > TIMESTAMP '1997-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT o_custkey AS custkey, c_name,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_name
+        |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
+
+    "q_supplier_window" ->
+      """SELECT l_suppkey, row_number() OVER w AS rn, l_orderkey, l_linenumber,
+        |       CAST(l_quantity AS BIGINT) AS qty,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |QUALIFY rn <= 5""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |d AS (SELECT user_id, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM t)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM d GROUP BY user_id""".stripMargin,
+
+    "q_events_time_window" ->
+      """SELECT epoch_us(ts) // 300000000 * 300 AS window_start_s, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ----- river core -----
 
     "river_incremental_scan" ->
       s"""WITH $sinkWm
@@ -139,8 +245,8 @@ object SparkEntry {
 
     "river_stats_facet" ->
       """WITH t AS (SELECT epoch_us(ts) // 1000000 AS s, epoch_us(ts) // 1000000 // 3600 AS h FROM events),
-        |a AS (SELECT count(*) AS n, min(s) AS min_s, max(s) AS max_s, sum(s) AS sum_s,
-        |             sum(h * h) AS shh, sum(h) AS sh FROM t)
+        |a AS (SELECT count(*) AS n, min(s) AS min_s, max(s) AS max_s, CAST(sum(s) AS BIGINT) AS sum_s,
+        |             CAST(sum(h * h) AS BIGINT) AS shh, CAST(sum(h) AS BIGINT) AS sh FROM t)
         |SELECT n, min_s, max_s, sum_s,
         |       CAST(sum_s AS DOUBLE) / n AS avg_s,
         |       CAST(shh AS DOUBLE) / n - (CAST(sh AS DOUBLE) / n) * (CAST(sh AS DOUBLE) / n) AS var_h,
