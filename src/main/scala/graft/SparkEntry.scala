@@ -137,6 +137,31 @@ object SparkEntry {
     "q_events_time_window" -> ((s, dir) =>
       operators.Analytics.timeWindow(Tables.events(s, dir), "5 minutes", 300L)),
 
+    // ----- text analysis (SURVEY §2 group 3) -----
+
+    "text_tokencount" -> ((s, dir) =>
+      text.TextOps.tokenCounts(Tables.documents(s, dir))),
+
+    "text_quality" -> ((s, dir) =>
+      text.TextOps.quality(Tables.documents(s, dir))),
+
+    "text_langid" -> ((s, dir) =>
+      text.TextOps.langId(Tables.documents(s, dir))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      text.TextOps.fingerprint(Tables.documents(s, dir))),
+
+    // ----- dedup (SURVEY §2 group 4) -----
+
+    "dedup_exact" -> ((s, dir) =>
+      dedup.Dedup.exact(Tables.documents(s, dir))),
+
+    "dedup_fingerprint" -> ((s, dir) =>
+      dedup.Dedup.byFingerprint(Tables.documents(s, dir))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.8)),
+
     "river_full_pipeline" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val scanned = River.incrementalScan(ev, sinkHalf(ev), "ts")
@@ -235,6 +260,72 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ----- text analysis -----
+
+    "text_tokencount" ->
+      raw"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS n_word_tokens,
+           |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+           |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS stop_hits,
+           |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct_hits,
+           |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+           |  FROM documents)
+           |SELECT doc_id, n_chars, n_tokens, stop_hits, punct_hits, n_alnum,
+           |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           |  CAST(punct_hits AS DOUBLE) / n_chars AS punct_ratio,
+           |  CAST(n_alnum AS DOUBLE) / n_tokens AS mean_token_len,
+           |  least(1.0, n_tokens / 100.0) * (1.0 - CAST(punct_hits AS DOUBLE) / n_chars)
+           |    * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)) AS quality_score
+           |FROM t""".stripMargin,
+
+    "text_langid" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS s_en,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS BIGINT) AS s_de,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b')) AS BIGINT) AS s_fr,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|y|una)\b')) AS BIGINT) AS s_es,
+           |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+           |  FROM documents)
+           |SELECT *, CASE WHEN s_zh > 0 THEN 'zh'
+           |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+           |FROM t""".stripMargin,
+
+    "text_fingerprint" ->
+      raw"""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fingerprint,
+           |  CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+           |FROM documents""".stripMargin,
+
+    // ----- dedup -----
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_fingerprint" ->
+      raw"""SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fingerprint,
+           |  min(doc_id) AS keeper, count(*) AS n_docs
+           |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+        |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM s)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
 
     // ----- river core -----
 
