@@ -162,6 +162,17 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.8)),
 
+    "dedup_embedding" -> ((s, dir) =>
+      dedup.Dedup.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
+
+    // ----- similarity search (SURVEY §2 group 5) -----
+
+    "ann_bruteforce_topk" -> ((s, dir) =>
+      similarity.Ann.bruteForceTopK(Tables.embeddings(s, dir), 10, 5)),
+
+    "ann_lsh_topk" -> ((s, dir) =>
+      similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
+
     "river_full_pipeline" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val scanned = River.incrementalScan(ev, sinkHalf(ev), "ts")
@@ -326,6 +337,26 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       list_cosine_similarity(a.emb, b.emb) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
+
+    // ----- similarity search -----
+
+    "ann_bruteforce_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10)
+        |SELECT query_id, rank, cand_id, cos_sim FROM (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |         list_cosine_similarity(q_emb, c.emb) AS cos_sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
+        |WHERE rank <= 5""".stripMargin,
 
     // ----- river core -----
 

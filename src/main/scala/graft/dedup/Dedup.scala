@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 import graft.text.TextOps
 
 /** Deduplication operators over the `documents` table.
@@ -52,5 +53,19 @@ object Dedup {
         col("inter").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs at or above `tau` — the exact
+    * baseline (oracle-checkable). This compares all id-ordered pairs; at
+    * 100 TB the same cosine_sim re-rank runs over LSH-bucketed candidates
+    * instead (graft.similarity.Ann.lshTopK machinery), which keeps the
+    * join keyed on buckets rather than a cross product. */
+  def embeddingNearDup(emb: DataFrame, tau: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos_sim") >= tau)
+      .select("a_id", "b_id", "cos_sim")
   }
 }

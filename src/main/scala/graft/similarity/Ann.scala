@@ -1,0 +1,79 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §2 group 5).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The (small) query subset is broadcast against a streamed corpus
+  *    scan, so the only shuffle is the query_id-partitioned top-k; at
+  *    100 TB this is one corpus pass per query batch.
+  *  - [[lshTopK]]: random-hyperplane LSH — the scale path. Corpus and
+  *    queries are bucketed by sign-bit sketches over `tables`
+  *    independent hyperplane sets; candidates come from a bucket
+  *    equi-join (shuffle on bucket keys, never all-pairs), then exact
+  *    cosine re-ranks. Recall grows with `tables` (multi-table OR).
+  */
+object Ann {
+
+  /** Deterministic Gaussian hyperplanes (fixed-seed PRNG per table/bit) —
+    * reproducible across runs and partitionings. */
+  private def planes(dim: Int, nbits: Int, table: Int): Array[Array[Double]] =
+    Array.tabulate(nbits) { b =>
+      val rnd = new java.util.Random(1234567L * (table * 97 + b) + 42L)
+      Array.fill(dim)(rnd.nextGaussian())
+    }
+
+  /** Sign-bit bucket id for one hyperplane table, as a pure column
+    * expression (no UDF): bit b = sign(dot(emb, plane_b)). */
+  private def bucketCol(emb: Column, dim: Int, nbits: Int, table: Int): Column =
+    planes(dim, nbits, table).zipWithIndex.map { case (p, b) =>
+      val plane = typedlit(p.toSeq)
+      val dot = aggregate(zip_with(emb, plane, (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0d, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: queries = vec_id < nQueries (broadcast), corpus =
+    * every other vector. Deterministic rank tie-break on cand_id. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val sim = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos_sim")
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share a bucket with the query in
+    * at least one of `tables` hyperplane tables; exact cosine re-rank. */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
+      nbits: Int = 6, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      array((0 until tables).map(t =>
+        bucketCol(col("embedding"), dim, nbits, t)): _*).as("buckets"))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val c = bucketed
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val cand = q.join(c, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+    val sim = cand.withColumn("cos_sim",
+      GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos_sim")
+  }
+}
