@@ -162,6 +162,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.8)),
 
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      dedup.MinHash.nearDupPairs(Tables.documents(s, dir))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      dedup.SimHash.nearDup(Tables.documents(s, dir))),
+
     "dedup_embedding" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
 

@@ -54,9 +54,12 @@ object Ann {
   }
 
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in
-    * at least one of `tables` hyperplane tables; exact cosine re-rank. */
+    * at least one of `tables` hyperplane tables; exact cosine re-rank.
+    * Defaults suit the test corpus (~10^2.5 docs); at production scale
+    * raise `nbits` with log2(corpus) so per-bucket populations stay
+    * bounded, and `tables` to buy recall back. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
-      nbits: Int = 6, tables: Int = 4, dim: Int = 64): DataFrame = {
+      nbits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       array((0 until tables).map(t =>
         bucketCol(col("embedding"), dim, nbits, t)): _*).as("buckets"))

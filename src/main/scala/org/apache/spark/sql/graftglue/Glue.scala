@@ -20,5 +20,5 @@ object Glue {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "graft")
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
