@@ -179,6 +179,14 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // ----- multimodal (SURVEY §2 group 6) -----
+
+    "mm_binary_meta" -> ((s, dir) =>
+      multimodal.Multimodal.binaryMeta(Tables.documents(s, dir))),
+
+    "mm_feature_stub" -> ((s, dir) =>
+      multimodal.Multimodal.featureExtract(Tables.documents(s, dir), 8)),
+
     "river_full_pipeline" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val scanned = River.incrementalScan(ev, sinkHalf(ev), "ts")
@@ -363,6 +371,14 @@ object SparkEntry {
         |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rank
         |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
         |WHERE rank <= 5""".stripMargin,
+
+    // ----- multimodal -----
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       upper(substring(hex(encode(text)), 1, 8)) AS magic_hex,
+        |       md5(text) AS md5_hex
+        |FROM documents""".stripMargin,
 
     // ----- river core -----
 

@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A binary document: opaque payload + id (image/audio/video stand-in). */
+case class BinaryDoc(doc_id: Long, payload: Array[Byte])
+
+/** Fixed-shape feature record produced by the (stubbed) decoder. */
+case class DocFeatures(doc_id: Long, n_bytes: Long, features: Array[Double])
+
+/** Multimodal-column operators (SURVEY §2 group 6).
+  *
+  * The pattern for image/audio/video at 100 TB: an opaque `binary`
+  * column plus typed metadata columns, partition-parallel decode via
+  * `mapPartitions` over a typed Dataset (the Scala analogue of
+  * `mapInPandas`: per-partition batch iteration, fixed output schema,
+  * no driver involvement). Media payloads here are the documents'
+  * UTF-8 bytes — the container has no image/audio codecs — and the
+  * decode step is an explicitly-marked deterministic stub; everything
+  * Spark-side (schema, encoders, partitioning, batch shape) is real.
+  */
+object Multimodal {
+
+  /** Binary payload + typed metadata, all codegen'd column expressions:
+    * byte length, leading-bytes magic, content checksum. */
+  def binaryMeta(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs.select(
+      col("doc_id"),
+      octet_length(payload).cast("long").as("n_bytes"),
+      upper(substring(hex(payload), 1, 8)).as("magic_hex"),
+      md5(payload).as("md5_hex"))
+  }
+
+  /** STUB DECODER — a real deployment decodes media bytes here (PIL/
+    * ffmpeg-style libs are absent in this container). Deterministic
+    * fake with a decoder-like access pattern: mean byte value over
+    * `dim` equal slices of the payload, scaled to [0,1]. */
+  private[graft] def stubDecode(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val n = bytes.length
+    Array.tabulate(dim) { d =>
+      val lo = n.toLong * d / dim
+      val hi = n.toLong * (d + 1) / dim
+      if (hi == lo) 0.0
+      else {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += bytes(i.toInt) & 0xff; i += 1 }
+        s.toDouble / (hi - lo) / 255.0
+      }
+    }
+  }
+
+  /** Partition-parallel "decode" of the binary payload into a
+    * fixed-shape feature vector. Narrow (no shuffle): each partition
+    * streams its payloads through the decoder independently. */
+  def featureExtract(docs: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds: Dataset[BinaryDoc] = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+    ds.mapPartitions { it =>
+      it.map(d => DocFeatures(d.doc_id, d.payload.length.toLong,
+        stubDecode(d.payload, dim)))
+    }.toDF()
+  }
+}
