@@ -108,6 +108,11 @@ object SparkEntry {
       River.deleteOldKeys(scanned, failed, "event_id")
     }),
 
+    "hbase_source_scan" -> ((s, dir) =>
+      s.read.format("hbasesim").option("path", s"$dir/events.parquet").load()
+        .filter(col("ts_us") > 1705320000000000L && col("event_type") === "click")
+        .select("event_id", "ts_us", "user_id", "event_type", "value")),
+
     // ----- analytics (SURVEY §2 group 2) -----
 
     "q1_pricing_summary" -> ((s, dir) =>
@@ -381,6 +386,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // ----- river core -----
+
+    "hbase_source_scan" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events
+        |WHERE epoch_us(ts) > 1705320000000000 AND event_type = 'click'""".stripMargin,
 
     "river_incremental_scan" ->
       s"""WITH $sinkWm

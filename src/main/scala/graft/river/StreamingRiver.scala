@@ -1,0 +1,87 @@
+package graft.river
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming form of the river (SURVEY §2 group 1): the
+  * reference's poll loop (`HBaseParser.run:50` — scan past the
+  * watermark every `interval`, bulk-index, repeat) becomes
+  * `readStream → transform → foreachBatch upsert`, with Spark's
+  * checkpointing replacing the hand-rolled `setMinTimestamp` watermark:
+  * each micro-batch only ever sees new rows, exactly-once per batch id.
+  *
+  * The sink is a parquet "index": a snapshot holding the latest doc per
+  * key (ES upsert semantics). `upsertBatch` merges a micro-batch into
+  * it with one `latestPerKey` pass over `existing ∪ batch`; at scale
+  * the same merge runs against a partitioned/bucketed index so only
+  * touched partitions rewrite.
+  */
+object StreamingRiver {
+
+  /** Merge one (micro-)batch into the parquet index, last write wins.
+    * Write-then-swap keeps the read of the old snapshot and the write of
+    * the new one from overlapping. */
+  def upsertBatch(batch: DataFrame, cfg: RiverConfig, seqCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val index = new org.apache.hadoop.fs.Path(cfg.sinkPath)
+    val staging = new org.apache.hadoop.fs.Path(cfg.sinkPath + "__staging")
+    val merged =
+      if (fs.exists(index))
+        River.latestPerKey(spark.read.parquet(cfg.sinkPath).unionByName(batch),
+          cfg.keyCol, cfg.tsCol, seqCol)
+      else River.latestPerKey(batch, cfg.keyCol, cfg.tsCol, seqCol)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(index, true)
+    fs.rename(staging, index)
+  }
+
+  /** The streaming import: events stream → normalize/project → upsert
+    * into the index per micro-batch. */
+  def run(events: DataFrame, cfg: RiverConfig, checkpointDir: String,
+      seqCol: String = "event_id"): StreamingQuery = {
+    val projected = cfg.family match {
+      case Some(f) => events.filter(col("event_type") === f)
+      case None => events
+    }
+    val selected =
+      if (cfg.qualifiers.nonEmpty)
+        projected.select((cfg.keyCol +: cfg.tsCol +: cfg.qualifiers)
+          .distinct.map(col): _*)
+      else projected
+    selected.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, cfg, seqCol)
+      }
+      .start()
+  }
+
+  /** Streaming tumbling-window aggregation with a watermark — the
+    * streaming twin of Analytics.timeWindow (counts + sums per window ×
+    * event_type), for the ES-side "date histogram facet" surface. */
+  def windowedCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Run the windowed aggregation over a bounded stream into an
+    * in-memory sink and return the completed result. */
+  def runWindowedToMemory(spark: SparkSession, events: DataFrame,
+      windowLen: String, queryName: String, checkpointDir: String): DataFrame = {
+    val q = windowedCounts(events, windowLen, "10 seconds").writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
