@@ -15,17 +15,26 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct), the comparison unit for all
-    * text near-dup variants — built from codegen'd array functions, no
-    * UDF. Docs shorter than n shingle to the empty set. */
-  def shingleSet(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
+  /** Word n-gram shingle set (distinct), the comparison unit for the
+    * string-keyed near-dup variants — built from array functions, no
+    * UDF. Shingles chain via zip_with over shifted copies (array-at-a-
+    * time, not per-index lambdas). Docs shorter than n shingle to the
+    * empty set. Pass a *materialized* token column: inlining the split
+    * here would re-split per shifted copy. */
+  def shingleSetFromTokens(toks: Column, n: Int): Column = {
+    val chained = (1 until n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
     array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      when(size(toks) >= n, slice(chained, lit(1), size(toks) - (n - 1)))
         .otherwise(array()))
   }
+
+  /** Convenience form over raw text — only for small inputs/specs; the
+    * operators materialize the token column first. */
+  def shingleSet(textCol: Column, n: Int): Column =
+    shingleSetFromTokens(split(textCol, " "), n)
 
   /** Exact dedup: hash-groupBy on the text. One shuffle on the hash. */
   def exact(docs: DataFrame): DataFrame =
@@ -37,22 +46,38 @@ object Dedup {
     docs.groupBy(TextOps.fingerprintCol(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** Exact n-gram Jaccard over bucketed candidates: docs sharing their
-    * lexicographically-smallest shingle are compared; pairs at or above
-    * `tau` survive. The bucket join keeps this far from all-pairs. */
-  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    val s = docs
-      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
-      .withColumn("bucket", array_min(col("sh")))
-    val a = s.select(col("bucket"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = s.select(col("bucket"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+  /** Exact Jaccard between two attached shingle-set columns, keeping
+    * only pairs at or above `tau`. Shared confirm step for the
+    * candidate-pair generators (ngram bucket, MinHash LSH). */
+  private[dedup] def confirmJaccard(pairs: DataFrame, shingles: DataFrame,
+      tau: Double): DataFrame =
+    pairs
+      .join(shingles.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shingles.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+
+  /** Exact n-gram Jaccard over bucketed candidates: docs sharing their
+    * lexicographically-smallest shingle are compared; pairs at or above
+    * `tau` survive. The bucket self-join ships only (bucket, doc_id) —
+    * the shingle sets are attached afterwards by id, so the wide arrays
+    * cross the wire once, not once per candidate row. The shingle table
+    * is persisted for its three uses (at warehouse scale it would be a
+    * materialized intermediate table instead). */
+  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val s = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
+      .persist()
+    val slim = s.select(array_min(col("sh")).as("bucket"), col("doc_id"))
+    val pairs = slim.select(col("bucket"), col("doc_id").as("a_id"))
+      .join(slim.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    confirmJaccard(pairs, s, tau)
   }
 
   /** Embedding-cosine near-dup pairs at or above `tau` — the exact

@@ -60,20 +60,24 @@ object Ann {
     * bounded, and `tables` to buy recall back. */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int,
       nbits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      array((0 until tables).map(t =>
-        bucketCol(col("embedding"), dim, nbits, t)): _*).as("buckets"))
-    val q = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        posexplode(col("buckets")).as(Seq("t", "bucket")))
-    val c = bucketed
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        posexplode(col("buckets")).as(Seq("t", "bucket")))
+    // slim bucket index (vec_id, table, bucket): the sketch computation
+    // runs once (persisted) and the bucket self-join ships ids only —
+    // embeddings are attached per surviving candidate pair afterwards.
+    val buckets = emb.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        bucketCol(col("embedding"), dim, nbits, t)): _*)).as(Seq("t", "bucket")))
+      .persist()
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val c = buckets.select(col("vec_id").as("cand_id"), col("t"), col("bucket"))
     val cand = q.join(c, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
-    val sim = cand.withColumn("cos_sim",
-      GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+      .select("query_id", "cand_id")
+    val sim = cand
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")), "cand_id")
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
     sim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

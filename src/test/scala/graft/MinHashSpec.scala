@@ -40,7 +40,8 @@ class MinHashSpec extends SparkSpec {
   test("signature is deterministic across partitionings") {
     val docs = Tables.documents(spark, sfDir)
     def sigs(parts: Int) = docs.repartition(parts)
-      .select(col("doc_id"), MinHash.signature(Dedup.shingleSet(col("text"), 3), 16).as("sig"))
+      .withColumn("th", MinHash.tokenHashes(col("text")))
+      .select(col("doc_id"), MinHash.signature(MinHash.shinglesFromTokenHashes(col("th"), 3), 16).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(2) == sigs(7))
   }
