@@ -37,9 +37,17 @@ object SparkEntry {
     ev.join(broadcast(bounds), col("event_id") < col("__half")).drop("__half")
   }
 
-  private def evOut(df: DataFrame): DataFrame =
-    df.select(col("event_id"), Det.tsMicros(col("ts")).as("ts_us"),
-      col("user_id"), col("event_type"), col("value"))
+  /** Two-phase river scan (reference facet-then-scan): tiny watermark
+    * aggregates over the simulated sink, then a literal-predicate scan
+    * of the raw events so the filter pushes into the parquet source
+    * (file/row-group pruning at scale). Returns rows past the sink-half
+    * watermark with `ts` still raw epoch-ns. */
+  private def literalScan(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(s, dir)
+    val halfId = raw.agg(floor(max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    val wmUs = River.watermarkMicros(raw.filter(col("event_id") < halfId), "ts").get
+    River.scanPastWatermark(raw, "ts", wmUs)
+  }
 
   // ---- the inventory ---------------------------------------------------
 
@@ -47,10 +55,10 @@ object SparkEntry {
 
     // ----- river core (SURVEY §2 group 1) -----
 
-    "river_incremental_scan" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      evOut(River.incrementalScan(ev, sinkHalf(ev), "ts"))
-    }),
+    "river_incremental_scan" -> ((s, dir) =>
+      literalScan(s, dir).select(col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))),
 
     "river_stats_facet" -> ((s, dir) =>
       River.statsFacet(Tables.events(s, dir), "ts")),
@@ -102,9 +110,8 @@ object SparkEntry {
     }),
 
     "river_delete_old" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val scanned = River.incrementalScan(ev, sinkHalf(ev), "ts")
-      val failed = ev.filter(col("event_id") % 97 === 0)
+      val scanned = literalScan(s, dir)
+      val failed = Tables.eventsRaw(s, dir).filter(col("event_id") % 97 === 0)
       River.deleteOldKeys(scanned, failed, "event_id")
     }),
 
@@ -193,10 +200,9 @@ object SparkEntry {
       multimodal.Multimodal.featureExtract(Tables.documents(s, dir), 8)),
 
     "river_full_pipeline" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val scanned = River.incrementalScan(ev, sinkHalf(ev), "ts")
+      val scanned = literalScan(s, dir)
       val parsed = scanned.select(
-        col("event_id"), Det.tsMicros(col("ts")).as("ts_us"), col("value"),
+        col("event_id"), expr("ts div 1000").as("ts_us"), col("value"),
         concat(River.normalizeField(col("event_type")), lit(":"),
           River.extractId(col("props"), "k")).as("doc_id"))
       val latest = River.latestPerKey(parsed, "doc_id", "ts_us", "event_id")

@@ -21,6 +21,16 @@ object Tables {
     else df
   }
 
+  /** events with `ts` left as raw epoch-nanos BIGINT — the form whose
+    * predicates push down to the parquet scan (filtering the converted
+    * timestamp column would not). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    if (df.schema("ts").dataType == LongType) df
+    else df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -30,6 +30,26 @@ object River {
     src.join(broadcast(wm), col(tsCol) > col("__wm")).drop("__wm")
   }
 
+  /** Sink watermark in epoch-µs over a raw epoch-ns BIGINT ts column —
+    * the reference's "statistical facet" round trip
+    * (HBaseParser.setMinTimestamp:258): a tiny driver-side aggregate.
+    * None on an empty sink (first import). */
+  def watermarkMicros(sink: DataFrame, tsNsCol: String): Option[Long] = {
+    val row = sink.agg(max(col(tsNsCol))).head()
+    // ns→µs truncation commutes with max (monotonic)
+    if (row.isNullAt(0)) None else Some(row.getLong(0) / 1000L)
+  }
+
+  /** Two-phase incremental scan, phase 2: rows strictly past `wmUs`,
+    * expressed as a LITERAL predicate on the raw ns column — so unlike
+    * [[incrementalScan]]'s runtime broadcast join, the filter reaches
+    * the source scan (`PushedFilters` + row-group/file pruning: at
+    * 100 TB the import reads only data past the watermark, exactly like
+    * `Scanner.setMinTimestamp`). µs semantics: ts_ns ≥ (wmUs+1)·1000 ⟺
+    * µs-truncated ts > wmUs, matching the sink's µs watermark exactly. */
+  def scanPastWatermark(srcRaw: DataFrame, tsNsCol: String, wmUs: Long): DataFrame =
+    srcRaw.filter(col(tsNsCol) >= lit((wmUs + 1L) * 1000L))
+
   /** The ES "statistical facet" the reference uses to find its watermark
     * (HBaseParser.java:264: count/min/max/sum/mean/variance/stddev over
     * `_timestamp`). Computed on exact integer domains (seconds for

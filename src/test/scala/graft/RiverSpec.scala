@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.river.River
+import graft.util.Det
+
+class RiverSpec extends SparkSpec {
+
+  test("literal watermark scan pushes the predicate into the parquet scan") {
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val wmUs = River.watermarkMicros(raw.limit(100), "ts").get
+    val scan = River.scanPastWatermark(raw, "ts", wmUs)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains(s"GreaterThanOrEqual(ts,${(wmUs + 1) * 1000})"), plan)
+  }
+
+  test("literal scan and broadcast-join scan select the same rows") {
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val halfId = raw.agg(floor(max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    val sinkRaw = raw.filter(col("event_id") < halfId)
+
+    val wmUs = River.watermarkMicros(sinkRaw, "ts").get
+    val literal = River.scanPastWatermark(raw, "ts", wmUs)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+
+    // joined variant on the µs-converted table (the runtime-subquery form)
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", Det.tsMicros(col("ts")))
+    val sink = ev.filter(col("event_id") < halfId)
+    val joined = River.incrementalScan(ev.drop("ts"), sink.drop("ts"), "ts_us")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+
+    assert(literal == joined)
+    assert(literal.nonEmpty)
+  }
+
+  test("empty sink yields no watermark (first import = full scan)") {
+    val raw = Tables.eventsRaw(spark, sfDir)
+    assert(River.watermarkMicros(raw.filter(lit(false)), "ts").isEmpty)
+  }
+}
