@@ -23,13 +23,25 @@ object SimHash {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
     val h = toks.withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$j"))
-    val agg = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    // packed column k holds ones-counts for bits {k, k+16, k+32, k+48}
+    // in 16-bit lanes: 16 packed sums + a count instead of 64 separate
+    // sums (map-side combinable either way; 4x fewer update paths).
+    // Lane width bounds docs at 2^16-1 distinct tokens.
+    val packedSums = (0 until 16).map { k =>
+      sum((0 until 4).map(l =>
+        shiftleft(shiftright(col("h"), k + 16 * l).bitwiseAND(lit(1L)), 16 * l))
+        .reduce(_ + _)).as(s"p$k")
+    }
+    val agg = h.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), packedSums: _*)
+    // bit j set iff set-bit votes outnumber clear-bit votes
+    // (2*ones > n; ties clear) — identical to a +/-1 vote sum
+    val sig = (0 until 16).flatMap { k =>
+      (0 until 4).map { l =>
+        val ones = shiftright(col(s"p$k"), 16 * l).bitwiseAND(lit(0xFFFFL))
+        when(ones * 2 > col("n"), lit(1L << (k + 16 * l))).otherwise(lit(0L))
+      }
+    }.reduce(_ bitwiseOR _)
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
@@ -38,10 +50,13 @@ object SimHash {
   def nearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-block pigeonhole covers hamming <= 3")
     val s = signatures(docs)
+    // persisted: both self-join legs read it, the signature aggregation
+    // must not run twice
     val blocks = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("block", "block_value")))
+      .persist()
     val a = blocks.select(col("block"), col("block_value"),
       col("doc_id").as("a_id"), col("simhash").as("a_sim"))
     val b = blocks.select(col("block"), col("block_value"),
