@@ -149,6 +149,12 @@ object SparkEntry {
     "q_events_time_window" -> ((s, dir) =>
       operators.Analytics.timeWindow(Tables.events(s, dir), "5 minutes", 300L)),
 
+    "q_terms_facet" -> ((s, dir) =>
+      operators.Analytics.termsFacet(Tables.events(s, dir), "event_type", 10)),
+
+    "q_date_histogram" -> ((s, dir) =>
+      operators.Analytics.dateHistogram(Tables.events(s, dir))),
+
     // ----- text analysis (SURVEY §2 group 3) -----
 
     "text_tokencount" -> ((s, dir) =>
@@ -293,6 +299,19 @@ object SparkEntry {
 
     "q_events_time_window" ->
       """SELECT epoch_us(ts) // 300000000 * 300 AS window_start_s, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_terms_facet" ->
+      """SELECT event_type, count(*) AS n_docs, count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type
+        |ORDER BY n_docs DESC, event_type LIMIT 10""".stripMargin,
+
+    "q_date_histogram" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,

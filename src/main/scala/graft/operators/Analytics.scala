@@ -117,6 +117,30 @@ object Analytics {
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** ES terms facet: per-term doc counts + value stats, top-k by count.
+    * One map-side-combinable hash aggregation; the top-k is a driver-
+    * bounded sort of (few) distinct terms, not of the data. */
+  def termsFacet(events: DataFrame, termCol: String, k: Int): DataFrame =
+    events
+      .groupBy(termCol)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.moneySum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("n_docs").desc, col(termCol))
+      .limit(k)
+
+  /** ES date-histogram facet: per-UTC-day buckets with counts and value
+    * sums. The day key derives from the µs timestamp by exact integer
+    * division so both engines bucket identically. */
+  def dateHistogram(events: DataFrame): DataFrame =
+    events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        col("event_type"), col("value"))
+      .groupBy("day_idx", "event_type")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+
   /** Tumbling-window aggregation — the batch twin of the streaming river's
     * windowed agg (same `window()` expression Structured Streaming uses). */
   def timeWindow(events: DataFrame, width: String, widthSeconds: Long): DataFrame =
