@@ -90,9 +90,16 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     Glue.column(CosineSimilarity(Glue.expression(a), Glue.expression(b)))
 
+  /** `dot_product(a, b)` as a Column (no registration needed). */
+  def dotProduct(a: Column, b: Column): Column =
+    Glue.column(DotProduct(Glue.expression(a), Glue.expression(b)))
+
   /** Register all graft functions so `spark.sql("SELECT cosine_sim(...)")`
     * works (SURVEY §2: FunctionRegistry registration). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Glue.registerFunction(spark, "cosine_sim",
       es => CosineSimilarity(es.head, es(1)))
+    Glue.registerFunction(spark, "dot_product",
+      es => DotProduct(es.head, es(1)))
+  }
 }

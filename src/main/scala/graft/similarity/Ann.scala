@@ -29,13 +29,13 @@ object Ann {
       Array.fill(dim)(rnd.nextGaussian())
     }
 
-  /** Sign-bit bucket id for one hyperplane table, as a pure column
-    * expression (no UDF): bit b = sign(dot(emb, plane_b)). */
+  /** Sign-bit bucket id for one hyperplane table: bit b =
+    * sign(dot(emb, plane_b)), via the codegen'd DotProduct expression
+    * against a literal plane (tables × nbits dots per vector — a tight
+    * generated loop, not an interpreted higher-order-function chain). */
   private def bucketCol(emb: Column, dim: Int, nbits: Int, table: Int): Column =
     planes(dim, nbits, table).zipWithIndex.map { case (p, b) =>
-      val plane = typedlit(p.toSeq)
-      val dot = aggregate(zip_with(emb, plane, (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = GraftFunctions.dotProduct(emb, typedlit(p.toSeq))
       when(dot > 0d, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -41,6 +41,17 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("dot_product matches reference computation and registers in SQL") {
+    GraftFunctions.register(spark)
+    val Row(v: Double) = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))").head()
+    assert(v == 32.0)
+    import spark.implicits._
+    val df = Seq((Array(1.5f, -2.0f), Array(2.0f, 0.5f))).toDF("a", "b")
+    val out = df.select(GraftFunctions.dotProduct(col("a"), col("b"))).as[Double].head()
+    assert(out == (1.5 * 2.0 + -2.0 * 0.5))
+  }
+
   test("null inputs yield null") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))").head()
