@@ -104,9 +104,10 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val qualifier = concat(col("event_type"), lit("-"),
         River.extractId(col("props"), "k"))
-      val (parent, leaf) = River.splitQualifier(qualifier, "-")
+      val parsed = River.parseQualifier(qualifier, "-")
       ev.select(col("event_id"), qualifier.as("qualifier"),
-        parent.as("parent"), leaf.as("leaf"), col("value"))
+        array_join(parsed.getField("path"), ".").as("parent"),
+        parsed.getField("leaf").as("leaf"), col("value"))
     }),
 
     "river_delete_old" -> ((s, dir) => {

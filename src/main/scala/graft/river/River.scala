@@ -117,12 +117,23 @@ object River {
   def extractId(payload: Column, path: String): Column =
     get_json_object(payload, s"$$.$path")
 
-  /** Column-separator nesting (HBaseParser.readQualifierStructure:226):
-    * qualifier "a-b" with separator "-" → struct a.b = value. Returns
-    * (parent, leaf, nested) columns; `nested` is the struct form. */
-  def splitQualifier(qualifier: Column, sep: String): (Column, Column) =
-    (split_part(qualifier, lit(sep), lit(1)),
-     split_part(qualifier, lit(sep), lit(2)))
+  /** Column-separator nesting (HBaseParser.readQualifierStructure:226),
+    * arbitrary depth: qualifier "a::b::c" with separator "::" nests the
+    * value at path a.b with leaf c. Mirrors the reference's recursion:
+    * a missing separator leaves a flat (normalized) field; an empty
+    * tail segment collapses ("set2::" → leaf "set2",
+    * HBaseParserTest.testEmptySubQualifier); each segment is normalized
+    * when `normalize` (HBaseRiver.isNormalizeFields). Returns a struct
+    * (path: array, leaf, full_path dotted). */
+  def parseQualifier(qualifier: Column, sep: String, normalize: Boolean = true): Column = {
+    val parts = filter(split(qualifier, java.util.regex.Pattern.quote(sep)),
+      p => p =!= "")
+    val norm = if (normalize) transform(parts, p => normalizeField(p)) else parts
+    struct(
+      slice(norm, lit(1), greatest(size(norm) - 1, lit(0))).as("path"),
+      element_at(norm, -1).as("leaf"),
+      array_join(norm, ".").as("full_path"))
+  }
 
   /** Delete-set derivation for `deleteOld` (HBaseParser.java:176-180):
     * scanned keys minus failed keys — an anti-join, so it stays a
