@@ -156,6 +156,20 @@ object SparkEntry {
     "q_date_histogram" -> ((s, dir) =>
       operators.Analytics.dateHistogram(Tables.events(s, dir))),
 
+    "q_salted_agg" -> ((s, dir) =>
+      operators.Skew.saltedStats(Tables.events(s, dir),
+        "user_id", "value", "event_id", 16)),
+
+    "river_parse_tree" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // readDataTree equivalent: the row payload parsed into a typed
+      // document (ref HBaseParser.readDataTree:204) + id extraction
+      val doc = expr("from_json(props, 'k BIGINT')")
+      ev.select(col("event_id"), doc.getField("k").as("k"),
+        concat(River.normalizeField(col("event_type")), lit(":"),
+          doc.getField("k").cast("string")).as("doc_id"))
+    }),
+
     // ----- text analysis (SURVEY §2 group 3) -----
 
     "text_tokencount" -> ((s, dir) =>
@@ -316,6 +330,18 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "river_parse_tree" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       regexp_replace(lower(event_type), '[^a-z0-9\-_]', '', 'g') || ':'
+        |         || json_extract_string(props, '$.k') AS doc_id
+        |FROM events""".stripMargin,
 
     // ----- text analysis -----
 
