@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TopKPairs}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY §2 group 5).
@@ -51,6 +51,25 @@ object Ann {
     sim.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "cand_id", "cos_sim")
+  }
+
+  /** Exact cosine top-k via the bounded [[TopKPairs]] aggregate instead
+    * of a window rank: map-side combine ships at most k pairs per query
+    * per partition, where the window form must shuffle + sort every
+    * scored row. Identical results to [[bruteForceTopK]]. */
+  def bruteForceTopKAgg(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cos_sim"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
   }
 
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in
