@@ -2,7 +2,7 @@ package graft.river
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming form of the river (SURVEY §2 group 1): the
   * reference's poll loop (`HBaseParser.run:50` — scan past the
@@ -69,6 +69,52 @@ object StreamingRiver {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** The latest observation per key, carried as explicit keyed state —
+    * the `mapGroupsWithState` form of the upsert: each micro-batch
+    * updates per-key state (ts, seq, value) with last-write-wins
+    * semantics and emits the current winner. Spark's state store
+    * persists it across batches (RocksDB-backed on a cluster), which is
+    * how a continuously-running import keeps upsert state without
+    * rewriting a snapshot per batch. */
+  case class KeyedLatest(key: Long, ts_us: Long, seq: Long, value: Double)
+
+  def latestPerKeyStateful(events: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col(keyCol).cast("long").as("key"),
+      unix_micros(col("ts")).as("ts_us"),
+      col(seqCol).cast("long").as("seq"),
+      col("value").cast("double").as("value")).as[KeyedLatest]
+    typed.groupByKey(_.key)
+      .mapGroupsWithState[KeyedLatest, KeyedLatest](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[KeyedLatest], state: GroupState[KeyedLatest]) =>
+          val best = (state.getOption.iterator ++ rows).maxBy(r => (r.ts_us, r.seq))
+          state.update(best)
+          best
+      }.toDF()
+  }
+
+  /** Run the stateful latest-per-key over a bounded stream into an
+    * in-memory sink and return the final per-key winners. */
+  def runLatestToMemory(spark: SparkSession, events: DataFrame, keyCol: String,
+      seqCol: String, queryName: String, checkpointDir: String): DataFrame = {
+    val q = latestPerKeyStateful(events, keyCol, seqCol).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    // Update-mode memory sink appends one row per key per batch; the
+    // final state per key is the last emission
+    spark.table(queryName)
+      .groupBy("key")
+      .agg(max(struct(col("ts_us"), col("seq"), col("value"))).as("w"))
+      .select(col("key"), col("w.ts_us"), col("w.seq"), col("w.value"))
+  }
 
   /** Run the windowed aggregation over a bounded stream into an
     * in-memory sink and return the completed result. */

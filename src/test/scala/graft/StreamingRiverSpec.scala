@@ -66,6 +66,27 @@ class StreamingRiverSpec extends SparkSpec {
     assert(afterFirst > 0)
   }
 
+  test("stateful latest-per-key (mapGroupsWithState) matches the batch operator") {
+    val events = Tables.events(spark, sfDir).cache()
+    val src = tmp("river4-src")
+    val ckpt = tmp("river4-ckpt")
+    // two stages of files → two micro-batch groups exercising state carry-over
+    events.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(src)
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    val streamed = StreamingRiver.runLatestToMemory(
+        spark, stream, "user_id", "event_id", "lstream", ckpt)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val batch = graft.river.River.latestPerKey(events, "user_id", "ts", "event_id")
+      .select(col("user_id"), graft.util.Det.tsMicros(col("ts")), col("event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming windowed aggregation matches the batch twin") {
     val events = Tables.events(spark, sfDir)
     val ckpt = tmp("river3-ckpt")
