@@ -102,12 +102,14 @@ object SparkEntry {
 
     "river_nested_columns" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val qualifier = concat(col("event_type"), lit("-"),
-        River.extractId(col("props"), "k"))
-      val parsed = River.parseQualifier(qualifier, "-")
-      ev.select(col("event_id"), qualifier.as("qualifier"),
-        array_join(parsed.getField("path"), ".").as("parent"),
-        parsed.getField("leaf").as("leaf"), col("value"))
+      // materialize qualifier, then the parsed struct, so the JSON
+      // extraction and the split run once per row, not per output column
+      ev.withColumn("qualifier", concat(col("event_type"), lit("-"),
+          River.extractId(col("props"), "k")))
+        .withColumn("__p", River.parseQualifier(col("qualifier"), "-"))
+        .select(col("event_id"), col("qualifier"),
+          array_join(col("__p.path"), ".").as("parent"),
+          col("__p.leaf").as("leaf"), col("value"))
     }),
 
     "river_delete_old" -> ((s, dir) => {
