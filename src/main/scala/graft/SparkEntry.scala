@@ -186,6 +186,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       text.TextOps.fingerprint(Tables.documents(s, dir))),
 
+    "text_top_terms" -> ((s, dir) =>
+      text.TextOps.topTerms(Tables.documents(s, dir), 20)),
+
     // ----- dedup (SURVEY §2 group 4) -----
 
     "dedup_exact" -> ((s, dir) =>
@@ -392,6 +395,12 @@ object SparkEntry {
            |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fingerprint,
            |  CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
            |FROM documents""".stripMargin,
+
+    "text_top_terms" ->
+      raw"""SELECT term, count(*) AS n
+           |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
+           |WHERE term <> ''
+           |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     // ----- dedup -----
 

@@ -98,11 +98,17 @@ object River {
     * 1000-executor import actually runs; `assignBatches` is the
     * reference-faithful sequential twin. */
   def assignBatchesPerPartition(df: DataFrame, batchSize: Int): DataFrame = {
-    val w = Window.partitionBy(spark_partition_id()).orderBy(monotonically_increasing_id())
-    df.withColumn("__seq", row_number().over(w) - 1)
+    // materialize the partition id and sequence BEFORE the window's
+    // shuffle: evaluated after it, spark_partition_id() would disagree
+    // with the window key and batches would collide past batchSize
+    val withPid = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+    withPid.withColumn("__seq", row_number().over(w) - 1)
       .withColumn("batch_id",
-        struct(spark_partition_id().as("part"), (col("__seq") / batchSize).cast("long").as("seq")))
-      .drop("__seq")
+        struct(col("__pid").as("part"), (col("__seq") / batchSize).cast("long").as("seq")))
+      .drop("__seq", "__pid", "__mid")
   }
 
   /** Field normalization (HBaseRiver.normalizeField:314): lowercase, keep

@@ -79,4 +79,17 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"),
       size(array_distinct(split(lower(col("text")), "\\s+"))).cast("long").as("n_distinct_tokens"))
+
+  /** Corpus-level term frequencies, top-k by count (tie → term order):
+    * the explode feeds a map-side-combinable hash aggregation, so at
+    * 100 TB the shuffle carries one partial count per (partition,
+    * distinct term), not one row per token occurrence. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
 }

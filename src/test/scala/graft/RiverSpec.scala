@@ -39,4 +39,13 @@ class RiverSpec extends SparkSpec {
     val raw = Tables.eventsRaw(spark, sfDir)
     assert(River.watermarkMicros(raw.filter(lit(false)), "ts").isEmpty)
   }
+
+  test("per-partition batching covers every row with bounded batches") {
+    val ev = Tables.events(spark, sfDir).repartition(7)
+    val batched = River.assignBatchesPerPartition(ev, 100)
+    assert(batched.count() == ev.count())
+    val sizes = batched.groupBy("batch_id").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 100), "no batch may exceed batchSize")
+    assert(sizes.sum == ev.count())
+  }
 }
