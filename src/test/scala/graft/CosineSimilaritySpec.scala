@@ -52,6 +52,19 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out == (1.5 * 2.0 + -2.0 * 0.5))
   }
 
+  test("GraftExtensions builders construct the right expressions") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val byName = GraftExtensions.functions
+      .map { case (id, _, b) => id.funcName -> b }.toMap
+    assert(byName.keySet == Set("cosine_sim", "dot_product"))
+    val args = Seq(Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      Literal.create(Array(2.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+    assert(byName("cosine_sim")(args).isInstanceOf[graft.functions.CosineSimilarity])
+    assert(byName("dot_product")(args).isInstanceOf[graft.functions.DotProduct])
+  }
+
   test("null inputs yield null") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))").head()
