@@ -217,6 +217,9 @@ object SparkEntry {
     "ann_topk_agg" -> ((s, dir) =>
       similarity.Ann.bruteForceTopKAgg(Tables.embeddings(s, dir), 10, 5)),
 
+    "ann_l2_topk" -> ((s, dir) =>
+      similarity.Ann.l2TopK(Tables.embeddings(s, dir), 10, 5)),
+
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -451,6 +454,17 @@ object SparkEntry {
         |         list_cosine_similarity(q_emb, c.emb) AS cos_sim,
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_l2_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10)
+        |SELECT query_id, rank, cand_id, dist FROM (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |         list_distance(q_emb, c.emb) AS dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_distance(q_emb, c.emb), c.vec_id) AS rank
         |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
         |WHERE rank <= 5""".stripMargin,
 

@@ -94,6 +94,10 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column =
     Glue.column(DotProduct(Glue.expression(a), Glue.expression(b)))
 
+  /** `l2_distance(a, b)` as a Column (no registration needed). */
+  def l2Distance(a: Column, b: Column): Column =
+    Glue.column(L2Distance(Glue.expression(a), Glue.expression(b)))
+
   /** Register all graft functions so `spark.sql("SELECT cosine_sim(...)")`
     * works (SURVEY §2: FunctionRegistry registration). */
   def register(spark: SparkSession): Unit = {
@@ -101,5 +105,7 @@ object GraftFunctions {
       es => CosineSimilarity(es.head, es(1)))
     Glue.registerFunction(spark, "dot_product",
       es => DotProduct(es.head, es(1)))
+    Glue.registerFunction(spark, "l2_distance",
+      es => L2Distance(es.head, es(1)))
   }
 }

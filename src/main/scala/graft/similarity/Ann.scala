@@ -53,6 +53,20 @@ object Ann {
       .select("query_id", "rank", "cand_id", "cos_sim")
   }
 
+  /** Exact Euclidean (L2) nearest-neighbor top-k: same broadcast shape
+    * as [[bruteForceTopK]] but ranking ascending by distance. */
+  def l2TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val sim = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("dist", GraftFunctions.l2Distance(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "dist")
+  }
+
   /** Exact cosine top-k via the bounded [[TopKPairs]] aggregate instead
     * of a window rank: map-side combine ships at most k pairs per query
     * per partition, where the window form must shuffle + sort every
