@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance}
 
 /** SparkSessionExtensions entry point, so a spark-submit deployment
   * picks up graft's functions with
@@ -25,5 +25,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    (FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_distance"),
+      (es: Seq[Expression]) => L2Distance(es.head, es(1))))
 }

@@ -29,24 +29,25 @@ object SparkEntry {
 
   // ---- shared builders -------------------------------------------------
 
-  /** Simulated already-imported sink: the first half of the key space.
-    * (The reference's sink is the ES index itself; here the "index" is a
-    * deterministic snapshot so the oracle can reproduce it.) */
-  private def sinkHalf(ev: DataFrame): DataFrame = {
-    val bounds = ev.agg(floor(max(col("event_id")) / 2).cast("long").as("__half"))
-    ev.join(broadcast(bounds), col("event_id") < col("__half")).drop("__half")
-  }
-
   /** Two-phase river scan (reference facet-then-scan): tiny watermark
-    * aggregates over the simulated sink, then a literal-predicate scan
-    * of the raw events so the filter pushes into the parquet source
-    * (file/row-group pruning at scale). Returns rows past the sink-half
-    * watermark with `ts` still raw epoch-ns. */
+    * aggregates over the simulated sink (= the first half of the key
+    * space — the "already-imported" snapshot, deterministic so the
+    * oracle can reproduce it), then a literal-predicate scan of the raw
+    * events so the filter pushes into the parquet source (file/row-group
+    * pruning at scale). An empty table or empty sink degrades to a full
+    * scan, mirroring the reference's setMinTimestamp(0) first-import
+    * path. Returns rows past the watermark with `ts` still raw epoch-ns. */
   private def literalScan(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.eventsRaw(s, dir)
-    val halfId = raw.agg(floor(max(col("event_id")) / 2).cast("long")).head().getLong(0)
-    val wmUs = River.watermarkMicros(raw.filter(col("event_id") < halfId), "ts").get
-    River.scanPastWatermark(raw, "ts", wmUs)
+    val halfRow = raw.agg(floor(max(col("event_id")) / 2).cast("long")).head()
+    if (halfRow.isNullAt(0)) raw // empty table → full (empty) scan
+    else {
+      val sink = raw.filter(col("event_id") < halfRow.getLong(0))
+      River.watermarkMicros(sink, "ts") match {
+        case Some(wmUs) => River.scanPastWatermark(raw, "ts", wmUs)
+        case None => raw // empty sink → first import, full scan
+      }
+    }
   }
 
   // ---- the inventory ---------------------------------------------------
@@ -150,7 +151,7 @@ object SparkEntry {
       operators.Analytics.sessionize(Tables.events(s, dir), 1800000000L)),
 
     "q_events_time_window" -> ((s, dir) =>
-      operators.Analytics.timeWindow(Tables.events(s, dir), "5 minutes", 300L)),
+      operators.Analytics.timeWindow(Tables.events(s, dir), "5 minutes")),
 
     "q_terms_facet" -> ((s, dir) =>
       operators.Analytics.termsFacet(Tables.events(s, dir), "event_type", 10)),

@@ -12,6 +12,13 @@ import graft.text.TextOps
   * (exact hash, fingerprint, min-shingle bucket, or LSH band), so the
   * shuffle is on bucket keys and the quadratic work is confined to
   * (small) candidate groups.
+  *
+  * Caching contract: the multi-use operators in this family (ngram
+  * Jaccard, MinHash, SimHash, LSH ANN) persist their shared
+  * intermediates for the duration of the query; the cache is subject
+  * to LRU eviction, but long-lived sessions that are done with a
+  * result should call `spark.catalog.clearCache()` (as Bench does) or
+  * unpersist via the storage UI to reclaim executor memory eagerly.
   */
 object Dedup {
 

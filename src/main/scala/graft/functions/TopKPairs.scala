@@ -48,9 +48,15 @@ case class TopKPairs(
       s"top_k_pairs expects (double, bigint), got " +
         s"${score.dataType.sql}, ${id.dataType.sql}")
 
-  /** best first: higher score wins, ties broken by smaller id. */
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  /** best first: higher score wins (NaN greatest, matching SQL
+    * `ORDER BY score DESC` in both Spark and DuckDB), ties broken by
+    * smaller id. */
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // NaN sorts greatest → first
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.length > k) {

@@ -143,7 +143,7 @@ object Analytics {
 
   /** Tumbling-window aggregation — the batch twin of the streaming river's
     * windowed agg (same `window()` expression Structured Streaming uses). */
-  def timeWindow(events: DataFrame, width: String, widthSeconds: Long): DataFrame =
+  def timeWindow(events: DataFrame, width: String): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))

@@ -112,9 +112,15 @@ object River {
   }
 
   /** Field normalization (HBaseRiver.normalizeField:314): lowercase, keep
-    * only [a-z0-9-_] plus the separator's chars. */
+    * only [a-z0-9-_] plus the separator's chars. Only character-class
+    * metacharacters are escaped — a bare backslash before a letter
+    * (e.g. separator "u" → \u) would be an illegal or
+    * semantics-changing regex escape. */
   def normalizeField(c: Column, columnSeparator: Option[String] = None): Column = {
-    val extra = columnSeparator.getOrElse("").map(ch => "\\" + ch).mkString
+    val extra = columnSeparator.getOrElse("").distinct.map {
+      case ch if "\\]^[-&".contains(ch) => "\\" + ch
+      case ch => ch.toString
+    }.mkString
     regexp_replace(lower(c), s"[^a-z0-9\\-_$extra]", "")
   }
 
@@ -137,7 +143,9 @@ object River {
     val norm = if (normalize) transform(parts, p => normalizeField(p)) else parts
     struct(
       slice(norm, lit(1), greatest(size(norm) - 1, lit(0))).as("path"),
-      element_at(norm, -1).as("leaf"),
+      // guard: a separators-only qualifier leaves no segments, and ANSI
+      // mode (Spark 4 default) makes element_at on an empty array throw
+      when(size(norm) > 0, element_at(norm, -1)).as("leaf"),
       array_join(norm, ".").as("full_path"))
   }
 

@@ -20,22 +20,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingRiver {
 
   /** Merge one (micro-)batch into the parquet index, last write wins.
-    * Write-then-swap keeps the read of the old snapshot and the write of
-    * the new one from overlapping. */
+    * Crash-safe swap: the new snapshot is fully written to a staging
+    * dir, the old index is renamed aside (never deleted while it is the
+    * only copy), the staging becomes the index, then the old copy is
+    * dropped — at every instant either the index or its `__old` backup
+    * exists, and a restarted batch re-merges from whichever survived. */
   def upsertBatch(batch: DataFrame, cfg: RiverConfig, seqCol: String): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val index = new org.apache.hadoop.fs.Path(cfg.sinkPath)
+    val fs = index.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(cfg.sinkPath + "__staging")
+    val old = new org.apache.hadoop.fs.Path(cfg.sinkPath + "__old")
+    // recover: a crash after the rename-aside leaves only __old
+    if (!fs.exists(index) && fs.exists(old)) fs.rename(old, index)
     val merged =
       if (fs.exists(index))
         River.latestPerKey(spark.read.parquet(cfg.sinkPath).unionByName(batch),
           cfg.keyCol, cfg.tsCol, seqCol)
       else River.latestPerKey(batch, cfg.keyCol, cfg.tsCol, seqCol)
     merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(index, true)
+    fs.delete(old, true)
+    if (fs.exists(index)) fs.rename(index, old)
     fs.rename(staging, index)
+    fs.delete(old, true)
   }
 
   /** The streaming import: events stream → normalize/project → upsert

@@ -56,7 +56,7 @@ class CosineSimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val byName = GraftExtensions.functions
       .map { case (id, _, b) => id.funcName -> b }.toMap
-    assert(byName.keySet == Set("cosine_sim", "dot_product"))
+    assert(byName.keySet == Set("cosine_sim", "dot_product", "l2_distance"))
     val args = Seq(Literal.create(Array(1.0), org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType)),
       Literal.create(Array(2.0), org.apache.spark.sql.types.ArrayType(

@@ -40,6 +40,27 @@ class QualifierSpec extends SparkSpec {
     assert(out(0) == (Nil, "dataset1category1", "dataset1category1"))
   }
 
+  test("separators-only qualifier yields a null leaf instead of throwing") {
+    val out = {
+      import spark.implicits._
+      Seq("::", "::::").toDF("q")
+        .select(River.parseQualifier(col("q"), "::").as("p"))
+        .select(col("p.leaf"), col("p.full_path")).collect()
+    }
+    out.foreach { r => assert(r.isNullAt(0)); assert(r.getString(1) == "") }
+  }
+
+  test("alphanumeric separators don't break the normalize regex") {
+    import spark.implicits._
+    // 'u' has no regex escape — a naive \u would throw PatternSyntaxException
+    val v = Seq("AuB").toDF("f")
+      .select(River.normalizeField(col("f"), Some("u"))).as[String].head()
+    assert(v == "aub")
+    val s = Seq("a b").toDF("f")
+      .select(River.normalizeField(col("f"), Some("s"))).as[String].head()
+    assert(s == "ab", "separator 's' must mean the literal letter, not \\s")
+  }
+
   test("testNormalizeField: reference's exact input/expected pairs") {
     import spark.implicits._
     val cases = Seq(
