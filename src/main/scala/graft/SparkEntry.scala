@@ -201,6 +201,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.8)),
 
+    "dedup_clusters" -> ((s, dir) =>
+      dedup.Dedup.nearDupClusters(
+        dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.8))),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       dedup.MinHash.nearDupPairs(Tables.documents(s, dir))),
 
@@ -426,6 +430,20 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+        |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM s),
+        |p AS (SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |bi AS (SELECT a_id AS s, b_id AS d FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (SELECT DISTINCT s, s FROM bi
+        |  UNION SELECT bi.s, reach.r FROM bi JOIN reach ON bi.d = reach.id)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

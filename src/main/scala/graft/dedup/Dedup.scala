@@ -87,6 +87,40 @@ object Dedup {
     confirmJaccard(pairs, s, tau)
   }
 
+  /** Connected components over a near-dup pair list: every doc is
+    * labeled with the smallest doc_id reachable through pairs — the
+    * cluster key for keeper selection (keep `id == cluster`, drop the
+    * rest). Iterative min-label propagation: each round joins labels to
+    * the bidirectional edge list, takes the min over neighbors, and
+    * stops when no label changed — O(diameter) rounds of hash joins,
+    * each a key-partitioned shuffle; near-dup components are tiny, so
+    * the loop converges in a handful of rounds even at corpus scale.
+    * (The driver-side loop carries only the converged/changed COUNT,
+    * never data.) */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("min_nbr"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("min_nbr"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs at or above `tau` — the exact
     * baseline (oracle-checkable). This compares all id-ordered pairs; at
     * 100 TB the same cosine_sim re-rank runs over LSH-bucketed candidates
