@@ -190,6 +190,10 @@ object SparkEntry {
     "text_top_terms" -> ((s, dir) =>
       text.TextOps.topTerms(Tables.documents(s, dir), 20)),
 
+    "text_match_query" -> ((s, dir) =>
+      text.TextOps.matchQuery(Tables.documents(s, dir),
+        Seq("hash", "join", "vector"), 15)),
+
     // ----- dedup (SURVEY §2 group 4) -----
 
     "dedup_exact" -> ((s, dir) =>
@@ -409,6 +413,15 @@ object SparkEntry {
            |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
            |WHERE term <> ''
            |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "text_match_query" ->
+      raw"""SELECT doc_id, score, n_tokens FROM (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           |         x -> list_contains(['hash','join','vector'], x))) AS BIGINT) AS score,
+           |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents) t
+           |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // ----- dedup -----
 

@@ -80,6 +80,22 @@ object TextOps {
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"),
       size(array_distinct(split(lower(col("text")), "\\s+"))).cast("long").as("n_distinct_tokens"))
 
+  /** ES match query: OR'd query terms scored by term frequency over the
+    * token stream, top-k by score (tie → doc_id) — the relevance-ranked
+    * text search the reference's sink serves. A single narrow scan per
+    * doc plus a driver-bounded top-k; no shuffle of the corpus. */
+  def matchQuery(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val termArr = typedlit(terms)
+    docs
+      .select(col("doc_id"),
+        size(filter(toks, t => array_contains(termArr, t))).cast("long").as("score"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus-level term frequencies, top-k by count (tie → term order):
     * the explode feeds a map-side-combinable hash aggregation, so at
     * 100 TB the shuffle carries one partial count per (partition,
