@@ -163,6 +163,52 @@ object SparkEntry {
       operators.Skew.saltedStats(Tables.events(s, dir),
         "user_id", "value", "event_id", 16)),
 
+    "q6_revenue_delta" -> ((s, dir) =>
+      operators.Analytics.revenueDelta(Tables.lineitem(s, dir),
+        "1997-01-01", "1998-01-01", 0.05, 0.07, 24)),
+
+    "q10_returned_items" -> ((s, dir) =>
+      operators.Analytics.returnedItems(Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), 20)),
+
+    "q18_large_orders" -> ((s, dir) =>
+      operators.Analytics.largeOrders(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), 150L, 20)),
+
+    "q_part_type_stats" -> ((s, dir) =>
+      operators.Analytics.partTypeStats(Tables.part(s, dir), 15)),
+
+    "q_bool_filter" -> ((s, dir) =>
+      operators.Analytics.boolFilter(Tables.events(s, dir),
+        50.0, Seq("click", "purchase"), 10L)),
+
+    "q_numeric_histogram" -> ((s, dir) =>
+      operators.Analytics.numericHistogram(Tables.events(s, dir), 10.0)),
+
+    "q_percentile_facet" -> ((s, dir) =>
+      operators.Analytics.percentileFacet(Tables.events(s, dir), Seq(0.5, 0.9, 0.99))),
+
+    "q_cardinality" -> ((s, dir) =>
+      operators.Analytics.cardinality(Tables.events(s, dir), "event_type", "user_id")),
+
+    "q_search_after" -> ((s, dir) =>
+      operators.Analytics.searchAfter(Tables.events(s, dir),
+        1705330000000000L, 0L, 50)),
+
+    "q_hash_sample" -> ((s, dir) =>
+      operators.Analytics.hashSample(Tables.events(s, dir), "05")),
+
+    "q_rollup_agg" -> ((s, dir) =>
+      operators.Analytics.rollupAgg(Tables.events(s, dir))),
+
+    "q_asof_join" -> ((s, dir) =>
+      // no-match → -1 sentinels: value-hash comparers disagree on NaN/null
+      operators.Analytics.asofJoin(Tables.events(s, dir), "purchase", "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("matched_id"), lit(-1L)).as("matched_id"),
+          coalesce(col("matched_ts_us"), lit(-1L)).as("matched_ts_us"),
+          col("value"))),
+
     "river_parse_tree" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       // readDataTree equivalent: the row payload parsed into a typed
@@ -193,6 +239,24 @@ object SparkEntry {
     "text_match_query" -> ((s, dir) =>
       text.TextOps.matchQuery(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
+
+    "text_prefix_search" -> ((s, dir) =>
+      text.TextOps.prefixSearch(Tables.documents(s, dir), "sc", 25)),
+
+    "text_phrase_match" -> ((s, dir) =>
+      text.TextOps.phraseMatch(Tables.documents(s, dir), "hash join", 25)),
+
+    "text_langid_eval" -> ((s, dir) =>
+      text.TextOps.langIdEval(Tables.documents(s, dir))),
+
+    "text_corpus_stats" -> ((s, dir) =>
+      text.TextOps.corpusStats(Tables.documents(s, dir))),
+
+    "text_chunk" -> ((s, dir) =>
+      text.TextOps.chunk(Tables.documents(s, dir), 50, 40)),
+
+    "text_ngrams" -> ((s, dir) =>
+      text.TextOps.topNgrams(Tables.documents(s, dir), 20)),
 
     // ----- dedup (SURVEY §2 group 4) -----
 
@@ -232,6 +296,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    "ann_ivf_topk" -> ((s, dir) =>
+      similarity.Ann.ivfTopK(Tables.embeddings(s, dir), 10, 5)),
+
     // ----- multimodal (SURVEY §2 group 6) -----
 
     "mm_binary_meta" -> ((s, dir) =>
@@ -239,6 +306,9 @@ object SparkEntry {
 
     "mm_feature_stub" -> ((s, dir) =>
       multimodal.Multimodal.featureExtract(Tables.documents(s, dir), 8)),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      multimodal.Multimodal.frameSample(Tables.documents(s, dir), 256, 4)),
 
     "river_full_pipeline" -> ((s, dir) => {
       val scanned = literalScan(s, dir)
@@ -357,6 +427,86 @@ object SparkEntry {
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY user_id""".stripMargin,
 
+    "q6_revenue_delta" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |       CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |             FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_part_type_stats" ->
+      """SELECT p_type, count(*) AS n_parts,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_retail,
+        |       min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part GROUP BY p_type ORDER BY n_parts DESC, p_type LIMIT 15""".stripMargin,
+
+    "q_bool_filter" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events
+        |WHERE value >= 50 AND event_type IN ('click', 'purchase') AND NOT (user_id % 10 = 0)""".stripMargin,
+
+    "q_numeric_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_percentile_facet" ->
+      """WITH t AS (SELECT event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
+        |SELECT event_type, p, value AS pct_value, n
+        |FROM t CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps
+        |WHERE rn = ceil(p * n)""".stripMargin,
+
+    "q_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_search_after" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
+        |WHERE epoch_us(ts) > 1705330000000000 OR (epoch_us(ts) = 1705330000000000 AND event_id > 0)
+        |ORDER BY ts_us, event_id LIMIT 50""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '05'""".stripMargin,
+
+    "q_rollup_agg" ->
+      """SELECT coalesce(day_idx, -1) AS day_idx, coalesce(event_type, 'ALL') AS event_type,
+        |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, value FROM events)
+        |GROUP BY ROLLUP(day_idx, event_type)""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS r_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us, coalesce(c.r_id, -1) AS matched_id,
+        |       coalesce(c.ts_us, -1) AS matched_ts_us, p.value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+
     "river_parse_tree" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       regexp_replace(lower(event_type), '[^a-z0-9\-_]', '', 'g') || ':'
@@ -422,6 +572,63 @@ object SparkEntry {
            |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
            |  FROM documents) t
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_prefix_search" ->
+      raw"""SELECT doc_id, n_matches FROM (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           |         x -> x LIKE 'sc%')) AS BIGINT) AS n_matches
+           |  FROM documents) t
+           |WHERE n_matches > 0 ORDER BY n_matches DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_phrase_match" ->
+      """SELECT doc_id, n_occurrences FROM (
+        |  SELECT doc_id,
+        |    CAST((length(lower(text)) - length(replace(lower(text), 'hash join', ''))) // 9 AS BIGINT) AS n_occurrences
+        |  FROM documents) t
+        |WHERE n_occurrences > 0 ORDER BY n_occurrences DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_langid_eval" ->
+      raw"""WITH t AS (SELECT lang,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS s_en,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS BIGINT) AS s_de,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un)\b')) AS BIGINT) AS s_fr,
+           |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|y|una)\b')) AS BIGINT) AS s_es,
+           |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+           |  FROM documents),
+           |p AS (SELECT lang, CASE WHEN s_zh > 0 THEN 'zh'
+           |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM t)
+           |SELECT lang AS lang_true, lang_pred, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin,
+
+    "text_corpus_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY source, lang""".stripMargin,
+
+    "text_chunk" ->
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+           |e AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 50, 0) // 40 + 1)) AS i FROM t)
+           |SELECT doc_id, i AS chunk_idx,
+           |       array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text,
+           |       CAST(len(toks[i*40+1 : i*40+50]) AS BIGINT) AS n_chunk_tokens
+           |FROM e""".stripMargin,
+
+    "text_ngrams" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks FROM documents)
+        |SELECT ngram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS ngram FROM t)
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH t AS (SELECT doc_id, text, length(text) // 256 + 1 AS n_frames FROM documents),
+        |e AS (SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx FROM t)
+        |SELECT doc_id, frame_idx,
+        |       md5(substring(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_sig,
+        |       n_frames
+        |FROM e""".stripMargin,
 
     // ----- dedup -----
 

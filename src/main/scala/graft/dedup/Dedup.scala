@@ -96,13 +96,16 @@ object Dedup {
     * each a key-partitioned shuffle; near-dup components are tiny, so
     * the loop converges in a handful of rounds even at corpus scale.
     * (The driver-side loop carries only the converged/changed COUNT,
-    * never data.) */
+    * never data; each round's labels are localCheckpoint'ed so the
+    * lineage — and with it Catalyst's plan tree — stays ROUND-CONSTANT
+    * instead of growing exponentially with iteration count, the
+    * classic iterative-join trap.) */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).persist()
+      .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val viaNeighbors = edges
@@ -111,7 +114,7 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("min_nbr"), col("cluster"))).as("cluster"))
-        .persist()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
       labels.unpersist()

@@ -52,6 +52,25 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling over a simulated video payload: the byte column is
+    * treated as fixed-size frames (`frameBytes` each) and every
+    * `frameEvery`-th frame index is emitted with a per-frame content
+    * signature. A real deployment swaps the signature for a decode of
+    * the frame bytes; the enumeration/explode plumbing — narrow,
+    * partition-local, output ∝ frames sampled — is the production
+    * shape. */
+  def frameSample(docs: DataFrame, frameBytes: Int, frameEvery: Int): DataFrame = {
+    val nFrames = (floor(length(col("text")) / lit(frameBytes)) + lit(1)).cast("long")
+    docs
+      .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(frameEvery.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("text").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).cast("binary")).as("frame_sig"),
+        col("n_frames"))
+  }
+
   /** Partition-parallel "decode" of the binary payload into a
     * fixed-shape feature vector. Narrow (no shuffle): each partition
     * streams its payloads through the decoder independently. */

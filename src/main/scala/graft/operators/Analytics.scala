@@ -149,4 +149,176 @@ object Analytics {
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
       .select((unix_micros(col("w.start")) / lit(1000000L)).cast("long").as("window_start_s"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** TPC-H Q6 shape: pure filter + global aggregate — every predicate is
+    * a plain column comparison, so at scale the whole WHERE clause lands
+    * in `PushedFilters` (row-group pruning) and the scan reads 4 columns. */
+  def revenueDelta(lineitem: DataFrame, yearStart: String, yearEnd: String,
+                   discLo: Double, discHi: Double, qtyMax: Int): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(yearStart)) &&
+        col("l_shipdate") < to_timestamp(lit(yearEnd)) &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < qtyMax)
+      .agg(sum(dec2(col("l_extendedprice")) * dec42(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top-k.
+    * Fact-fact join shuffles on orderkey; customer/nation broadcast. */
+  def returnedItems(customer: DataFrame, nation: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, k: Int): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec42(col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    * the HAVING pre-aggregation runs map-side-combinable BEFORE the join,
+    * so only qualifying orderkeys (a tiny set) reach the join. */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  qtyThreshold: Long, k: Int): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg(Det.intSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > qtyThreshold)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        dec2(col("o_totalprice")).cast("double").as("total_price"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Dimension-table profile: per-type part stats (count, retail price
+    * sum/avg, size range) — one map-side-combinable hash agg. */
+  def partTypeStats(part: DataFrame, k: Int): DataFrame =
+    part.groupBy("p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        Det.moneySum(col("p_retailprice")).as("sum_retail"),
+        Det.moneyAvg(col("p_retailprice")).as("avg_retail"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"))
+      .orderBy(col("n_parts").desc, col("p_type"))
+      .limit(k)
+
+  /** ES bool query: must(range) + filter(terms) + must_not(term) — all
+    * plain predicates, the whole clause pushes to the scan. */
+  def boolFilter(events: DataFrame, minValue: Double, types: Seq[String],
+                 excludeUserMod: Long): DataFrame =
+    events
+      .filter(col("value") >= minValue &&
+        col("event_type").isin(types: _*) &&
+        !(col("user_id") % excludeUserMod === 0))
+      .select(col("event_id"), Det.tsMicros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+
+  /** ES numeric-histogram facet: fixed-width value buckets. The bucket
+    * key is floor(value/width) on the raw double — identical arithmetic
+    * on any engine — and the agg is map-side combinable. */
+  def numericHistogram(events: DataFrame, width: Double): DataFrame =
+    events
+      .groupBy(floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+
+  /** ES percentiles facet, exact: per-group rank-selected values at the
+    * given fractions (value at row ceil(p·n) in (value, id) order — the
+    * discrete percentile both engines compute identically; no
+    * interpolation, no t-digest nondeterminism). One shuffle on the
+    * group key; the per-group sort is the windowed rank. */
+  def percentileFacet(events: DataFrame, fractions: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("p", explode(typedlit(fractions)))
+      .filter(col("rn") === ceil(col("p") * col("n")))
+      .select(col("event_type"), col("p"), col("value").as("pct_value"), col("n"))
+  }
+
+  /** ES cardinality agg, exact form: per-term distinct-key counts.
+    * (Exact distinct = two-phase hash agg; the approximate HLL twin is
+    * [[approxCardinality]], spec-checked for relative error.) */
+  def cardinality(events: DataFrame, termCol: String, keyCol: String): DataFrame =
+    events.groupBy(termCol)
+      .agg(countDistinct(col(keyCol)).as("n_distinct"),
+        count(lit(1)).as("n_events"))
+
+  /** HLL++ cardinality — the 100 TB path: constant memory per group,
+    * fully map-side combinable, no distinct shuffle. */
+  def approxCardinality(events: DataFrame, termCol: String, keyCol: String,
+                        rsd: Double = 0.05): DataFrame =
+    events.groupBy(termCol)
+      .agg(approx_count_distinct(col(keyCol), rsd).as("n_distinct_approx"),
+        count(lit(1)).as("n_events"))
+
+  /** ES search_after keyset pagination: strictly-after-(cursor) page in
+    * (ts, id) order. The cursor predicate pushes to the scan (unlike
+    * OFFSET, which reads everything it skips — the reason deep ES
+    * pagination uses search_after). */
+  def searchAfter(events: DataFrame, cursorTsUs: Long, cursorId: Long,
+                  pageSize: Int): DataFrame =
+    events
+      .select(col("event_id"), Det.tsMicros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .filter(col("ts_us") > cursorTsUs ||
+        (col("ts_us") === cursorTsUs && col("event_id") > cursorId))
+      .orderBy(col("ts_us"), col("event_id"))
+      .limit(pageSize)
+
+  /** Deterministic content-hash sampling: keep rows whose md5(id) hex
+    * prefix falls under `hexLt` (e.g. "05" ≈ 5/256 ≈ 2%). Unlike
+    * rand()-based sampling this is reproducible across engines, runs,
+    * and repartitionings — the property a training-data pipeline needs
+    * for auditable subsets. */
+  def hashSample(events: DataFrame, hexLt: String): DataFrame =
+    events
+      .filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, hexLt.length) < hexLt)
+      .select(col("event_id"), col("event_type"), col("value"))
+
+  /** Rollup aggregation (day × type with subtotals + grand total) —
+    * grouping-set nulls surfaced as sentinel values so the result is
+    * join- and compare-friendly. */
+  def rollupAgg(events: DataFrame): DataFrame =
+    events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        col("event_type"), col("value"))
+      .rollup("day_idx", "event_type")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .select(coalesce(col("day_idx"), lit(-1L)).as("day_idx"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+
+  /** As-of join: each `leftType` event matched to the most recent
+    * `rightType` event at-or-before it for the same user. Expressed as a
+    * union + running last-non-null window — ONE shuffle on user_id and a
+    * linear merge, where a naive range join explodes quadratically in
+    * events-per-user. The right side is pre-deduped to max(event_id) per
+    * (user, ts) so the match is deterministic. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      Det.tsMicros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val right = ev.filter(col("event_type") === rightType)
+      .groupBy("user_id", "ts_us").agg(max("event_id").as("r_id"))
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        struct(col("ts_us").as("r_ts_us"), col("r_id")).as("r"))
+    val left = ev.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("struct<r_ts_us:bigint,r_id:bigint>").as("r"))
+    // right rows sort before left at equal ts (side 0 < 1) → at-or-before
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    right.unionByName(left)
+      .withColumn("m", last(col("r"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("m.r_id").as("matched_id"), col("m.r_ts_us").as("matched_ts_us"),
+        col("value"))
+  }
 }

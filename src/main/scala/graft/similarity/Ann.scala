@@ -116,4 +116,45 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "cand_id", "cos_sim")
   }
+
+  /** IVF (inverted-file) ANN top-k — the partitioned-index scale path.
+    * Centroids are the first `nCentroids` vectors (deterministic seeds —
+    * at production scale, a k-means refinement of the same seeds); every
+    * corpus vector is assigned to its nearest centroid (one broadcast
+    * pass, argmax cosine with id tie-break), queries probe their
+    * `nprobe` nearest centroid lists, and exact cosine re-ranks inside
+    * the probed lists only. The corpus↔query join is an equi-join on
+    * centroid id — shuffle on list id, never all-pairs; at 100 TB the
+    * assignment is a write-once partitioning of the corpus (cluster-
+    * bucketed table), and a query touches nprobe/nCentroids of it. */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // nearest-centroid assignment: broadcast the (tiny) centroid set,
+    // keep argmax by (cos, -cent_id) via max_by on an ordered struct
+    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame =
+      df.join(broadcast(cent))
+        .select(col(idCol), col(embCol),
+          GraftFunctions.cosineSim(col(embCol), col("cent_emb")).as("cos_c"),
+          col("cent_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("cos_c").desc, col("cent_id"))))
+        .filter(col("rk") <= keep)
+        .select(col(idCol), col(embCol), col("cent_id"))
+    val corpus = assign(
+      emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+      "cand_id", "c_emb", keep = 1)
+    val queries = assign(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", keep = nprobe)
+    val sim = queries.join(corpus, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cos_sim")
+  }
 }

@@ -55,13 +55,14 @@ object TextOps {
   }
 
   /** Language ID: per-language stopword scores + CJK codepoint count,
-    * deterministic priority argmax (zh > en > de > fr > es on ties). */
-  def langId(docs: DataFrame): DataFrame = {
+    * deterministic priority argmax (zh > en > de > fr > es on ties).
+    * `keep` carries extra columns through (e.g. a ground-truth label). */
+  def langId(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val zh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id") +: (keep.map(col) ++ Seq(
         stopHits(col("text"), "en").as("s_en"), stopHits(col("text"), "de").as("s_de"),
         stopHits(col("text"), "fr").as("s_fr"), stopHits(col("text"), "es").as("s_es"),
-        zh.as("s_zh"))
+        zh.as("s_zh"))): _*)
       .withColumn("lang_pred",
         when(col("s_zh") > 0, "zh")
           .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
@@ -108,4 +109,86 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(k)
+
+  /** ES prefix query: docs with ≥1 token starting with `prefix`, scored
+    * by matching-token count, top-k. Same narrow-scan shape as
+    * [[matchQuery]] — at 100 TB an index-backed engine would consult a
+    * term dictionary; the streaming form is one codegen'd pass. */
+  def prefixSearch(docs: DataFrame, prefix: String, k: Int): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"),
+        size(filter(toks, t => t.startsWith(prefix))).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES match_phrase: docs containing the exact (case-folded) phrase,
+    * with occurrence counts via length arithmetic — no regex, no
+    * position lists, one substring scan per row. */
+  def phraseMatch(docs: DataFrame, phrase: String, k: Int): DataFrame = {
+    val lowered = lower(col("text"))
+    val occurrences =
+      ((length(lowered) - length(replace(lowered, lit(phrase.toLowerCase), lit("")))) /
+        lit(phrase.length)).cast("long")
+    docs
+      .select(col("doc_id"), occurrences.as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Confusion matrix of predicted vs ground-truth language — the
+    * eval loop a pipeline runs after changing the classifier. Single
+    * pass + one tiny agg; no join (the truth label rides along). */
+  def langIdEval(docs: DataFrame): DataFrame =
+    langId(docs, keep = Seq("lang"))
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Corpus profile by (source, lang): doc counts + char-length stats —
+    * the per-domain inventory a data-mixing pipeline starts from. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+
+  /** Token-window chunking: windows of `width` tokens every `stride`
+    * tokens — the doc→training-sample splitter. Narrow (no shuffle):
+    * chunk enumeration is an explode of per-row start offsets; at 100 TB
+    * output size is input × width/stride, streamed partition-local. */
+  def chunk(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            floor(greatest(size(col("toks")) - lit(width), lit(0)) / lit(stride)).cast("long")),
+          i => slice(col("toks"), (i * stride + 1).cast("int"), lit(width)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Corpus top-k word n-grams. The n-gram array is built by zip_with
+    * over shifted slices of the token array (array-at-a-time — a
+    * per-index lambda would re-evaluate the tokenizer per element); the
+    * explode feeds a map-side-combinable count. Wordlike tokens only,
+    * so no empty-token edge cases. */
+  def topNgrams(docs: DataFrame, k: Int): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0))
+    docs
+      .select(toks.as("toks"))
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.similarity.Ann
+import graft.text.TextOps
+
+/** Specs for the round-1 widening wave: as-of join, IVF ANN, HLL
+  * cardinality, chunking, and deterministic hash sampling. */
+class NewOpsSpec extends SparkSpec {
+
+  test("asofJoin matches a naive per-row lookup") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.asofJoin(ev, "purchase", "click").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+
+    // naive oracle: for each purchase, scan all clicks of that user
+    val rows = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type")).collect()
+    val clicks = rows.filter(_.getString(3) == "click")
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        // dedupe to max event_id per (user, ts) like the operator
+        u -> rs.groupBy(_.getLong(2)).map { case (ts, g) => (ts, g.map(_.getLong(1)).max) }.toSeq
+      }
+    val purchases = rows.filter(_.getString(3) == "purchase")
+    assert(got.size == purchases.length)
+    purchases.foreach { p =>
+      val best = clicks.getOrElse(p.getLong(0), Seq.empty)
+        .filter(_._1 <= p.getLong(2))
+        .sortBy(c => (c._1, c._2)).lastOption
+      val (mId, mTs) = got(p.getLong(1))
+      assert(mTs == best.map(_._1) && mId == best.map(_._2),
+        s"purchase ${p.getLong(1)}: got ($mId,$mTs) want $best")
+    }
+  }
+
+  test("ivfTopK recall@5 vs brute force is reasonable and rank-1 often exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Ann.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.ivfTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      val hit = approx.getOrElse(q, Set.empty)
+      exact(q).intersect(hit).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean IVF recall@5 too low: $mean")
+  }
+
+  test("approxCardinality tracks exact within 15% relative error") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = Analytics.cardinality(ev, "event_type", "user_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Analytics.approxCardinality(ev, "event_type", "user_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.15, s"$k: exact=$n approx=$a")
+    }
+  }
+
+  test("chunk covers every token with the right windows") {
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = TextOps.chunk(docs, 50, 40).collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getLong(0))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split("\\s+", -1)
+      val nChunks = math.max(toks.length - 50, 0) / 40 + 1
+      val cs = byDoc(id).sortBy(_.getLong(1))
+      assert(cs.length == nChunks, s"doc $id: ${cs.length} chunks, want $nChunks")
+      cs.zipWithIndex.foreach { case (c, i) =>
+        val want = toks.slice(i * 40, i * 40 + 50)
+        assert(c.getString(2) == want.mkString(" "), s"doc $id chunk $i text")
+        assert(c.getLong(3) == want.length.toLong)
+      }
+    }
+  }
+
+  test("hashSample is deterministic and near the expected rate") {
+    val ev = Tables.events(spark, sfDir)
+    val s1 = Analytics.hashSample(ev, "05").collect().map(_.getLong(0)).toSet
+    val s2 = Analytics.hashSample(ev.repartition(7), "05").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val n = ev.count()
+    val rate = s1.size.toDouble / n
+    assert(rate > 0.005 && rate < 0.05, s"rate $rate outside sanity band for prefix<05 (~2%)")
+  }
+
+  test("percentileFacet picks the exact rank-selected values") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.percentileFacet(ev, Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rows = ev.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val sorted = g.sortBy(x => (x._2, x._3))
+      val want = sorted(math.ceil(0.5 * sorted.length).toInt - 1)._2
+      assert(got(t) == want, s"$t: got ${got(t)} want $want")
+    }
+  }
+}

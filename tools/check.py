@@ -39,7 +39,8 @@ def compare(name, spark_df, oracle_df):
         if str(a[c].dtype).startswith("float") or str(b[c].dtype).startswith("float"):
             bad = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv))
                    if not (x == y or (isinstance(x, float) and isinstance(y, float)
-                                      and math.isclose(x, y, rel_tol=0, abs_tol=0)))]
+                                      and (math.isclose(x, y, rel_tol=0, abs_tol=0)
+                                           or (math.isnan(x) and math.isnan(y)))))]
             if bad:
                 close = all(math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9) for _, x, y in bad)
                 return (f"VALUES col={c} n_diff={len(bad)} first={bad[0]} "
