@@ -18,7 +18,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM + parquet-footer warm-up so per-query times measure the query
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only the named queries (diagnostics; the driver
+    // invokes with no args → full suite)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // best of 2: single runs are dominated by JIT/GC noise at this scale
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -27,9 +32,15 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        spark.catalog.clearCache() // operators persist intermediates; keep runs independent
+        // operators persist intermediates (and the clustering loop
+        // localCheckpoints, which clearCache does NOT reclaim); drop every
+        // persisted block so 124 back-to-back executions don't accumulate
+        // heap pressure that bleeds into later queries' times
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -240,6 +240,18 @@ object SparkEntry {
       text.TextOps.matchQuery(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
 
+    "text_tfidf" -> ((s, dir) =>
+      text.TextOps.tfidfSearch(Tables.documents(s, dir),
+        Seq("hash", "join", "vector"), 15)),
+
+    "text_significant_terms" -> ((s, dir) =>
+      text.TextOps.significantTerms(Tables.documents(s, dir), 5L, 20)),
+
+    "q_salted_join" -> ((s, dir) =>
+      operators.Skew.saltedJoin(Tables.events(s, dir), Tables.customer(s, dir),
+        "user_id", "c_custkey", "event_id", 8)
+        .select(col("event_id"), col("user_id"), col("c_name"), col("value"))),
+
     "text_prefix_search" -> ((s, dir) =>
       text.TextOps.prefixSearch(Tables.documents(s, dir), "sc", 25)),
 
@@ -572,6 +584,45 @@ object SparkEntry {
            |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
            |  FROM documents) t
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_tfidf" ->
+      raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+           |hits AS (SELECT doc_id, term FROM tok WHERE term IN ('hash', 'join', 'vector')),
+           |tf AS (SELECT doc_id,
+           |        CAST(sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+           |        CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+           |        CAST(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+           |      FROM hits GROUP BY doc_id),
+           |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |        count(DISTINCT CASE WHEN term = 'hash' THEN doc_id END) AS df0,
+           |        count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df1,
+           |        count(DISTINCT CASE WHEN term = 'vector' THEN doc_id END) AS df2
+           |      FROM hits)
+           |SELECT doc_id, score FROM (
+           |  SELECT doc_id,
+           |    (CASE WHEN df0 > 0 THEN CAST(tf0 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df0) ELSE 0 END)
+           |    + (CASE WHEN df1 > 0 THEN CAST(tf1 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df1) ELSE 0 END)
+           |    + (CASE WHEN df2 > 0 THEN CAST(tf2 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df2) ELSE 0 END) AS score
+           |  FROM tf CROSS JOIN stats) t
+           |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_significant_terms" ->
+      raw"""WITH tok AS (SELECT source, term FROM (
+           |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |        FROM documents) WHERE term <> ''),
+           |ast AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
+           |bt AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
+           |cs AS (SELECT source, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT count(*) AS d FROM tok)
+           |SELECT source, term, a AS n_in_source, b AS n_in_corpus,
+           |       CAST(a * d AS DOUBLE) / (b * c) AS lift
+           |FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
+           |WHERE a >= 5
+           |ORDER BY lift DESC, source, term LIMIT 20""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT event_id, user_id, c_name, value
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
 
     "text_prefix_search" ->
       raw"""SELECT doc_id, n_matches FROM (

@@ -40,4 +40,23 @@ object Skew {
         sum(col("__sum")).cast("double").as("sum_value"),
         min(col("__min")).as("min_value"),
         max(col("__max")).as("max_value"))
+
+  /** Salted fact-dim join for a structurally hot join key: the fact side
+    * gets a deterministic salt (hash of a per-row unique column, so
+    * re-runs shard identically), the dim side is replicated `salts`
+    * times, and the join runs on (key, salt) — the hot key's rows land
+    * on `salts` reducers instead of one. Row-identical to the plain
+    * join (dim side must be unique per key). Broadcast already solves
+    * this when the dim fits in memory; salting is the fallback when it
+    * does not. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltBy: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltCol(col(saltBy), salts))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(typedlit((0L until salts.toLong).toSeq)))
+    saltedFact.join(replicatedDim,
+        saltedFact(factKey) === replicatedDim(dimKey) &&
+          saltedFact("__salt") === replicatedDim("__salt"))
+      .drop("__salt")
+  }
 }

@@ -123,6 +123,56 @@ object StreamingRiver {
       .select(col("key"), col("w.ts_us"), col("w.seq"), col("w.value"))
   }
 
+  /** Streaming exact dedup: drop repeats of a key within the watermark
+    * horizon — the streaming twin of dedup_exact, with state that ages
+    * out instead of growing forever (the property that keeps a
+    * continuous 100 TB/day ingest's dedup state bounded). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming gap-based sessionization via session_window — the
+    * streaming twin of Analytics.sessionize (same gap semantics,
+    * watermark-bounded state, one session row per closed session). */
+  def sessionWindows(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+
+  /** Run the streaming dedup over a bounded stream into an in-memory
+    * sink and return the emitted (deduped) rows. */
+  def runDedupToMemory(spark: SparkSession, events: DataFrame, keyCols: Seq[String],
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = streamingDedup(events, keyCols, "10 seconds").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Run the streaming sessionization over a bounded stream into an
+    * in-memory sink; append mode emits each session once it closes. */
+  def runSessionsToMemory(spark: SparkSession, events: DataFrame, gap: String,
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = sessionWindows(events, gap, "10 seconds").writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run the windowed aggregation over a bounded stream into an
     * in-memory sink and return the completed result. */
   def runWindowedToMemory(spark: SparkSession, events: DataFrame,

@@ -110,6 +110,75 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Rarity-weighted relevance search (TF·IDF shape): per-doc term
+    * frequencies for the query terms, weighted by corpus rarity
+    * N/df(term). The per-term tf columns are conditional sums (one
+    * grouped pass over the exploded tokens), the df/N corpus stats are
+    * a single broadcast-joined row, and the score is a FIXED-ORDER
+    * expression over exact integer counts — one deterministic double
+    * per term, summed in term order, so the result is bit-identical on
+    * any engine/partitioning (no ln(), which is not correctly-rounded
+    * across libms). */
+  def tfidfSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty)
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+    val termArr = typedlit(terms)
+    val hits = tok.filter(array_contains(termArr, col("term")))
+    // per-doc tf per query term, as fixed columns
+    val tf = hits.groupBy("doc_id")
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i")
+      }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i")
+      }: _*)
+    // corpus stats: df per query term + N, one row
+    val stats = hits.select(col("doc_id"), col("term"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .groupBy("n_docs")
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        countDistinct(when(col("term") === t, col("doc_id"))).as(s"df$i")
+      }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+        countDistinct(when(col("term") === t, col("doc_id"))).as(s"df$i")
+      }: _*)
+    val score = terms.indices.map { i =>
+      when(col(s"df$i") > 0,
+        col(s"tf$i").cast("double") * (col("n_docs").cast("double") / col(s"df$i")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES significant-terms facet: terms over-represented in one source
+    * vs the whole corpus, scored by exact-count lift
+    * (tf_src·total)/(tf_corpus·src_total) — integer products, one
+    * double division, deterministic. Candidate terms are floored at
+    * `minCount` in-source occurrences. */
+  def significantTerms(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val bySrcTerm = tok.groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val byTerm = tok.groupBy("term").agg(count(lit(1)).as("b"))
+    val bySrc = tok.groupBy("source").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("d"))
+    bySrcTerm
+      .join(byTerm, "term")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .filter(col("a") >= minCount)
+      .withColumn("lift", (col("a") * col("d")).cast("double") / (col("b") * col("c")))
+      .select(col("source"), col("term"), col("a").as("n_in_source"),
+        col("b").as("n_in_corpus"), col("lift"))
+      .orderBy(col("lift").desc, col("source"), col("term"))
+      .limit(k)
+  }
+
   /** ES prefix query: docs with ≥1 token starting with `prefix`, scored
     * by matching-token count, top-k. Same narrow-scan shape as
     * [[matchQuery]] — at 100 TB an index-backed engine would consult a
