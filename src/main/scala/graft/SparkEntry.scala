@@ -192,7 +192,7 @@ object SparkEntry {
       operators.Analytics.cardinality(Tables.events(s, dir), "event_type", "user_id")),
 
     "q_search_after" -> ((s, dir) =>
-      operators.Analytics.searchAfter(Tables.events(s, dir),
+      operators.Analytics.searchAfter(Tables.eventsRaw(s, dir),
         1705330000000000L, 0L, 50)),
 
     "q_hash_sample" -> ((s, dir) =>
@@ -200,6 +200,10 @@ object SparkEntry {
 
     "q_rollup_agg" -> ((s, dir) =>
       operators.Analytics.rollupAgg(Tables.events(s, dir))),
+
+    "q_pivot_daily" -> ((s, dir) =>
+      operators.Analytics.pivotDaily(Tables.events(s, dir),
+        Seq("click", "error", "purchase", "signup", "view"))),
 
     "q_asof_join" -> ((s, dir) =>
       // no-match → -1 sentinels: value-hash comparers disagree on NaN/null
@@ -293,6 +297,12 @@ object SparkEntry {
 
     "dedup_embedding" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
+
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      dedup.Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), 0.4)),
+
+    "q_supplier_topk_agg" -> ((s, dir) =>
+      operators.Analytics.supplierTopKAgg(Tables.lineitem(s, dir), 3)),
 
     // ----- similarity search (SURVEY §2 group 5) -----
 
@@ -509,6 +519,24 @@ object SparkEntry {
         |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, value FROM events)
         |GROUP BY ROLLUP(day_idx, event_type)""".stripMargin,
+
+    "q_supplier_topk_agg" ->
+      """WITH t AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |    l_orderkey * 10 + l_linenumber AS line_id FROM lineitem)
+        |SELECT l_suppkey, rank, line_id, price FROM (
+        |  SELECT l_suppkey, price, line_id,
+        |         CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY price DESC, line_id) AS INT) AS rank
+        |  FROM t) s WHERE rank <= 3""".stripMargin,
+
+    "q_pivot_daily" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_asof_join" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS r_id

@@ -124,6 +124,34 @@ object Dedup {
     labels
   }
 
+  /** Scale path for [[embeddingNearDup]]: candidates limited to pairs
+    * sharing a hyperplane-LSH bucket in at least one of `tables` tables
+    * (the graft.similarity.Ann sketch machinery), then exact cosine
+    * confirms ≥ `tau`. The self-join ships slim (vec_id, table, bucket)
+    * rows; embeddings attach per surviving pair. Output ⊆ the exact
+    * operator's pairs by construction; recall grows with `tables`
+    * (spec-checked in `NewOpsSpec`). */
+  def embeddingNearDupLsh(emb: DataFrame, tau: Double,
+      nbits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.similarity.Ann
+    val buckets = emb.select(col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        Ann.bucketCol(col("embedding"), dim, nbits, t)): _*)).as(Seq("t", "bucket")))
+      .persist()
+    val cand = buckets.select(col("t"), col("bucket"), col("vec_id").as("a_id"))
+      .join(buckets.select(col("t"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("t", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos_sim") >= tau)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
   /** Embedding-cosine near-dup pairs at or above `tau` — the exact
     * baseline (oracle-checkable). This compares all id-ordered pairs; at
     * 100 TB the same cosine_sim re-rank runs over LSH-bucketed candidates

@@ -256,13 +256,16 @@ object Analytics {
         count(lit(1)).as("n_events"))
 
   /** ES search_after keyset pagination: strictly-after-(cursor) page in
-    * (ts, id) order. The cursor predicate pushes to the scan (unlike
-    * OFFSET, which reads everything it skips — the reason deep ES
-    * pagination uses search_after). */
-  def searchAfter(events: DataFrame, cursorTsUs: Long, cursorId: Long,
+    * (ts, id) order, over the RAW-ns events (Tables.eventsRaw). The
+    * coarse `ts >= cursor·1000` bound is a plain raw-column predicate
+    * that lands in PushedFilters (file/row-group pruning — the reason
+    * deep ES pagination uses search_after, not OFFSET); the exact
+    * µs-truncated tie-break filter runs on the survivors. */
+  def searchAfter(eventsRaw: DataFrame, cursorTsUs: Long, cursorId: Long,
                   pageSize: Int): DataFrame =
-    events
-      .select(col("event_id"), Det.tsMicros(col("ts")).as("ts_us"),
+    eventsRaw
+      .filter(col("ts") >= cursorTsUs * 1000L)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .filter(col("ts_us") > cursorTsUs ||
         (col("ts_us") === cursorTsUs && col("event_id") > cursorId))
@@ -291,6 +294,36 @@ object Analytics {
       .select(coalesce(col("day_idx"), lit(-1L)).as("day_idx"),
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         col("n"), col("sum_value"))
+
+  /** Grouped top-k via the bounded TopKPairs aggregate: highest-priced
+    * line items per supplier. Map-side combine ships ≤ k pairs per
+    * supplier per partition — the scale path where the window form
+    * shuffles and sorts every row (same results, spec-proven; this is
+    * the TopKPairs aggregate exercised on the fact-table domain). */
+  def supplierTopKAgg(lineitem: DataFrame, k: Int): DataFrame =
+    lineitem
+      .select(col("l_suppkey"),
+        dec2(col("l_extendedprice")).cast("double").as("price"),
+        // unique per (orderkey, linenumber): a deterministic tie-break id
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"))
+      .groupBy("l_suppkey")
+      .agg(graft.functions.TopKPairs.topK(col("price"), col("line_id"), k).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("l_suppkey"), (col("i") + 1).cast("int").as("rank"),
+        col("s.id").as("line_id"), col("s.score").as("price"))
+
+  /** Pivot: per-day event-type counts as columns (dynamic-schema
+    * reshaping). The pivot values are passed explicitly so Spark skips
+    * the extra distinct-scan pass and the schema is plan-time static —
+    * the form that scales (a values-discovery pass over 100 TB just to
+    * name columns is wasted work). */
+  def pivotDaily(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"), col("event_type"))
+      .groupBy("day_idx")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
 
   /** As-of join: each `leftType` event matched to the most recent
     * `rightType` event at-or-before it for the same user. Expressed as a

@@ -33,7 +33,7 @@ object Ann {
     * sign(dot(emb, plane_b)), via the codegen'd DotProduct expression
     * against a literal plane (tables × nbits dots per vector — a tight
     * generated loop, not an interpreted higher-order-function chain). */
-  private def bucketCol(emb: Column, dim: Int, nbits: Int, table: Int): Column =
+  private[graft] def bucketCol(emb: Column, dim: Int, nbits: Int, table: Int): Column =
     planes(dim, nbits, table).zipWithIndex.map { case (p, b) =>
       val dot = GraftFunctions.dotProduct(emb, typedlit(p.toSeq))
       when(dot > 0d, lit(1 << b)).otherwise(lit(0))

@@ -51,6 +51,36 @@ class NewOpsSpec extends SparkSpec {
     assert(mean >= 0.3, s"mean IVF recall@5 too low: $mean")
   }
 
+  test("embeddingNearDupLsh finds a subset of the exact pairs with good recall") {
+    import graft.dedup.Dedup
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Dedup.embeddingNearDup(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh.diff(exact).take(3)}")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("supplierTopKAgg matches the window-rank form") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+    val agg = operators.Analytics.supplierTopKAgg(li, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val w = Window.partitionBy("l_suppkey").orderBy(col("price").desc, col("line_id"))
+    val win = li.select(col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double").as("price"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(2), r.getDouble(1))).toMap
+    assert(agg == win)
+    assert(agg.nonEmpty)
+  }
+
   test("approxCardinality tracks exact within 15% relative error") {
     val ev = Tables.events(spark, sfDir)
     val exact = Analytics.cardinality(ev, "event_type", "user_id").collect()
