@@ -18,4 +18,8 @@ final case class RiverConfig(
     idField: Option[String] = None,      // ref: idField path (":90)
     columnSeparator: Option[String] = None, // ref: columnSeparator (":116)
     normalizeFields: Boolean = true,     // ref: normalizeFields (":110)
-    deleteOld: Boolean = false)          // ref: deleteOld (":95)
+    deleteOld: Boolean = false,          // ref: deleteOld (":95)
+    sinkSchemaDdl: Option[String] = None) // ref: customMapping (":122) — declared
+                                          // sink schema (Spark DDL), enforced at
+                                          // every upsert like the ES mapping is
+                                          // at index bootstrap

@@ -25,7 +25,16 @@ object StreamingRiver {
     * only copy), the staging becomes the index, then the old copy is
     * dropped — at every instant either the index or its `__old` backup
     * exists, and a restarted batch re-merges from whichever survived. */
-  def upsertBatch(batch: DataFrame, cfg: RiverConfig, seqCol: String): Unit = {
+  def upsertBatch(rawBatch: DataFrame, cfg: RiverConfig, seqCol: String): Unit = {
+    // customMapping analogue: conform every batch to the declared sink
+    // schema (project + cast) before merging, so the index's schema is
+    // the declared one — not whatever the source scan inferred
+    val batch = cfg.sinkSchemaDdl match {
+      case Some(ddl) =>
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        rawBatch.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+      case None => rawBatch
+    }
     val spark = batch.sparkSession
     val index = new org.apache.hadoop.fs.Path(cfg.sinkPath)
     val fs = index.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -27,6 +27,24 @@ class StreamingOpsSpec extends SparkSpec {
       "every distinct key must survive the dedup")
   }
 
+  test("declared sink schema (customMapping analogue) is enforced at upsert") {
+    import graft.river.{River, RiverConfig, StreamingRiver}
+    val events = Tables.events(spark, sfDir).cache()
+    val sink = tmp("map-sink") + "/index"
+    val cfg = RiverConfig(sourcePath = "", sinkPath = sink, keyCol = "user_id",
+      sinkSchemaDdl = Some("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE"))
+    StreamingRiver.upsertBatch(events, cfg, "event_id")
+    val idx = spark.read.parquet(sink)
+    assert(idx.columns.toSeq == Seq("user_id", "ts", "event_id", "value"),
+      s"sink schema not the declared one: ${idx.columns.toSeq}")
+    val expect = River.latestPerKey(events, "user_id", "ts", "event_id")
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = idx.select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("streaming session windows match batch session_window counts") {
     val events = Tables.events(spark, sfDir).cache()
     val src = tmp("sess-src")
