@@ -304,6 +304,9 @@ object SparkEntry {
     "q_supplier_topk_agg" -> ((s, dir) =>
       operators.Analytics.supplierTopKAgg(Tables.lineitem(s, dir), 3)),
 
+    "q_trailing_window" -> ((s, dir) =>
+      operators.Analytics.trailingWindow(Tables.events(s, dir), 600000000L)),
+
     // ----- similarity search (SURVEY §2 group 5) -----
 
     "ann_bruteforce_topk" -> ((s, dir) =>
@@ -519,6 +522,14 @@ object SparkEntry {
         |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, value FROM events)
         |GROUP BY ROLLUP(day_idx, event_type)""".stripMargin,
+
+    "q_trailing_window" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum,
+        |       count(*) OVER w AS trailing_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_supplier_topk_agg" ->
       """WITH t AS (SELECT l_suppkey,

@@ -295,6 +295,22 @@ object Analytics {
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         col("n"), col("sum_value"))
 
+  /** Time-range window: per-user trailing sum over the last `rangeUs`
+    * microseconds (RANGE frame, not ROWS — rows with equal timestamps
+    * contribute symmetrically, so the result is deterministic even on
+    * ties). One shuffle on the partition key; the frame is a pointer
+    * walk over the sorted run. Exact-decimal sum surfaced as double. */
+  def trailingWindow(events: DataFrame, rangeUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-rangeUs, 0)
+    events
+      .select(col("user_id"), Det.tsMicros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("trailing_sum",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+  }
+
   /** Grouped top-k via the bounded TopKPairs aggregate: highest-priced
     * line items per supplier. Map-side combine ships ≤ k pairs per
     * supplier per partition — the scale path where the window form

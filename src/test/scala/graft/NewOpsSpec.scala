@@ -94,6 +94,19 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx percentile tracks the exact rank-selected median") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = Analytics.percentileFacet(ev, Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (t, x) =>
+      assert(math.abs(approx(t) - x) / math.max(math.abs(x), 1e-9) < 0.1,
+        s"$t: exact=$x approx=${approx(t)}")
+    }
+  }
+
   test("chunk covers every token with the right windows") {
     val docs = Tables.documents(spark, sfDir)
     val chunks = TextOps.chunk(docs, 50, 40).collect()
