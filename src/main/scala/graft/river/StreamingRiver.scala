@@ -152,6 +152,44 @@ object StreamingRiver {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("n_events"))
 
+  /** Stream-stream interval join: each `leftType` event joined to the
+    * same user's `rightType` events from the trailing `intervalSec`
+    * seconds. Both sides carry watermarks and the join condition bounds
+    * right.ts within [left.ts - interval, left.ts], so Spark can expire
+    * buffered state — the join runs with bounded memory on an unbounded
+    * stream (the 100 TB/day property). */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      intervalSec: Long, watermark: String): DataFrame = {
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    left.join(right,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $intervalSec SECONDS") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
+  /** Run the interval join over a bounded stream into an in-memory sink. */
+  def runIntervalJoinToMemory(spark: SparkSession, events: DataFrame,
+      leftType: String, rightType: String, intervalSec: Long,
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = intervalJoin(events, leftType, rightType, intervalSec, "10 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run the streaming dedup over a bounded stream into an in-memory
     * sink and return the emitted (deduped) rows. */
   def runDedupToMemory(spark: SparkSession, events: DataFrame, keyCols: Seq[String],

@@ -27,6 +27,25 @@ class StreamingOpsSpec extends SparkSpec {
       "every distinct key must survive the dedup")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val events = Tables.events(spark, sfDir).cache()
+    val src = tmp("ij-src")
+    events.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+
+    val streamed = StreamingRiver.runIntervalJoinToMemory(
+        spark, stream, "purchase", "click", 600L, "ijstream", tmp("ij-ckpt"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = StreamingRiver.intervalJoin(events, "purchase", "click", 600L, "10 seconds")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("declared sink schema (customMapping analogue) is enforced at upsert") {
     import graft.river.{River, RiverConfig, StreamingRiver}
     val events = Tables.events(spark, sfDir).cache()
