@@ -149,7 +149,9 @@ object Ann {
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", keep = nprobe)
-    val sim = queries.join(corpus, Seq("cent_id"))
+    // queries×nprobe is tiny by construction; size estimation can't see
+    // through the rank filter, so broadcast explicitly (SMJ otherwise)
+    val sim = broadcast(queries).join(corpus, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
