@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // spark-submit's default; 69 codegen'd queries in one JVM overflow the
+  // 240m JIT code cache default and fall back to the interpreter
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -248,6 +248,12 @@ object SparkEntry {
       text.TextOps.tfidfSearch(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
 
+    "text_percolate" -> ((s, dir) =>
+      text.TextOps.percolate(Tables.documents(s, dir), Map(
+        "q_hashjoin" -> Seq("hash", "join"),
+        "q_vector" -> Seq("vector"),
+        "q_slowscan" -> Seq("slow", "scan", "table")))),
+
     "text_significant_terms" -> ((s, dir) =>
       text.TextOps.significantTerms(Tables.documents(s, dir), 5L, 20)),
 
@@ -623,6 +629,19 @@ object SparkEntry {
            |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
            |  FROM documents) t
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_percolate" ->
+      raw"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS term
+           |             FROM documents),
+           |q AS (SELECT * FROM (VALUES
+           |        ('q_hashjoin', 'hash', 2), ('q_hashjoin', 'join', 2),
+           |        ('q_vector', 'vector', 1),
+           |        ('q_slowscan', 'slow', 3), ('q_slowscan', 'scan', 3), ('q_slowscan', 'table', 3))
+           |      t(query_id, term, n_terms))
+           |SELECT doc_id, query_id
+           |FROM tok JOIN q USING (term)
+           |GROUP BY doc_id, query_id, n_terms
+           |HAVING count(*) = n_terms""".stripMargin,
 
     "text_tfidf" ->
       raw"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),

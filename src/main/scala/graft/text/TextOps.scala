@@ -110,6 +110,30 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** ES percolate (reverse search): match every doc against a set of
+    * stored term-queries; a query matches when ALL its terms occur in
+    * the doc's token set. The stored queries are exploded to (query_id,
+    * term) and broadcast against the exploded token stream; a count
+    * compare per (doc, query) implements the conjunction — one narrow
+    * corpus pass + a map-side-combinable agg, no per-query scans (at
+    * 100 TB you stream the corpus once past thousands of registered
+    * alert queries). */
+  def percolate(docs: DataFrame, queries: Map[String, Seq[String]]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.toSeq
+      .flatMap { case (id, ts) => ts.distinct.map(t => (id, t, ts.distinct.size)) }
+      .toDF("query_id", "term", "n_terms")
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+      .join(broadcast(q), "term")
+      .groupBy("doc_id", "query_id", "n_terms")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("doc_id"), col("query_id"))
+  }
+
   /** Rarity-weighted relevance search (TF·IDF shape): per-doc term
     * frequencies for the query terms, weighted by corpus rarity
     * N/df(term). The per-term tf columns are conditional sums (one
