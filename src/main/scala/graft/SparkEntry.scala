@@ -205,6 +205,19 @@ object SparkEntry {
       operators.Analytics.pivotDaily(Tables.events(s, dir),
         Seq("click", "error", "purchase", "signup", "view"))),
 
+    "q_cube_agg" -> ((s, dir) =>
+      operators.Analytics.cubeAgg(Tables.events(s, dir))),
+
+    "river_charset" -> ((s, dir) => {
+      // charset surface (ref HBaseRiver.charset:74): payload bytes →
+      // charset-decoded string; round-trip proves lossless decode
+      val ev = Tables.events(s, dir)
+      val cs = "UTF-8"
+      ev.select(col("event_id"),
+        length(encode(col("props"), cs)).cast("long").as("n_bytes"),
+        (decode(encode(col("props"), cs), cs) === col("props")).as("roundtrip_ok"))
+    }),
+
     "q_asof_join" -> ((s, dir) =>
       // no-match → -1 sentinels: value-hash comparers disagree on NaN/null
       operators.Analytics.asofJoin(Tables.events(s, dir), "purchase", "click")
@@ -528,6 +541,16 @@ object SparkEntry {
         |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, value FROM events)
         |GROUP BY ROLLUP(day_idx, event_type)""".stripMargin,
+
+    "q_cube_agg" ->
+      """SELECT coalesce(day_idx, -1) AS day_idx, coalesce(event_type, 'ALL') AS event_type,
+        |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, value FROM events)
+        |GROUP BY CUBE(day_idx, event_type)""".stripMargin,
+
+    "river_charset" ->
+      """SELECT event_id, octet_length(encode(props)) AS n_bytes, true AS roundtrip_ok
+        |FROM events""".stripMargin,
 
     "q_trailing_window" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,

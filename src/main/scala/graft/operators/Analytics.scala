@@ -341,6 +341,19 @@ object Analytics {
       .agg(count(lit(1)))
       .na.fill(0L, types)
 
+  /** Cube aggregation: day × type with BOTH marginals and the grand
+    * total (rollup emits only the day-side subtotals). Same sentinel
+    * convention as [[rollupAgg]]. */
+  def cubeAgg(events: DataFrame): DataFrame =
+    events
+      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+        col("event_type"), col("value"))
+      .cube("day_idx", "event_type")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .select(coalesce(col("day_idx"), lit(-1L)).as("day_idx"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+
   /** As-of join: each `leftType` event matched to the most recent
     * `rightType` event at-or-before it for the same user. Expressed as a
     * union + running last-non-null window — ONE shuffle on user_id and a
