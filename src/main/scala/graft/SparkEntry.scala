@@ -210,12 +210,14 @@ object SparkEntry {
 
     "river_charset" -> ((s, dir) => {
       // charset surface (ref HBaseRiver.charset:74): payload bytes →
-      // charset-decoded string; round-trip proves lossless decode
+      // charset-decoded string; round-trip proves lossless decode.
+      // Null-safe (<=>, coalesced length) so a null payload compares
+      // identically on both engines instead of leaking a NULL row
       val ev = Tables.events(s, dir)
       val cs = "UTF-8"
       ev.select(col("event_id"),
-        length(encode(col("props"), cs)).cast("long").as("n_bytes"),
-        (decode(encode(col("props"), cs), cs) === col("props")).as("roundtrip_ok"))
+        coalesce(length(encode(col("props"), cs)).cast("long"), lit(0L)).as("n_bytes"),
+        (decode(encode(col("props"), cs), cs) <=> col("props")).as("roundtrip_ok"))
     }),
 
     "q_asof_join" -> ((s, dir) =>
@@ -549,7 +551,8 @@ object SparkEntry {
         |GROUP BY CUBE(day_idx, event_type)""".stripMargin,
 
     "river_charset" ->
-      """SELECT event_id, octet_length(encode(props)) AS n_bytes, true AS roundtrip_ok
+      """SELECT event_id, coalesce(octet_length(encode(props)), 0) AS n_bytes,
+        |       decode(encode(props)) IS NOT DISTINCT FROM props AS roundtrip_ok
         |FROM events""".stripMargin,
 
     "q_trailing_window" ->

@@ -136,7 +136,7 @@ object Analytics {
     * division so both engines bucket identically. */
   def dateHistogram(events: DataFrame): DataFrame =
     events
-      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
+      .select(Det.dayIdx("ts").as("day_idx"),
         col("event_type"), col("value"))
       .groupBy("day_idx", "event_type")
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
@@ -282,18 +282,22 @@ object Analytics {
       .filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, hexLt.length) < hexLt)
       .select(col("event_id"), col("event_type"), col("value"))
 
-  /** Rollup aggregation (day × type with subtotals + grand total) —
-    * grouping-set nulls surfaced as sentinel values so the result is
-    * join- and compare-friendly. */
-  def rollupAgg(events: DataFrame): DataFrame =
-    events
-      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
-        col("event_type"), col("value"))
-      .rollup("day_idx", "event_type")
+  /** Shared body of [[rollupAgg]]/[[cubeAgg]]: day × type grouping-set
+    * aggregation with nulls surfaced as sentinels so the result is
+    * join- and compare-friendly; only the grouping step differs. */
+  private def groupingSetAgg(events: DataFrame)(
+      group: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    group(events
+        .select(Det.dayIdx("ts").as("day_idx"), col("event_type"), col("value")))
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
       .select(coalesce(col("day_idx"), lit(-1L)).as("day_idx"),
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         col("n"), col("sum_value"))
+
+  /** Rollup aggregation (day × type with day-side subtotals + grand
+    * total). */
+  def rollupAgg(events: DataFrame): DataFrame =
+    groupingSetAgg(events)(_.rollup("day_idx", "event_type"))
 
   /** Time-range window: per-user trailing sum over the last `rangeUs`
     * microseconds (RANGE frame, not ROWS — rows with equal timestamps
@@ -335,24 +339,16 @@ object Analytics {
     * name columns is wasted work). */
   def pivotDaily(events: DataFrame, types: Seq[String]): DataFrame =
     events
-      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"), col("event_type"))
+      .select(Det.dayIdx("ts").as("day_idx"), col("event_type"))
       .groupBy("day_idx")
       .pivot("event_type", types)
       .agg(count(lit(1)))
       .na.fill(0L, types)
 
   /** Cube aggregation: day × type with BOTH marginals and the grand
-    * total (rollup emits only the day-side subtotals). Same sentinel
-    * convention as [[rollupAgg]]. */
+    * total (rollup emits only the day-side subtotals). */
   def cubeAgg(events: DataFrame): DataFrame =
-    events
-      .select(expr("unix_micros(ts) div 86400000000").as("day_idx"),
-        col("event_type"), col("value"))
-      .cube("day_idx", "event_type")
-      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
-      .select(coalesce(col("day_idx"), lit(-1L)).as("day_idx"),
-        coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        col("n"), col("sum_value"))
+    groupingSetAgg(events)(_.cube("day_idx", "event_type"))
 
   /** As-of join: each `leftType` event matched to the most recent
     * `rightType` event at-or-before it for the same user. Expressed as a

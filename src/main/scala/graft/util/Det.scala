@@ -37,4 +37,11 @@ object Det {
 
   /** Epoch seconds (truncating), as BIGINT. */
   def tsSeconds(c: Column): Column = (unix_micros(c) / lit(1000000L)).cast("long")
+
+  /** UTC day bucket index (exact integer division of epoch-µs) —
+    * DuckDB mirror: `epoch_us(ts) // 86400000000`. One definition so a
+    * bucketing change can't silently diverge across the day-keyed
+    * queries. Takes the column NAME: exact integer `div` is only
+    * reachable through the SQL parser, which needs a resolvable name. */
+  def dayIdx(tsCol: String): Column = expr(s"unix_micros($tsCol) div 86400000000")
 }
