@@ -71,6 +71,30 @@ object SparkEntry {
           col("event_type"), col("value"))
     }),
 
+    "river_first_per_key" -> ((s, dir) => {
+      // ES `create` op semantics (first write wins, later docs with the
+      // same _id rejected) — the dual of the upsert view: same single
+      // hash shuffle, ascending order
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), Det.tsMicros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }),
+
+    "q_stratified_sample" -> ((s, dir) => {
+      // per-stratum deterministic hash sampling: common event types get
+      // a tight band, rare ones a wide band — the "rebalance the mix"
+      // primitive of a training-data pipeline, reproducible everywhere
+      val ev = Tables.events(s, dir)
+      val band = when(col("event_type").isin("view", "click"), lit("04"))
+        .otherwise(lit("20"))
+      ev.filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, 2) < band)
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
     "river_batching" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       River.assignBatches(ev, Seq(Det.tsMicros(col("ts")), col("event_id")), 100)
@@ -875,6 +899,15 @@ object SparkEntry {
     "river_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "river_first_per_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) = 1""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN event_type IN ('view', 'click') THEN '04' ELSE '20' END""".stripMargin,
 
     "river_batching" ->
       """WITH t AS (SELECT *, (row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1) // 100 AS batch_id FROM events)
