@@ -244,6 +244,21 @@ object SparkEntry {
         (decode(encode(col("props"), cs), cs) <=> col("props")).as("roundtrip_ok"))
     }),
 
+    "river_charset_latin1" -> ((s, dir) => {
+      // non-UTF-8 charset surface (ref HBaseRiver.charset:74 accepts an
+      // arbitrary charset name): genuinely non-ASCII Latin-1 content
+      // round-trips losslessly at 1 byte/char where UTF-8 needs 2 —
+      // proves the decode path is charset-parameterized, not UTF-8-pinned
+      val ev = Tables.events(s, dir)
+      val cs = "ISO-8859-1"
+      val raw = regexp_replace(col("event_type"), "e", "é")
+      val enc = encode(raw, cs)
+      ev.select(col("event_id"), raw.as("raw"),
+        octet_length(enc).cast("long").as("n_bytes_latin1"),
+        octet_length(encode(raw, "UTF-8")).cast("long").as("n_bytes_utf8"),
+        (decode(enc, cs) <=> raw).as("roundtrip_ok"))
+    }),
+
     "q_asof_join" -> ((s, dir) =>
       // no-match → -1 sentinels: value-hash comparers disagree on NaN/null
       operators.Analytics.asofJoin(Tables.events(s, dir), "purchase", "click")
@@ -375,7 +390,14 @@ object SparkEntry {
       multimodal.Multimodal.binaryMeta(Tables.documents(s, dir))),
 
     "mm_feature_stub" -> ((s, dir) =>
-      multimodal.Multimodal.featureExtract(Tables.documents(s, dir), 8)),
+      // exploded to one scalar row per dimension so the result is
+      // hashable/sortable by any downstream comparer (an array<double>
+      // column is opaque to hash-based gates)
+      multimodal.Multimodal.featureExtract(Tables.documents(s, dir), 8)
+        .select(col("doc_id"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("dim_idx", "feature")))
+        .select(col("doc_id"), col("n_bytes"),
+          col("dim_idx").cast("long").as("dim_idx"), col("feature"))),
 
     "mm_frame_sample" -> ((s, dir) =>
       multimodal.Multimodal.frameSample(Tables.documents(s, dir), 256, 4)),
@@ -577,6 +599,16 @@ object SparkEntry {
     "river_charset" ->
       """SELECT event_id, coalesce(octet_length(encode(props)), 0) AS n_bytes,
         |       decode(encode(props)) IS NOT DISTINCT FROM props AS roundtrip_ok
+        |FROM events""".stripMargin,
+
+    // DuckDB has no Latin-1 codec, but every char here (ASCII + 'é') is
+    // Latin-1-mappable, so latin1 bytes = char count exactly; utf8 bytes
+    // through the real encoder; the round-trip flag is asserted true
+    "river_charset_latin1" ->
+      """SELECT event_id, replace(event_type, 'e', 'é') AS raw,
+        |       length(replace(event_type, 'e', 'é')) AS n_bytes_latin1,
+        |       octet_length(encode(replace(event_type, 'e', 'é'))) AS n_bytes_utf8,
+        |       true AS roundtrip_ok
         |FROM events""".stripMargin,
 
     "q_trailing_window" ->
@@ -867,6 +899,23 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
 
     // ----- multimodal -----
+
+    // the stub decoder is mean-byte-per-slice over the UTF-8 payload —
+    // reproduced here from hex(encode(text)) with nibble arithmetic;
+    // double ops in the same order as the stub (sum → /len → /255)
+    "mm_feature_stub" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT doc_id, h, n, unnest(range(0, 8)) AS dim_idx FROM t),
+        |s AS (SELECT doc_id, h, n, dim_idx,
+        |             (n * dim_idx) // 8 AS lo, (n * (dim_idx + 1)) // 8 AS hi FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, CAST(dim_idx AS BIGINT) AS dim_idx,
+        |       CASE WHEN hi = lo THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(range(lo, hi),
+        |                   i -> 16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) - 1)
+        |                        + (strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS INT), 1)) - 1))) AS DOUBLE)
+        |                 / (hi - lo) / 255.0 END AS feature
+        |FROM s""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
