@@ -14,10 +14,10 @@ import graft.util.Det
   * Scale notes: the incremental scan is a plain predicate on the source
   * (pushed to the parquet/source scan, so at 100 TB it prunes files and row
   * groups instead of reading them); latest-per-key is one hash shuffle on
-  * the key; the only intentionally-sequential piece is the *global*
-  * bulk-batch numbering, which mirrors the reference's single-threaded bulk
-  * requests (HBaseParser.java:104) — `assignBatchesPerPartition` is the
-  * scale-out variant.
+  * the key; the *global* bulk-batch numbering (the reference's
+  * single-threaded bulk requests, HBaseParser.java:104) keeps its exact
+  * total-order semantics but runs as parallel two-phase offset numbering —
+  * `assignBatchesPerPartition` is the order-free shuffle-less variant.
   */
 object River {
 
@@ -84,13 +84,40 @@ object River {
   }
 
   /** Deterministic bulk-batch assignment (reference `batchSize`,
-    * HBaseParser.java:104): global sequence order → batch id. Mirrors the
-    * reference's sequential bulk requests; inherently a single total order,
-    * so only for result-stable outputs. */
+    * HBaseParser.java:104): global sequence order → batch id — the exact
+    * total order the reference's sequential bulk requests impose, computed
+    * WITHOUT a single-reducer global window. Two-phase numbering:
+    *
+    *  1. range-partition on the order key (sorted partitions, parallel);
+    *  2. per-partition row counts → driver-side exclusive-scan offsets
+    *     (a ≤numPartitions-element Seq, metadata not data);
+    *  3. global rank = offset(partition) + rank-within-partition, so
+    *     `batch_id = rank / batchSize` — identical to a global
+    *     `Window.orderBy` row_number, but every stage is parallel.
+    *
+    * Determinism: range partitions are ordered and the order key must be
+    * unique (callers pass a tie-break column), so offset + local rank IS
+    * the global rank regardless of where the sampled range boundaries
+    * land. The counts and the numbering share ONE RDD lineage
+    * (`zipWithIndex`, whose internals are exactly the per-partition-count
+    * → exclusive-scan design, with the shuffle stage reused across the
+    * two jobs) — two separate DataFrame actions would re-sample range
+    * boundaries with fresh seeds and the offsets could go stale. This is
+    * the one sanctioned imperative-per-partition RDD hop in the library;
+    * everything around it stays declarative. */
   def assignBatches(df: DataFrame, orderCols: Seq[Column], batchSize: Int): DataFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    df.withColumn("batch_id",
-      ((row_number().over(w) - 1) / batchSize).cast("long"))
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__ord", struct(orderCols: _*))
+      .repartitionByRange(nParts, col("__ord"))
+      .sortWithinPartitions(col("__ord"))
+      .drop("__ord")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "batch_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / batchSize) }
+    spark.createDataFrame(indexed, schema)
   }
 
   /** Scale-out batch assignment: batches are local to a partition

@@ -117,40 +117,78 @@ object Ann {
       .select("query_id", "rank", "cand_id", "cos_sim")
   }
 
+  /** Nearest centroid id as a pure codegen'd expression: argmax cosine
+    * over the (tiny, literal) centroid set with ascending-id tie-break —
+    * struct max compares cos first, then -id. No join, no window. */
+  private def nearestCentId(embCol: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val best = array_max(array(cents.map { case (id, c) =>
+      struct(GraftFunctions.cosineSim(embCol, typedlit(c)).as("cos"),
+        lit(-id).as("negid")) }: _*))
+    -best.getField("negid")
+  }
+
+  /** Deterministic-seeded Lloyd refinement: seeds are the first
+    * `nCentroids` vectors by id, then `rounds` FIXED assign-to-nearest /
+    * recompute-mean iterations. Each round is one corpus scan + one
+    * (cent_id, dim) aggregation; only nCentroids × dim doubles come back
+    * to the driver per round (metadata, not data). Empty clusters keep
+    * their previous centroid. Mean doubles are not bit-pinned across
+    * partitionings — an index-construction detail only; the search
+    * re-ranks with exact cosine inside the probed lists. */
+  private[graft] def lloydCentroids(emb: DataFrame, nCentroids: Int,
+      rounds: Int): Seq[(Int, Seq[Double])] = {
+    def toDoubles(a: Any): Seq[Double] = a.asInstanceOf[scala.collection.Seq[Any]].map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case x => x.toString.toDouble
+    }.toSeq
+    var cents: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, toDoubles(r.get(1)))).toSeq
+    (0 until rounds).foreach { _ =>
+      val means = emb
+        .select(nearestCentId(col("embedding"), cents).as("cent_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("cent_id", "dim").agg(avg(col("v")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.map { case (id, old) =>
+        id -> means.get(id)
+          .map(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(old)
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k — the partitioned-index scale path.
-    * Centroids are the first `nCentroids` vectors (deterministic seeds —
-    * at production scale, a k-means refinement of the same seeds); every
-    * corpus vector is assigned to its nearest centroid (one broadcast
-    * pass, argmax cosine with id tie-break), queries probe their
-    * `nprobe` nearest centroid lists, and exact cosine re-ranks inside
-    * the probed lists only. The corpus↔query join is an equi-join on
-    * centroid id — shuffle on list id, never all-pairs; at 100 TB the
-    * assignment is a write-once partitioning of the corpus (cluster-
-    * bucketed table), and a query touches nprobe/nCentroids of it. */
+    * Centroids are deterministic seeds (first `nCentroids` vectors)
+    * Lloyd-refined for `lloydRounds` fixed iterations; every corpus
+    * vector is assigned to its nearest centroid by a pure expression
+    * (no join, no shuffle), queries probe their `nprobe` nearest
+    * centroid lists via a per-row sort of the centroid score array, and
+    * exact cosine re-ranks inside the probed lists only. The
+    * corpus↔query join is an equi-join on centroid id — shuffle on list
+    * id, never all-pairs; at 100 TB the assignment is a write-once
+    * partitioning of the corpus (cluster-bucketed table), and a query
+    * touches nprobe/nCentroids of it. */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // nearest-centroid assignment: broadcast the (tiny) centroid set,
-    // keep argmax by (cos, -cent_id) via max_by on an ordered struct
-    def assign(df: DataFrame, idCol: String, embCol: String, keep: Int): DataFrame =
-      df.join(broadcast(cent))
-        .select(col(idCol), col(embCol),
-          GraftFunctions.cosineSim(col(embCol), col("cent_emb")).as("cos_c"),
-          col("cent_id"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("cos_c").desc, col("cent_id"))))
-        .filter(col("rk") <= keep)
-        .select(col(idCol), col(embCol), col("cent_id"))
-    val corpus = assign(
-      emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-      "cand_id", "c_emb", keep = 1)
-    val queries = assign(
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", keep = nprobe)
+              nCentroids: Int = 16, nprobe: Int = 4, lloydRounds: Int = 3): DataFrame = {
+    val cents = lloydCentroids(emb, nCentroids, lloydRounds)
+    val corpus = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"),
+      nearestCentId(col("embedding"), cents).as("cent_id"))
+    // probe list per query: ascending struct sort on (-cos, cent_id) =
+    // cosine descending with id tie-break, sliced to nprobe — per-row
+    // array ops over nCentroids elements, no shuffle, no window
+    val probeArr = array(cents.map { case (id, c) =>
+      struct((-GraftFunctions.cosineSim(col("embedding"), typedlit(c))).as("neg"),
+        lit(id).as("cent_id")) }: _*)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(array_sort(probeArr), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("q_emb"), col("p.cent_id").as("cent_id"))
     // queries×nprobe is tiny by construction; size estimation can't see
-    // through the rank filter, so broadcast explicitly (SMJ otherwise)
+    // through the explode, so broadcast explicitly (SMJ otherwise)
     val sim = broadcast(queries).join(corpus, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))

@@ -36,19 +36,26 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
-  test("ivfTopK recall@5 vs brute force is reasonable and rank-1 often exact") {
+  test("ivfTopK (Lloyd-refined) recall@5 >= 0.7 and rank-1 mostly exact") {
     val emb = Tables.embeddings(spark, sfDir)
-    val exact = Ann.bruteForceTopK(emb, 10, 5).collect()
+    val exactRows = Ann.bruteForceTopK(emb, 10, 5).collect()
+    val exact = exactRows
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val approx = Ann.ivfTopK(emb, 10, 5).collect()
+    val exactR1 = exactRows.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approxRows = Ann.ivfTopK(emb, 10, 5).collect()
+    val approx = approxRows
       .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approxR1 = approxRows.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(approx.nonEmpty)
     val recalls = exact.keys.toSeq.map { q =>
       val hit = approx.getOrElse(q, Set.empty)
       exact(q).intersect(hit).size.toDouble / exact(q).size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.3, s"mean IVF recall@5 too low: $mean")
+    assert(mean >= 0.7, s"mean IVF recall@5 too low: $mean")
+    val r1Exact = exactR1.keys.count(q => approxR1.get(q).contains(exactR1(q)))
+    assert(r1Exact.toDouble / exactR1.size >= 0.7,
+      s"IVF rank-1 exactness too low: $r1Exact/${exactR1.size}")
   }
 
   test("embeddingNearDupLsh finds a subset of the exact pairs with good recall") {

@@ -40,6 +40,28 @@ class RiverSpec extends SparkSpec {
     assert(River.watermarkMicros(raw.filter(lit(false)), "ts").isEmpty)
   }
 
+  test("two-phase global batching matches a global-window row_number exactly") {
+    val ev = Tables.events(spark, sfDir).repartition(7)
+    val ord = Seq(Det.tsMicros(col("ts")), col("event_id"))
+    val got = River.assignBatches(ev, ord, 100)
+      .select(col("event_id"), col("batch_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    val expected = ev.withColumn("batch_id",
+        ((row_number().over(w) - 1) / 100).cast("long"))
+      .select(col("event_id"), col("batch_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("two-phase global batching plans no single-partition exchange") {
+    val ev = Tables.events(spark, sfDir)
+    val plan = River.assignBatches(ev, Seq(Det.tsMicros(col("ts")), col("event_id")), 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("per-partition batching covers every row with bounded batches") {
     val ev = Tables.events(spark, sfDir).repartition(7)
     val batched = River.assignBatchesPerPartition(ev, 100)
