@@ -148,6 +148,25 @@ object SparkEntry {
         .filter(col("ts_us") > 1705320000000000L && col("event_type") === "click")
         .select("event_id", "ts_us", "user_id", "event_type", "value")),
 
+    "hbase_source_watermark" -> ((s, dir) =>
+      // the reference's watermark facet (HBaseParser.setMinTimestamp:258):
+      // ES answers max(_timestamp) from index metadata without touching
+      // docs; here max/min/count push into the source and come from
+      // parquet footer statistics — zero row reads, zero row groups opened
+      s.read.format("hbasesim").option("path", s"$dir/events.parquet").load()
+        .agg(max(col("ts_us")).as("max_ts_us"), min(col("ts_us")).as("min_ts_us"),
+          count(lit(1)).as("n"))),
+
+    "hbase_source_page" -> ((s, dir) =>
+      // ES search_after keyset page served by the source: the cursor
+      // filter AND the top-N both push into the scan (bounded heap per
+      // row group ships ≤ pageSize rows; Spark merges partials)
+      s.read.format("hbasesim").option("path", s"$dir/events.parquet").load()
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+        .filter(col("ts_us") > 1705330000000000L)
+        .orderBy(col("ts_us"), col("event_id"))
+        .limit(50)),
+
     // ----- analytics (SURVEY §2 group 2) -----
 
     "q1_pricing_summary" -> ((s, dir) =>
@@ -929,6 +948,16 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events
         |WHERE epoch_us(ts) > 1705320000000000 AND event_type = 'click'""".stripMargin,
+
+    "hbase_source_watermark" ->
+      """SELECT max(epoch_us(ts)) AS max_ts_us, min(epoch_us(ts)) AS min_ts_us,
+        |       count(*) AS n
+        |FROM events""".stripMargin,
+
+    "hbase_source_page" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events WHERE epoch_us(ts) > 1705330000000000
+        |ORDER BY ts_us, event_id LIMIT 50""".stripMargin,
 
     "river_incremental_scan" ->
       s"""WITH $sinkWm

@@ -16,7 +16,8 @@ import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan}
 import org.apache.spark.sql.types._
@@ -80,12 +81,17 @@ class HBaseSimTable(path: String) extends Table with SupportsRead {
 }
 
 class HBaseSimScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = HBaseSimTable.schema
   private var accepted: Array[Filter] = Array.empty
   private var minStamp: Long = Long.MinValue
   private var family: Option[String] = None
+  private var aggRow: Option[(StructType, Seq[Any], String)] = None
+  private var limit: Option[Int] = None
+  private var topNOrders: Seq[(String, Boolean)] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
@@ -108,18 +114,177 @@ class HBaseSimScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new HBaseSimScan(path, required, minStamp, family)
+  // ---- aggregate pushdown (the reference's zero-scan watermark facet:
+  // HBaseParser.setMinTimestamp:258-280 asks ES for max(_timestamp)
+  // without touching rows; here max/min/count come from parquet footer
+  // statistics — 0 row reads, 0 row groups opened) ------------------------
+
+  private def singleCol(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  /** max/min over the numeric columns + count(*) / count(non-null col),
+    * only when no filter narrows the scan (stats describe the whole
+    * file) and there is no grouping. */
+  private def statsAnswerable(agg: Aggregation): Boolean =
+    accepted.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty && agg.aggregateExpressions.forall {
+        case m: Max => singleCol(m.column).exists(HBaseSimStats.numericCols)
+        case m: Min => singleCol(m.column).exists(HBaseSimStats.numericCols)
+        case _: CountStar => true
+        // every source column is non-nullable, so count(col) = count(*)
+        case c: Count if !c.isDistinct => singleCol(c.column).isDefined
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    statsAnswerable(agg) && HBaseSimStats.fromFooter(path, agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!statsAnswerable(agg)) return false
+    HBaseSimStats.fromFooter(path, agg) match {
+      case Some((schema, values)) =>
+        val desc = agg.aggregateExpressions.map(_.toString).mkString(", ")
+        aggRow = Some((schema, values, desc)); true
+      case None => false // a needed footer statistic is absent → scan rows
+    }
+  }
+
+  // ---- limit / top-N pushdown (ES keyset pagination: the index serves
+  // sorted pages; here each row-group reader keeps a bounded heap) --------
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val cols = orders.toSeq.map(o =>
+      singleCol(o.expression()).filter(HBaseSimStats.numericCols)
+        .map(c => c -> (o.direction() == SortDirection.ASCENDING)))
+    if (cols.exists(_.isEmpty)) return false
+    topNOrders = cols.flatten
+    limit = Some(n)
+    true
+  }
+
+  // rows beyond the per-partition top-N/limit are cut, but partitions
+  // still need Spark's global merge (sort + final limit)
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = aggRow match {
+    case Some((schema, values, desc)) => new HBaseSimAggScan(schema, values, desc)
+    case None => new HBaseSimScan(path, required, minStamp, family, limit, topNOrders)
+  }
+}
+
+/** Footer-statistics answers for pushed aggregates. */
+object HBaseSimStats {
+  val numericCols: Set[String] = Set("event_id", "ts_us", "user_id", "value")
+
+  private def aggField(f: AggregateFunc): Option[(String, DataType)] = f match {
+    case m: Max => m.column match {
+      case nr: NamedReference => Some(("max(" + nr.fieldNames.head + ")",
+        HBaseSimTable.schema(nr.fieldNames.head).dataType))
+      case _ => None
+    }
+    case m: Min => m.column match {
+      case nr: NamedReference => Some(("min(" + nr.fieldNames.head + ")",
+        HBaseSimTable.schema(nr.fieldNames.head).dataType))
+      case _ => None
+    }
+    case _: CountStar => Some(("count(*)", LongType))
+    case c: Count => Some(("count", LongType))
+    case _ => None
+  }
+
+  /** (output schema, one row of values) from the parquet footer alone, or
+    * None when a required statistic is missing. ts_us derives from the ns
+    * `ts` stats — truncation commutes with min/max (monotone). */
+  def fromFooter(path: String, agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    import scala.collection.JavaConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      def colStats(src: String): Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
+        val pq = HBaseSimTable.parquetField(src)
+        val per = blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == pq)
+          .flatMap(c => Option(c.getStatistics)).filter(_.hasNonNullValue))
+        if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+      }
+      def minMax(src: String, isMax: Boolean): Option[Any] = colStats(src).map { st =>
+        val raw = st.map(s => (if (isMax) s.genericGetMax else s.genericGetMin) match {
+          case l: java.lang.Long => l.longValue(): Any
+          case d: java.lang.Double => d.doubleValue(): Any
+        })
+        val vals = if (src == "ts_us") raw.map(v => v.asInstanceOf[Long] / 1000L) else raw
+        vals.reduce { (a, b) =>
+          val cmp = (a, b) match {
+            case (x: Long, y: Long) => x.compareTo(y)
+            case (x: Double, y: Double) => x.compareTo(y)
+          }
+          if ((cmp >= 0) == isMax) a else b
+        }
+      }
+      val fields = agg.aggregateExpressions.toSeq.map(aggField)
+      if (fields.exists(_.isEmpty)) return None
+      val values = agg.aggregateExpressions.toSeq.map {
+        case m: Max => minMax(m.column.asInstanceOf[NamedReference].fieldNames.head, isMax = true)
+        case m: Min => minMax(m.column.asInstanceOf[NamedReference].fieldNames.head, isMax = false)
+        case _: CountStar => Some(rowCount)
+        case _: Count => Some(rowCount)
+        case _ => None
+      }
+      if (values.exists(_.isEmpty)) None
+      else Some((StructType(fields.flatten.map { case (n, t) =>
+        StructField(n, t, nullable = false) }), values.flatten))
+    } finally reader.close()
+  }
+}
+
+/** A scan whose entire result was computed on the driver from footer
+  * statistics: one partition, one row, zero row reads. */
+class HBaseSimAggScan(schema: StructType, values: Seq[Any], desc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"hbasesim PushedAggregates=[$desc] (footer stats, 0 row reads)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(HBaseSimAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory = HBaseSimAggReaderFactory
+}
+
+case class HBaseSimAggPartition(values: Seq[Any]) extends InputPartition
+
+object HBaseSimAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vs = partition.asInstanceOf[HBaseSimAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vs.toArray)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class HBaseSimScan(path: String, required: StructType, minStamp: Long,
-    family: Option[String]) extends Scan with Batch {
+    family: Option[String], limit: Option[Int] = None,
+    topNOrders: Seq[(String, Boolean)] = Seq.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String =
     s"hbasesim minStamp=$minStamp family=${family.getOrElse("*")} " +
-      s"cols=${required.fieldNames.mkString(",")}"
+      s"cols=${required.fieldNames.mkString(",")}" +
+      limit.map { n =>
+        if (topNOrders.nonEmpty)
+          s" PushedTopN=[${topNOrders.map { case (c, asc) =>
+            c + (if (asc) " ASC" else " DESC") }.mkString(",")} LIMIT $n]"
+        else s" PushedLimit=$n"
+      }.getOrElse("")
 
   /** One partition per row group; groups whose ts max is at or below the
     * watermark are pruned here on the driver via footer statistics. */
@@ -141,30 +306,35 @@ class HBaseSimScan(path: String, required: StructType, minStamp: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    HBaseSimReaderFactory(required.json, minStamp, family)
+    HBaseSimReaderFactory(required.json, minStamp, family, limit, topNOrders)
 }
 
 case class HBaseSimInputPartition(path: String, rowGroup: Int) extends InputPartition
 
 case class HBaseSimReaderFactory(requiredJson: String, minStamp: Long,
-    family: Option[String]) extends PartitionReaderFactory {
+    family: Option[String], limit: Option[Int] = None,
+    topNOrders: Seq[(String, Boolean)] = Seq.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HBaseSimInputPartition]
     new HBaseSimPartitionReader(p.path, p.rowGroup,
-      DataType.fromJson(requiredJson).asInstanceOf[StructType], minStamp, family)
+      DataType.fromJson(requiredJson).asInstanceOf[StructType], minStamp, family,
+      limit, topNOrders)
   }
 }
 
 /** Reads one parquet row group through parquet-mr's example Group API,
   * decoding only the projected columns, applying the accepted filters
-  * per row. */
+  * per row. A pushed limit stops the read after `limit` passing rows; a
+  * pushed top-N keeps a bounded heap of the best `limit` rows instead
+  * (partial pushdown — Spark's final sort+limit merges partitions). */
 class HBaseSimPartitionReader(path: String, rowGroup: Int, required: StructType,
-    minStamp: Long, family: Option[String]) extends PartitionReader[InternalRow] {
+    minStamp: Long, family: Option[String], limit: Option[Int] = None,
+    topNOrders: Seq[(String, Boolean)] = Seq.empty) extends PartitionReader[InternalRow] {
 
-  // columns to decode = projection ∪ filter columns
+  // columns to decode = projection ∪ filter columns ∪ top-N sort columns
   private val neededSource: Seq[String] = {
     val f = Seq("ts_us").filter(_ => minStamp != Long.MinValue) ++
-      Seq("event_type").filter(_ => family.isDefined)
+      Seq("event_type").filter(_ => family.isDefined) ++ topNOrders.map(_._1)
     (required.fieldNames ++ f).distinct.toSeq
   }
 
@@ -201,22 +371,74 @@ class HBaseSimPartitionReader(path: String, rowGroup: Int, required: StructType,
     }
   }
 
-  override def next(): Boolean = {
+  private def passes(g: Group): Boolean =
+    (minStamp == Long.MinValue ||
+      g.getLong(projection.getFieldIndex("ts"), 0) / 1000L > minStamp) &&
+    family.forall(f =>
+      g.getString(projection.getFieldIndex("event_type"), 0) == f)
+
+  private def buildRow(g: Group): InternalRow = new GenericInternalRow(
+    required.fieldNames.map(n => fieldValue(g, n)).toArray[Any])
+
+  private var emittedCount = 0
+  private var topNIter: Iterator[InternalRow] = _
+
+  /** lexicographic compare on the sort key, direction-aware; sort
+    * columns are numeric (enforced at pushTopN). */
+  private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < topNOrders.length) {
+      val c = (a(i), b(i)) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x, y) => x.toString.compareTo(y.toString)
+      }
+      val signed = if (topNOrders(i)._2) c else -c
+      if (signed != 0) return signed
+      i += 1
+    }
+    0
+  }
+
+  /** One pass over the row group keeping the best `limit` rows in a
+    * worst-at-head heap (O(rows · log limit), memory O(limit)). */
+  private def drainTopN(): Iterator[InternalRow] = {
+    val n = math.max(limit.getOrElse(1), 1)
+    val heap = new java.util.PriorityQueue[(Array[Any], InternalRow)](
+      n + 1, (p, q) => cmpKeys(q._1, p._1))
     while (remaining > 0) {
       remaining -= 1
       val g = recordReader.read()
-      val passes =
-        (minStamp == Long.MinValue ||
-          g.getLong(projection.getFieldIndex("ts"), 0) / 1000L > minStamp) &&
-        family.forall(f =>
-          g.getString(projection.getFieldIndex("event_type"), 0) == f)
-      if (passes) {
-        current = new GenericInternalRow(
-          required.fieldNames.map(n => fieldValue(g, n)).toArray[Any])
-        return true
+      if (passes(g)) {
+        val keys = topNOrders.map { case (c, _) => fieldValue(g, c) }.toArray
+        if (heap.size < n) heap.add((keys, buildRow(g)))
+        else if (cmpKeys(keys, heap.peek()._1) < 0) {
+          heap.poll(); heap.add((keys, buildRow(g)))
+        }
       }
     }
-    false
+    import scala.collection.JavaConverters._
+    heap.iterator.asScala.map(_._2) // order irrelevant: Spark re-sorts
+  }
+
+  override def next(): Boolean = {
+    if (topNOrders.nonEmpty) {
+      if (topNIter == null) topNIter = drainTopN()
+      if (topNIter.hasNext) { current = topNIter.next(); true } else false
+    } else if (limit.exists(emittedCount >= _)) {
+      false
+    } else {
+      while (remaining > 0) {
+        remaining -= 1
+        val g = recordReader.read()
+        if (passes(g)) {
+          current = buildRow(g)
+          emittedCount += 1
+          return true
+        }
+      }
+      false
+    }
   }
 
   override def get(): InternalRow = current

@@ -40,4 +40,74 @@ class HBaseSourceSpec extends SparkSpec {
     val expect = Tables.events(spark, sfDir).filter(col("value") > 50.0).count()
     assert(got == expect)
   }
+
+  test("max/min/count push down to footer stats with zero row reads") {
+    val q = source.agg(max(col("ts_us")).as("max_ts_us"),
+      min(col("ts_us")).as("min_ts_us"), count(lit(1)).as("n"))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedAggregates"), physical)
+    assert(physical.contains("0 row reads"), physical)
+    // complete pushdown: no HashAggregate survives in the plan
+    assert(!physical.contains("HashAggregate"), physical)
+
+    val row = q.collect().head
+    val exp = Tables.events(spark, sfDir)
+      .agg(max(graft.util.Det.tsMicros(col("ts"))),
+        min(graft.util.Det.tsMicros(col("ts"))), count(lit(1)))
+      .collect().head
+    assert(row.getLong(0) == exp.getLong(0))
+    assert(row.getLong(1) == exp.getLong(1))
+    assert(row.getLong(2) == exp.getLong(2))
+  }
+
+  test("aggregate with a filter does NOT push down (stats cover whole file)") {
+    val q = source.filter(col("event_type") === "click").agg(max(col("ts_us")))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("PushedAggregates"), physical)
+    val got = q.collect().head.getLong(0)
+    val exp = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .agg(max(graft.util.Det.tsMicros(col("ts")))).collect().head.getLong(0)
+    assert(got == exp)
+  }
+
+  test("top-N pushes into the scan and matches an unpushed sort") {
+    val q = source.select("event_id", "ts_us")
+      .orderBy(col("ts_us"), col("event_id")).limit(7)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedTopN"), physical)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = Tables.events(spark, sfDir)
+      .select(col("event_id"), graft.util.Det.tsMicros(col("ts")).as("ts_us"))
+      .orderBy(col("ts_us"), col("event_id")).limit(7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("descending top-N composes with a pushed filter") {
+    // the event_type filter is absorbed by the source (family pushdown),
+    // so the scan is the topmost node and top-N can push too; a residual
+    // filter above the scan correctly blocks top-N pushdown
+    val q = source.select("event_id", "ts_us", "event_type")
+      .filter(col("event_type") === "click")
+      .orderBy(col("ts_us").desc, col("event_id")).limit(5)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedTopN"), physical)
+    assert(physical.contains("ts_us DESC"), physical)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = Tables.events(spark, sfDir)
+      .select(col("event_id"), graft.util.Det.tsMicros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .filter(col("event_type") === "click")
+      .orderBy(col("ts_us").desc, col("event_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp)
+  }
+
+  test("bare limit pushes into the scan") {
+    val q = source.select("event_id").limit(13)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedLimit=13") || physical.contains("LIMIT 13"),
+      physical)
+    assert(q.count() == 13)
+  }
 }
