@@ -25,16 +25,19 @@ object StreamingRiver {
     * only copy), the staging becomes the index, then the old copy is
     * dropped — at every instant either the index or its `__old` backup
     * exists, and a restarted batch re-merges from whichever survived. */
-  def upsertBatch(rawBatch: DataFrame, cfg: RiverConfig, seqCol: String): Unit = {
-    // customMapping analogue: conform every batch to the declared sink
-    // schema (project + cast) before merging, so the index's schema is
-    // the declared one — not whatever the source scan inferred
-    val batch = cfg.sinkSchemaDdl match {
+  /** customMapping analogue: conform every batch to the declared sink
+    * schema (project + cast) before merging, so the index's schema is
+    * the declared one — not whatever the source scan inferred. */
+  private def conform(rawBatch: DataFrame, cfg: RiverConfig): DataFrame =
+    cfg.sinkSchemaDdl match {
       case Some(ddl) =>
         val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         rawBatch.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
       case None => rawBatch
     }
+
+  def upsertBatch(rawBatch: DataFrame, cfg: RiverConfig, seqCol: String): Unit = {
+    val batch = conform(rawBatch, cfg)
     val spark = batch.sparkSession
     val index = new org.apache.hadoop.fs.Path(cfg.sinkPath)
     val fs = index.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -54,10 +57,73 @@ object StreamingRiver {
     fs.delete(old, true)
   }
 
+  /** Partition-pruned upsert: the index is hash-partitioned on the key
+    * (`kbucket=pmod(hash(key), nBuckets)` directories) and a micro-batch
+    * rewrites ONLY the buckets its keys fall in — the reference's bulk
+    * upsert touches only the batch's docs (HBaseParser.java:135-159);
+    * here a batch touching 2 of 256 buckets reads and rewrites 2/256 of
+    * the index instead of all of it. Untouched bucket directories are
+    * not opened, not read, not rewritten — byte-identical after the
+    * batch.
+    *
+    * Crash-safe per-bucket swap: merged buckets are fully written to a
+    * staging dir first, then each touched bucket is renamed aside (to a
+    * dot-prefixed name Spark readers ignore) and replaced; at every
+    * instant each bucket exists either under its live or its backup
+    * name, and the next batch restores any backup a crash left behind.
+    *
+    * Scale: `touched` is bounded by nBuckets (driver-side metadata, not
+    * data); the existing-side read prunes partitions via the kbucket
+    * filter; the merge shuffles only touched-bucket rows. */
+  def upsertBatchPartitioned(rawBatch: DataFrame, cfg: RiverConfig,
+      seqCol: String, nBuckets: Int = 32): Unit = {
+    require(nBuckets > 0)
+    val batch = conform(rawBatch, cfg)
+    val spark = batch.sparkSession
+    val index = new org.apache.hadoop.fs.Path(cfg.sinkPath)
+    val fs = index.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def live(b: Int) = new org.apache.hadoop.fs.Path(s"${cfg.sinkPath}/kbucket=$b")
+    def bak(b: Int) = new org.apache.hadoop.fs.Path(s"${cfg.sinkPath}/.kbucket_old_$b")
+    // recover any bucket a crash left renamed-aside
+    if (fs.exists(index)) (0 until nBuckets).foreach { b =>
+      if (!fs.exists(live(b)) && fs.exists(bak(b))) fs.rename(bak(b), live(b))
+    }
+    val bucketed = batch.withColumn("kbucket",
+      pmod(hash(col(cfg.keyCol)), lit(nBuckets)))
+    val touched = bucketed.select("kbucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val hasIndex = fs.exists(index) &&
+      (0 until nBuckets).exists(b => fs.exists(live(b)))
+    val merged =
+      if (hasIndex) {
+        // kbucket is a partition column → this filter prunes directories:
+        // untouched buckets are never opened
+        val existingTouched = spark.read.parquet(cfg.sinkPath)
+          .filter(col("kbucket").isin(touched.map(Integer.valueOf).toSeq: _*))
+        River.latestPerKey(existingTouched.unionByName(bucketed),
+          cfg.keyCol, cfg.tsCol, seqCol)
+      } else River.latestPerKey(bucketed, cfg.keyCol, cfg.tsCol, seqCol)
+    val staging = new org.apache.hadoop.fs.Path(cfg.sinkPath + "__staging")
+    fs.delete(staging, true)
+    merged.write.partitionBy("kbucket").mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(index)
+    touched.foreach { b =>
+      val stagedBucket = new org.apache.hadoop.fs.Path(s"$staging/kbucket=$b")
+      if (fs.exists(stagedBucket)) {
+        fs.delete(bak(b), true)
+        if (fs.exists(live(b))) fs.rename(live(b), bak(b))
+        fs.rename(stagedBucket, live(b))
+        fs.delete(bak(b), true)
+      }
+    }
+    fs.delete(staging, true)
+  }
+
   /** The streaming import: events stream → normalize/project → upsert
     * into the index per micro-batch. */
   def run(events: DataFrame, cfg: RiverConfig, checkpointDir: String,
-      seqCol: String = "event_id"): StreamingQuery = {
+      seqCol: String = "event_id", sinkBuckets: Int = 0): StreamingQuery = {
     val projected = cfg.family match {
       case Some(f) => events.filter(col("event_type") === f)
       case None => events
@@ -72,7 +138,8 @@ object StreamingRiver {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, cfg, seqCol)
+        if (sinkBuckets > 0) upsertBatchPartitioned(batch, cfg, seqCol, sinkBuckets)
+        else upsertBatch(batch, cfg, seqCol)
       }
       .start()
   }

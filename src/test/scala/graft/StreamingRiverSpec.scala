@@ -66,6 +66,89 @@ class StreamingRiverSpec extends SparkSpec {
     assert(afterFirst > 0)
   }
 
+  test("partitioned upsert rewrites only touched buckets") {
+    import org.apache.hadoop.fs.Path
+    val sink = tmp("river5-sink") + "/index"
+    val nBuckets = 8
+    val events = Tables.events(spark, sfDir).cache()
+    val cfg = RiverConfig(sourcePath = "n/a", sinkPath = sink, keyCol = "user_id")
+
+    // batch 1: everything → full index across buckets
+    StreamingRiver.upsertBatchPartitioned(events, cfg, "event_id", nBuckets)
+
+    val fs = new Path(sink).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileState(): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new Path(sink), true)
+      val m = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          m += f.getPath.toString -> (f.getLen, f.getModificationTime)
+      }
+      m.toMap
+    }
+    val before = fileState()
+    assert(before.nonEmpty)
+
+    // batch 2: a handful of keys → only their buckets may change
+    val spark2 = spark; import spark2.implicits._
+    val someKeys = events.select("user_id").distinct().orderBy("user_id")
+      .limit(3).as[Long].collect()
+    val batch2 = events.filter(col("user_id").isin(someKeys.map(Long.box): _*))
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("ts", (col("ts").cast("long") + 1000000000L).cast(events.schema("ts").dataType))
+    val touchedBuckets = batch2
+      .select(pmod(hash(col("user_id")), lit(nBuckets)).as("b"))
+      .distinct().as[Int].collect().toSet
+    assert(touchedBuckets.size < nBuckets, "keys must not cover every bucket")
+    StreamingRiver.upsertBatchPartitioned(batch2, cfg, "event_id", nBuckets)
+
+    val after = fileState()
+    def bucketOf(path: String): Int =
+      "kbucket=(\\d+)".r.findFirstMatchIn(path).get.group(1).toInt
+    // untouched buckets: identical file names, lengths, AND mtimes (not rewritten)
+    val beforeUntouched = before.filter { case (p, _) => !touchedBuckets(bucketOf(p)) }
+    val afterUntouched = after.filter { case (p, _) => !touchedBuckets(bucketOf(p)) }
+    assert(beforeUntouched == afterUntouched)
+    assert(beforeUntouched.nonEmpty)
+    // touched buckets: rewritten (different files)
+    assert(before.keySet.filter(p => touchedBuckets(bucketOf(p))) !=
+      after.keySet.filter(p => touchedBuckets(bucketOf(p))))
+
+    // content converges to the batch latest-per-key over (batch1 ∪ batch2)
+    val got = spark.read.parquet(sink)
+      .select("user_id", "event_id", "value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100))).toMap
+    val expect = River.latestPerKey(
+        events.unionByName(batch2), "user_id", "ts", "event_id")
+      .select("user_id", "event_id", "value").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100))).toMap
+    assert(got == expect)
+    // the updated keys actually carry batch-2 values
+    someKeys.foreach(k => assert(got(k)._2 > 100000, s"key $k not updated: ${got(k)}"))
+  }
+
+  test("streaming run with a partitioned sink converges like the snapshot sink") {
+    val src = tmp("river6-src")
+    val sink = tmp("river6-sink") + "/index"
+    val ckpt = tmp("river6-ckpt")
+    val events = Tables.events(spark, sfDir).cache()
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val cfg = RiverConfig(sourcePath = src, sinkPath = sink, keyCol = "user_id")
+    StreamingRiver.run(stream, cfg, ckpt, sinkBuckets = 8).awaitTermination()
+
+    val streamed = spark.read.parquet(sink)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = River.latestPerKey(events, "user_id", "ts", "event_id")
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful latest-per-key (mapGroupsWithState) matches the batch operator") {
     val events = Tables.events(spark, sfDir).cache()
     val src = tmp("river4-src")
