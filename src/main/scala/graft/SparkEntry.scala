@@ -430,7 +430,27 @@ object SparkEntry {
       val latest = River.latestPerKey(parsed, "doc_id", "ts_us", "event_id")
       River.assignBatches(latest, Seq(col("ts_us"), col("event_id")), 100)
         .select("doc_id", "event_id", "ts_us", "value", "batch_id")
-    })
+    }),
+
+    // ----- training-data pipeline (SURVEY §2 group 7) -----
+
+    "pipe_decontaminate" -> ((s, dir) =>
+      pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
+        Seq("src0", "src1"), 4)),
+
+    "pipe_weighted_mix" -> ((s, dir) => {
+      val up = Seq("src0", "src1", "src2", "src3", "src4")
+      val keep = Seq("src5", "src6", "src7", "src8", "src9")
+      val w = when(col("source").isin(up: _*), lit(2.5))
+        .when(col("source").isin(keep: _*), lit(1.0)).otherwise(lit(0.25))
+      val band = when(col("source").isin(up: _*), lit("80"))
+        .when(col("source").isin(keep: _*), lit("00")).otherwise(lit("40"))
+      pipeline.Pipeline.weightedMix(Tables.documents(s, dir), w, band)
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+    }),
+
+    "pipe_pack_sequences" -> ((s, dir) =>
+      pipeline.Pipeline.packSequences(Tables.documents(s, dir), 1000L))
   )
 
   // ---- DuckDB oracle ---------------------------------------------------
@@ -1027,6 +1047,44 @@ object SparkEntry {
          |           FROM scan),
          |latest AS (SELECT * FROM parsed QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ts_us DESC, event_id DESC) = 1),
          |batched AS (SELECT *, (row_number() OVER (ORDER BY ts_us, event_id) - 1) // 100 AS batch_id FROM latest)
-         |SELECT doc_id, event_id, ts_us, value, batch_id FROM batched""".stripMargin
+         |SELECT doc_id, event_id, ts_us, value, batch_id FROM batched""".stripMargin,
+
+    // ----- training-data pipeline -----
+
+    "pipe_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        |raw AS (SELECT doc_id, source,
+        |               unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+        |                                     i -> array_to_string(words[i:i+3], ' '))) AS gram
+        |        FROM w),
+        |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
+        |b AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1'))
+        |SELECT doc_id, source, count(*) AS n_shared_grams
+        |FROM g JOIN b USING (gram)
+        |WHERE source NOT IN ('src0', 'src1')
+        |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_weighted_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 1
+        |       ELSE 0 END AS wfull,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '80'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '00'
+        |       ELSE '40' END AS band
+        |  FROM documents),
+        |e AS (SELECT unnest(range(0, 3)) AS epoch)
+        |SELECT doc_id, source, epoch FROM d, e
+        |WHERE epoch <= wfull
+        |  AND (epoch < wfull OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < band)""".stripMargin,
+
+    "pipe_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |             (sum(n_tok) OVER (ORDER BY doc_id) - n_tok) // 1000 AS bin
+        |      FROM t)
+        |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY bin""".stripMargin
   )
 }

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the dedup/text groups: the
+  * corpus-level transforms between "raw documents" and "training
+  * batches" — benchmark decontamination, weighted source mixing with
+  * epochs, and token-budget sequence packing.
+  *
+  * Scale notes are per-operator; the common theme is that every join
+  * here ships slim (id, gram/bucket) rows and every global order is
+  * computed with two-phase offset numbering, never a single-reducer
+  * window.
+  */
+object Pipeline {
+
+  /** Word n-grams of `text` as an array column: whitespace-split, then
+    * positional slices joined with spaces. Narrow (no shuffle, no UDF);
+    * the per-row cost is O(words · n) string building, all codegen. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = split(text, " ", -1)
+    // sequence(1, 0) would DESCEND ([1, 0] — Spark sequences run either
+    // direction), so texts shorter than n need the explicit empty case
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  /** Benchmark decontamination: documents sharing at least one word
+    * `n`-gram with the benchmark set are flagged (with how many distinct
+    * grams they share) — the train/eval overlap check every training
+    * corpus needs before release.
+    *
+    * Scale: the benchmark side is small by construction (an eval set,
+    * not a corpus), so its distinct grams BROADCAST to the corpus-side
+    * exploded grams — no shuffle of the 100 TB side. Corpus grams
+    * dedupe per doc (slim (doc_id, gram) rows) before the join; the
+    * aggregate is map-side combinable. All-pairs never materializes. */
+  def decontaminate(docs: DataFrame, benchmarkSources: Seq[String],
+      n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        explode(wordNgrams(col("text"), n)).as("gram"))
+      .select(col("doc_id"), col("source"), col("gram")).distinct()
+    val benchGrams = grams.filter(col("source").isin(benchmarkSources: _*))
+      .select("gram").distinct()
+    grams.filter(!col("source").isin(benchmarkSources: _*))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Weighted source mixing with epochs: each source carries a mixture
+    * weight; weight 2.5 means every doc appears twice plus a 50%
+    * deterministic chance of a third copy, weight 0.25 keeps a
+    * deterministic quarter of docs — the up/down-sampling step that
+    * turns raw source proportions into a training mixture.
+    *
+    * Copies materialize as (doc_id, epoch) rows; the fractional epoch
+    * keeps docs whose md5 band clears the threshold (reproducible on any
+    * engine, no RNG state). Narrow: explode + filter, no shuffle. At
+    * 100 TB the explode is the point — the output IS factor× the input;
+    * nothing is buffered beyond a row. */
+  def weightedMix(docs: DataFrame, weightOf: Column, fracBandOf: Column): DataFrame = {
+    val fullCopies = floor(weightOf).cast("int")
+    docs
+      .withColumn("__w_full", fullCopies)
+      .withColumn("__band", fracBandOf)
+      .withColumn("epoch", explode(sequence(lit(0), col("__w_full"))))
+      .filter(col("epoch") < col("__w_full") ||
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < col("__band"))
+      .drop("__w_full", "__band")
+  }
+
+  /** Token-budget sequence packing (concat-stream form): documents are
+    * concatenated in doc_id order and the stream is cut every `budget`
+    * tokens; a doc's bin is the bin its first token lands in. This is
+    * the "pack documents into fixed context windows" step of a training
+    * pipeline, and the global running token count is the same
+    * total-order problem as bulk batch numbering — solved the same way:
+    *
+    *  1. range-partition on doc_id, sort within partitions (parallel);
+    *  2. per-partition token sums → driver-side exclusive-scan offsets
+    *     (metadata, ≤numPartitions longs — not data);
+    *  3. each partition streams its rows once, carrying offset + local
+    *     running sum; bin = running_start / budget.
+    *
+    * The partitioned RDD persists across the two jobs so both see the
+    * same sampled range boundaries (same determinism argument as
+    * River.assignBatches). No single-reducer window anywhere. */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    val sorted = withTok
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val rdd = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partSums = rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0L)(_ + _)
+      val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = offsets(i)
+        it.map { case (id, t) =>
+          val start = cum; cum += t
+          org.apache.spark.sql.Row(id, t, start / budget)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tok",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val df = spark.createDataFrame(packed, schema)
+      // aggregate per bin BEFORE unpersist: the action must run while
+      // the packed lineage's cached parent is alive
+      val out = df.groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      out.localCheckpoint()
+    } finally rdd.unpersist(blocking = false)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+class PipelineSpec extends SparkSpec {
+
+  test("wordNgrams slides over whitespace tokens") {
+    val df = spark.range(1).select(lit("a b c d e").as("text"))
+    val got = df.select(Pipeline.wordNgrams(col("text"), 3).as("g"))
+      .head().getSeq[String](0)
+    assert(got == Seq("a b c", "b c d", "c d e"))
+    // shorter than n → empty, not negative-size
+    val short = df.select(Pipeline.wordNgrams(lit("a b"), 3).as("g"))
+      .head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      (1L, "bench", "the quick brown fox jumps"),
+      (2L, "corpus", "a very quick brown fox indeed"), // shares "quick brown fox"
+      (3L, "corpus", "nothing in common here at all"),
+      (4L, "corpus", "the quick brown fox jumps again") // shares 2 grams
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.decontaminate(docs, Seq("bench"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(2L, 4L))
+    assert(got(2L) == 1L) // "quick brown fox"
+    assert(got(4L) == 3L) // "the quick brown", "quick brown fox", "brown fox jumps"
+  }
+
+  test("weightedMix epochs: full copies always, fractional copy by hash band") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "up" else "down", "t")).toDF("doc_id", "source", "text")
+    val w = when(col("source") === "up", lit(2.5)).otherwise(lit(0.25))
+    val band = when(col("source") === "up", lit("80")).otherwise(lit("40"))
+    val mixed = Pipeline.weightedMix(docs, w, band).cache()
+    val perDoc = mixed.groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // upsampled docs appear 2 or 3 times, downsampled 0 or 1
+    perDoc.foreach {
+      case (_, "up", n) => assert(n == 2 || n == 3)
+      case (_, "down", n) => assert(n == 1)
+      case other => fail(other.toString)
+    }
+    val upDocs = perDoc.count(_._2 == "up")
+    assert(upDocs == 200) // every up doc survives
+    val downDocs = perDoc.count(_._2 == "down")
+    assert(downDocs > 10 && downDocs < 90, s"~25% of 200 expected, got $downDocs")
+    // deterministic: a second evaluation is identical
+    val again = Pipeline.weightedMix(docs, w, band)
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(perDoc.toSet == again.toSet)
+    mixed.unpersist()
+  }
+
+  test("packSequences matches the single-window cumulative form") {
+    val docs = Tables.documents(spark, sfDir)
+    val budget = 500L
+    val got = Pipeline.packSequences(docs, budget)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+
+    val w = Window.orderBy("doc_id")
+    val expect = docs
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      .withColumn("bin", ((sum("n_tok").over(w) - col("n_tok")) / budget).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+    assert(got.size > 1, "expected multiple bins")
+    // no single-partition exchange in the scale path's plan
+    val plan = Pipeline.packSequences(docs, budget)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("packSequences bins are contiguous doc_id ranges filling the budget") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Pipeline.packSequences(docs, 500L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // bins partition the id space in order: each first_doc follows the
+    // previous bin's last_doc
+    rows.sliding(2).foreach {
+      case Array((_, _, _, _, prevLast), (_, _, _, first, _)) =>
+        assert(first > prevLast)
+      case _ =>
+    }
+    // every bin except possibly the last spans at least the budget once
+    // its last doc is included (concat-stream semantics)
+    val totalTok = docs
+      .select(size(split(col("text"), " ", -1)).cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(rows.map(_._3).sum == totalTok)
+    assert(rows.map(_._2).sum == docs.count())
+  }
+}
