@@ -380,6 +380,9 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), 0.4)),
 
+    "dedup_embedding_ivf" -> ((s, dir) =>
+      dedup.Dedup.embeddingNearDupIvf(Tables.embeddings(s, dir), 0.4)),
+
     "q_supplier_topk_agg" -> ((s, dir) =>
       operators.Analytics.supplierTopKAgg(Tables.lineitem(s, dir), 3)),
 

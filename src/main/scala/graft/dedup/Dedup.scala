@@ -130,17 +130,76 @@ object Dedup {
     * confirms ≥ `tau`. The self-join ships slim (vec_id, table, bucket)
     * rows; embeddings attach per surviving pair. Output ⊆ the exact
     * operator's pairs by construction; recall grows with `tables`
-    * (spec-checked in `NewOpsSpec`). */
+    * (spec-checked in `NewOpsSpec`).
+    *
+    * Auto-scaling (nbits = 0 / tables = 0): a FIXED bucket count makes
+    * the self-join quadratic in the corpus (bucket occupancy ∝ n, pairs
+    * ∝ occupancy² — measured 100× candidate blowup at 10× data), so
+    * auto mode grows `nbits` with log2(n) to pin occupancy ~128, then
+    * sizes `tables` for ~0.75 recall at `tau` from the sign-agreement
+    * probability p = 1 − acos(tau)/π (per-table recall p^nbits,
+    * multi-table OR). Low taus are intrinsically weakly selective for
+    * sign-LSH (p → 0.5); below τ≈0.5 prefer [[embeddingNearDupIvf]]. */
   def embeddingNearDupLsh(emb: DataFrame, tau: Double,
-      nbits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+      nbits: Int = 0, tables: Int = 0, dim: Int = 64): DataFrame = {
     import graft.similarity.Ann
+    val nb =
+      if (nbits > 0) nbits
+      else {
+        val n = emb.count().toDouble
+        math.min(12, math.max(4, math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt))
+      }
+    val tb =
+      if (tables > 0) tables
+      else {
+        val p = 1.0 - math.acos(tau) / math.Pi
+        val perTable = math.pow(p, nb)
+        math.min(32, math.max(8,
+          math.ceil(math.log(0.25) / math.log(1.0 - perTable)).toInt))
+      }
     val buckets = emb.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        Ann.bucketCol(col("embedding"), dim, nbits, t)): _*)).as(Seq("t", "bucket")))
+      posexplode(array((0 until tb).map(t =>
+        Ann.bucketCol(col("embedding"), dim, nb, t)): _*)).as(Seq("t", "bucket")))
       .persist()
     val cand = buckets.select(col("t"), col("bucket"), col("vec_id").as("a_id"))
       .join(buckets.select(col("t"), col("bucket"), col("vec_id").as("b_id")),
         Seq("t", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos_sim") >= tau)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
+  /** IVF-bucketed embedding near-dup — the scale path for LOW taus,
+    * where sign-LSH is weakly selective (sign-agreement p → 0.5 as
+    * τ → 0, so per-table recall p^nbits collapses once nbits grows with
+    * the corpus). Candidates are pairs sharing one of their `nprobe`
+    * nearest Lloyd-centroid lists; exact cosine confirms ≥ `tau`.
+    * List count grows with n (occupancy pinned at ~targetListSize·
+    * nprobe), so the self-join stays linear in the corpus; nprobe > 1
+    * recovers pairs straddling a list boundary. Output ⊆ the exact
+    * operator's pairs by construction (recall spec in `NewOpsSpec`).
+    * At warehouse scale the list assignment is a write-once
+    * cluster-bucketed partitioning of the corpus (same story as
+    * `Ann.ivfTopK`), and centroids come from a sampled hierarchical
+    * k-means instead of literal expressions. */
+  def embeddingNearDupIvf(emb: DataFrame, tau: Double,
+      targetListSize: Int = 256, nprobe: Int = 2, lloydRounds: Int = 2): DataFrame = {
+    import graft.similarity.Ann
+    val n = emb.count()
+    val nCent = math.min(256, math.max(8, (n / targetListSize).toInt))
+    val cents = Ann.lloydCentroids(emb, nCent, lloydRounds)
+    val lists = emb.select(col("vec_id"),
+        explode(Ann.probedCentIds(col("embedding"), cents, nprobe)).as("p"))
+      .select(col("vec_id"), col("p.cent_id").as("cent_id"))
+      .persist()
+    val cand = lists.select(col("cent_id"), col("vec_id").as("a_id"))
+      .join(lists.select(col("cent_id"), col("vec_id").as("b_id")), Seq("cent_id"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id")

@@ -160,6 +160,17 @@ object Ann {
     cents
   }
 
+  /** The `nprobe` nearest centroid ids for a vector, as an array column:
+    * ascending struct sort on (-cos, cent_id) = cosine descending with
+    * id tie-break, sliced to nprobe — per-row array ops over the (tiny,
+    * literal) centroid set; no join, no shuffle. Shared by the IVF
+    * query path and the IVF near-dup candidate generator. */
+  private[graft] def probedCentIds(embCol: Column,
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): Column =
+    slice(array_sort(array(cents.map { case (id, c) =>
+      struct((-GraftFunctions.cosineSim(embCol, typedlit(c))).as("neg"),
+        lit(id).as("cent_id")) }: _*)), 1, nprobe)
+
   /** IVF (inverted-file) ANN top-k — the partitioned-index scale path.
     * Centroids are deterministic seeds (first `nCentroids` vectors)
     * Lloyd-refined for `lloydRounds` fixed iterations; every corpus
@@ -177,15 +188,9 @@ object Ann {
     val corpus = emb.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb"),
       nearestCentId(col("embedding"), cents).as("cent_id"))
-    // probe list per query: ascending struct sort on (-cos, cent_id) =
-    // cosine descending with id tie-break, sliced to nprobe — per-row
-    // array ops over nCentroids elements, no shuffle, no window
-    val probeArr = array(cents.map { case (id, c) =>
-      struct((-GraftFunctions.cosineSim(col("embedding"), typedlit(c))).as("neg"),
-        lit(id).as("cent_id")) }: _*)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(slice(array_sort(probeArr), 1, nprobe)).as("p"))
+        explode(probedCentIds(col("embedding"), cents, nprobe)).as("p"))
       .select(col("query_id"), col("q_emb"), col("p.cent_id").as("cent_id"))
     // queries×nprobe is tiny by construction; size estimation can't see
     // through the explode, so broadcast explicitly (SMJ otherwise)

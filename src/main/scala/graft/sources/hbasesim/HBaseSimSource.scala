@@ -68,6 +68,21 @@ object HBaseSimTable {
   /** source column → parquet column (ts_us is derived from ns `ts`). */
   val parquetField: Map[String, String] =
     schema.fieldNames.map(n => n -> (if (n == "ts_us") "ts" else n)).toMap
+
+  /** A "table" is either one parquet file or a directory of part files
+    * (the layout any distributed writer produces — the single-file form
+    * only exists at toy scale). Hidden/metadata entries are skipped the
+    * way Spark's own file index does. */
+  def dataFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).sorted
+    else Seq(path)
+  }
 }
 
 class HBaseSimTable(path: String) extends Table with SupportsRead {
@@ -201,10 +216,14 @@ object HBaseSimStats {
     * `ts` stats — truncation commutes with min/max (monotone). */
   def fromFooter(path: String, agg: Aggregation): Option[(StructType, Seq[Any])] = {
     import scala.collection.JavaConverters._
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()))
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+    // all row groups of all part files: block metadata survives reader
+    // close, so the footers open briefly and only metadata is held
+    val blocks = HBaseSimTable.dataFiles(path).flatMap { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), new Configuration()))
+      try reader.getFooter.getBlocks.asScala.toList finally reader.close()
+    }
+    locally {
       val rowCount = blocks.map(_.getRowCount).sum
       def colStats(src: String): Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
         val pq = HBaseSimTable.parquetField(src)
@@ -238,7 +257,7 @@ object HBaseSimStats {
       if (values.exists(_.isEmpty)) None
       else Some((StructType(fields.flatten.map { case (n, t) =>
         StructField(n, t, nullable = false) }), values.flatten))
-    } finally reader.close()
+    }
   }
 }
 
@@ -288,22 +307,23 @@ class HBaseSimScan(path: String, required: StructType, minStamp: Long,
 
   /** One partition per row group; groups whose ts max is at or below the
     * watermark are pruned here on the driver via footer statistics. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()))
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala.toArray
-      blocks.zipWithIndex.flatMap { case (block, i) =>
-        val tsMaxNs = block.getColumns.asScala
-          .find(_.getPath.toDotString == "ts")
-          .flatMap(c => Option(c.getStatistics))
-          .filter(_.hasNonNullValue)
-          .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-        val survives = tsMaxNs.forall(maxNs => maxNs / 1000L > minStamp)
-        if (survives) Some(HBaseSimInputPartition(path, i): InputPartition) else None
-      }
-    } finally reader.close()
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    HBaseSimTable.dataFiles(path).toArray.flatMap { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), new Configuration()))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toArray
+        blocks.zipWithIndex.flatMap { case (block, i) =>
+          val tsMaxNs = block.getColumns.asScala
+            .find(_.getPath.toDotString == "ts")
+            .flatMap(c => Option(c.getStatistics))
+            .filter(_.hasNonNullValue)
+            .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          val survives = tsMaxNs.forall(maxNs => maxNs / 1000L > minStamp)
+          if (survives) Some(HBaseSimInputPartition(f, i): InputPartition) else None
+        }
+      } finally reader.close()
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     HBaseSimReaderFactory(required.json, minStamp, family, limit, topNOrders)

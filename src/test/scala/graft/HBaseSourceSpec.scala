@@ -103,6 +103,26 @@ class HBaseSourceSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("a directory of part files reads like the single file") {
+    val dir = java.nio.file.Files.createTempDirectory("hbasesim-multi").toString
+    Tables.eventsRaw(spark, sfDir).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val multi = spark.read.format("hbasesim").option("path", dir).load()
+    val viaMulti = multi.select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSingle = source.select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMulti == viaSingle)
+    // aggregate pushdown merges footer stats across part files
+    val agg = multi.agg(max(col("ts_us")), min(col("ts_us")), count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val row = agg.collect().head
+    val exp = source.agg(max(col("ts_us")), min(col("ts_us")), count(lit(1)))
+      .collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (exp.getLong(0), exp.getLong(1), exp.getLong(2)))
+  }
+
   test("bare limit pushes into the scan") {
     val q = source.select("event_id").limit(13)
     val physical = q.queryExecution.executedPlan.toString

@@ -71,6 +71,19 @@ class NewOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("embeddingNearDupIvf finds a subset of the exact pairs with good recall") {
+    import graft.dedup.Dedup
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Dedup.embeddingNearDup(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Dedup.embeddingNearDupIvf(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact), s"IVF produced non-pairs: ${ivf.diff(exact).take(3)}")
+    assert(exact.nonEmpty)
+    val recall = ivf.size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall (${ivf.size}/${exact.size})")
+  }
+
   test("supplierTopKAgg matches the window-rank form") {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, sfDir)
