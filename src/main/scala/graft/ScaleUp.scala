@@ -46,8 +46,14 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Multi-file output, like any distributed writer at real scale: a
+    // single part file is one parquet row group is ONE scan task, which
+    // serializes every compute-heavy per-row stage (measured: minhash
+    // signatures for the whole corpus on one core) and misrepresents
+    // cluster behavior in the bench.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name done")
     }
 

@@ -127,8 +127,7 @@ object Dedup {
   /** Scale path for [[embeddingNearDup]]: candidates limited to pairs
     * sharing a hyperplane-LSH bucket in at least one of `tables` tables
     * (the graft.similarity.Ann sketch machinery), then exact cosine
-    * confirms ≥ `tau`. The self-join ships slim (vec_id, table, bucket)
-    * rows; embeddings attach per surviving pair. Output ⊆ the exact
+    * confirms ≥ `tau` inside the join stage. Output ⊆ the exact
     * operator's pairs by construction; recall grows with `tables`
     * (spec-checked in `NewOpsSpec`).
     *
@@ -157,21 +156,27 @@ object Dedup {
         math.min(32, math.max(8,
           math.ceil(math.log(0.25) / math.log(1.0 - perTable)).toInt))
       }
-    val buckets = emb.select(col("vec_id"),
+    // Embeddings ride along into the bucket table: the pair blowup then
+    // happens INSIDE the join stage, after the (corpus-sized) exchange,
+    // and cosine confirms each pair in the same codegen stage — only
+    // τ-survivors ever shuffle again. The slim-candidates-then-attach
+    // form is wrong here: at low tau the candidate volume is a large
+    // multiple of the corpus, and attaching arrays by id drags that
+    // multiple through two wide sort-merge joins (measured minutes vs
+    // seconds at 20k vectors).
+    val buckets = emb.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until tb).map(t =>
         Ann.bucketCol(col("embedding"), dim, nb, t)): _*)).as(Seq("t", "bucket")))
       .persist()
-    val cand = buckets.select(col("t"), col("bucket"), col("vec_id").as("a_id"))
-      .join(buckets.select(col("t"), col("bucket"), col("vec_id").as("b_id")),
+    buckets.select(col("t"), col("bucket"),
+        col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(buckets.select(col("t"), col("bucket"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb")),
         Seq("t", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .select("a_id", "b_id")
-    cand
-      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
       .withColumn("cos_sim", GraftFunctions.cosineSim(col("a_emb"), col("b_emb")))
       .filter(col("cos_sim") >= tau)
+      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "cos_sim")
   }
 
@@ -189,25 +194,43 @@ object Dedup {
     * `Ann.ivfTopK`), and centroids come from a sampled hierarchical
     * k-means instead of literal expressions. */
   def embeddingNearDupIvf(emb: DataFrame, tau: Double,
-      targetListSize: Int = 256, nprobe: Int = 2, lloydRounds: Int = 2): DataFrame = {
+      targetListSize: Int = 128, nprobe: Int = 2, lloydRounds: Int = 2): DataFrame = {
     import graft.similarity.Ann
     val n = emb.count()
     val nCent = math.min(256, math.max(8, (n / targetListSize).toInt))
     val cents = Ann.lloydCentroids(emb, nCent, lloydRounds)
-    val lists = emb.select(col("vec_id"),
-        explode(Ann.probedCentIds(col("embedding"), cents, nprobe)).as("p"))
-      .select(col("vec_id"), col("p.cent_id").as("cent_id"))
+    // Probe assignment is a broadcast join against the centroid TABLE +
+    // bounded top-nprobe aggregate — all codegen'd with map-side
+    // partial aggregation. The expression-literal form
+    // (array_sort over per-centroid cosine structs) is a higher-order
+    // function = CodegenFallback: every row would interpret nCent
+    // cosines (measured ~15× over the codegen'd join at 156 centroids).
+    // This is also the only form that survives warehouse-scale nCent —
+    // centroids are data, not expression literals.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = cents.map { case (id, c) => (id.toLong, c) }.toDF("cent_id", "centroid")
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centDf))
+      .select(col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("centroid")).as("cos"),
+        col("cent_id"))
+      .groupBy("vec_id")
+      .agg(graft.functions.TopKPairs.topK(col("cos"), col("cent_id"), nprobe).as("top"))
+      .select(col("vec_id"), explode(col("top.id")).as("cent_id"))
+    // same confirm-in-stage shape as the LSH twin: embeddings ride the
+    // (corpus × nprobe)-sized list table, pairs materialize and confirm
+    // inside the join stage, only τ-survivors shuffle on
+    val lists = assigned.join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
       .persist()
-    val cand = lists.select(col("cent_id"), col("vec_id").as("a_id"))
-      .join(lists.select(col("cent_id"), col("vec_id").as("b_id")), Seq("cent_id"))
+    lists.select(col("cent_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(lists.select(col("cent_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("cent_id"))
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .select("a_id", "b_id")
-    cand
-      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
       .withColumn("cos_sim", GraftFunctions.cosineSim(col("a_emb"), col("b_emb")))
       .filter(col("cos_sim") >= tau)
+      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "cos_sim")
   }
 

@@ -129,9 +129,10 @@ object Ann {
 
   /** Deterministic-seeded Lloyd refinement: seeds are the first
     * `nCentroids` vectors by id, then `rounds` FIXED assign-to-nearest /
-    * recompute-mean iterations. Each round is one corpus scan + one
-    * (cent_id, dim) aggregation; only nCentroids × dim doubles come back
-    * to the driver per round (metadata, not data). Empty clusters keep
+    * recompute-mean iterations. Each round is one corpus scan joined
+    * against the broadcast centroid table, a per-vector argmax, and a
+    * (cent_id, dim) mean; only nCentroids × dim doubles come back to
+    * the driver per round (metadata, not data). Empty clusters keep
     * their previous centroid. Mean doubles are not bit-pinned across
     * partitionings — an index-construction detail only; the search
     * re-ranks with exact cosine inside the probed lists. */
@@ -145,10 +146,25 @@ object Ann {
     var cents: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0).toInt, toDoubles(r.get(1)))).toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
     (0 until rounds).foreach { _ =>
+      // assign-to-nearest is a broadcast join against the centroid TABLE
+      // + max_by per vector — all codegen'd with map-side partial
+      // aggregation. The literal-expression argmax (array_max over
+      // nCentroids cosine structs) collapses out of whole-stage codegen
+      // past ~100 centroids and interprets every cosine (measured: the
+      // whole 32 s of the ×10 near-dup op was this assignment).
+      val centDf = cents.toDF("cid", "centroid")
       val means = emb
-        .select(nearestCentId(col("embedding"), cents).as("cent_id"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .join(broadcast(centDf))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(
+            GraftFunctions.cosineSim(col("e"), col("centroid")).as("cos"),
+            (-col("cid")).as("negid"))).as("cent_id"),
+          first(col("e")).as("e"))
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy("cent_id", "dim").agg(avg(col("v")).as("m"))
         .collect().groupBy(_.getInt(0))
       cents = cents.map { case (id, old) =>
