@@ -379,4 +379,142 @@ object Analytics {
         col("m.r_id").as("matched_id"), col("m.r_ts_us").as("matched_ts_us"),
         col("value"))
   }
+
+  /** ES composite aggregation: deterministic key-ordered paging over ALL
+    * group buckets (the facet analogue of search_after — `after` names
+    * the last bucket key of the previous page). One map-side-combinable
+    * hash aggregation; the page itself is a TakeOrderedAndProject over
+    * the (already small) bucket set, never over the raw rows. At 100 TB
+    * the bucket count, not the row count, bounds the sort. */
+  def compositeAgg(events: DataFrame, afterType: String, afterBucket: Long,
+                   size: Int): DataFrame =
+    events
+      .select(col("event_type"), expr("user_id div 100").as("user_bucket"),
+        col("value"), col("user_id"))
+      .groupBy("event_type", "user_bucket")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.moneySum(col("value")).as("sum_value"))
+      .filter(col("event_type") > afterType ||
+        (col("event_type") === afterType && col("user_bucket") > afterBucket))
+      .orderBy("event_type", "user_bucket")
+      .limit(size)
+
+  /** ES pipeline aggregations over a date_histogram: cumulative_sum,
+    * derivative, and a 7-bucket moving average of the per-day value sum.
+    * The parent histogram is a distributed exact-decimal aggregation;
+    * the pipeline pass windows over the BUCKETS (one row per day — a
+    * few thousand rows for a decade), so the unpartitioned window is a
+    * bounded post-aggregation step, not a data-scale sort. All window
+    * math stays on the DECIMAL domain; each output converts to double
+    * once. */
+  def pipelineAggs(events: DataFrame): DataFrame = {
+    val day = events
+      .select(Det.dayIdx("ts").as("day_idx"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("day_idx")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("dsum"))
+    val w = Window.orderBy("day_idx")
+    val mov = Window.orderBy("day_idx").rowsBetween(-6, 0)
+    day
+      .withColumn("cum_value",
+        sum(col("dsum")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("derivative", (col("dsum") - lag(col("dsum"), 1).over(w)).cast("double"))
+      .withColumn("mov7_avg",
+        sum(col("dsum")).over(mov).cast("double") / count(lit(1)).over(mov))
+      .select(col("day_idx"), col("n"), col("dsum").cast("double").as("sum_value"),
+        col("cum_value"), col("derivative"), col("mov7_avg"))
+  }
+
+  /** ES filters aggregation: N named predicate buckets computed in ONE
+    * scan via conditional aggregation, then unpivoted to (bucket, n,
+    * sum_value) rows. No per-filter pass, no shuffle beyond the single
+    * global aggregate. */
+  def filtersFacet(events: DataFrame): DataFrame = {
+    def bucket(cond: Column) = struct(
+      count(when(cond, 1)).as("n"),
+      coalesce(sum(when(cond, col("value")).cast(DecimalType(18, 2))),
+        lit(0).cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    events
+      .agg(bucket(col("value") >= 90).as("high_value"),
+        bucket(col("event_type") === "click").as("clicks"),
+        bucket(col("user_id") < 500).as("early_users"))
+      .select(expr(
+        """stack(3,
+          |  'high_value',  high_value.n,  high_value.sum_value,
+          |  'clicks',      clicks.n,      clicks.sum_value,
+          |  'early_users', early_users.n, early_users.sum_value)
+          |  AS (bucket, n, sum_value)""".stripMargin))
+  }
+
+  /** ES range aggregation: arbitrary (non-uniform) explicit bucket edges
+    * over `value` — [lo, hi) per bucket, open-ended last bucket. The
+    * histogram facet's fixed-width cousin; a when-chain keyed bucket id
+    * keeps it a single codegen'd aggregation. Open upper edge surfaces
+    * as -1 (sentinel, not null, per the grouping-set convention). */
+  def rangeFacet(events: DataFrame, edges: Seq[Double]): DataFrame = {
+    val lows = edges
+    val his = edges.drop(1).map(Some(_)) :+ None
+    val bucketId = lows.zip(his).zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, ((lo, hi), i)) =>
+        val cond = hi match {
+          case Some(h) => col("value") >= lo && col("value") < h
+          case None    => col("value") >= lo
+        }
+        when(cond, lit(i)).otherwise(acc)
+    }
+    val loOf = lows.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (lo, i)) => when(col("bucket_id") === i, lit(lo)).otherwise(acc) }
+    val hiOf = his.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (hi, i)) =>
+        when(col("bucket_id") === i, lit(hi.getOrElse(-1.0))).otherwise(acc) }
+    events
+      .select(bucketId.as("bucket_id"), col("value"))
+      .filter(col("bucket_id") >= 0)
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .select(col("bucket_id"), loOf.as("lo"), hiOf.as("hi"), col("n"),
+        col("sum_value"))
+  }
+
+  /** ES matrix_stats: pairwise covariance/correlation over numeric
+    * fields, from EXACT decimal power sums (n, Σx, Σx², Σxy) — one
+    * map-side-combinable aggregation over the fact table, then a
+    * driver-scale derivation row per pair. Spark's builtin corr() is a
+    * streaming-moment aggregate whose result depends on partial-merge
+    * order; the power-sum form is deterministic on any cluster AND
+    * matches the oracle bit-for-bit because the final double formula
+    * (cov = (sxy - sx*sy/n)/n, corr = cov/sqrt(va*vb)) is evaluated in
+    * the same order by both engines. */
+  def matrixStats(lineitem: DataFrame): DataFrame = {
+    val d4 = DecimalType(18, 4)
+    def s1(c: Column) = sum(c.cast(d4))
+    def s2(a: Column, b: Column) = sum(a.cast(d4) * b.cast(d4))
+    val x = col("l_quantity"); val y = col("l_extendedprice"); val z = col("l_discount")
+    val sums = lineitem.agg(
+      count(lit(1)).as("n"),
+      s1(x).as("sx"), s1(y).as("sy"), s1(z).as("sz"),
+      s2(x, x).as("sxx"), s2(y, y).as("syy"), s2(z, z).as("szz"),
+      s2(x, y).as("sxy"), s2(x, z).as("sxz"), s2(y, z).as("syz"))
+    def pairRow(name: String, sa: String, sb: String, saa: String,
+                sbb: String, sab: String) = {
+      val n = col("n").cast("double")
+      val a = col(sa).cast("double"); val b = col(sb).cast("double")
+      val aa = col(saa).cast("double"); val bb = col(sbb).cast("double")
+      val ab = col(sab).cast("double")
+      val cov = (ab - a * b / n) / n
+      val va = (aa - a * a / n) / n
+      val vb = (bb - b * b / n) / n
+      struct(lit(name).as("pair"), col("n").as("n"),
+        (a / n).as("mean_a"), (b / n).as("mean_b"),
+        cov.as("cov_ab"), (cov / sqrt(va * vb)).as("corr_ab"))
+    }
+    sums
+      .select(explode(array(
+        pairRow("quantity_extendedprice", "sx", "sy", "sxx", "syy", "sxy"),
+        pairRow("quantity_discount", "sx", "sz", "sxx", "szz", "sxz"),
+        pairRow("extendedprice_discount", "sy", "sz", "syy", "szz", "syz")
+      )).as("p"))
+      .select("p.pair", "p.n", "p.mean_a", "p.mean_b", "p.cov_ab", "p.corr_ab")
+  }
 }

@@ -284,4 +284,34 @@ object TextOps {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
   }
+
+  /** ES more_like_this: rank documents by similarity to a set of seed
+    * docs. Seed terms above `maxDf` corpus document-frequency are
+    * dropped (ES `max_doc_freq` — ubiquitous terms carry no signal);
+    * the score is the TF histogram intersection Σ min(tf_doc, tf_seed)
+    * over surviving terms — exact integers, so top-k ordering is
+    * deterministic with the doc_id tie-break.
+    *
+    * Scale: per-doc TFs are slim (doc_id, word, tf) rows aggregated
+    * map-side; the seed term list (one query's worth) broadcasts, so
+    * the corpus side never shuffles for the join — only the final
+    * per-doc score aggregation shuffles, and it combines map-side. */
+  def moreLikeThis(docs: DataFrame, seedIds: Seq[Long], maxDf: Long,
+                   k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val seedTerms = tf.filter(col("doc_id").isin(seedIds: _*))
+      .groupBy("word").agg(sum(col("tf")).as("seed_tf"))
+      .join(df.filter(col("df") <= maxDf), "word")
+      .select("word", "seed_tf")
+    tf.filter(!col("doc_id").isin(seedIds: _*))
+      .join(broadcast(seedTerms), "word")
+      .groupBy("doc_id")
+      .agg(sum(least(col("tf"), col("seed_tf"))).as("score"),
+        count(lit(1)).as("n_shared_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
