@@ -298,9 +298,15 @@ object TextOps {
     * per-doc score aggregation shuffles, and it combines map-side. */
   def moreLikeThis(docs: DataFrame, seedIds: Seq[Long], maxDf: Long,
                    k: Int): DataFrame = {
+    // module tokenization convention: lowercase, \s+ split, empty terms
+    // dropped. tf is persisted: it feeds the df aggregation, the seed
+    // term list, and the corpus scoring side — one tokenize+shuffle pass
+    // over the corpus instead of three.
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val seedTerms = tf.filter(col("doc_id").isin(seedIds: _*))
       .groupBy("word").agg(sum(col("tf")).as("seed_tf"))
