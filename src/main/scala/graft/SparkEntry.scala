@@ -251,6 +251,39 @@ object SparkEntry {
     "q_cube_agg" -> ((s, dir) =>
       operators.Analytics.cubeAgg(Tables.events(s, dir))),
 
+    "q_composite_agg" -> ((s, dir) =>
+      operators.Analytics.compositeAgg(Tables.events(s, dir), "click", 0L, 20)),
+
+    "q_pipeline_aggs" -> ((s, dir) =>
+      // first bucket's derivative → 0.0 sentinel (ES emits no value
+      // there; null would trip the value-hash compare)
+      operators.Analytics.pipelineAggs(Tables.events(s, dir))
+        .withColumn("derivative", coalesce(col("derivative"), lit(0.0)))),
+
+    "q_filters_facet" -> ((s, dir) =>
+      operators.Analytics.filtersFacet(Tables.events(s, dir))),
+
+    "q_range_facet" -> ((s, dir) =>
+      // the [1000, ∞) bucket is empty at every SF (value ≤ ~490) —
+      // exercising ES's zero-count-bucket contract
+      operators.Analytics.rangeFacet(Tables.events(s, dir),
+        Seq(0.0, 50.0, 100.0, 200.0, 400.0, 1000.0))),
+
+    "q_matrix_stats" -> ((s, dir) =>
+      operators.Analytics.matrixStats(Tables.lineitem(s, dir))),
+
+    "q_top_hits" -> ((s, dir) =>
+      operators.Analytics.topHits(Tables.events(s, dir), 3)),
+
+    "text_more_like_this" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // max_doc_freq scale-free as 4/5 of the corpus, in integer
+      // arithmetic both engines evaluate exactly; count(*) on parquet
+      // is answered from footer metadata, not a scan
+      val maxDf = docs.count() * 4 / 5
+      text.TextOps.moreLikeThis(docs, Seq(0L, 1L, 2L), maxDf, 15)
+    }),
+
     "river_charset" -> ((s, dir) => {
       // charset surface (ref HBaseRiver.charset:74): payload bytes →
       // charset-decoded string; round-trip proves lossless decode.
@@ -377,11 +410,32 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
 
+    // τ=0.6 is sign-LSH's valid regime (the auto-sizer lands at ~11
+    // tables); the τ=0.4 low-threshold regime belongs to the IVF twin
+    // below, where sign-agreement selectivity has collapsed (see the
+    // operator docs — at τ=0.4 the sizer slams into the 32-table cap
+    // and the query demonstrates its own documented worst case)
     "dedup_embedding_lsh" -> ((s, dir) =>
-      dedup.Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), 0.4)),
+      dedup.Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), 0.6)),
 
     "dedup_embedding_ivf" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDupIvf(Tables.embeddings(s, dir), 0.4)),
+
+    "dedup_incremental" -> ((s, dir) => {
+      // new batch = every 10th doc, snapshot = the rest — a scale-free
+      // deterministic split both engines reproduce
+      val docs = Tables.documents(s, dir)
+      dedup.Dedup.incrementalNgramJaccard(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), 3, 0.8)
+    }),
+
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dedup.MinHash.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
 
     "q_supplier_topk_agg" -> ((s, dir) =>
       operators.Analytics.supplierTopKAgg(Tables.lineitem(s, dir), 3)),

@@ -87,6 +87,37 @@ object Dedup {
     confirmJaccard(pairs, s, tau)
   }
 
+  /** Incremental [[ngramJaccard]]: a NEW batch of docs against an
+    * existing corpus snapshot. The old side's (bucket, doc_id) frame
+    * stands for the persisted min-shingle bucket index a production
+    * corpus maintains (append each deduped batch's buckets); only the
+    * new docs are shingled fresh, and the candidate joins — new buckets
+    * × index, plus the tiny new × new self-join — are sized by the
+    * DELTA, never the corpus. Emits exactly the full self-join's pairs
+    * that touch ≥1 new doc (oracle-checked), `a_id < b_id` regardless
+    * of side. */
+  def incrementalNgramJaccard(oldDocs: DataFrame, newDocs: DataFrame,
+      n: Int, tau: Double): DataFrame = {
+    def shingles(d: DataFrame) = d
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
+    val oldS = shingles(oldDocs).persist()
+    val newS = shingles(newDocs).persist()
+    def slim(s: DataFrame) = s.select(array_min(col("sh")).as("bucket"), col("doc_id"))
+    val oldIdx = slim(oldS) // = the persisted snapshot index at scale
+    val newIdx = slim(newS).persist()
+    val vsOld = newIdx.select(col("bucket"), col("doc_id").as("n_id"))
+      .join(oldIdx.select(col("bucket"), col("doc_id").as("o_id")), Seq("bucket"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+    val vsNew = newIdx.select(col("bucket"), col("doc_id").as("a_id"))
+      .join(newIdx.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val pairs = vsOld.union(vsNew).dropDuplicates("a_id", "b_id")
+    confirmJaccard(pairs, oldS.unionByName(newS), tau)
+  }
+
   /** Connected components over a near-dup pair list: every doc is
     * labeled with the smallest doc_id reachable through pairs — the
     * cluster key for keeper selection (keep `id == cluster`, drop the
@@ -142,10 +173,14 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, tau: Double,
       nbits: Int = 0, tables: Int = 0, dim: Int = 64): DataFrame = {
     import graft.similarity.Ann
+    // persist the slim input BEFORE the auto-sizing count so that scan
+    // is the same scan the bucket build reuses — auto mode costs no
+    // extra corpus pass per invocation
+    val e = emb.select(col("vec_id"), col("embedding")).persist()
     val nb =
       if (nbits > 0) nbits
       else {
-        val n = emb.count().toDouble
+        val n = e.count().toDouble
         math.min(12, math.max(4, math.ceil(math.log(n / 128.0) / math.log(2.0)).toInt))
       }
     val tb =
@@ -164,7 +199,7 @@ object Dedup {
     // multiple of the corpus, and attaching arrays by id drags that
     // multiple through two wide sort-merge joins (measured minutes vs
     // seconds at 20k vectors).
-    val buckets = emb.select(col("vec_id"), col("embedding"),
+    val buckets = e.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until tb).map(t =>
         Ann.bucketCol(col("embedding"), dim, nb, t)): _*)).as(Seq("t", "bucket")))
       .persist()
@@ -196,9 +231,12 @@ object Dedup {
   def embeddingNearDupIvf(emb: DataFrame, tau: Double,
       targetListSize: Int = 128, nprobe: Int = 2, lloydRounds: Int = 2): DataFrame = {
     import graft.similarity.Ann
-    val n = emb.count()
+    // persisted before the sizing count — the centroid seeding, Lloyd
+    // rounds, probe assignment, and list build all reuse this scan
+    val e = emb.select(col("vec_id"), col("embedding")).persist()
+    val n = e.count()
     val nCent = math.min(256, math.max(8, (n / targetListSize).toInt))
-    val cents = Ann.lloydCentroids(emb, nCent, lloydRounds)
+    val cents = Ann.lloydCentroids(e, nCent, lloydRounds)
     // Probe assignment is a broadcast join against the centroid TABLE +
     // bounded top-nprobe aggregate — all codegen'd with map-side
     // partial aggregation. The expression-literal form
@@ -210,7 +248,7 @@ object Dedup {
     val spark = emb.sparkSession
     import spark.implicits._
     val centDf = cents.map { case (id, c) => (id.toLong, c) }.toDF("cent_id", "centroid")
-    val assigned = emb.select(col("vec_id"), col("embedding"))
+    val assigned = e
       .join(broadcast(centDf))
       .select(col("vec_id"),
         GraftFunctions.cosineSim(col("embedding"), col("centroid")).as("cos"),
@@ -221,7 +259,7 @@ object Dedup {
     // same confirm-in-stage shape as the LSH twin: embeddings ride the
     // (corpus × nprobe)-sized list table, pairs materialize and confirm
     // inside the join stage, only τ-survivors shuffle on
-    val lists = assigned.join(emb, "vec_id")
+    val lists = assigned.join(e, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cent_id"))
       .persist()
     lists.select(col("cent_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))

@@ -50,20 +50,29 @@ object MinHash {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleHashCol, h => xxhash64(h, i))))
 
-  /** Candidate (a_id, b_id) pairs: docs agreeing on at least one of
-    * `bands` bands of `numHashes / bands` signature slots. The banded
-    * frame is slim (ids + band hash) and persisted so the self-join
-    * does not recompute signatures per leg. */
-  def candidatePairs(shingles: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** Banded signature table (band, band_hash, doc_id) — the shape of
+    * the PERSISTED LSH index a production corpus maintains alongside
+    * the data: append each ingest batch's bands after dedup, and
+    * incremental dedup joins the new batch's bands against it instead
+    * of ever re-self-joining the corpus (see
+    * [[incrementalNearDupPairs]]). */
+  def bandTable(shingles: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val banded = shingles
+    shingles
       .withColumn("sig", signature(col("sh"), numHashes))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
           .as(Seq("band", "band_hash")))
-      .persist()
+  }
+
+  /** Candidate (a_id, b_id) pairs: docs agreeing on at least one of
+    * `bands` bands of `numHashes / bands` signature slots. The banded
+    * frame is slim (ids + band hash) and persisted so the self-join
+    * does not recompute signatures per leg. */
+  def candidatePairs(shingles: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val banded = bandTable(shingles, numHashes, bands).persist()
     banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id")),
         Seq("band", "band_hash"))
@@ -83,5 +92,40 @@ object MinHash {
       .filter(size(col("sh")) > 0)
       .persist()
     Dedup.confirmJaccard(candidatePairs(s, numHashes, bands), s, tau)
+  }
+
+  private def docShingles(docs: DataFrame, n: Int): DataFrame = docs
+    .withColumn("th", tokenHashes(col("text")))
+    .select(col("doc_id"), shinglesFromTokenHashes(col("th"), n).as("sh"))
+    .filter(size(col("sh")) > 0)
+
+  /** Incremental near-dup: a NEW batch of docs against an
+    * already-deduplicated corpus snapshot — the production dedup shape
+    * at 100 TB, where the corpus is never re-self-joined. The old
+    * side's [[bandTable]] stands for the persisted LSH index maintained
+    * with the corpus; only the new docs are shingled and signed fresh,
+    * and the candidate joins are (new bands × index) plus the tiny
+    * (new × new) self-join — both sized by the DELTA, not the corpus.
+    * Emits exactly the pairs the full self-join would emit that touch
+    * ≥1 new doc (set-equality spec in `EsAggsSpec`); `a_id < b_id`
+    * regardless of which side is new. */
+  def incrementalNearDupPairs(oldDocs: DataFrame, newDocs: DataFrame,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.8): DataFrame = {
+    val oldS = docShingles(oldDocs, n).persist()
+    val newS = docShingles(newDocs, n).persist()
+    val oldIdx = bandTable(oldS, numHashes, bands) // = the persisted index
+    val newIdx = bandTable(newS, numHashes, bands).persist()
+    val vsOld = newIdx.select(col("band"), col("band_hash"), col("doc_id").as("n_id"))
+      .join(oldIdx.select(col("band"), col("band_hash"), col("doc_id").as("o_id")),
+        Seq("band", "band_hash"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+    val vsNew = newIdx.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+      .join(newIdx.select(col("band"), col("band_hash"), col("doc_id").as("b_id")),
+        Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val pairs = vsOld.union(vsNew).dropDuplicates("a_id", "b_id")
+    Dedup.confirmJaccard(pairs, oldS.unionByName(newS), tau)
   }
 }

@@ -332,6 +332,26 @@ object Analytics {
       .select(col("l_suppkey"), (col("i") + 1).cast("int").as("rank"),
         col("s.id").as("line_id"), col("s.score").as("price"))
 
+  /** ES top_hits aggregation: per-bucket top-k DOCUMENTS with full
+    * payload columns, not just ranking keys. Two-scan shape built for
+    * scale: TopKPairs' map-side combine reduces the corpus to ≤k ids
+    * per (group, partition) — shuffle volume k·groups·partitions
+    * instead of the data size — then the tiny (group, rank, id) frame
+    * broadcast-joins back onto the corpus to attach the payload, so the
+    * full rows never shuffle at all. The window row_number() form (the
+    * equivalence spec's oracle) sort-shuffles every row of every group. */
+  def topHits(events: DataFrame, k: Int): DataFrame = {
+    val tops = events
+      .groupBy("event_type")
+      .agg(graft.functions.TopKPairs.topK(col("value"), col("event_id"), k).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("event_type"), (col("i") + 1).cast("int").as("rank"),
+        col("s.id").as("event_id"))
+    events.join(broadcast(tops), Seq("event_type", "event_id"))
+      .select(col("event_type"), col("rank"), col("event_id"),
+        Det.tsMicros(col("ts")).as("ts_us"), col("user_id"), col("value"))
+  }
+
   /** Pivot: per-day event-type counts as columns (dynamic-schema
     * reshaping). The pivot values are passed explicitly so Spark skips
     * the extra distinct-scan pass and the schema is plan-time static —
@@ -450,31 +470,36 @@ object Analytics {
   /** ES range aggregation: arbitrary (non-uniform) explicit bucket edges
     * over `value` — [lo, hi) per bucket, open-ended last bucket. The
     * histogram facet's fixed-width cousin; a when-chain keyed bucket id
-    * keeps it a single codegen'd aggregation. Open upper edge surfaces
+    * keeps it a single codegen'd aggregation. ES returns EVERY requested
+    * range, zero-count ranges included, so the bucket spec is data (a
+    * literal frame the aggregated rows left-join onto) and absent
+    * buckets surface as n=0 / sum_value=0. The open upper edge surfaces
     * as -1 (sentinel, not null, per the grouping-set convention). */
   def rangeFacet(events: DataFrame, edges: Seq[Double]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val lows = edges
     val his = edges.drop(1).map(Some(_)) :+ None
-    val bucketId = lows.zip(his).zipWithIndex.foldLeft(lit(-1)) {
+    val spec = lows.zip(his).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi.getOrElse(-1.0)) }
+      .toDF("bucket_id", "lo", "hi")
+    val bucketId = lows.zip(his).zipWithIndex.foldLeft(lit(-1L)) {
       case (acc, ((lo, hi), i)) =>
         val cond = hi match {
           case Some(h) => col("value") >= lo && col("value") < h
           case None    => col("value") >= lo
         }
-        when(cond, lit(i)).otherwise(acc)
+        when(cond, lit(i.toLong)).otherwise(acc)
     }
-    val loOf = lows.zipWithIndex.foldLeft(lit(Double.NaN)) {
-      case (acc, (lo, i)) => when(col("bucket_id") === i, lit(lo)).otherwise(acc) }
-    val hiOf = his.zipWithIndex.foldLeft(lit(Double.NaN)) {
-      case (acc, (hi, i)) =>
-        when(col("bucket_id") === i, lit(hi.getOrElse(-1.0))).otherwise(acc) }
-    events
+    val agg = events
       .select(bucketId.as("bucket_id"), col("value"))
       .filter(col("bucket_id") >= 0)
       .groupBy("bucket_id")
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
-      .select(col("bucket_id"), loOf.as("lo"), hiOf.as("hi"), col("n"),
-        col("sum_value"))
+    spec.join(agg, Seq("bucket_id"), "left")
+      .select(col("bucket_id"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
   /** ES matrix_stats: pairwise covariance/correlation over numeric
