@@ -371,6 +371,18 @@ object SparkEntry {
     "text_prefix_search" -> ((s, dir) =>
       text.TextOps.prefixSearch(Tables.documents(s, dir), "sc", 25)),
 
+    // LIKE-spelled wildcard (ES `s?a*`): scan, small, spark, ...
+    "text_wildcard_search" -> ((s, dir) =>
+      text.TextOps.wildcardSearch(Tables.documents(s, dir), "s_a%", 25)),
+
+    // full-match alternation (ES regexp semantics): batch | hash
+    "text_regexp_search" -> ((s, dir) =>
+      text.TextOps.regexpSearch(Tables.documents(s, dir), "(b|h)a(tch|sh)", 25)),
+
+    // edit distance ≤ 2 of "row": row (0), slow (2)
+    "text_fuzzy_search" -> ((s, dir) =>
+      text.TextOps.fuzzySearch(Tables.documents(s, dir), "row", 2, 25)),
+
     "text_phrase_match" -> ((s, dir) =>
       text.TextOps.phraseMatch(Tables.documents(s, dir), "hash join", 25)),
 
@@ -410,13 +422,15 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
 
-    // τ=0.6 is sign-LSH's valid regime (the auto-sizer lands at ~11
-    // tables); the τ=0.4 low-threshold regime belongs to the IVF twin
-    // below, where sign-agreement selectivity has collapsed (see the
-    // operator docs — at τ=0.4 the sizer slams into the 32-table cap
-    // and the query demonstrates its own documented worst case)
+    // τ=0.45: inside sign-LSH's workable band AND inside the data's
+    // similarity range (max pairwise cosine is ~0.51 at sf0.01, ~0.60
+    // at sf0.1 — τ=0.6 returned the empty set at every verify SF,
+    // making the rows-only check vacuous; τ=0.4 slams the auto-sizer
+    // into its table cap and belongs to the IVF twin below). The wired
+    // regime is spec-exercised end-to-end in NewOpsSpec (subset of
+    // exact + recall + non-empty at this τ).
     "dedup_embedding_lsh" -> ((s, dir) =>
-      dedup.Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), 0.6)),
+      dedup.Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), 0.45)),
 
     "dedup_embedding_ivf" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDupIvf(Tables.embeddings(s, dir), 0.4)),
@@ -692,6 +706,91 @@ object SparkEntry {
         |FROM (SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, value FROM events)
         |GROUP BY CUBE(day_idx, event_type)""".stripMargin,
 
+    "q_composite_agg" ->
+      """SELECT event_type, user_id // 100 AS user_bucket, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING event_type > 'click' OR (event_type = 'click' AND user_bucket > 0)
+        |ORDER BY event_type, user_bucket LIMIT 20""".stripMargin,
+
+    "q_pipeline_aggs" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value,
+        |       CAST(sum(dsum) OVER (ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value,
+        |       coalesce(CAST(dsum - lag(dsum) OVER (ORDER BY day_idx) AS DOUBLE), 0.0) AS derivative,
+        |       CAST(sum(dsum) OVER w7 AS DOUBLE) / count(*) OVER w7 AS mov7_avg
+        |FROM day
+        |WINDOW w7 AS (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_filters_facet" ->
+      """SELECT 'high_value' AS bucket, count(*) FILTER (WHERE value >= 90) AS n,
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value >= 90), 0) AS DOUBLE) AS sum_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'clicks', count(*) FILTER (WHERE event_type = 'click'),
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click'), 0) AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'early_users', count(*) FILTER (WHERE user_id < 500),
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE user_id < 500), 0) AS DOUBLE)
+        |FROM events""".stripMargin,
+
+    "q_range_facet" ->
+      """WITH spec AS (SELECT * FROM (VALUES
+        |    (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+        |    (1, 50.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 400.0),
+        |    (4, 400.0, 1000.0), (5, 1000.0, -1.0)) t(bucket_id, lo, hi)),
+        |agg AS (
+        |  SELECT bucket_id, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events JOIN spec ON value >= lo AND (hi = -1.0 OR value < hi)
+        |  GROUP BY bucket_id)
+        |SELECT spec.bucket_id, lo, hi, coalesce(n, 0) AS n,
+        |       coalesce(sum_value, 0.0) AS sum_value
+        |FROM spec LEFT JOIN agg USING (bucket_id)""".stripMargin,
+
+    // same exact-decimal power sums and the same double-op order as the
+    // Spark side ((ab - a*b/n)/n, cov/sqrt(va*vb)) → bit-identical
+    "q_matrix_stats" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+        |    sum(CAST(l_discount AS DECIMAL(18,4))) AS sz,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS sxx,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS syy,
+        |    sum(CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS szz,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS sxy,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS sxz,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(19,4))) AS syz
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'quantity_extendedprice' AS pair, n,
+        |         CAST(sx AS DOUBLE) AS a, CAST(sy AS DOUBLE) AS b,
+        |         CAST(sxx AS DOUBLE) AS aa, CAST(syy AS DOUBLE) AS bb,
+        |         CAST(sxy AS DOUBLE) AS ab FROM s
+        |  UNION ALL SELECT 'quantity_discount', n, CAST(sx AS DOUBLE), CAST(sz AS DOUBLE),
+        |         CAST(sxx AS DOUBLE), CAST(szz AS DOUBLE), CAST(sxz AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'extendedprice_discount', n, CAST(sy AS DOUBLE), CAST(sz AS DOUBLE),
+        |         CAST(syy AS DOUBLE), CAST(szz AS DOUBLE), CAST(syz AS DOUBLE) FROM s)
+        |SELECT pair, n, a / n AS mean_a, b / n AS mean_b,
+        |       (ab - a * b / n) / n AS cov_ab,
+        |       ((ab - a * b / n) / n)
+        |         / sqrt(((aa - a * a / n) / n) * ((bb - b * b / n) / n)) AS corr_ab
+        |FROM p""".stripMargin,
+
+    "q_top_hits" ->
+      """SELECT event_type,
+        |       CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value DESC, event_id) AS INT) AS rank,
+        |       event_id, epoch_us(ts) AS ts_us, user_id, value
+        |FROM events QUALIFY rank <= 3""".stripMargin,
+
     "river_charset" ->
       """SELECT event_id, coalesce(octet_length(encode(props)), 0) AS n_bytes,
         |       decode(encode(props)) IS NOT DISTINCT FROM props AS roundtrip_ok
@@ -875,6 +974,52 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE n_occurrences > 0 ORDER BY n_occurrences DESC, doc_id LIMIT 25""".stripMargin,
 
+    "text_wildcard_search" ->
+      raw"""SELECT doc_id, n_matches FROM (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           |         x -> x LIKE 's_a%')) AS BIGINT) AS n_matches
+           |  FROM documents) t
+           |WHERE n_matches > 0 ORDER BY n_matches DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_regexp_search" ->
+      raw"""SELECT doc_id, n_matches FROM (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           |         x -> regexp_full_match(x, '(b|h)a(tch|sh)'))) AS BIGINT) AS n_matches
+           |  FROM documents) t
+           |WHERE n_matches > 0 ORDER BY n_matches DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_fuzzy_search" ->
+      raw"""SELECT doc_id, n_matches, min_dist FROM (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           |         x -> levenshtein(x, 'row') <= 2)) AS BIGINT) AS n_matches,
+           |    CAST(list_min(list_transform(
+           |         list_filter(string_split_regex(lower(text), '\s+'),
+           |                     x -> levenshtein(x, 'row') <= 2),
+           |         x -> levenshtein(x, 'row'))) AS BIGINT) AS min_dist
+           |  FROM documents) t
+           |WHERE n_matches > 0 ORDER BY min_dist, n_matches DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_more_like_this" ->
+      raw"""WITH tf AS (
+           |  SELECT doc_id, term, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |    FROM documents)
+           |  WHERE term <> '' GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |seed AS (SELECT term, CAST(sum(tf) AS BIGINT) AS seed_tf FROM tf
+           |         WHERE doc_id IN (0, 1, 2) GROUP BY term),
+           |sq AS (SELECT seed.term, seed_tf FROM seed JOIN df USING (term)
+           |       WHERE df <= (SELECT count(*) * 4 // 5 FROM documents))
+           |SELECT doc_id, CAST(sum(least(tf, seed_tf)) AS BIGINT) AS score,
+           |       count(*) AS n_shared_terms
+           |FROM tf JOIN sq USING (term)
+           |WHERE doc_id NOT IN (0, 1, 2)
+           |GROUP BY doc_id
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
     "text_langid_eval" ->
       raw"""WITH t AS (SELECT lang,
            |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS BIGINT) AS s_en,
@@ -951,6 +1096,20 @@ object SparkEntry {
         |reach(id, r) AS (SELECT DISTINCT s, s FROM bi
         |  UNION SELECT bi.s, reach.r FROM bi JOIN reach ON bi.d = reach.id)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // the incremental operator's contract: exactly the full bucketed
+    // self-join's ≥τ pairs that touch ≥1 new doc (new = doc_id % 10 = 0
+    // in the wiring) — per-doc shingles/buckets don't depend on the
+    // split, so the restriction IS the incremental result
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+        |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM s)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+        |WHERE jaccard >= 0.8 AND (a_id % 10 = 0 OR b_id % 10 = 0)""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

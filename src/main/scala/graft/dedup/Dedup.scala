@@ -94,8 +94,15 @@ object Dedup {
     * new docs are shingled fresh, and the candidate joins — new buckets
     * × index, plus the tiny new × new self-join — are sized by the
     * DELTA, never the corpus. Emits exactly the full self-join's pairs
-    * that touch ≥1 new doc (oracle-checked), `a_id < b_id` regardless
-    * of side. */
+    * that touch ≥1 new doc (driver oracle `dedup_incremental` + the
+    * set-equality case in `EsAggsSpec`), `a_id < b_id` regardless of
+    * side.
+    *
+    * PRECONDITION: `oldDocs` and `newDocs` must be doc_id-disjoint (a
+    * snapshot and its delta always are). An id present on both sides
+    * would duplicate shingle rows in the confirm frame and multiply
+    * join output; the self-pair an equal id would otherwise emit
+    * (least = greatest → jaccard 1.0) is guarded out below. */
   def incrementalNgramJaccard(oldDocs: DataFrame, newDocs: DataFrame,
       n: Int, tau: Double): DataFrame = {
     def shingles(d: DataFrame) = d
@@ -108,6 +115,7 @@ object Dedup {
     val newIdx = slim(newS).persist()
     val vsOld = newIdx.select(col("bucket"), col("doc_id").as("n_id"))
       .join(oldIdx.select(col("bucket"), col("doc_id").as("o_id")), Seq("bucket"))
+      .filter(col("n_id") =!= col("o_id")) // disjointness guard: no self-pairs
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"))
     val vsNew = newIdx.select(col("bucket"), col("doc_id").as("a_id"))

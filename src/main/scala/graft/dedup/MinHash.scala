@@ -106,9 +106,14 @@ object MinHash {
     * with the corpus; only the new docs are shingled and signed fresh,
     * and the candidate joins are (new bands × index) plus the tiny
     * (new × new) self-join — both sized by the DELTA, not the corpus.
-    * Emits exactly the pairs the full self-join would emit that touch
-    * ≥1 new doc (set-equality spec in `EsAggsSpec`); `a_id < b_id`
-    * regardless of which side is new. */
+    * Emits exactly the pairs the full [[nearDupPairs]] self-join would
+    * emit that touch ≥1 new doc (set-equality spec in `EsAggsSpec`);
+    * `a_id < b_id` regardless of which side is new.
+    *
+    * PRECONDITION: `oldDocs` and `newDocs` must be doc_id-disjoint (a
+    * snapshot and its delta always are). An id on both sides would
+    * duplicate shingle rows in the confirm frame; the self-pair it
+    * would emit is guarded out below. */
   def incrementalNearDupPairs(oldDocs: DataFrame, newDocs: DataFrame,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.8): DataFrame = {
     val oldS = docShingles(oldDocs, n).persist()
@@ -118,6 +123,7 @@ object MinHash {
     val vsOld = newIdx.select(col("band"), col("band_hash"), col("doc_id").as("n_id"))
       .join(oldIdx.select(col("band"), col("band_hash"), col("doc_id").as("o_id")),
         Seq("band", "band_hash"))
+      .filter(col("n_id") =!= col("o_id")) // disjointness guard: no self-pairs
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"))
     val vsNew = newIdx.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))

@@ -339,7 +339,8 @@ object Analytics {
     * instead of the data size — then the tiny (group, rank, id) frame
     * broadcast-joins back onto the corpus to attach the payload, so the
     * full rows never shuffle at all. The window row_number() form (the
-    * equivalence spec's oracle) sort-shuffles every row of every group. */
+    * oracle of `EsAggsSpec`'s equivalence case and of the driver's
+    * `q_top_hits` SQL) sort-shuffles every row of every group. */
   def topHits(events: DataFrame, k: Int): DataFrame = {
     val tops = events
       .groupBy("event_type")

@@ -34,15 +34,19 @@ object Pipeline {
     *
     * Scale: the benchmark side is small by construction (an eval set,
     * not a corpus), so its distinct grams BROADCAST to the corpus-side
-    * exploded grams — no shuffle of the 100 TB side. Corpus grams
-    * dedupe per doc (slim (doc_id, gram) rows) before the join; the
-    * aggregate is map-side combinable. All-pairs never materializes. */
+    * exploded grams — no shuffle of the 100 TB side. Per-doc gram
+    * dedupe is NARROW: `array_distinct` inside the row before the
+    * explode (a doc_id appears once pre-explode, so within-doc is the
+    * only dedupe needed) — a `distinct()` after the explode would
+    * shuffle every (doc_id, gram) row of the corpus just to re-derive
+    * that. The corpus side therefore has NO exchange below the final
+    * per-doc count, which combines map-side and only carries
+    * benchmark-matching rows. All-pairs never materializes. */
   def decontaminate(docs: DataFrame, benchmarkSources: Seq[String],
       n: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"), col("source"),
-        explode(wordNgrams(col("text"), n)).as("gram"))
-      .select(col("doc_id"), col("source"), col("gram")).distinct()
+        explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
     val benchGrams = grams.filter(col("source").isin(benchmarkSources: _*))
       .select("gram").distinct()
     grams.filter(!col("source").isin(benchmarkSources: _*))

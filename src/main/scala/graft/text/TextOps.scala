@@ -217,6 +217,55 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES wildcard query (`?`/`*` term patterns, here in SQL LIKE spelling
+    * `_`/`%`): docs with ≥1 token matching `pattern`, scored by
+    * matching-token count, top-k. Completes the term-query family next
+    * to [[prefixSearch]] (ref: the ES query surface the sink serves) —
+    * same narrow codegen'd scan, LIKE compiled once per row batch. */
+  def wildcardSearch(docs: DataFrame, pattern: String, k: Int): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"),
+        size(filter(toks, t => t.like(pattern))).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES regexp query: docs with ≥1 token FULLY matching `pattern`
+    * (ES semantics — the regexp must consume the whole term, so the
+    * pattern is anchored here). Portable subset only (char classes,
+    * alternation, `*`/`+`/`?`): the same pattern must mean the same
+    * thing to Java regex and RE2-style engines. */
+  def regexpSearch(docs: DataFrame, pattern: String, k: Int): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    docs
+      .select(col("doc_id"),
+        size(filter(toks, t => t.rlike("^(" + pattern + ")$"))).cast("long")
+          .as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES fuzzy query: docs with ≥1 token within Levenshtein `maxDist` of
+    * `term`, scored by matching-token count; `min_dist` (closest match
+    * in the doc) ranks exact hits above edits, then count, then doc_id.
+    * One narrow pass — `levenshtein` is a codegen'd builtin; an
+    * index-backed engine walks a term automaton instead, but the
+    * streaming form needs no dictionary and fuses into the scan. */
+  def fuzzySearch(docs: DataFrame, term: String, maxDist: Int, k: Int): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val dists = transform(toks, t => levenshtein(t, lit(term)))
+    docs
+      .select(col("doc_id"),
+        size(filter(dists, d => d <= maxDist)).cast("long").as("n_matches"),
+        array_min(filter(dists, d => d <= maxDist)).cast("long").as("min_dist"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("min_dist"), col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES match_phrase: docs containing the exact (case-folded) phrase,
     * with occurrence counts via length arithmetic — no regex, no
     * position lists, one substring scan per row. */

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.dedup.{Dedup, MinHash}
+import graft.text.TextOps
+
+/** Specs for the ES-aggregation wave (composite / pipeline / filters /
+  * range / matrix_stats / top_hits / more_like_this), the incremental
+  * dedup operators, and the term-query family. Each operator is checked
+  * against an independent naive recompute (Scala collections or the
+  * equivalent window form), in addition to the driver's DuckDB oracle.
+  */
+class EsAggsSpec extends SparkSpec {
+
+  private def money(d: Double): BigDecimal =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+
+  test("incrementalNgramJaccard == full self-join pairs touching a new doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val oldD = docs.filter(col("doc_id") % 10 =!= 0)
+    val newD = docs.filter(col("doc_id") % 10 === 0)
+    val inc = Dedup.incrementalNgramJaccard(oldD, newD, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.ngramJaccard(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).toSet
+    assert(full.nonEmpty, "restriction must be non-trivial at this SF")
+    assert(inc == full, s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+  }
+
+  test("incrementalNearDupPairs == full nearDupPairs touching a new doc") {
+    val docs = Tables.documents(spark, sfDir)
+    val oldD = docs.filter(col("doc_id") % 10 =!= 0)
+    val newD = docs.filter(col("doc_id") % 10 === 0)
+    val inc = MinHash.incrementalNearDupPairs(oldD, newD).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = MinHash.nearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).toSet
+    assert(full.nonEmpty, "restriction must be non-trivial at this SF")
+    assert(inc == full, s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+  }
+
+  test("topHits matches the window row_number form") {
+    val ev = Tables.events(spark, sfDir)
+    val agg = Analytics.topHits(ev, 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val win = ev.select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("user_id"), col("value"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(5), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(agg.nonEmpty && agg == win)
+  }
+
+  test("compositeAgg pages the bucket space in key order after the cursor") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.compositeAgg(ev, "click", 0L, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val rows = ev.select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = rows.groupBy(r => (r._1, r._2 / 100)).toSeq
+      .map { case ((t, b), g) =>
+        (t, b, g.length.toLong, g.map(_._2).distinct.length.toLong,
+          g.map(x => money(x._3)).sum.toDouble)
+      }
+      .filter { case (t, b, _, _, _) => t > "click" || (t == "click" && b > 0L) }
+      .sortBy(x => (x._1, x._2)).take(20)
+    assert(got.toSeq == want && got.nonEmpty)
+  }
+
+  test("filtersFacet computes every named bucket in one pass") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.filtersFacet(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = ev.select("value", "event_type", "user_id").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
+    def bucket(p: ((Double, String, Long)) => Boolean) = {
+      val g = rows.filter(p)
+      (g.length.toLong, g.map(x => money(x._1)).sum.toDouble)
+    }
+    assert(got("high_value") == bucket(_._1 >= 90))
+    assert(got("clicks") == bucket(_._2 == "click"))
+    assert(got("early_users") == bucket(_._3 < 500))
+  }
+
+  test("rangeFacet emits every requested range, zero-count buckets included") {
+    val ev = Tables.events(spark, sfDir)
+    val edges = Seq(0.0, 50.0, 100.0, 200.0, 400.0, 1000.0)
+    val got = Analytics.rangeFacet(ev, edges).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.size == edges.size, "one row per requested range")
+    val values = ev.select("value").collect().map(_.getDouble(0))
+    edges.zipWithIndex.foreach { case (lo, i) =>
+      val hi = if (i < edges.size - 1) Some(edges(i + 1)) else None
+      val in = values.filter(v => v >= lo && hi.forall(v < _))
+      val (gLo, gHi, gN, gSum) = got(i.toLong)
+      assert(gLo == lo && gHi == hi.getOrElse(-1.0))
+      assert(gN == in.length.toLong, s"bucket $i count")
+      assert(gSum == in.map(money).sum.toDouble, s"bucket $i sum")
+    }
+    // the [1000, ∞) bucket is empty at every SF — the ES zero-count contract
+    assert(got(5L)._3 == 0L && got(5L)._4 == 0.0)
+  }
+
+  test("pipelineAggs windows over buckets with exact-decimal arithmetic") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.pipelineAggs(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+      .sortBy(_._1)
+    val rows = ev.select(unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, money(r.getDouble(1))))
+    val days = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, g) => (d, g.length.toLong, g.map(_._2).sum) }
+    assert(got.map(_._1).toSeq == days.map(_._1))
+    var cum = BigDecimal(0)
+    days.zipWithIndex.foreach { case ((d, n, dsum), i) =>
+      cum += dsum
+      val (gd, gn, gsum, gcum, gder, gmov) = got(i)
+      assert(gd == d && gn == n && gsum == dsum.toDouble)
+      assert(gcum == cum.toDouble, s"day $d cum")
+      val der = if (i == 0) None else Some((dsum - days(i - 1)._3).toDouble)
+      assert(gder == der, s"day $d derivative")
+      val win = days.slice(math.max(0, i - 6), i + 1).map(_._3)
+      assert(gmov == win.sum.toDouble / win.length, s"day $d mov7")
+    }
+  }
+
+  test("matrixStats derives cov/corr from exact power sums") {
+    val li = Tables.lineitem(spark, sfDir)
+    val got = Analytics.matrixStats(li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val rows = li.select("l_quantity", "l_extendedprice", "l_discount").collect()
+      .map { r =>
+        def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        (d4(r.getDouble(0)), d4(r.getDouble(1)), d4(r.getDouble(2)))
+      }
+    val n = rows.length.toDouble
+    def stats(fa: ((BigDecimal, BigDecimal, BigDecimal)) => BigDecimal,
+              fb: ((BigDecimal, BigDecimal, BigDecimal)) => BigDecimal) = {
+      val a = rows.map(fa).sum.toDouble; val b = rows.map(fb).sum.toDouble
+      val aa = rows.map(r => fa(r) * fa(r)).sum.toDouble
+      val bb = rows.map(r => fb(r) * fb(r)).sum.toDouble
+      val ab = rows.map(r => fa(r) * fb(r)).sum.toDouble
+      val cov = (ab - a * b / n) / n
+      val va = (aa - a * a / n) / n; val vb = (bb - b * b / n) / n
+      (rows.length.toLong, a / n, b / n, cov, cov / math.sqrt(va * vb))
+    }
+    assert(got("quantity_extendedprice") == stats(_._1, _._2))
+    assert(got("quantity_discount") == stats(_._1, _._3))
+    assert(got("extendedprice_discount") == stats(_._2, _._3))
+  }
+
+  test("moreLikeThis ranks by TF histogram intersection under max_doc_freq") {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val maxDf = nDocs * 4 / 5
+    val seeds = Seq(0L, 1L, 2L)
+    val got = TextOps.moreLikeThis(docs, seeds, maxDf, 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)).toMap
+    val tf = toks.view.mapValues(_.groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val seedTf = seeds.flatMap(s => tf(s).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter { case (w, _) => df(w) <= maxDf }.toMap
+    val want = tf.toSeq.filterNot(d => seeds.contains(d._1))
+      .map { case (id, m) =>
+        val shared = m.keySet.intersect(seedTf.keySet)
+        (id, shared.toSeq.map(w => math.min(m(w), seedTf(w))).sum, shared.size.toLong)
+      }
+      .filter(_._3 > 0)
+      .sortBy(x => (-x._2, x._1)).take(15)
+    assert(got.toSeq == want && got.nonEmpty)
+  }
+
+  test("term-query family matches a naive token scan (wildcard/regexp/fuzzy)") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)).toMap
+
+    def topK(scored: Seq[(Long, Long)], k: Int) =
+      scored.filter(_._2 > 0).sortBy(x => (-x._2, x._1)).take(k)
+
+    val wild = TextOps.wildcardSearch(docs, "s_a%", 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wildWant = topK(toks.toSeq.map { case (id, ts) =>
+      (id, ts.count(t => t.matches("s.a.*")).toLong) }, 25)
+    assert(wild == wildWant && wild.nonEmpty)
+
+    val re = TextOps.regexpSearch(docs, "(b|h)a(tch|sh)", 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val reWant = topK(toks.toSeq.map { case (id, ts) =>
+      (id, ts.count(t => t.matches("(b|h)a(tch|sh)")).toLong) }, 25)
+    assert(re == reWant && re.nonEmpty)
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val fuzzy = TextOps.fuzzySearch(docs, "row", 2, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fuzzyWant = toks.toSeq.map { case (id, ts) =>
+      val ds = ts.map(t => lev(t, "row")).filter(_ <= 2)
+      (id, ds.length.toLong, if (ds.isEmpty) -1L else ds.min.toLong)
+    }.filter(_._2 > 0).sortBy(x => (x._3, -x._2, x._1)).take(25)
+    assert(fuzzy == fuzzyWant && fuzzy.nonEmpty)
+    // the chosen term must exercise a genuinely fuzzy (non-exact) match
+    assert(toks.values.flatten.exists(t => t != "row" && lev(t, "row") <= 2))
+  }
+}

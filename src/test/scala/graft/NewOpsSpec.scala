@@ -58,15 +58,20 @@ class NewOpsSpec extends SparkSpec {
       s"IVF rank-1 exactness too low: $r1Exact/${exactR1.size}")
   }
 
-  test("embeddingNearDupLsh finds a subset of the exact pairs with good recall") {
+  test("embeddingNearDupLsh at the wired τ=0.45: non-empty subset of exact, good recall") {
+    // τ=0.45 is the regime SparkEntry wires (inside the data's
+    // similarity range at every SF — τ=0.6 returns the empty set and
+    // would make any breakage invisible); this exercises that exact
+    // parameterization end-to-end, including the auto-sizer.
     import graft.dedup.Dedup
     val emb = Tables.embeddings(spark, sfDir)
-    val exact = Dedup.embeddingNearDup(emb, 0.4).collect()
+    val exact = Dedup.embeddingNearDup(emb, 0.45).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.embeddingNearDupLsh(emb, 0.4).collect()
+    val lsh = Dedup.embeddingNearDupLsh(emb, 0.45).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh.diff(exact).take(3)}")
-    assert(exact.nonEmpty)
+    assert(exact.nonEmpty, "verify data must contain ≥0.45-cosine pairs")
+    assert(lsh.nonEmpty, "the wired regime must produce a non-empty, checkable result")
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall too low: $recall (${lsh.size}/${exact.size})")
   }
