@@ -275,6 +275,28 @@ object SparkEntry {
     "q_top_hits" -> ((s, dir) =>
       operators.Analytics.topHits(Tables.events(s, dir), 3)),
 
+    "q_extended_stats" -> ((s, dir) =>
+      operators.Analytics.extendedStats(Tables.events(s, dir))),
+
+    // deterministic synthetic weight: (user_id mod 10) + 1
+    "q_weighted_avg" -> ((s, dir) =>
+      operators.Analytics.weightedAvg(Tables.events(s, dir),
+        col("user_id") % 10 + 1)),
+
+    // same filter family as q_filters_facet → the two facets cohere
+    "q_adjacency_matrix" -> ((s, dir) =>
+      operators.Analytics.adjacencyMatrix(Tables.events(s, dir), Seq(
+        "high" -> (col("value") >= 90),
+        "click" -> (col("event_type") === "click"),
+        "early" -> (col("user_id") < 500)))),
+
+    "text_rare_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // scale-free tail threshold: ≤ 10% of the corpus (count(*) on
+      // parquet is footer metadata, not a scan)
+      text.TextOps.rareTerms(docs, docs.count() / 10)
+    }),
+
     "text_more_like_this" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // max_doc_freq scale-free as 4/5 of the corpus, in integer
@@ -791,6 +813,39 @@ object SparkEntry {
         |       event_id, epoch_us(ts) AS ts_us, user_id, value
         |FROM events QUALIFY rank <= 3""".stripMargin,
 
+    // same decimal power sums + fixed-order double derivation as Spark
+    "q_extended_stats" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         min(value) AS min_value, max(value) AS max_value,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS sd,
+        |         sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS ssd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, min_value, max_value,
+        |       CAST(sd AS DOUBLE) AS sum_value,
+        |       CAST(ssd AS DOUBLE) AS sum_of_squares,
+        |       CAST(sd AS DOUBLE) / n AS avg_value,
+        |       (CAST(ssd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) / n AS variance,
+        |       sqrt((CAST(ssd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) / n) AS std_deviation
+        |FROM s""".stripMargin,
+
+    "q_weighted_avg" ->
+      """WITH t AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |                  CAST(user_id % 10 + 1 AS DECIMAL(18,2)) AS w FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(v * w AS DECIMAL(18,4))) AS DOUBLE)
+        |         / CAST(sum(w) AS DOUBLE) AS weighted_avg,
+        |       CAST(sum(w) AS DOUBLE) AS sum_weight
+        |FROM t GROUP BY event_type""".stripMargin,
+
+    "q_adjacency_matrix" ->
+      """SELECT 'high' AS key, count(*) FILTER (WHERE value >= 90) AS n FROM events
+        |UNION ALL SELECT 'high&click', count(*) FILTER (WHERE value >= 90 AND event_type = 'click') FROM events
+        |UNION ALL SELECT 'high&early', count(*) FILTER (WHERE value >= 90 AND user_id < 500) FROM events
+        |UNION ALL SELECT 'click', count(*) FILTER (WHERE event_type = 'click') FROM events
+        |UNION ALL SELECT 'click&early', count(*) FILTER (WHERE event_type = 'click' AND user_id < 500) FROM events
+        |UNION ALL SELECT 'early', count(*) FILTER (WHERE user_id < 500) FROM events""".stripMargin,
+
     "river_charset" ->
       """SELECT event_id, coalesce(octet_length(encode(props)), 0) AS n_bytes,
         |       decode(encode(props)) IS NOT DISTINCT FROM props AS roundtrip_ok
@@ -1019,6 +1074,13 @@ object SparkEntry {
            |WHERE doc_id NOT IN (0, 1, 2)
            |GROUP BY doc_id
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_rare_terms" ->
+      raw"""SELECT term, count(*) AS n_docs FROM (
+           |  SELECT unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS term
+           |  FROM documents)
+           |WHERE term <> '' GROUP BY term
+           |HAVING n_docs <= (SELECT count(*) // 10 FROM documents)""".stripMargin,
 
     "text_langid_eval" ->
       raw"""WITH t AS (SELECT lang,

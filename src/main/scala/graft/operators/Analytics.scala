@@ -503,6 +503,66 @@ object Analytics {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** ES extended_stats: count/min/max/sum/avg/sum_of_squares/variance/
+    * std_deviation per bucket, from EXACT decimal power sums (value is
+    * 2-dp, so squares are exact at 4-dp) — one map-side-combinable
+    * aggregation; the variance/std derivation is a fixed-order double
+    * formula both engines evaluate identically, so the result is
+    * independent of partial-merge order (Spark's builtin var_pop is
+    * a streaming-moment aggregate and is not). */
+  def extendedStats(events: DataFrame): DataFrame = {
+    val d2 = DecimalType(18, 2); val d4 = DecimalType(18, 4)
+    val agg = events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        sum(col("value").cast(d2)).as("s"),
+        sum((col("value").cast(d2) * col("value").cast(d2)).cast(d4)).as("ss"))
+    val n = col("n").cast("double")
+    val s = col("s").cast("double"); val ss = col("ss").cast("double")
+    val variance = (ss - s * s / n) / n
+    agg.select(col("event_type"), col("n"), col("min_value"), col("max_value"),
+      s.as("sum_value"), ss.as("sum_of_squares"),
+      (s / n).as("avg_value"), variance.as("variance"),
+      sqrt(variance).as("std_deviation"))
+  }
+
+  /** ES weighted_avg aggregation: Σ(v·w)/Σ(w) per bucket on exact
+    * decimal domains, one double division at the end. The weight here
+    * is any deterministic column expression the caller supplies. */
+  def weightedAvg(events: DataFrame, weight: Column): DataFrame = {
+    val d2 = DecimalType(18, 2); val d4 = DecimalType(18, 4)
+    events
+      .withColumn("__w", weight.cast(d2))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast(d2) * col("__w")).cast(d4)).as("vw"),
+        sum(col("__w")).as("w"))
+      .select(col("event_type"), col("n"),
+        (col("vw").cast("double") / col("w").cast("double")).as("weighted_avg"),
+        col("w").cast("double").as("sum_weight"))
+  }
+
+  /** ES adjacency_matrix aggregation: doc counts for each named filter
+    * AND each pairwise intersection, all in ONE conditional-aggregation
+    * scan (no per-cell pass, no join); the k + k·(k-1)/2 cells unpivot
+    * via stack. At 100 TB this is a single map-side-combined pass
+    * whatever the filter count. */
+  def adjacencyMatrix(events: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    val cells = filters.zipWithIndex.flatMap { case ((na, ca), i) =>
+      ((na, ca) +: filters.drop(i + 1).map { case (nb, cb) =>
+        (s"$na&$nb", ca && cb)
+      })
+    }
+    val agg = events.agg(
+      count(when(cells.head._2, 1)).as("c0"),
+      cells.tail.zipWithIndex.map { case ((_, c), i) =>
+        count(when(c, 1)).as(s"c${i + 1}") }: _*)
+    val stackArgs = cells.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', c$i" }.mkString(", ")
+    agg.select(expr(s"stack(${cells.size}, $stackArgs) AS (key, n)"))
+  }
+
   /** ES matrix_stats: pairwise covariance/correlation over numeric
     * fields, from EXACT decimal power sums (n, Σx, Σx², Σxy) — one
     * map-side-combinable aggregation over the fact table, then a

@@ -110,6 +110,21 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** ES rare_terms aggregation: the long tail — terms whose corpus
+    * document frequency is at most `maxDocCount` (the dual of the terms
+    * facet, which surfaces the head). Distinct-per-doc explode feeds a
+    * map-side-combinable count; the ≤ filter runs on the aggregated
+    * bucket set, so the shuffle carries one partial per (partition,
+    * term), never token occurrences. */
+  def rareTerms(docs: DataFrame, maxDocCount: Long): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxDocCount)
+
   /** ES percolate (reverse search): match every doc against a set of
     * stored term-queries; a query matches when ALL its terms occur in
     * the doc's token set. The stored queries are exploded to (query_id,

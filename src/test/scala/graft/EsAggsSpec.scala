@@ -159,6 +159,72 @@ class EsAggsSpec extends SparkSpec {
     assert(got("extendedprice_discount") == stats(_._2, _._3))
   }
 
+  test("extendedStats derives variance/std from exact power sums") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.extendedStats(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))).toMap
+    val rows = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val vs = g.map(x => money(x._2))
+      val n = g.length.toDouble
+      val s = vs.sum.toDouble
+      val ss = vs.map(v => (v * v).setScale(4)).sum.toDouble
+      val variance = (ss - s * s / n) / n
+      val want = (g.length.toLong, g.map(_._2).min, g.map(_._2).max, s, ss,
+        s / n, variance, math.sqrt(variance))
+      assert(got(t) == want, s"$t: got ${got(t)} want $want")
+    }
+  }
+
+  test("weightedAvg is the exact-decimal weighted mean") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.weightedAvg(ev, col("user_id") % 10 + 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val rows = ev.select("event_type", "value", "user_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val vw = g.map(x => (money(x._2) * money((x._3 % 10 + 1).toDouble)).setScale(4)).sum
+      val w = g.map(x => money((x._3 % 10 + 1).toDouble)).sum
+      val want = (g.length.toLong, vw.toDouble / w.toDouble, w.toDouble)
+      assert(got(t) == want, s"$t: got ${got(t)} want $want")
+    }
+  }
+
+  test("adjacencyMatrix counts every filter and pairwise intersection in one scan") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.adjacencyMatrix(ev, Seq(
+      "high" -> (col("value") >= 90),
+      "click" -> (col("event_type") === "click"),
+      "early" -> (col("user_id") < 500))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = ev.select("value", "event_type", "user_id").collect()
+      .map(r => (r.getDouble(0) >= 90, r.getString(1) == "click", r.getLong(2) < 500))
+    assert(got.keySet == Set("high", "click", "early",
+      "high&click", "high&early", "click&early"))
+    assert(got("high") == rows.count(_._1).toLong)
+    assert(got("click") == rows.count(_._2).toLong)
+    assert(got("early") == rows.count(_._3).toLong)
+    assert(got("high&click") == rows.count(r => r._1 && r._2).toLong)
+    assert(got("high&early") == rows.count(r => r._1 && r._3).toLong)
+    assert(got("click&early") == rows.count(r => r._2 && r._3).toLong)
+  }
+
+  test("rareTerms surfaces exactly the long-tail terms") {
+    val docs = Tables.documents(spark, sfDir)
+    val maxDc = docs.count() / 10
+    val got = TextOps.rareTerms(docs, maxDc).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = docs.select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).distinct)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 <= maxDc).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "corpus must contain long-tail terms at this threshold")
+  }
+
   test("moreLikeThis ranks by TF histogram intersection under max_doc_freq") {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count()
