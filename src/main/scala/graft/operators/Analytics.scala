@@ -509,9 +509,11 @@ object Analytics {
     * aggregation; the variance/std derivation is a fixed-order double
     * formula both engines evaluate identically, so the result is
     * independent of partial-merge order (Spark's builtin var_pop is
-    * a streaming-moment aggregate and is not). */
+    * a streaming-moment aggregate and is not). The per-element square
+    * is held at DECIMAL(38,4) — wide enough for |value| up to 1e17, so
+    * no silent null-on-overflow under non-ANSI casts. */
   def extendedStats(events: DataFrame): DataFrame = {
-    val d2 = DecimalType(18, 2); val d4 = DecimalType(18, 4)
+    val d2 = DecimalType(18, 2); val d4 = DecimalType(38, 4)
     val agg = events
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -528,10 +530,12 @@ object Analytics {
   }
 
   /** ES weighted_avg aggregation: Σ(v·w)/Σ(w) per bucket on exact
-    * decimal domains, one double division at the end. The weight here
-    * is any deterministic column expression the caller supplies. */
+    * decimal domains (v·w held at DECIMAL(38,4) so no overflow→null
+    * inside the documented value domain), one double division at the
+    * end. The weight is any deterministic column expression the caller
+    * supplies. */
   def weightedAvg(events: DataFrame, weight: Column): DataFrame = {
-    val d2 = DecimalType(18, 2); val d4 = DecimalType(18, 4)
+    val d2 = DecimalType(18, 2); val d4 = DecimalType(38, 4)
     events
       .withColumn("__w", weight.cast(d2))
       .groupBy("event_type")
@@ -546,9 +550,11 @@ object Analytics {
   /** ES adjacency_matrix aggregation: doc counts for each named filter
     * AND each pairwise intersection, all in ONE conditional-aggregation
     * scan (no per-cell pass, no join); the k + k·(k-1)/2 cells unpivot
-    * via stack. At 100 TB this is a single map-side-combined pass
-    * whatever the filter count. */
+    * via an explode of (key, n) structs — keys ride as `lit` values, so
+    * arbitrary filter names (quotes included) are safe. At 100 TB this
+    * is a single map-side-combined pass whatever the filter count. */
   def adjacencyMatrix(events: DataFrame, filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "adjacency_matrix needs at least one named filter")
     val cells = filters.zipWithIndex.flatMap { case ((na, ca), i) =>
       ((na, ca) +: filters.drop(i + 1).map { case (nb, cb) =>
         (s"$na&$nb", ca && cb)
@@ -558,9 +564,10 @@ object Analytics {
       count(when(cells.head._2, 1)).as("c0"),
       cells.tail.zipWithIndex.map { case ((_, c), i) =>
         count(when(c, 1)).as(s"c${i + 1}") }: _*)
-    val stackArgs = cells.zipWithIndex
-      .map { case ((name, _), i) => s"'$name', c$i" }.mkString(", ")
-    agg.select(expr(s"stack(${cells.size}, $stackArgs) AS (key, n)"))
+    agg
+      .select(explode(array(cells.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("key"), col(s"c$i").as("n")) }: _*)).as("cell"))
+      .select(col("cell.key").as("key"), col("cell.n").as("n"))
   }
 
   /** ES matrix_stats: pairwise covariance/correlation over numeric

@@ -32,6 +32,12 @@ object Pipeline {
     * grams they share) — the train/eval overlap check every training
     * corpus needs before release.
     *
+    * Precondition: `doc_id` is row-unique in `docs` (one row per
+    * document — the documents-table contract every dedup operator here
+    * shares). The per-row `array_distinct` dedupes grams WITHIN a row
+    * only; a doc_id spread over multiple rows would double-count its
+    * shared grams. Asserted in `PipelineSpec`.
+    *
     * Scale: the benchmark side is small by construction (an eval set,
     * not a corpus), so its distinct grams BROADCAST to the corpus-side
     * exploded grams — no shuffle of the 100 TB side. Per-doc gram

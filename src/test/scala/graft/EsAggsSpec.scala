@@ -214,7 +214,10 @@ class EsAggsSpec extends SparkSpec {
 
   test("rareTerms surfaces exactly the long-tail terms") {
     val docs = Tables.documents(spark, sfDir)
-    val maxDc = docs.count() / 10
+    // the wired regime (SparkEntry): 7/9 of the corpus — measured to
+    // split the synthetic vocabulary's 75-80% df bulk, so the tail is a
+    // real set, not a single row
+    val maxDc = docs.count() * 7 / 9
     val got = TextOps.rareTerms(docs, maxDc).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     val want = docs.select("text").collect()
@@ -222,7 +225,8 @@ class EsAggsSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length.toLong)
       .filter(_._2 <= maxDc).toMap
     assert(got == want)
-    assert(got.nonEmpty, "corpus must contain long-tail terms at this threshold")
+    assert(got.size > 5, s"expected a non-trivial tail at 7/9, got ${got.size}")
+    assert(want.size < 31, "threshold must still exclude the head terms")
   }
 
   test("moreLikeThis ranks by TF histogram intersection under max_doc_freq") {

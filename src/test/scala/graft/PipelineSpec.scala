@@ -30,6 +30,11 @@ class PipelineSpec extends SparkSpec {
     assert(got.keySet == Set(2L, 4L))
     assert(got(2L) == 1L) // "quick brown fox"
     assert(got(4L) == 3L) // "the quick brown", "quick brown fox", "brown fox jumps"
+    // the operator's stated precondition holds on the wired input: doc_id
+    // is row-unique in the documents table (duplicate doc_id rows would
+    // double-count shared grams — see the scaladoc contract)
+    val real = Tables.documents(spark, sfDir)
+    assert(real.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
   }
 
   test("weightedMix epochs: full copies always, fractional copy by hash band") {
