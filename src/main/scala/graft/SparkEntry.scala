@@ -278,6 +278,19 @@ object SparkEntry {
     "q_extended_stats" -> ((s, dir) =>
       operators.Analytics.extendedStats(Tables.events(s, dir))),
 
+    // probes spread across the value distribution (range ~0-560)
+    "q_percentile_ranks" -> ((s, dir) =>
+      operators.Analytics.percentileRanks(Tables.events(s, dir),
+        Seq(10.0, 50.0, 200.0))),
+
+    // edges: Jan 8 / Jan 15 / Jan 25 / Mar 1 2024 (epoch µs); data ends
+    // Jan 31, so the last bucket [Mar 1, ∞) is zero-count at every SF —
+    // exercising ES's every-bucket-emitted contract
+    "q_date_range" -> ((s, dir) =>
+      operators.Analytics.dateRangeFacet(Tables.events(s, dir),
+        Seq(1704672000000000L, 1705276800000000L, 1706140800000000L,
+          1709251200000000L))),
+
     // deterministic synthetic weight: (user_id mod 10) + 1
     "q_weighted_avg" -> ((s, dir) =>
       operators.Analytics.weightedAvg(Tables.events(s, dir),
@@ -833,6 +846,31 @@ object SparkEntry {
         |       (CAST(ssd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) / n AS variance,
         |       sqrt((CAST(ssd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n) / n) AS std_deviation
         |FROM s""".stripMargin,
+
+    "q_percentile_ranks" ->
+      """SELECT event_type, v AS value,
+        |       count(*) FILTER (WHERE value <= v) AS n_le, count(*) AS n,
+        |       CAST(count(*) FILTER (WHERE value <= v) AS DOUBLE) / count(*) * 100 AS pct_rank
+        |FROM events CROSS JOIN (SELECT unnest([10.0, 50.0, 200.0]) AS v) vs
+        |GROUP BY event_type, v""".stripMargin,
+
+    "q_date_range" ->
+      """WITH spec AS (SELECT * FROM (VALUES
+        |    (CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(1704672000000000 AS BIGINT)),
+        |    (1, 1704672000000000, 1705276800000000),
+        |    (2, 1705276800000000, 1706140800000000),
+        |    (3, 1706140800000000, 1709251200000000),
+        |    (4, 1709251200000000, -1)) t(bucket_id, from_us, to_us)),
+        |agg AS (
+        |  SELECT bucket_id, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events JOIN spec
+        |    ON (from_us = -1 OR epoch_us(ts) >= from_us)
+        |   AND (to_us = -1 OR epoch_us(ts) < to_us)
+        |  GROUP BY bucket_id)
+        |SELECT spec.bucket_id, from_us, to_us, coalesce(n, 0) AS n,
+        |       coalesce(sum_value, 0.0) AS sum_value
+        |FROM spec LEFT JOIN agg USING (bucket_id)""".stripMargin,
 
     "q_weighted_avg" ->
       """WITH t AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,

@@ -503,6 +503,66 @@ object Analytics {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** ES percentile_ranks: the dual of the percentiles facet — for each
+    * probe value, the percentage of observations ≤ it, per bucket.
+    * Exact form: one conditional-aggregation scan (a ≤-count per probe
+    * value beside the group count — map-side combinable, no sort, no
+    * window), then the k probe cells unpivot via lit-keyed struct
+    * explode. The rank is one fixed-order double expression
+    * (n_le / n · 100) both engines evaluate identically. At 100 TB this
+    * is a single pass whatever the probe count — the rank-selected
+    * percentiles twin ([[percentileFacet]]) needs the per-group sort;
+    * ranks of KNOWN values never do. */
+  def percentileRanks(events: DataFrame, values: Seq[Double]): DataFrame = {
+    require(values.nonEmpty, "percentile_ranks needs at least one probe value")
+    val agg = events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        values.zipWithIndex.map { case (v, i) =>
+          count(when(col("value") <= v, 1)).as(s"le$i") }: _*)
+    agg
+      .select(col("event_type"), col("n"),
+        explode(array(values.zipWithIndex.map { case (v, i) =>
+          struct(lit(v).as("value"), col(s"le$i").as("n_le")) }: _*)).as("c"))
+      .select(col("event_type"), col("c.value").as("value"),
+        col("c.n_le").as("n_le"), col("n"),
+        (col("c.n_le").cast("double") / col("n") * 100).as("pct_rank"))
+  }
+
+  /** ES date_range aggregation: explicit non-uniform date edges over the
+    * event timestamp — ES semantics exactly: k edges make k+1 buckets
+    * ((-∞, e0), [e0, e1), …, [ek−1, ∞)), EVERY bucket emitted including
+    * zero-count ones, open edges surfaced as the -1 sentinel. Same
+    * shape as [[rangeFacet]]: a when-chain bucket id keeps the scan one
+    * codegen'd aggregation; the bucket spec is a literal frame the
+    * aggregated rows left-join onto. Bucketing runs on the exact µs
+    * timestamp (integer compares — no timezone/calendar arithmetic to
+    * diverge between engines). */
+  def dateRangeFacet(events: DataFrame, edgesUs: Seq[Long]): DataFrame = {
+    require(edgesUs.nonEmpty, "date_range needs at least one edge")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val los = None +: edgesUs.map(Some(_))
+    val his = edgesUs.map(Some(_)) :+ None
+    val spec = los.zip(his).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo.getOrElse(-1L), hi.getOrElse(-1L)) }
+      .toDF("bucket_id", "from_us", "to_us")
+    val ts = Det.tsMicros(col("ts"))
+    val bucketId = los.zip(his).zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, ((lo, hi), i)) =>
+        val cond = (lo.map(ts >= _) ++ hi.map(ts < _)).reduce(_ && _)
+        when(cond, lit(i.toLong)).otherwise(acc)
+    }
+    val agg = events
+      .select(bucketId.as("bucket_id"), col("value"))
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+    spec.join(agg, Seq("bucket_id"), "left")
+      .select(col("bucket_id"), col("from_us"), col("to_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
   /** ES extended_stats: count/min/max/sum/avg/sum_of_squares/variance/
     * std_deviation per bucket, from EXACT decimal power sums (value is
     * 2-dp, so squares are exact at 4-dp) — one map-side-combinable

@@ -212,6 +212,46 @@ class EsAggsSpec extends SparkSpec {
     assert(got("click&early") == rows.count(r => r._2 && r._3).toLong)
   }
 
+  test("percentileRanks reports the exact <=-fraction per probe value") {
+    val ev = Tables.events(spark, sfDir)
+    val probes = Seq(10.0, 50.0, 200.0)
+    val got = Analytics.percentileRanks(ev, probes).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val rows = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val types = rows.map(_._1).distinct
+    assert(got.size == types.length * probes.length)
+    for (t <- types; v <- probes) {
+      val g = rows.filter(_._1 == t)
+      val le = g.count(_._2 <= v).toLong
+      val want = (le, g.length.toLong, le.toDouble / g.length * 100)
+      assert(got((t, v)) == want, s"($t,$v): got ${got((t, v))} want $want")
+    }
+  }
+
+  test("dateRangeFacet emits every bucket incl. zero-count, ES edge semantics") {
+    val ev = Tables.events(spark, sfDir)
+    val edges = Seq(1704672000000000L, 1705276800000000L, 1706140800000000L,
+      1709251200000000L)
+    val got = Analytics.dateRangeFacet(ev, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val ts = ev.select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val bounds = (None +: edges.map(Some(_))).zip(edges.map(Some(_)) :+ None)
+    assert(got.size == edges.length + 1, "k edges -> k+1 buckets, all emitted")
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val inB = ts.filter { case (t, _) =>
+        lo.forall(t >= _) && hi.forall(t < _) }
+      val want = (lo.getOrElse(-1L), hi.getOrElse(-1L), inB.length.toLong,
+        inB.map(x => money(x._2)).sum.toDouble)
+      assert(got(i.toLong) == want, s"bucket $i: got ${got(i.toLong)} want $want")
+    }
+    // the past-the-data last bucket really is the zero-count case
+    assert(got(edges.length.toLong)._3 == 0L)
+  }
+
   test("rareTerms surfaces exactly the long-tail terms") {
     val docs = Tables.documents(spark, sfDir)
     // the wired regime (SparkEntry): 7/9 of the corpus — measured to
