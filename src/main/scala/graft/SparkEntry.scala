@@ -241,6 +241,15 @@ object SparkEntry {
     "q_hash_sample" -> ((s, dir) =>
       operators.Analytics.hashSample(Tables.events(s, dir), "05")),
 
+    // n=500: a real subset at every verify SF (1k-100k events)
+    "q_sampler" -> ((s, dir) =>
+      operators.Analytics.samplerAgg(Tables.events(s, dir), 500)),
+
+    // 150 users × cap 5 = 750 candidates > n=500 → both the per-key cap
+    // and the global truncation bind
+    "q_diversified_sampler" -> ((s, dir) =>
+      operators.Analytics.diversifiedSampler(Tables.events(s, dir), 5, 500)),
+
     "q_rollup_agg" -> ((s, dir) =>
       operators.Analytics.rollupAgg(Tables.events(s, dir))),
 
@@ -262,6 +271,13 @@ object SparkEntry {
 
     "q_filters_facet" -> ((s, dir) =>
       operators.Analytics.filtersFacet(Tables.events(s, dir))),
+
+    "q_bucket_selector" -> ((s, dir) =>
+      operators.Analytics.bucketSelector(Tables.events(s, dir))),
+
+    // 31 day buckets at every SF → from=5/size=10 pages a real interior
+    "q_bucket_sort" -> ((s, dir) =>
+      operators.Analytics.bucketSort(Tables.events(s, dir), 5, 10)),
 
     "q_range_facet" -> ((s, dir) =>
       // the [1000, ∞) bucket is empty at every SF (value ≤ ~490) —
@@ -402,6 +418,9 @@ object SparkEntry {
 
     "text_significant_terms" -> ((s, dir) =>
       text.TextOps.significantTerms(Tables.documents(s, dir), 5L, 20)),
+
+    "text_significant_text" -> ((s, dir) =>
+      text.TextOps.significantText(Tables.documents(s, dir), "hash", 5L, 20)),
 
     "q_salted_join" -> ((s, dir) =>
       operators.Skew.saltedJoin(Tables.events(s, dir), Tables.customer(s, dir),
@@ -548,6 +567,20 @@ object SparkEntry {
     "pipe_decontaminate" -> ((s, dir) =>
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
+
+    "pipe_redact" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so a bare redact would be
+      // vacuously clean at every SF — inject deterministic PII (id-keyed
+      // so both engines build the identical text) and scrub it: ~14% of
+      // docs get an email, ~9% a phone, ~8% an SSN-shaped id
+      val docs = Tables.documents(s, dir)
+      val withPii = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309 today")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" ssn 123-45-6789 on file")).otherwise(lit(""))))
+      pipeline.Pipeline.redact(withPii)
+    }),
 
     "pipe_weighted_mix" -> ((s, dir) => {
       val up = Seq("src0", "src1", "src2", "src3", "src4")
@@ -734,6 +767,25 @@ object SparkEntry {
       """SELECT event_id, event_type, value FROM events
         |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '05'""".stripMargin,
 
+    "q_sampler" ->
+      """WITH s AS (SELECT event_type, value, event_id FROM events
+        |           ORDER BY value DESC, event_id LIMIT 500)
+        |SELECT event_type, count(*) AS n_docs,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       min(event_id) AS min_id
+        |FROM s GROUP BY event_type""".stripMargin,
+
+    "q_diversified_sampler" ->
+      """WITH r AS (SELECT event_type, user_id, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        |  FROM events),
+        |s AS (SELECT event_type, value, event_id FROM r WHERE rk <= 5
+        |      ORDER BY value DESC, event_id LIMIT 500)
+        |SELECT event_type, count(*) AS n_docs,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       min(event_id) AS min_id
+        |FROM s GROUP BY event_type""".stripMargin,
+
     "q_rollup_agg" ->
       """SELECT coalesce(day_idx, -1) AS day_idx, coalesce(event_type, 'ALL') AS event_type,
         |       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -766,6 +818,23 @@ object SparkEntry {
         |       CAST(sum(dsum) OVER w7 AS DOUBLE) / count(*) OVER w7 AS mov7_avg
         |FROM day
         |WINDOW w7 AS (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_bucket_selector" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(sum(dsum) AS DOUBLE) / count(*) AS avg_bucket FROM day)
+        |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value, avg_bucket
+        |FROM day, g WHERE CAST(dsum AS DOUBLE) > avg_bucket""".stripMargin,
+
+    "q_bucket_sort" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, n, sum_value FROM day
+        |ORDER BY sum_value DESC, day_idx LIMIT 10 OFFSET 5""".stripMargin,
 
     "q_filters_facet" ->
       """SELECT 'high_value' AS bucket, count(*) FILTER (WHERE value >= 90) AS n,
@@ -1052,6 +1121,40 @@ object SparkEntry {
            |FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
            |WHERE a >= 5
            |ORDER BY lift DESC, source, term LIMIT 20""".stripMargin,
+
+    "text_significant_text" ->
+      raw"""WITH t AS (SELECT doc_id, term FROM (
+           |        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |        FROM documents) WHERE term <> ''),
+           |hits AS (SELECT DISTINCT doc_id FROM t WHERE term = 'hash'),
+           |fg AS (SELECT t.doc_id, term FROM t JOIN hits USING (doc_id)),
+           |a AS (SELECT term, count(*) AS a FROM fg GROUP BY term),
+           |b AS (SELECT term, count(*) AS b FROM t GROUP BY term),
+           |c AS (SELECT count(*) AS c FROM fg),
+           |d AS (SELECT count(*) AS d FROM t)
+           |SELECT term, a AS n_in_hits, b AS n_in_corpus,
+           |       CAST(a * d AS DOUBLE) / (b * c) AS lift
+           |FROM a JOIN b USING (term), c, d
+           |WHERE a >= 5
+           |ORDER BY lift DESC, term LIMIT 20""".stripMargin,
+
+    "pipe_redact" ->
+      raw"""WITH p AS (SELECT doc_id,
+           |  text || CASE WHEN doc_id % 7 = 0
+           |               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |               ELSE '' END
+           |       || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today' ELSE '' END
+           |       || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+           |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+           |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g') AS redacted
+           |FROM p""".stripMargin,
 
     "q_salted_join" ->
       """SELECT event_id, user_id, c_name, value

@@ -447,6 +447,47 @@ object Analytics {
         col("cum_value"), col("derivative"), col("mov7_avg"))
   }
 
+  /** Shared parent of the bucket-pipeline aggs: the per-UTC-day value
+    * histogram on the exact DECIMAL domain (one map-side-combinable
+    * aggregation; a few thousand bucket rows for a decade of data). */
+  private def dayBuckets(events: DataFrame): DataFrame =
+    events
+      .select(Det.dayIdx("ts").as("day_idx"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("day_idx")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("dsum"))
+
+  /** ES bucket_selector (+ avg_bucket) pipeline agg: keep only the
+    * date-histogram buckets whose value sum clears the avg_bucket
+    * gauge — the post-aggregation HAVING of the ES pipeline family,
+    * with the threshold itself a pipeline agg so the selection is
+    * scale-free. The gauge is a 1-row frame broadcast onto the (already
+    * tiny) bucket set; nothing below the parent aggregation re-shuffles.
+    * Exact decimal sums; the one double division and the compare run in
+    * the same fixed order on both engines. */
+  def bucketSelector(events: DataFrame): DataFrame = {
+    val day = dayBuckets(events)
+    val gauge = day.agg(
+      (sum(col("dsum")).cast("double") / count(lit(1))).as("avg_bucket"))
+    day.crossJoin(broadcast(gauge))
+      .filter(col("dsum").cast("double") > col("avg_bucket"))
+      .select(col("day_idx"), col("n"),
+        col("dsum").cast("double").as("sum_value"), col("avg_bucket"))
+  }
+
+  /** ES bucket_sort pipeline agg: order the parent date-histogram
+    * buckets by an agg value and truncate with from/size — pagination
+    * over BUCKETS, not rows. The sort input is the aggregated bucket
+    * set (bounded), so the global order is a TakeOrdered over a few
+    * hundred rows however big the scan was; the day_idx tie-break keeps
+    * it deterministic. */
+  def bucketSort(events: DataFrame, from: Int, size: Int): DataFrame =
+    dayBuckets(events)
+      .select(col("day_idx"), col("n"), col("dsum").cast("double").as("sum_value"))
+      .orderBy(col("sum_value").desc, col("day_idx"))
+      .offset(from)
+      .limit(size)
+
   /** ES filters aggregation: N named predicate buckets computed in ONE
     * scan via conditional aggregation, then unpivoted to (bucket, n,
     * sum_value) rows. No per-filter pass, no shuffle beyond the single
@@ -628,6 +669,44 @@ object Analytics {
       .select(explode(array(cells.zipWithIndex.map { case ((name, _), i) =>
         struct(lit(name).as("key"), col(s"c$i").as("n")) }: _*)).as("cell"))
       .select(col("cell.key").as("key"), col("cell.n").as("n"))
+  }
+
+  /** ES sampler aggregation: restrict sub-aggregations to the top-`n`
+    * highest-"scoring" documents (score here = the deterministic
+    * (value desc, event_id) order — ES uses query relevance; the
+    * boundedness is the point). The sample is a TakeOrdered — per-
+    * partition bounded heaps, k·partitions rows shuffled, never a full
+    * sort — and the sub-agg (a terms facet over the sample) runs on ≤ n
+    * rows wherever the scan was 100 TB. */
+  def samplerAgg(events: DataFrame, n: Int): DataFrame =
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(n)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_docs"), Det.moneySum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"))
+
+  /** ES diversified_sampler: the sampler with a per-key cap — at most
+    * `maxPerKey` documents per `user_id` may enter the sample, so one
+    * hot key can't crowd it out. The cap runs through the bounded
+    * TopKPairs aggregate (map-side combine ships ≤ maxPerKey pairs per
+    * (user, partition) — no window sort of the corpus), the capped pool
+    * then TakeOrdered-truncates to `n`, and the tiny id frame
+    * broadcast-joins the payload back for the sub-agg (the topHits
+    * pattern: full rows never shuffle). */
+  def diversifiedSampler(events: DataFrame, maxPerKey: Int, n: Int): DataFrame = {
+    val sample = events
+      .groupBy("user_id")
+      .agg(graft.functions.TopKPairs.topK(col("value"), col("event_id"), maxPerKey).as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("event_id"), col("s.score").as("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(n)
+    events.join(broadcast(sample.select("event_id")), Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_docs"), Det.moneySum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"))
   }
 
   /** ES matrix_stats: pairwise covariance/correlation over numeric

@@ -61,6 +61,35 @@ object Pipeline {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** The PII classes [[redact]] scrubs, as (name, pattern, replacement).
+    * Patterns stay inside the regex subset Java regex and RE2 interpret
+    * identically (char classes, {m,}, \b, \d — no lookaround, no
+    * backrefs), so the DuckDB oracle can replay them verbatim. */
+  val piiClasses: Seq[(String, String, String)] = Seq(
+    ("email", """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""", "[EMAIL]"),
+    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "[PHONE]"),
+    ("id", """\b\d{3}-\d{2}-\d{4}\b""", "[ID]"))
+
+  /** PII redaction — the release gate every training corpus passes
+    * before shipping: scrub emails / phone numbers / SSN-shaped ids and
+    * report how many of each class every document carried. Counts are
+    * taken BEFORE scrubbing (the report is about the raw text); the
+    * scrub is a fixed-order `regexp_replace` chain. All of it is narrow
+    * codegen'd column work — no shuffle, no UDF; at 100 TB it streams
+    * through the scan like any other row transform. The classes are
+    * pattern-disjoint (3-3-4 phones vs 3-2-4 ids), so chain order
+    * can't change the result. */
+  def redact(docs: DataFrame): DataFrame = {
+    val counts = piiClasses.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+        .as(s"n_${name}s")
+    }
+    val redacted = piiClasses.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Weighted source mixing with epochs: each source carries a mixture
     * weight; weight 2.5 means every doc appears twice plus a 50%
     * deterministic chance of a third copy, weight 0.25 keeps a

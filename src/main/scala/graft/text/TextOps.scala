@@ -218,6 +218,42 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES significant_text: terms over-represented in the HITS of a query
+    * (the free-text twin of [[significantTerms]] — the foreground is
+    * "documents matching `queryTerm`", not a keyed field). Lift is the
+    * same exact-count ratio (a·d)/(b·c) with a = term occurrences in
+    * the hit set, b = in the corpus, c/d = the respective token totals —
+    * integer products, one double division, deterministic top-k.
+    *
+    * Scale: one tokenize pass persisted across its three uses; the hit
+    * doc-id set is reduced via a semi-join on the slim (doc_id, term)
+    * rows; the corpus-total frames are 1-row broadcasts. ES samples the
+    * hit set for the same boundedness — compose with [[graft.operators
+    * .Analytics.samplerAgg]]'s hash-band form if the query matches a
+    * large corpus fraction. */
+  def significantText(docs: DataFrame, queryTerm: String, minCount: Long,
+                      k: Int): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val hitIds = tok.filter(col("term") === queryTerm).select("doc_id").distinct()
+    val fgTok = tok.join(hitIds, Seq("doc_id"), "left_semi")
+    val a = fgTok.groupBy("term").agg(count(lit(1)).as("a"))
+    val b = tok.groupBy("term").agg(count(lit(1)).as("b"))
+    val c = fgTok.agg(count(lit(1)).as("c"))
+    val d = tok.agg(count(lit(1)).as("d"))
+    a.join(b, "term")
+      .crossJoin(broadcast(c))
+      .crossJoin(broadcast(d))
+      .filter(col("a") >= minCount)
+      .withColumn("lift", (col("a") * col("d")).cast("double") / (col("b") * col("c")))
+      .select(col("term"), col("a").as("n_in_hits"), col("b").as("n_in_corpus"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("term"))
+      .limit(k)
+  }
+
   /** ES prefix query: docs with ≥1 token starting with `prefix`, scored
     * by matching-token count, top-k. Same narrow-scan shape as
     * [[matchQuery]] — at 100 TB an index-backed engine would consult a

@@ -252,6 +252,88 @@ class EsAggsSpec extends SparkSpec {
     assert(got(edges.length.toLong)._3 == 0L)
   }
 
+  test("bucketSelector keeps exactly the above-average buckets") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.bucketSelector(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val rows = ev.select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getDouble(1)))
+    val byDay = rows.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(x => money(x._2)).sum)).toMap
+    val avg = byDay.values.map(_._2).sum.toDouble / byDay.size
+    val want = byDay.filter(_._2._2.toDouble > avg)
+      .map { case (d, (n, s)) => d -> ((n, s.toDouble, avg)) }
+    assert(got == want)
+    // the selection is real: some buckets kept, some dropped
+    assert(got.nonEmpty && got.size < byDay.size)
+  }
+
+  test("bucketSort pages the bucket set in agg-value order") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.bucketSort(ev, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rows = ev.select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getDouble(1)))
+    val want = rows.groupBy(_._1).toSeq
+      .map { case (d, g) => (d, g.length.toLong, g.map(x => money(x._2)).sum.toDouble) }
+      .sortBy(x => (-x._3, x._1)).slice(5, 15)
+    assert(got.toSeq == want && got.length == 10)
+  }
+
+  test("samplerAgg sub-aggregates exactly the top-n sample") {
+    val ev = Tables.events(spark, sfDir)
+    val n = 500
+    val got = Analytics.samplerAgg(ev, n).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val sample = ev.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(x => (-x._2, x._3)).take(n)
+    val want = sample.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(x => money(x._2)).sum.toDouble, g.map(_._3).min)).toMap
+    assert(got == want)
+    assert(sample.length == n, "sample must be a strict subset at this SF")
+  }
+
+  test("diversifiedSampler caps per-key entry then truncates like the window form") {
+    val ev = Tables.events(spark, sfDir)
+    // n sized so BOTH constraints bind at the spec SF (users × cap
+    // candidates > n); the wiring's 500 binds the same way at verify SF
+    val (cap, n) = (5, 50)
+    val got = Analytics.diversifiedSampler(ev, cap, n).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val rows = ev.select("event_type", "user_id", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val capped = rows.groupBy(_._2).values
+      .flatMap(_.toSeq.sortBy(x => (-x._3, x._4)).take(cap)).toSeq
+    val sample = capped.sortBy(x => (-x._3, x._4)).take(n)
+    val want = sample.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(x => money(x._3)).sum.toDouble, g.map(_._4).min)).toMap
+    assert(got == want)
+    // both constraints bind at this SF: the cap rejects rows, the
+    // truncation rejects capped candidates
+    assert(capped.size < rows.length && capped.size > n)
+  }
+
+  test("significantText lift matches the naive hit-set recompute") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.significantText(docs, "hash", 5L, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val hitIds = toks.filter(_._2.contains("hash")).keySet
+    val fg = hitIds.toSeq.flatMap(toks)
+    val all = toks.values.flatten.toSeq
+    val aM = fg.groupBy(identity).view.mapValues(_.size.toLong)
+    val bM = all.groupBy(identity).view.mapValues(_.size.toLong)
+    val (c, d) = (fg.size.toLong, all.size.toLong)
+    val want = aM.toSeq.filter(_._2 >= 5L)
+      .map { case (t, a) => (t, a, bM(t), (a * d).toDouble / (bM(t) * c)) }
+      .sortBy(x => (-x._4, x._1)).take(20)
+    assert(got.toSeq == want && got.nonEmpty)
+  }
+
   test("rareTerms surfaces exactly the long-tail terms") {
     val docs = Tables.documents(spark, sfDir)
     // the wired regime (SparkEntry): 7/9 of the corpus — measured to

@@ -37,6 +37,27 @@ class PipelineSpec extends SparkSpec {
     assert(real.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("redact scrubs every PII class and reports pre-scrub counts") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b+c@sub.example.org or x@y.io thanks"),
+      (2L, "call 123-456-7890 and file 987-65-4321 please"),
+      (3L, "clean text with numbers 12345 and dashes a-b only"),
+      (4L, "dup emails a@b.co a@b.co and phone 555-555-5555")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.redact(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 0L, 0L, "mail me at [EMAIL] or [EMAIL] thanks")))
+    assert(got(2L) == ((0L, 1L, 1L, "call [PHONE] and file [ID] please")))
+    assert(got(3L) == ((0L, 0L, 0L, "clean text with numbers 12345 and dashes a-b only")))
+    assert(got(4L) == ((2L, 1L, 0L, "dup emails [EMAIL] [EMAIL] and phone [PHONE]")))
+    // no residue: a scrubbed corpus re-scrubs to zero counts
+    val again = Pipeline.redact(
+      Pipeline.redact(docs).select(col("doc_id"), col("redacted").as("text")))
+    assert(again.filter(col("n_emails") + col("n_phones") + col("n_ids") > 0).isEmpty)
+  }
+
   test("weightedMix epochs: full copies always, fractional copy by hash band") {
     val spark2 = spark; import spark2.implicits._
     val docs = (0L until 400L).map(i =>
