@@ -4,11 +4,40 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query end-to-end at
   * SPARK_GRAFT_SF_DIR, writing each result to the `noop` sink so the
   * full plan executes (a bare count() would let Catalyst prune the
-  * projections under test). Prints one JSON line for the driver. */
+  * projections under test). Prints one JSON line for the driver.
+  *
+  * Host-noise guard (round-6 lesson: a loaded host inflated every
+  * query 10-80x and the per-query best-of-2 couldn't see it): a fixed
+  * CALIBRATION query — `q6_revenue_delta`, a sub-second filter+agg
+  * whose cost is stable across rounds — is timed at suite start AND
+  * end. If either reading exceeds 2x the reference floor
+  * (SPARK_GRAFT_CALIB_REF, default the documented idle figure), the
+  * whole suite re-runs once; if the re-run is dirty too, the JSON
+  * carries "contaminated":true so no one grades the numbers. */
 object Bench {
+
+  private val calibQuery = "q6_revenue_delta"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // idle-floor reference for the calibration query. The default is
+    // the MEASURED sf0.1 floor on this container (~0.1-0.2 s; 0.25
+    // leaves JIT headroom) — the SF the driver benches at. The floor is
+    // scale-specific (q6 legitimately costs ~10x more at x10 data), so
+    // on any other SF dir the guard needs an explicit
+    // SPARK_GRAFT_CALIB_REF; without one it disarms (calibrations are
+    // still timed and reported) instead of forcing a bogus re-run of
+    // every diagnostic-scale suite. The 2x gate at sf0.1 trips at
+    // 0.5 s — far below the 26 s round-6 contamination, far above idle
+    // jitter.
+    val calibRef: Option[Double] =
+      sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble)
+        .orElse(if (sfDir.endsWith("sf0.1")) Some(0.25) else None)
+    if (calibRef.isEmpty)
+      System.err.println(
+        "[bench-calib] no reference for this SF dir — guard disarmed " +
+          "(set SPARK_GRAFT_CALIB_REF to arm)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,35 +50,73 @@ object Bench {
     // optional args: run only the named queries (diagnostics; the driver
     // invokes with no args → full suite)
     val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        // operators persist intermediates (and the clustering loop
-        // localCheckpoints, which clearCache does NOT reclaim); drop every
-        // persisted block so 130+ back-to-back executions don't accumulate
-        // heap pressure that bleeds into later queries' times
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
+
+    def once(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      // operators persist intermediates (and the clustering loop
+      // localCheckpoints, which clearCache does NOT reclaim); drop every
+      // persisted block so 130+ back-to-back executions don't accumulate
+      // heap pressure that bleeds into later queries' times
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
+    def timed(name: String): Double = {
       // best of 2 (single runs are dominated by JIT/GC noise), plus a
       // tie-break third run when the two disagree > 2x — a transient
       // host stall spanning both runs would otherwise stand as the
       // measurement
-      val base = Seq(once(), once())
+      val base = Seq(once(name), once(name))
       val times =
         if (base.exists(_ < 0) || base.max <= 2 * base.min) base
-        else base :+ once()
+        else base :+ once(name)
       System.err.println(s"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (times.exists(_ < 0)) -1.0 else times.min
     }
+
+    def calibrate(tag: String): Double = {
+      val t = timed(calibQuery)
+      val gate = calibRef.map(r => f"ref $r%.3f, gate ${2 * r}%.3f").getOrElse("disarmed")
+      System.err.println(f"[bench-calib] $tag: $t%.3f s ($gate)")
+      t
+    }
+
+    // untimed warm pass of the calibration query: the very first
+    // execution pays whole-stage-codegen JIT (~1 s), which would trip
+    // the gate and force a pointless full re-run on a perfectly idle
+    // host (observed: cold 1.3 s → warm 0.22 s)
+    once(calibQuery)
+
+    // one full pass: calibration → suite → calibration
+    def runSuite(): (Seq[(String, Double)], Double, Double) = {
+      val c0 = calibrate("start")
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, _) => name -> timed(name) }
+      val c1 = calibrate("end")
+      (results, c0, c1)
+    }
+
+    def dirty(c: Double): Boolean =
+      c < 0 || calibRef.exists(c > 2 * _)
+
+    var attempts = 1
+    var (results, c0, c1) = runSuite()
+    if (dirty(c0) || dirty(c1)) {
+      System.err.println("[bench-calib] contaminated reading — re-running the suite once")
+      attempts = 2
+      val again = runSuite()
+      results = again._1; c0 = again._2; c1 = again._3
+    }
+    val contaminated = dirty(c0) || dirty(c1)
+
     // The driver captures only the last 2000 chars of the build log
     // (BENCH_r01/r02 tails), so the stdout JSON line must stay well
     // under that or it lands unparsed. The line carries the suite
@@ -73,7 +140,7 @@ object Bench {
       "pipe_decontaminate")
     System.err.println(s"[bench-full] ${jmap(results)}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","calib_start":${f3(c0)},"calib_end":${f3(c1)},"calib_ref":${calibRef.map(f3).getOrElse("null")},"contaminated":$contaminated,"attempts":$attempts}""")
     spark.stop()
   }
 }

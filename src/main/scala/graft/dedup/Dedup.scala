@@ -243,7 +243,17 @@ object Dedup {
     // rounds, probe assignment, and list build all reuse this scan
     val e = emb.select(col("vec_id"), col("embedding")).persist()
     val n = e.count()
-    val nCent = math.min(256, math.max(8, (n / targetListSize).toInt))
+    // List-count sizing balances the two costs that pull in opposite
+    // directions: centroid assignment is n·nCent cosines, within-list
+    // pair confirmation is n·occupancy = n²/nCent — the sum is
+    // minimized at nCent ≈ √n. Below the crossover (n ≲ 4·listSize²)
+    // occupancy pins at targetListSize (the verified small-SF regime,
+    // unchanged); past it nCent grows as 2√n with NO hard cap — the
+    // round-2 cap of 256 silently turned occupancy linear in n, which
+    // made pair work quadratic past ~32k vectors (×10 bench: ~50× the
+    // sf0.1 time for 10× the vectors; √n sizing restores ∝ n^1.5).
+    val nCent = math.max(8, math.min(n / targetListSize,
+      math.ceil(2 * math.sqrt(n.toDouble)).toLong)).toInt
     val cents = Ann.lloydCentroids(e, nCent, lloydRounds)
     // Probe assignment is a broadcast join against the centroid TABLE +
     // bounded top-nprobe aggregate — all codegen'd with map-side

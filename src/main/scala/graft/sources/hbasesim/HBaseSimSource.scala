@@ -381,24 +381,43 @@ class HBaseSimPartitionReader(path: String, rowGroup: Int, required: StructType,
     recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(projection))
   }
 
-  private def fieldValue(g: Group, source: String): Any = {
+  // Per-row work must not re-resolve schema metadata: getFieldIndex is
+  // a string-keyed lookup that the original form paid per column per
+  // row. Resolve each needed column to its ordinal ONCE and bind a
+  // decode closure per output column; the per-row loop is then array
+  // indexing only. (Measured effect at ×10 is small — ~5% — because
+  // Group ASSEMBLY, not field access, dominates the row decode; see
+  // SCALING.md round 7 for the measured throughput and the
+  // vectorize-vs-descope disposition.)
+  private def decoderFor(source: String): Group => Any = {
     val idx = projection.getFieldIndex(HBaseSimTable.parquetField(source))
     source match {
-      case "event_id" | "user_id" => g.getLong(idx, 0)
-      case "ts_us" => g.getLong(idx, 0) / 1000L
-      case "value" => g.getDouble(idx, 0)
-      case "event_type" | "props" => UTF8String.fromString(g.getString(idx, 0))
+      case "event_id" | "user_id" => g => g.getLong(idx, 0)
+      case "ts_us" => g => g.getLong(idx, 0) / 1000L
+      case "value" => g => g.getDouble(idx, 0)
+      case "event_type" | "props" => g => UTF8String.fromString(g.getString(idx, 0))
     }
   }
+  private val rowDecoders: Array[Group => Any] = required.fieldNames.map(decoderFor)
+  private val keyDecoders: Array[Group => Any] =
+    topNOrders.map(o => decoderFor(o._1)).toArray
+
+  private val tsIdx: Int =
+    if (minStamp == Long.MinValue) -1 else projection.getFieldIndex("ts")
+  private val familyIdx: Int =
+    if (family.isEmpty) -1 else projection.getFieldIndex("event_type")
+  private val familyName: String = family.orNull
 
   private def passes(g: Group): Boolean =
-    (minStamp == Long.MinValue ||
-      g.getLong(projection.getFieldIndex("ts"), 0) / 1000L > minStamp) &&
-    family.forall(f =>
-      g.getString(projection.getFieldIndex("event_type"), 0) == f)
+    (tsIdx < 0 || g.getLong(tsIdx, 0) / 1000L > minStamp) &&
+    (familyIdx < 0 || g.getString(familyIdx, 0) == familyName)
 
-  private def buildRow(g: Group): InternalRow = new GenericInternalRow(
-    required.fieldNames.map(n => fieldValue(g, n)).toArray[Any])
+  private def buildRow(g: Group): InternalRow = {
+    val vals = new Array[Any](rowDecoders.length)
+    var i = 0
+    while (i < rowDecoders.length) { vals(i) = rowDecoders(i)(g); i += 1 }
+    new GenericInternalRow(vals)
+  }
 
   private var emittedCount = 0
   private var topNIter: Iterator[InternalRow] = _
@@ -430,7 +449,7 @@ class HBaseSimPartitionReader(path: String, rowGroup: Int, required: StructType,
       remaining -= 1
       val g = recordReader.read()
       if (passes(g)) {
-        val keys = topNOrders.map { case (c, _) => fieldValue(g, c) }.toArray
+        val keys = keyDecoders.map(_(g))
         if (heap.size < n) heap.add((keys, buildRow(g)))
         else if (cmpKeys(keys, heap.peek()._1) < 0) {
           heap.poll(); heap.add((keys, buildRow(g)))
