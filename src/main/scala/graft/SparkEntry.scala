@@ -275,6 +275,25 @@ object SparkEntry {
     "q_bucket_selector" -> ((s, dir) =>
       operators.Analytics.bucketSelector(Tables.events(s, dir))),
 
+    "q_stats_bucket" -> ((s, dir) =>
+      operators.Analytics.statsBucket(Tables.events(s, dir))),
+
+    // lag=7: weekly deseasonalization over the ~31 day buckets
+    "q_serial_diff" -> ((s, dir) =>
+      operators.Analytics.serialDiff(Tables.events(s, dir), 7)),
+
+    "q_cumulative_cardinality" -> ((s, dir) =>
+      operators.Analytics.cumulativeCardinality(Tables.events(s, dir))),
+
+    // target 10 buckets over the ~31-day span → the ladder picks 7-day
+    // intervals (~5 buckets) at every SF
+    "q_auto_date_histogram" -> ((s, dir) =>
+      operators.Analytics.autoDateHistogram(Tables.events(s, dir), 10)),
+
+    // 50 (type × user_mod) buckets at every SF → k=25 truncates for real
+    "q_multi_terms" -> ((s, dir) =>
+      operators.Analytics.multiTerms(Tables.events(s, dir), 25)),
+
     // 31 day buckets at every SF → from=5/size=10 pages a real interior
     "q_bucket_sort" -> ((s, dir) =>
       operators.Analytics.bucketSort(Tables.events(s, dir), 5, 10)),
@@ -835,6 +854,54 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT day_idx, n, sum_value FROM day
         |ORDER BY sum_value DESC, day_idx LIMIT 10 OFFSET 5""".stripMargin,
+
+    "q_stats_bucket" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_buckets,
+        |       CAST(min(dsum) AS DOUBLE) AS min_bucket,
+        |       CAST(max(dsum) AS DOUBLE) AS max_bucket,
+        |       CAST(sum(dsum) AS DOUBLE) AS sum_buckets,
+        |       CAST(sum(dsum) AS DOUBLE) / count(*) AS avg_bucket
+        |FROM day""".stripMargin,
+
+    "q_serial_diff" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value,
+        |       coalesce(CAST(dsum - lag(dsum, 7) OVER (ORDER BY day_idx) AS DOUBLE), 0.0) AS serial_diff
+        |FROM day""".stripMargin,
+
+    "q_cumulative_cardinality" ->
+      """WITH fd AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS hour_idx
+        |            FROM events GROUP BY 1),
+        |pd AS (SELECT hour_idx, count(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT hour_idx, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY hour_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM pd""".stripMargin,
+
+    "q_auto_date_histogram" ->
+      """WITH span AS (
+        |  SELECT max(epoch_us(ts)) // 86400000000
+        |       - min(epoch_us(ts)) // 86400000000 + 1 AS sd FROM events),
+        |iv AS (SELECT CASE WHEN sd // 1 + 1 <= 10 THEN 1
+        |                   WHEN sd // 7 + 1 <= 10 THEN 7
+        |                   WHEN sd // 30 + 1 <= 10 THEN 30
+        |                   WHEN sd // 90 + 1 <= 10 THEN 90
+        |                   ELSE 365 END AS interval_days FROM span)
+        |SELECT (epoch_us(ts) // 86400000000) // interval_days AS bucket_idx,
+        |       count(*) AS n, interval_days
+        |FROM events, iv GROUP BY 1, interval_days""".stripMargin,
+
+    "q_multi_terms" ->
+      """SELECT event_type, user_id % 10 AS user_mod, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY n DESC, event_type, user_mod LIMIT 25""".stripMargin,
 
     "q_filters_facet" ->
       """SELECT 'high_value' AS bucket, count(*) FILTER (WHERE value >= 90) AS n,

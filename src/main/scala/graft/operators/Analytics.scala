@@ -488,6 +488,98 @@ object Analytics {
       .offset(from)
       .limit(size)
 
+  /** ES stats_bucket (and its max_bucket / min_bucket / avg_bucket /
+    * sum_bucket special cases in one row): sibling-pipeline stats OVER
+    * the parent date-histogram's bucket values — a second aggregation
+    * of the (already tiny) bucket set, so the post-agg step is bounded
+    * by bucket count, never data size. Exact decimal sums; avg is the
+    * one double division. */
+  def statsBucket(events: DataFrame): DataFrame =
+    dayBuckets(events)
+      .agg(count(lit(1)).as("n_buckets"),
+        min(col("dsum")).cast("double").as("min_bucket"),
+        max(col("dsum")).cast("double").as("max_bucket"),
+        sum(col("dsum")).cast("double").as("sum_buckets"),
+        (sum(col("dsum")).cast("double") / count(lit(1))).as("avg_bucket"))
+
+  /** ES serial_diff pipeline agg: the value sum minus its value `lag`
+    * buckets earlier in the date histogram (lag=1 is the derivative;
+    * larger lags deseasonalize). The window runs over BUCKETS — one
+    * row per day — so the unpartitioned window is a bounded post-agg
+    * step. Leading buckets with no lag-partner emit 0.0 sentinels (the
+    * q_pipeline_aggs derivative convention). */
+  def serialDiff(events: DataFrame, lagN: Int): DataFrame = {
+    val w = Window.orderBy("day_idx")
+    dayBuckets(events)
+      .withColumn("serial_diff",
+        coalesce((col("dsum") - lag(col("dsum"), lagN).over(w)).cast("double"),
+          lit(0.0)))
+      .select(col("day_idx"), col("n"), col("dsum").cast("double").as("sum_value"),
+        col("serial_diff"))
+  }
+
+  /** ES cumulative_cardinality pipeline agg: running count of DISTINCT
+    * users ever seen, per hour bucket (hourly, not daily — the dense
+    * user base saturates within two days, which would leave the check
+    * a 1-2 row near-vacuity). The naive form (distinct inside a
+    * growing window) rescans the corpus per bucket; the scale form is
+    * two bounded steps: (1) each user's FIRST hour — one hash agg on
+    * user_id; (2) first-seen counts per hour, cumulatively summed over
+    * the bucket set. The running sum of new-user counts IS the running
+    * distinct count, and nothing beyond the per-user agg ever touches
+    * data scale. */
+  def cumulativeCardinality(events: DataFrame): DataFrame = {
+    val hourIdx = (Det.tsMicros(col("ts")) / 3600000000L).cast("long")
+    val firstHour = events
+      .select(col("user_id"), hourIdx.as("hour_idx"))
+      .groupBy("user_id")
+      .agg(min(col("hour_idx")).as("first_hour"))
+    val perHour = firstHour.groupBy(col("first_hour").as("hour_idx"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("hour_idx").rowsBetween(Window.unboundedPreceding, 0)
+    perHour.withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("hour_idx"), col("new_users"), col("cum_users"))
+  }
+
+  /** ES auto_date_histogram: the caller names a target BUCKET COUNT,
+    * not an interval; the interval is chosen (from a fixed day-grained
+    * ladder) as the smallest that keeps the bucket count within
+    * target. The span probe is a 1-column min/max aggregate (a
+    * column-pruned scan here; through the hbasesim source the same
+    * probe answers from parquet footer statistics with 0 row reads)
+    * and the histogram itself is the usual one-pass map-side agg.
+    * Ladder and rounding are exact integer arithmetic, so the chosen
+    * interval is reproducible on any engine. */
+  def autoDateHistogram(events: DataFrame, targetBuckets: Int): DataFrame = {
+    require(targetBuckets > 0)
+    val dayUs = 86400000000L
+    val span = events.agg(
+      min(Det.tsMicros(col("ts"))).as("lo"), max(Det.tsMicros(col("ts"))).as("hi"))
+      .head()
+    val spanDays = (span.getLong(1) / dayUs) - (span.getLong(0) / dayUs) + 1
+    val ladder = Seq(1L, 7L, 30L, 90L, 365L)
+    val intervalDays = ladder.find(d => spanDays / d + 1 <= targetBuckets)
+      .getOrElse(ladder.last)
+    events
+      .select((Det.dayIdx("ts") / intervalDays).cast("long").as("bucket_idx"))
+      .groupBy("bucket_idx")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("interval_days", lit(intervalDays))
+  }
+
+  /** ES multi_terms aggregation: terms facet over a COMPOUND key
+    * (every combination of the component fields), ordered by doc count
+    * with the key as tie-break, top-k. One map-side-combinable hash
+    * agg on the compound key; the top-k sorts buckets, not rows. */
+  def multiTerms(events: DataFrame, k: Int): DataFrame =
+    events
+      .select(col("event_type"), (col("user_id") % 10).as("user_mod"),
+        col("value"))
+      .groupBy("event_type", "user_mod")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("n").desc, col("event_type"), col("user_mod"))
+      .limit(k)
+
   /** ES filters aggregation: N named predicate buckets computed in ONE
     * scan via conditional aggregation, then unpivoted to (bucket, n,
     * sum_value) rows. No per-filter pass, no shuffle beyond the single

@@ -281,6 +281,56 @@ class EsAggsSpec extends SparkSpec {
     assert(got.toSeq == want && got.length == 10)
   }
 
+  test("statsBucket + serialDiff reduce the same day histogram the naive way") {
+    val ev = Tables.events(spark, sfDir)
+    val rows = ev.select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getDouble(1)))
+    val byDay = rows.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(x => money(x._2)).sum)).toMap
+    val sums = byDay.values.map(_._2).toSeq
+    val sb = Analytics.statsBucket(ev).head()
+    assert(sb.getLong(0) == byDay.size.toLong)
+    assert(sb.getDouble(1) == sums.min.toDouble && sb.getDouble(2) == sums.max.toDouble)
+    assert(sb.getDouble(3) == sums.sum.toDouble)
+    assert(sb.getDouble(4) == sums.sum.toDouble / byDay.size)
+
+    val sd = Analytics.serialDiff(ev, 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ordered = byDay.toSeq.sortBy(_._1)
+    ordered.zipWithIndex.foreach { case ((d, (_, s)), i) =>
+      val want = if (i < 7) 0.0 else (s - ordered(i - 7)._2._2).toDouble
+      assert(sd(d) == want, s"day $d: got ${sd(d)} want $want")
+    }
+  }
+
+  test("cumulativeCardinality equals per-bucket distinct recomputation") {
+    val ev = Tables.events(spark, sfDir)
+    val rows = ev.select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 3600000000L))
+    val got = Analytics.cumulativeCardinality(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hours = got.map(_._1)
+    assert(hours.toSeq == hours.sorted.toSeq)
+    assert(got.length > 5, "hourly buckets must give a non-trivial series")
+    got.foreach { case (h, newU, cumU) =>
+      // the naive definition: distinct users at-or-before hour h
+      assert(cumU == rows.filter(_._2 <= h).map(_._1).distinct.length.toLong)
+      assert(newU == rows.groupBy(_._1).values.count(_.map(_._2).min == h).toLong)
+    }
+  }
+
+  test("autoDateHistogram picks the ladder interval fitting the target") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.autoDateHistogram(ev, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val interval = got.head._3
+    assert(got.forall(_._3 == interval))
+    assert(got.length <= 10, s"bucket count ${got.length} exceeds target")
+    // the ~31-day span fits 10 buckets only at the 7-day rung
+    assert(interval == 7L)
+    assert(got.map(_._2).sum == ev.count())
+  }
+
   test("samplerAgg sub-aggregates exactly the top-n sample") {
     val ev = Tables.events(spark, sfDir)
     val n = 500
