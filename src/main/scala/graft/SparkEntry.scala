@@ -228,6 +228,20 @@ object SparkEntry {
     "q_numeric_histogram" -> ((s, dir) =>
       operators.Analytics.numericHistogram(Tables.events(s, dir), 10.0)),
 
+    // bounds [-50, 650] at width 25 → buckets -2..26; values span 0-560
+    // so the negative and >560 buckets exercise min_doc_count=0
+    "q_histogram_bounds" -> ((s, dir) =>
+      operators.Analytics.histogramBounds(Tables.events(s, dir), 25.0, -50.0, 650.0)),
+
+    "q_boxplot" -> ((s, dir) =>
+      operators.Analytics.boxplot(Tables.events(s, dir))),
+
+    "q_mad" -> ((s, dir) =>
+      operators.Analytics.medianAbsDeviation(Tables.events(s, dir))),
+
+    "q_string_stats" -> ((s, dir) =>
+      operators.Analytics.stringStats(Tables.events(s, dir))),
+
     "q_percentile_facet" -> ((s, dir) =>
       operators.Analytics.percentileFacet(Tables.events(s, dir), Seq(0.5, 0.9, 0.99))),
 
@@ -764,6 +778,47 @@ object SparkEntry {
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_histogram_bounds" ->
+      """WITH agg AS (
+        |  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1),
+        |frame AS (SELECT unnest(range(-2, 27)) AS bucket)
+        |SELECT bucket, coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
+        |FROM frame FULL OUTER JOIN agg USING (bucket)""".stripMargin,
+
+    "q_boxplot" ->
+      """WITH t AS (SELECT event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
+        |SELECT event_type, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+        |  max(CASE WHEN rn = ceil(0.25 * n) THEN value END) AS q1,
+        |  max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS median,
+        |  max(CASE WHEN rn = ceil(0.75 * n) THEN value END) AS q3,
+        |  max(CASE WHEN rn = ceil(0.75 * n) THEN value END)
+        |    - max(CASE WHEN rn = ceil(0.25 * n) THEN value END) AS iqr
+        |FROM t GROUP BY event_type""".stripMargin,
+
+    "q_mad" ->
+      """WITH t AS (SELECT event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM events),
+        |m AS (SELECT *, max(CASE WHEN rn = ceil(0.5 * n) THEN value END)
+        |                  OVER (PARTITION BY event_type) AS med FROM t),
+        |d AS (SELECT event_type, n, med, abs(value - med) AS dev,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY abs(value - med), event_id) AS drn
+        |  FROM m)
+        |SELECT event_type, count(*) AS n, max(med) AS median_value,
+        |       max(CASE WHEN drn = ceil(0.5 * n) THEN dev END) AS mad
+        |FROM d GROUP BY event_type""".stripMargin,
+
+    "q_string_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       min(length(props)) AS min_len, max(length(props)) AS max_len,
+        |       CAST(sum(length(props)) AS BIGINT) AS sum_len,
+        |       CAST(sum(length(props)) AS DOUBLE) / count(*) AS avg_len
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_percentile_facet" ->
       """WITH t AS (SELECT event_type, value, event_id,

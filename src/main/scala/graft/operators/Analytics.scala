@@ -763,6 +763,93 @@ object Analytics {
       .select(col("cell.key").as("key"), col("cell.n").as("n"))
   }
 
+  /** ES histogram with `extended_bounds` + `min_doc_count: 0`: fixed-
+    * width value buckets where EVERY bucket between the explicit bounds
+    * is emitted, zero-count ones included (the numeric-histogram twin
+    * of [[rangeFacet]]'s zero-bucket contract; the plain histogram
+    * [[numericHistogram]] emits only non-empty buckets). The bucket
+    * frame is a literal sequence the aggregated rows left-join onto —
+    * the data side stays one map-side-combinable agg; data falling
+    * outside the bounds still aggregates into its own bucket, per ES
+    * (extended_bounds only EXTENDS the emitted range). */
+  def histogramBounds(events: DataFrame, width: Double,
+                      boundLo: Double, boundHi: Double): DataFrame = {
+    require(width > 0 && boundLo <= boundHi)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val loIdx = math.floor(boundLo / width).toLong
+    val hiIdx = math.floor(boundHi / width).toLong
+    val agg = events
+      .groupBy(floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+    val frame = (loIdx to hiIdx).toDF("bucket")
+    frame.join(agg, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** ES boxplot aggregation, exact form: min / q1 / median / q3 / max
+    * per bucket from rank-selected values (value at row ceil(p·n) in
+    * (value, id) order — the same discrete percentile contract as
+    * [[percentileFacet]]; no interpolation, no t-digest). One shuffle
+    * on the group key; the three quartiles come out of ONE windowed
+    * pass via conditional aggregation over the rank-flagged rows. */
+  def boxplot(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("value")))
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        pick(0.25).as("q1"), pick(0.5).as("median"), pick(0.75).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+  }
+
+  /** ES median_absolute_deviation, exact form: MAD = median(|x − m|)
+    * with m = median(x), both medians the discrete rank-selected kind
+    * (deterministic under ties via the id tie-break; ES's own version
+    * is t-digest-approximate — the exact form is the oracle-able
+    * contract). Two windowed passes over the same group partitioning:
+    * medians, then deviation ranks. The |x − m| subtraction is a
+    * single IEEE op both engines round identically. */
+  def medianAbsDeviation(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val w1 = byType.orderBy(col("value"), col("event_id"))
+    val med = events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("m", max(when(col("rn") === ceil(lit(0.5) * col("n")),
+        col("value"))).over(byType))
+    val w2 = byType.orderBy(abs(col("value") - col("m")), col("event_id"))
+    med
+      .withColumn("dev", abs(col("value") - col("m")))
+      .withColumn("drn", row_number().over(w2))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("m")).as("median_value"),
+        max(when(col("drn") === ceil(lit(0.5) * col("n")), col("dev"))).as("mad"))
+  }
+
+  /** ES string_stats: count / min / max / avg length over a string
+    * field per bucket (the Shannon-entropy member of ES's version is
+    * intentionally omitted: it needs ln(), which is not correctly-
+    * rounded across libms, so no exact cross-engine oracle exists).
+    * One map-side-combinable agg; lengths are exact integers, avg is
+    * the single double division. */
+  def stringStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), length(col("props")).cast("long").as("len"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("avg_len", col("sum_len").cast("double") / col("n"))
+
   /** ES sampler aggregation: restrict sub-aggregations to the top-`n`
     * highest-"scoring" documents (score here = the deterministic
     * (value desc, event_id) order — ES uses query relevance; the

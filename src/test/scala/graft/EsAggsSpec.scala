@@ -281,6 +281,44 @@ class EsAggsSpec extends SparkSpec {
     assert(got.toSeq == want && got.length == 10)
   }
 
+  test("histogramBounds emits every bucket in the bounds incl. zero-count") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.histogramBounds(ev, 25.0, -50.0, 650.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = ev.select("value").collect().map(_.getDouble(0))
+    val byBucket = rows.groupBy(v => math.floor(v / 25.0).toLong)
+    (-2L to 26L).foreach { b =>
+      val g = byBucket.getOrElse(b, Array.empty[Double])
+      val want = (g.length.toLong, g.map(money).sum.toDouble)
+      assert(got(b) == want, s"bucket $b: got ${got(b)} want $want")
+    }
+    assert(got.keySet == (byBucket.keySet ++ (-2L to 26L)))
+    assert(got(-2L)._1 == 0L && got(26L)._1 == 0L, "bound-only buckets are zero")
+  }
+
+  test("boxplot + MAD match the naive rank-selected recompute") {
+    val ev = Tables.events(spark, sfDir)
+    val rows = ev.select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def rankSel(sorted: Seq[Double], p: Double): Double =
+      sorted(math.ceil(p * sorted.size).toInt - 1)
+
+    val box = Analytics.boxplot(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val mad = Analytics.medianAbsDeviation(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val sorted = g.toSeq.sortBy(x => (x._2, x._3)).map(_._2)
+      val (q1, q2, q3) = (rankSel(sorted, 0.25), rankSel(sorted, 0.5), rankSel(sorted, 0.75))
+      assert(box(t) == ((g.length.toLong, sorted.min, sorted.max, q1, q2, q3, q3 - q1)))
+      // MAD: deviations re-ranked with the ORIGINAL id tie-break
+      val devSorted = g.toSeq.map(x => (math.abs(x._2 - q2), x._3))
+        .sortBy(identity).map(_._1)
+      assert(mad(t) == ((g.length.toLong, q2, rankSel(devSorted, 0.5))))
+    }
+  }
+
   test("statsBucket + serialDiff reduce the same day histogram the naive way") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.select(unix_micros(col("ts")), col("value")).collect()
