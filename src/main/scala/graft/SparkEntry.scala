@@ -615,6 +615,20 @@ object SparkEntry {
       pipeline.Pipeline.redact(withPii)
     }),
 
+    "pipe_release_manifest" -> ((s, dir) => {
+      // the full release chain over the PII-injected corpus (same
+      // id-keyed injection as pipe_redact, so the scrub stage does real
+      // work); benchmark = src0/src1, 4-gram decontamination, quality
+      // gate at 0.2 (measured: keeps ~70% at every SF)
+      val docs = Tables.documents(s, dir)
+      val withPii = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309 today")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" ssn 123-45-6789 on file")).otherwise(lit(""))))
+      pipeline.Pipeline.releaseManifest(withPii, Seq("src0", "src1"), 4, 0.2)
+    }),
+
     "pipe_weighted_mix" -> ((s, dir) => {
       val up = Seq("src0", "src1", "src2", "src3", "src4")
       val keep = Seq("src5", "src6", "src7", "src8", "src9")
@@ -1277,6 +1291,51 @@ object SparkEntry {
            |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
            |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g') AS redacted
            |FROM p""".stripMargin,
+
+    "pipe_release_manifest" ->
+      raw"""WITH p AS (SELECT doc_id, source,
+           |  text || CASE WHEN doc_id % 7 = 0
+           |               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |               ELSE '' END
+           |       || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today' ELSE '' END
+           |       || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END AS text
+           |  FROM documents),
+           |corpus AS (SELECT * FROM p WHERE source NOT IN ('src0', 'src1')),
+           |fp AS (SELECT doc_id, source, text,
+           |         md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS f
+           |       FROM corpus),
+           |keep AS (SELECT doc_id, source, text FROM fp
+           |         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
+           |q AS (SELECT doc_id, source, text,
+           |        CAST(length(text) AS BIGINT) AS n_chars,
+           |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+           |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS stop_hits,
+           |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct_hits
+           |      FROM keep),
+           |scored AS (SELECT doc_id, source, text, n_tokens,
+           |        least(1.0, n_tokens / 100.0) * (1.0 - CAST(punct_hits AS DOUBLE) / n_chars)
+           |          * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)) AS quality_score
+           |      FROM q),
+           |flt AS (SELECT * FROM scored WHERE quality_score >= 0.2),
+           |w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM p),
+           |raw AS (SELECT doc_id, source,
+           |        unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+           |                              i -> array_to_string(words[i:i+3], ' '))) AS gram
+           |        FROM w),
+           |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
+           |b AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+           |bad AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram)
+           |        WHERE source NOT IN ('src0', 'src1')),
+           |clean AS (SELECT * FROM flt WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+           |SELECT doc_id, source, n_tokens AS n_tok, quality_score,
+           |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+           |     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+           |     + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_redacted,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+           |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+           |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g')) AS redacted_md5
+           |FROM clean""".stripMargin,
 
     "q_salted_join" ->
       """SELECT event_id, user_id, c_name, value

@@ -112,6 +112,55 @@ object Pipeline {
       .drop("__w_full", "__band")
   }
 
+  /** The full corpus-release chain, composed from the library's own
+    * stages — what a user of this engine actually runs before shipping
+    * a training corpus:
+    *
+    *  1. near-dup removal — keep the smallest doc_id per
+    *     [[graft.text.TextOps.fingerprintCol]] (one hash shuffle on
+    *     the fingerprint);
+    *  2. quality gate — drop docs scoring under `minQuality`
+    *     ([[graft.text.TextOps.quality]] metrics, narrow);
+    *  3. benchmark decontamination — drop docs sharing a word `n`-gram
+    *     with the benchmark sources ([[decontaminate]]'s broadcast
+    *     shape, applied as an anti-join on the flagged ids);
+    *  4. PII scrub — [[piiClasses]] counts + redaction, narrow;
+    *  5. emit the release MANIFEST: (doc_id, source, n_tok,
+    *     quality_score, n_redacted, redacted_md5) — the audit record a
+    *     release pipeline persists beside the cleaned shards.
+    *
+    * Every stage is deterministic, so the manifest is reproducible on
+    * any engine — the property a release audit needs. Scale shape: two
+    * corpus-sized hash shuffles total (fingerprint dedup; the
+    * decontaminate flag set), everything else narrow; a production run
+    * materializes each stage's output as a table instead of fusing,
+    * but the per-stage plans are exactly these. */
+  def releaseManifest(docs: DataFrame, benchmarkSources: Seq[String], n: Int,
+      minQuality: Double): DataFrame = {
+    import graft.text.TextOps
+    val corpus = docs.filter(!col("source").isin(benchmarkSources: _*))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    val keepers = corpus
+      .withColumn("fingerprint", TextOps.fingerprintCol(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("fingerprint", "keeper")
+    val scored = TextOps.quality(keepers, keep = Seq("source", "text"))
+      .filter(col("quality_score") >= minQuality)
+    val contaminated = decontaminate(docs, benchmarkSources, n).select("doc_id")
+    val clean = scored.join(contaminated, Seq("doc_id"), "left_anti")
+    val counts = piiClasses.map { case (_, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    }
+    val redacted = piiClasses.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    clean.select(col("doc_id"), col("source"),
+      col("n_tokens").as("n_tok"), col("quality_score"),
+      counts.reduce(_ + _).as("n_redacted"),
+      md5(redacted).as("redacted_md5"))
+  }
+
   /** Token-budget sequence packing (concat-stream form): documents are
     * concatenated in doc_id order and the stream is cut every `budget`
     * tokens; a doc's bin is the bin its first token lands in. This is

@@ -37,15 +37,18 @@ object TextOps {
       ceil(length(col("text")) / lit(4.0)).cast("long").as("est_bpe_tokens"))
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
-    * token length, and a composite score in [0,1]. */
-  def quality(docs: DataFrame): DataFrame = {
+    * token length, and a composite score in [0,1]. `keep` carries extra
+    * columns through (e.g. source/text for a downstream pipeline
+    * stage). */
+  def quality(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val nChars = length(col("text")).cast("long")
     val nTokens = size(split(col("text"), "\\s+")).cast("long")
     val stop = hits(col("text"), "\\b(the|a|and|of|to|in|is|for|on|with)\\b")
     val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
     val alpha = length(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).cast("long")
-    docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
-        stop.as("stop_hits"), punct.as("punct_hits"), alpha.as("n_alnum"))
+    docs.select(col("doc_id") +: (keep.map(col) ++ Seq(
+        nChars.as("n_chars"), nTokens.as("n_tokens"),
+        stop.as("stop_hits"), punct.as("punct_hits"), alpha.as("n_alnum"))): _*)
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
       .withColumn("punct_ratio", col("punct_hits").cast("double") / col("n_chars"))
       .withColumn("mean_token_len", col("n_alnum").cast("double") / col("n_tokens"))

@@ -58,6 +58,33 @@ class PipelineSpec extends SparkSpec {
     assert(again.filter(col("n_emails") + col("n_phones") + col("n_ids") > 0).isEmpty)
   }
 
+  test("releaseManifest: every stage fires on a crafted corpus") {
+    val spark2 = spark; import spark2.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val t2 = "a solid piece of writing with the usual words and a few more tokens to pass the gate"
+    val t3 = "with the usual words and a few more tokens to pass the gate a solid piece of writing"
+    val t4 = "the quick brown fox jumps over the lazy dog and keeps running for a while today"
+    val t6 = "please reach me at someone@example.org for more of the details and thanks"
+    val docs = Seq(
+      (1L, "bench", "the quick brown fox jumps over things"),
+      (2L, "web", t2),                  // kept
+      (3L, "web", t3),                  // same token set as 2 → deduped
+      (4L, "web", t4),                  // shares a 4-gram with bench → dropped
+      (5L, "web", "!!! ??? ***"),       // junk → quality-gated
+      (6L, "web", t6)                   // kept, 1 email redacted
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.releaseManifest(docs, Seq("bench"), 4, 0.05).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(4),
+        r.getString(5)))).toMap
+    assert(got.keySet == Set(2L, 6L),
+      s"expected exactly docs 2 and 6 to survive, got ${got.keySet}")
+    assert(got(2L) == (("web", t2.split("\\s+").length.toLong, 0L, md5hex(t2))))
+    val t6Redacted = t6.replace("someone@example.org", "[EMAIL]")
+    assert(got(6L) == (("web", t6.split("\\s+").length.toLong, 1L, md5hex(t6Redacted))))
+  }
+
   test("weightedMix epochs: full copies always, fractional copy by hash band") {
     val spark2 = spark; import spark2.implicits._
     val docs = (0L until 400L).map(i =>
