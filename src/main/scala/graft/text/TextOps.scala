@@ -44,7 +44,12 @@ object TextOps {
     val nChars = length(col("text")).cast("long")
     val nTokens = size(split(col("text"), "\\s+")).cast("long")
     val stop = hits(col("text"), "\\b(the|a|and|of|to|in|is|for|on|with)\\b")
-    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+    // punct chars are single-char matches, so "chars removed by the
+    // class-stripping replace" counts them exactly — same number as the
+    // regexp_extract_all form, without materializing a per-match array
+    // (this operator was the one standing ×10 residual; see SCALING.md)
+    val punct = (nChars -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("long")
     val alpha = length(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).cast("long")
     docs.select(col("doc_id") +: (keep.map(col) ++ Seq(
         nChars.as("n_chars"), nTokens.as("n_tokens"),
