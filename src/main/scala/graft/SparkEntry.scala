@@ -245,6 +245,21 @@ object SparkEntry {
     "q_percentile_facet" -> ((s, dir) =>
       operators.Analytics.percentileFacet(Tables.events(s, dir), Seq(0.5, 0.9, 0.99))),
 
+    // the 100 TB twins of the exact-percentile family: same discrete
+    // rank contract — bit-identical results, the SAME oracle SQL drives
+    // both — but two-pass histogram-CDF rank-select instead of the
+    // window forms' full-corpus sort onto 5 reducers (Percentiles
+    // scaladoc has the shape)
+    "q_percentile_facet_dist" -> ((s, dir) =>
+      operators.Percentiles.percentileFacetDist(Tables.events(s, dir),
+        Seq(0.5, 0.9, 0.99))),
+
+    "q_boxplot_dist" -> ((s, dir) =>
+      operators.Percentiles.boxplotDist(Tables.events(s, dir))),
+
+    "q_mad_dist" -> ((s, dir) =>
+      operators.Percentiles.madDist(Tables.events(s, dir))),
+
     "q_cardinality" -> ((s, dir) =>
       operators.Analytics.cardinality(Tables.events(s, dir), "event_type", "user_id")),
 
@@ -656,6 +671,42 @@ object SparkEntry {
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
+  // shared by the exact window forms AND their _dist rank-select twins:
+  // the discrete ceil(p·n) percentile contract is engine-shape-agnostic,
+  // so one oracle text verifies both plans bit-for-bit
+  private val percentileFacetSql =
+    """WITH t AS (SELECT event_type, value, event_id,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
+      |SELECT event_type, p, value AS pct_value, n
+      |FROM t CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps
+      |WHERE rn = ceil(p * n)""".stripMargin
+
+  private val boxplotSql =
+    """WITH t AS (SELECT event_type, value, event_id,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
+      |SELECT event_type, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+      |  max(CASE WHEN rn = ceil(0.25 * n) THEN value END) AS q1,
+      |  max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS median,
+      |  max(CASE WHEN rn = ceil(0.75 * n) THEN value END) AS q3,
+      |  max(CASE WHEN rn = ceil(0.75 * n) THEN value END)
+      |    - max(CASE WHEN rn = ceil(0.25 * n) THEN value END) AS iqr
+      |FROM t GROUP BY event_type""".stripMargin
+
+  private val madSql =
+    """WITH t AS (SELECT event_type, value, event_id,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n FROM events),
+      |m AS (SELECT *, max(CASE WHEN rn = ceil(0.5 * n) THEN value END)
+      |                  OVER (PARTITION BY event_type) AS med FROM t),
+      |d AS (SELECT event_type, n, med, abs(value - med) AS dev,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY abs(value - med), event_id) AS drn
+      |  FROM m)
+      |SELECT event_type, count(*) AS n, max(med) AS median_value,
+      |       max(CASE WHEN drn = ceil(0.5 * n) THEN dev END) AS mad
+      |FROM d GROUP BY event_type""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // ----- analytics -----
@@ -802,30 +853,11 @@ object SparkEntry {
         |SELECT bucket, coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
         |FROM frame FULL OUTER JOIN agg USING (bucket)""".stripMargin,
 
-    "q_boxplot" ->
-      """WITH t AS (SELECT event_type, value, event_id,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-        |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
-        |SELECT event_type, count(*) AS n, min(value) AS min_value, max(value) AS max_value,
-        |  max(CASE WHEN rn = ceil(0.25 * n) THEN value END) AS q1,
-        |  max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS median,
-        |  max(CASE WHEN rn = ceil(0.75 * n) THEN value END) AS q3,
-        |  max(CASE WHEN rn = ceil(0.75 * n) THEN value END)
-        |    - max(CASE WHEN rn = ceil(0.25 * n) THEN value END) AS iqr
-        |FROM t GROUP BY event_type""".stripMargin,
+    "q_boxplot" -> boxplotSql,
+    "q_boxplot_dist" -> boxplotSql,
 
-    "q_mad" ->
-      """WITH t AS (SELECT event_type, value, event_id,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-        |  count(*) OVER (PARTITION BY event_type) AS n FROM events),
-        |m AS (SELECT *, max(CASE WHEN rn = ceil(0.5 * n) THEN value END)
-        |                  OVER (PARTITION BY event_type) AS med FROM t),
-        |d AS (SELECT event_type, n, med, abs(value - med) AS dev,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY abs(value - med), event_id) AS drn
-        |  FROM m)
-        |SELECT event_type, count(*) AS n, max(med) AS median_value,
-        |       max(CASE WHEN drn = ceil(0.5 * n) THEN dev END) AS mad
-        |FROM d GROUP BY event_type""".stripMargin,
+    "q_mad" -> madSql,
+    "q_mad_dist" -> madSql,
 
     "q_string_stats" ->
       """SELECT event_type, count(*) AS n,
@@ -834,13 +866,8 @@ object SparkEntry {
         |       CAST(sum(length(props)) AS DOUBLE) / count(*) AS avg_len
         |FROM events GROUP BY event_type""".stripMargin,
 
-    "q_percentile_facet" ->
-      """WITH t AS (SELECT event_type, value, event_id,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-        |  count(*) OVER (PARTITION BY event_type) AS n FROM events)
-        |SELECT event_type, p, value AS pct_value, n
-        |FROM t CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS p) ps
-        |WHERE rn = ceil(p * n)""".stripMargin,
+    "q_percentile_facet" -> percentileFacetSql,
+    "q_percentile_facet_dist" -> percentileFacetSql,
 
     "q_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct, count(*) AS n_events

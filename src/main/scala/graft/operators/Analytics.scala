@@ -529,7 +529,10 @@ object Analytics {
     * distinct count, and nothing beyond the per-user agg ever touches
     * data scale. */
   def cumulativeCardinality(events: DataFrame): DataFrame = {
-    val hourIdx = (Det.tsMicros(col("ts")) / 3600000000L).cast("long")
+    // exact integer div (the Det.dayIdx pattern): float `/` + cast
+    // truncates toward zero, diverging from the oracle's floor `//` for
+    // pre-1970 timestamps
+    val hourIdx = expr("unix_micros(ts) div 3600000000")
     val firstHour = events
       .select(col("user_id"), hourIdx.as("hour_idx"))
       .groupBy("user_id")
@@ -556,15 +559,26 @@ object Analytics {
     val span = events.agg(
       min(Det.tsMicros(col("ts"))).as("lo"), max(Det.tsMicros(col("ts"))).as("hi"))
       .head()
-    val spanDays = (span.getLong(1) / dayUs) - (span.getLong(0) / dayUs) + 1
-    val ladder = Seq(1L, 7L, 30L, 90L, 365L)
-    val intervalDays = ladder.find(d => spanDays / d + 1 <= targetBuckets)
-      .getOrElse(ladder.last)
-    events
-      .select((Det.dayIdx("ts") / intervalDays).cast("long").as("bucket_idx"))
-      .groupBy("bucket_idx")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("interval_days", lit(intervalDays))
+    // an empty table aggregates to a (null, null) row — degrade to the
+    // empty histogram instead of an NPE in getLong
+    if (span.isNullAt(0))
+      events.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bucket_idx"), lit(0L).as("n"),
+          lit(0L).as("interval_days"))
+    else {
+      val spanDays = (span.getLong(1) / dayUs) - (span.getLong(0) / dayUs) + 1
+      val ladder = Seq(1L, 7L, 30L, 90L, 365L)
+      val intervalDays = ladder.find(d => spanDays / d + 1 <= targetBuckets)
+        .getOrElse(ladder.last)
+      events
+        // exact integer div end-to-end (Det.dayIdx pattern): float `/` +
+        // cast truncates toward zero vs the oracle's floor `//`
+        .select(expr(s"(unix_micros(ts) div 86400000000) div $intervalDays")
+          .as("bucket_idx"))
+        .groupBy("bucket_idx")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("interval_days", lit(intervalDays))
+    }
   }
 
   /** ES multi_terms aggregation: terms facet over a COMPOUND key
