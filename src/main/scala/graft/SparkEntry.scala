@@ -529,15 +529,17 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDup(Tables.embeddings(s, dir), 0.4)),
 
-    // τ=0.45: inside sign-LSH's workable band AND inside the data's
-    // similarity range (max pairwise cosine is ~0.51 at sf0.01, ~0.60
-    // at sf0.1 — τ=0.6 returned the empty set at every verify SF,
-    // making the rows-only check vacuous; τ=0.4 slams the auto-sizer
-    // into its table cap and belongs to the IVF twin below). The wired
-    // regime is spec-exercised end-to-end in NewOpsSpec (subset of
-    // exact + recall + non-empty at this τ).
+    // τ=0.45: inside the data's similarity range (max pairwise cosine
+    // is ~0.51 at sf0.01, ~0.60 at sf0.1 — τ=0.6 returned the empty
+    // set at every verify SF, making the rows-only check vacuous).
+    // Routed through the τ-dispatcher: at τ ≤ 0.5 sign-LSH is weakly
+    // selective and its ×10 ratio measured 37× (SCALING.md round 7),
+    // so this wiring rides the IVF candidate generator; the LSH
+    // generator remains the high-τ branch, spec-exercised end-to-end
+    // in NewOpsSpec (subset of exact + recall + non-empty at this τ,
+    // plus dispatcher branch-equivalence).
     "dedup_embedding_lsh" -> ((s, dir) =>
-      dedup.Dedup.embeddingNearDupLsh(Tables.embeddings(s, dir), 0.45)),
+      dedup.Dedup.embeddingNearDupAuto(Tables.embeddings(s, dir), 0.45)),
 
     "dedup_embedding_ivf" -> ((s, dir) =>
       dedup.Dedup.embeddingNearDupIvf(Tables.embeddings(s, dir), 0.4)),

@@ -290,6 +290,23 @@ object Dedup {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** τ-dispatching embedding near-dup — the production entry point.
+    * Sign-LSH's selectivity is intrinsically weak at low τ (the
+    * sign-agreement probability p = 1 − acos(τ)/π → 0.5 as τ → 0, so
+    * once the auto-sizer grows nbits with the corpus, per-table recall
+    * p^nbits collapses and the sizer compensates with table count —
+    * measured 37× at ×10 data for the τ=0.45 wiring). IVF keeps
+    * candidate work pinned (occupancy ~targetListSize·nprobe, list
+    * count ∝ √n) at ANY τ, so low τ routes there; LSH stays the
+    * high-τ path, where few bits are selective and the band build is
+    * cheaper than Lloyd rounds. Both branches confirm exact cosine
+    * ≥ τ inside the join stage, so the DISPATCH cannot change which
+    * pairs are *eligible* — only which candidates are generated
+    * (branch-equivalence spec in `NewOpsSpec`). */
+  def embeddingNearDupAuto(emb: DataFrame, tau: Double): DataFrame =
+    if (tau <= 0.5) embeddingNearDupIvf(emb, tau)
+    else embeddingNearDupLsh(emb, tau)
+
   /** Embedding-cosine near-dup pairs at or above `tau` — the exact
     * baseline (oracle-checkable). This compares all id-ordered pairs; at
     * 100 TB the same cosine_sim re-rank runs over LSH-bucketed candidates

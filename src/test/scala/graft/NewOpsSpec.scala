@@ -89,6 +89,19 @@ class NewOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall (${ivf.size}/${exact.size})")
   }
 
+  test("embeddingNearDupAuto dispatches τ≤0.5 to IVF and high τ to LSH") {
+    import graft.dedup.Dedup
+    val emb = Tables.embeddings(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the wired low-τ regime must ride the IVF candidate generator
+    assert(pairs(Dedup.embeddingNearDupAuto(emb, 0.45)) ===
+      pairs(Dedup.embeddingNearDupIvf(emb, 0.45)))
+    // high τ stays on the sign-LSH generator
+    assert(pairs(Dedup.embeddingNearDupAuto(emb, 0.55)) ===
+      pairs(Dedup.embeddingNearDupLsh(emb, 0.55)))
+  }
+
   test("supplierTopKAgg matches the window-rank form") {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, sfDir)
