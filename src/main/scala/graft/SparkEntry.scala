@@ -493,6 +493,11 @@ object SparkEntry {
     "text_phrase_match" -> ((s, dir) =>
       text.TextOps.phraseMatch(Tables.documents(s, dir), "hash join", 25)),
 
+    // slop=2 genuinely binds: 64-77 docs match vs 24-27 at exact
+    // adjacency (measured), and k=25 truncates for real at every SF
+    "text_phrase_slop" -> ((s, dir) =>
+      text.TextOps.phraseMatchSlop(Tables.documents(s, dir), "hash", "join", 2, 25)),
+
     "text_langid_eval" -> ((s, dir) =>
       text.TextOps.langIdEval(Tables.documents(s, dir))),
 
@@ -1384,6 +1389,19 @@ object SparkEntry {
         |    CAST((length(lower(text)) - length(replace(lower(text), 'hash join', ''))) // 9 AS BIGINT) AS n_occurrences
         |  FROM documents) t
         |WHERE n_occurrences > 0 ORDER BY n_occurrences DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_phrase_slop" ->
+      raw"""WITH tk AS (SELECT doc_id,
+           |    unnest(string_split_regex(lower(text), '\s+')) AS t,
+           |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |pa AS (SELECT doc_id, i FROM tk WHERE t = 'hash'),
+           |pb AS (SELECT doc_id, i FROM tk WHERE t = 'join')
+           |SELECT pa.doc_id, count(*) AS n_matches
+           |FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+           |WHERE pb.i > pa.i AND pb.i - pa.i - 1 <= 2
+           |GROUP BY pa.doc_id
+           |ORDER BY n_matches DESC, pa.doc_id LIMIT 25""".stripMargin,
 
     "text_wildcard_search" ->
       raw"""SELECT doc_id, n_matches FROM (

@@ -340,6 +340,33 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES match_phrase with slop / span_near(in_order=true): docs where
+    * `term1` is followed by `term2` with at most `slop` intervening
+    * tokens, scored by the count of qualifying (i, j) position pairs
+    * (deterministic and engine-agnostic, unlike ES's move-count
+    * proximity boost). Positions come from a transform-with-index over
+    * the token array (1-based, mirroring the oracle's
+    * generate_subscripts); the pair count is a nested array fold —
+    * all narrow codegen'd column work that fuses into the scan, no
+    * explode, no join, no shuffle below the final top-k. */
+  def phraseMatchSlop(docs: DataFrame, term1: String, term2: String,
+      slop: Int, k: Int): DataFrame = {
+    require(slop >= 0, "slop must be non-negative")
+    val toks = split(lower(col("text")), "\\s+")
+    def positions(term: String) =
+      filter(transform(toks, (t, i) => when(t === term, i + 1).otherwise(-1)),
+        p => p > 0)
+    docs
+      .select(col("doc_id"), positions(term1).as("p1"), positions(term2).as("p2"))
+      .select(col("doc_id"),
+        aggregate(col("p1"), lit(0L), (acc, i) =>
+          acc + size(filter(col("p2"), j => j > i && j - i - 1 <= slop)).cast("long"))
+          .as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Confusion matrix of predicted vs ground-truth language — the
     * eval loop a pipeline runs after changing the classifier. Single
     * pass + one tiny agg; no join (the truth label rides along). */

@@ -503,4 +503,25 @@ class EsAggsSpec extends SparkSpec {
     // the chosen term must exercise a genuinely fuzzy (non-exact) match
     assert(toks.values.flatten.exists(t => t != "row" && lev(t, "row") <= 2))
   }
+
+  test("phraseMatchSlop matches a naive position scan; slop widens beyond adjacency") {
+    val docs = Tables.documents(spark, sfDir)
+    // positions must NOT drop empty tokens (that would shift indices);
+    // trailing empties never match a term, so Java split's default
+    // trailing-trim is position-equivalent to Spark's limit=-1 split
+    val want = docs.select("doc_id", "text").collect().map { r =>
+      val ts = r.getString(1).toLowerCase.split("\\s+")
+      val p1 = ts.zipWithIndex.collect { case (t, i) if t == "hash" => i + 1 }
+      val p2 = ts.zipWithIndex.collect { case (t, i) if t == "join" => i + 1 }
+      val n = p1.map(i => p2.count(j => j > i && j - i - 1 <= 2)).sum.toLong
+      (r.getLong(0), n)
+    }.filter(_._2 > 0).sortBy(x => (-x._2, x._1)).take(25).toSeq
+    val got = TextOps.phraseMatchSlop(docs, "hash", "join", 2, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // the slop parameter must genuinely bind on the spec corpus
+    val adjacent = TextOps.phraseMatchSlop(docs, "hash", "join", 0, 10000).count()
+    val sloppy = TextOps.phraseMatchSlop(docs, "hash", "join", 2, 10000).count()
+    assert(sloppy > adjacent, s"slop=2 ($sloppy docs) must widen slop=0 ($adjacent)")
+  }
 }
