@@ -339,6 +339,11 @@ object SparkEntry {
     "q_top_hits" -> ((s, dir) =>
       operators.Analytics.topHits(Tables.events(s, dir), 3)),
 
+    // 150 users at every SF → 20 collapsed groups truncate for real;
+    // 3 inner hits each → 60 rows
+    "q_field_collapse" -> ((s, dir) =>
+      operators.Analytics.fieldCollapse(Tables.events(s, dir), 20, 3)),
+
     "q_extended_stats" -> ((s, dir) =>
       operators.Analytics.extendedStats(Tables.events(s, dir))),
 
@@ -1069,6 +1074,18 @@ object SparkEntry {
         |           ORDER BY value DESC, event_id) AS INT) AS rank,
         |       event_id, epoch_us(ts) AS ts_us, user_id, value
         |FROM events QUALIFY rank <= 3""".stripMargin,
+
+    "q_field_collapse" ->
+      """WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |        ORDER BY value DESC, event_id) AS INT) AS rank,
+        |    max(value) OVER (PARTITION BY user_id) AS best_value
+        |  FROM events),
+        |g AS (SELECT user_id FROM r WHERE rank = 1
+        |      ORDER BY best_value DESC, user_id LIMIT 20)
+        |SELECT r.user_id, best_value, rank, event_id, ts_us, event_type, value
+        |FROM r JOIN g ON r.user_id = g.user_id
+        |WHERE rank <= 3""".stripMargin,
 
     // same decimal power sums + fixed-order double derivation as Spark
     "q_extended_stats" ->

@@ -902,6 +902,33 @@ object Analytics {
         min(col("event_id")).as("min_id"))
   }
 
+  /** ES field collapse + inner_hits: search results collapsed to one
+    * group per `user_id`, groups ordered by their best hit (value desc,
+    * the collapse-field sort ES applies), top `nGroups` groups kept,
+    * each carrying its `kInner` best documents (the inner_hits) with
+    * full payload. Scale shape is the [[topHits]] pattern twice over:
+    * TopKPairs' map-side combine reduces the corpus to ≤ kInner ids per
+    * (user, partition) — no window sort of the data; the group page is
+    * a TakeOrdered over the (already aggregated) per-user rows; and the
+    * tiny (user, rank, id) frame broadcast-joins the payload back, so
+    * full rows never shuffle. The windowed row_number form is the
+    * oracle and the equivalence case in `EsAggsSpec`. */
+  def fieldCollapse(events: DataFrame, nGroups: Int, kInner: Int): DataFrame = {
+    val groups = events
+      .groupBy("user_id")
+      .agg(graft.functions.TopKPairs.topK(col("value"), col("event_id"), kInner).as("top"))
+      .withColumn("best_value", col("top").getItem(0).getField("score"))
+      .orderBy(col("best_value").desc, col("user_id"))
+      .limit(nGroups)
+    val inner = groups
+      .select(col("user_id"), col("best_value"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("user_id"), col("best_value"), (col("i") + 1).cast("int").as("rank"),
+        col("s.id").as("event_id"))
+    events.join(broadcast(inner), Seq("user_id", "event_id"))
+      .select(col("user_id"), col("best_value"), col("rank"), col("event_id"),
+        Det.tsMicros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+  }
+
   /** ES matrix_stats: pairwise covariance/correlation over numeric
     * fields, from EXACT decimal power sums (n, Σx, Σx², Σxy) — one
     * map-side-combinable aggregation over the fact table, then a

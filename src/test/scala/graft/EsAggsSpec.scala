@@ -504,6 +504,24 @@ class EsAggsSpec extends SparkSpec {
     assert(toks.values.flatten.exists(t => t != "row" && lev(t, "row") <= 2))
   }
 
+  test("fieldCollapse equals the windowed collapse + inner_hits form") {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val r = ev.select(col("user_id"), col("event_id"),
+        graft.util.Det.tsMicros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("best_value", max(col("value")).over(Window.partitionBy("user_id")))
+    val g = r.filter(col("rank") === 1)
+      .orderBy(col("best_value").desc, col("user_id")).limit(20).select("user_id")
+    val want = r.join(g, "user_id").filter(col("rank") <= 3)
+      .select("user_id", "best_value", "rank", "event_id", "ts_us", "event_type", "value")
+      .collect().map(_.toSeq.toVector).toSet
+    val got = Analytics.fieldCollapse(ev, 20, 3).collect()
+      .map(_.toSeq.toVector).toSet
+    assert(got === want)
+    assert(got.size >= 20, "every collapsed group must surface at least its best hit")
+  }
+
   test("phraseMatchSlop matches a naive position scan; slop widens beyond adjacency") {
     val docs = Tables.documents(spark, sfDir)
     // positions must NOT drop empty tokens (that would shift indices);
