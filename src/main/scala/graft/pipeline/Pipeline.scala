@@ -136,15 +136,61 @@ object Pipeline {
     * materializes each stage's output as a table instead of fusing,
     * but the per-stage plans are exactly these. */
   def releaseManifest(docs: DataFrame, benchmarkSources: Seq[String], n: Int,
-      minQuality: Double): DataFrame = {
+      minQuality: Double): DataFrame =
+    manifestTail(docs, fingerprintKeepers(docs, benchmarkSources),
+      benchmarkSources, n, minQuality)
+
+  /** [[releaseManifest]] with a NEAR-dup removal stage — the production
+    * release chain: after the exact-fingerprint dedup, MinHash-LSH
+    * candidates confirmed by exact shingle-Jaccard ≥ `tau` feed the
+    * min-label clustering ([[graft.dedup.Dedup.nearDupClusters]]) and
+    * only each cluster's smallest doc_id survives. A corpus release
+    * prioritizes RECALL (every missed near-dup ships a duplicate
+    * training document), so the banding is 16 bands of 2 slots: a true
+    * 0.8-Jaccard pair escapes with probability (1 − 0.8²)¹⁶ ≈ 1e-7,
+    * at the price of more false candidates for the (exact, in-stage)
+    * confirm to reject — the right side of the trade at release time,
+    * and still a bucketed equi-join, never all-pairs. Every stage is
+    * deterministic, so the manifest stays reproducible on any engine;
+    * the oracle replays the confirmed-pair set as all-pairs Jaccard
+    * over the fingerprint keepers (`PipelineSpec` asserts the LSH
+    * candidate set loses nothing vs all-pairs at this banding). */
+  def releaseManifestV2(docs: DataFrame, benchmarkSources: Seq[String], n: Int,
+      minQuality: Double, tau: Double = 0.8): DataFrame = {
+    import graft.dedup.{Dedup, MinHash}
+    val fpKeepers = fingerprintKeepers(docs, benchmarkSources)
+      .persist() // feeds the pair join, the label join, and the tail
+    val pairs = MinHash.nearDupPairs(fpKeepers, n = 3, numHashes = 32,
+      bands = 16, tau = tau)
+    val labels = Dedup.nearDupClusters(pairs).withColumnRenamed("id", "doc_id")
+    val keepers = fpKeepers.join(labels, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("cluster")
+    manifestTail(docs, keepers, benchmarkSources, n, minQuality)
+  }
+
+  /** Stage 1 of the release chain: drop benchmark sources, keep the
+    * smallest doc_id per token-set fingerprint (one hash shuffle). */
+  private def fingerprintKeepers(docs: DataFrame,
+      benchmarkSources: Seq[String]): DataFrame = {
     import graft.text.TextOps
     val corpus = docs.filter(!col("source").isin(benchmarkSources: _*))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    val keepers = corpus
+    corpus
       .withColumn("fingerprint", TextOps.fingerprintCol(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keeper"))
       .drop("fingerprint", "keeper")
+  }
+
+  /** Stages 2-5 of the release chain (quality gate → decontamination
+    * anti-join → PII scrub → manifest), shared by both manifest
+    * variants. `docs` is the ORIGINAL frame (benchmark sources
+    * included — decontamination needs them); `keepers` is whatever
+    * dedup stage preceded. */
+  private def manifestTail(docs: DataFrame, keepers: DataFrame,
+      benchmarkSources: Seq[String], n: Int, minQuality: Double): DataFrame = {
+    import graft.text.TextOps
     val scored = TextOps.quality(keepers, keep = Seq("source", "text"))
       .filter(col("quality_score") >= minQuality)
     val contaminated = decontaminate(docs, benchmarkSources, n).select("doc_id")

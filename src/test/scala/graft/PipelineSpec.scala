@@ -85,6 +85,52 @@ class PipelineSpec extends SparkSpec {
     assert(got(6L) == (("web", t6.split("\\s+").length.toLong, 1L, md5hex(t6Redacted))))
   }
 
+  test("releaseManifestV2: near-dup stage drops what fingerprint dedup cannot") {
+    val spark2 = spark; import spark2.implicits._
+    val base = "a solid piece of writing with the usual words and a few " +
+      "more tokens to pass the gate"
+    val near = base + " extra" // J = 16/17 3-gram shingles, but the extra
+                               // token changes the fingerprint — invisible
+                               // to v1's exact stage, caught by v2's
+    val docs = Seq(
+      (1L, "bench", "the quick brown fox jumps over things"),
+      (2L, "web", base),
+      (3L, "web", near),
+      (4L, "web", "please reach me at someone@example.org for more of the details and thanks")
+    ).toDF("doc_id", "source", "text")
+    val v1 = Pipeline.releaseManifest(docs, Seq("bench"), 4, 0.05)
+      .collect().map(_.getLong(0)).toSet
+    val v2 = Pipeline.releaseManifestV2(docs, Seq("bench"), 4, 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(v1 === Set(2L, 3L, 4L), "v1 must keep the near-dup (different fingerprint)")
+    assert(v2 === Set(2L, 4L), "v2 must collapse the near-dup cluster to its keeper")
+  }
+
+  test("v2 banding loses nothing vs all-pairs Jaccard on the corpus (oracle precondition)") {
+    // the driver oracle replays v2's confirmed-pair set as ALL-PAIRS
+    // shingle-Jaccard over the fingerprint keepers; that replay is only
+    // exact if the recall-first 16×2 banding catches every ≥τ pair on
+    // this data. Candidacy is pairwise and per-doc-deterministic, so
+    // completeness over the full corpus implies completeness over any
+    // keeper subset.
+    import graft.dedup.MinHash
+    val docs = Tables.documents(spark, sfDir)
+    val confirmed = MinHash.nearDupPairs(docs, 3, 32, 16, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(" ").sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val allPairs = (for {
+      i <- sh.indices.iterator; j <- ((i + 1) until sh.length).iterator
+      (ida, a) = sh(i); (idb, b) = sh(j)
+      inter = (a & b).size
+      if inter.toDouble / (a.size + b.size - inter) >= 0.8
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    assert(confirmed === allPairs)
+    assert(allPairs.nonEmpty, "spec corpus must contain ≥0.8 shingle-Jaccard pairs")
+  }
+
   test("weightedMix epochs: full copies always, fractional copy by hash band") {
     val spark2 = spark; import spark2.implicits._
     val docs = (0L until 400L).map(i =>
