@@ -437,6 +437,15 @@ class EsAggsSpec extends SparkSpec {
     assert(got == want)
     assert(got.size > 5, s"expected a non-trivial tail at 7/9, got ${got.size}")
     assert(want.size < 31, "threshold must still exclude the head terms")
+    // the ES-shaped call — max_doc_count as a small ABSOLUTE bound — is
+    // the same operator at a different parameter; keep it exercised so
+    // the reference-shaped semantics stay correct even though the wired
+    // benchmark threshold is the (documented) verify-strength choice
+    val absDc = docs.count() / 10
+    val gotAbs = TextOps.rareTerms(docs, absDc).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val wantAbs = want.filter(_._2 <= absDc)
+    assert(gotAbs == wantAbs)
   }
 
   test("moreLikeThis ranks by TF histogram intersection under max_doc_freq") {
