@@ -323,6 +323,20 @@ object SparkEntry {
     "q_serial_diff" -> ((s, dir) =>
       operators.Analytics.serialDiff(Tables.events(s, dir), 7)),
 
+    // 7-bucket window, the q_pipeline_aggs mov7 convention
+    "q_moving_fn" -> ((s, dir) =>
+      operators.Analytics.movingFn(Tables.events(s, dir), 7)),
+
+    "q_rate" -> ((s, dir) =>
+      operators.Analytics.rateAgg(Tables.events(s, dir))),
+
+    "q_normalize" -> ((s, dir) =>
+      operators.Analytics.normalizeBuckets(Tables.events(s, dir))),
+
+    // click vs view: the two largest strata at every SF
+    "q_t_test" -> ((s, dir) =>
+      operators.Analytics.tTest(Tables.events(s, dir), "click", "view")),
+
     "q_cumulative_cardinality" -> ((s, dir) =>
       operators.Analytics.cumulativeCardinality(Tables.events(s, dir))),
 
@@ -987,6 +1001,60 @@ object SparkEntry {
         |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value,
         |       coalesce(CAST(dsum - lag(dsum, 7) OVER (ORDER BY day_idx) AS DOUBLE), 0.0) AS serial_diff
         |FROM day""".stripMargin,
+
+    "q_moving_fn" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value,
+        |       CAST(max(dsum) OVER w AS DOUBLE) AS mov_max,
+        |       CAST(min(dsum) OVER w AS DOUBLE) AS mov_min,
+        |       count(*) OVER w AS mov_n
+        |FROM day
+        |WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_rate" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, n,
+        |       CAST(n AS DOUBLE) / 24.0 AS docs_per_hour,
+        |       CAST(dsum AS DOUBLE) / 24.0 AS value_per_hour
+        |FROM day""".stripMargin,
+
+    "q_normalize" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT min(dsum) AS lo, max(dsum) AS hi FROM day)
+        |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value,
+        |       CASE WHEN hi = lo THEN 0.0
+        |            ELSE CAST(dsum - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+        |       END AS normalized
+        |FROM day, span""".stripMargin,
+
+    "q_t_test" ->
+      """WITH s AS (SELECT
+        |    count(*) FILTER (event_type = 'click') AS n_a,
+        |    sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS sa,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) FILTER (event_type = 'click') AS ssa,
+        |    count(*) FILTER (event_type = 'view') AS n_b,
+        |    sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS sb,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) FILTER (event_type = 'view') AS ssb
+        |  FROM events),
+        |d AS (SELECT n_a, n_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+        |    CAST(ssa AS DOUBLE) AS dssa, CAST(ssb AS DOUBLE) AS dssb
+        |  FROM s)
+        |SELECT n_a, n_b, dsa / na AS mean_a, dsb / nb AS mean_b,
+        |       (dsa / na - dsb / nb)
+        |         / sqrt(((dssa - dsa * dsa / na) / (na - 1)) / na
+        |              + ((dssb - dsb * dsb / nb) / (nb - 1)) / nb) AS t_stat
+        |FROM d""".stripMargin,
 
     "q_cumulative_cardinality" ->
       """WITH fd AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS hour_idx

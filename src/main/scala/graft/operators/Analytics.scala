@@ -518,6 +518,75 @@ object Analytics {
         col("serial_diff"))
   }
 
+  /** ES moving_fn pipeline agg: arbitrary sliding-window functions over
+    * the date-histogram bucket values — here max / min / window size,
+    * the complement of q_pipeline_aggs' moving sum/avg. The window runs
+    * over BUCKETS (one row per day), so the unpartitioned window is a
+    * bounded post-agg step, never a data-scale sort. */
+  def movingFn(events: DataFrame, windowBuckets: Int): DataFrame = {
+    require(windowBuckets > 0)
+    val w = Window.orderBy("day_idx").rowsBetween(-(windowBuckets - 1), 0)
+    dayBuckets(events)
+      .select(col("day_idx"), col("n"), col("dsum").cast("double").as("sum_value"),
+        max(col("dsum")).over(w).cast("double").as("mov_max"),
+        min(col("dsum")).over(w).cast("double").as("mov_min"),
+        count(lit(1)).over(w).as("mov_n"))
+  }
+
+  /** ES rate aggregation: date-histogram bucket totals rescaled to a
+    * finer unit (day buckets reported as per-hour rates). The rescale
+    * is one double division per BUCKET on top of the usual one-pass
+    * map-side-combinable histogram — nothing beyond the parent agg
+    * touches data scale. */
+  def rateAgg(events: DataFrame): DataFrame =
+    dayBuckets(events)
+      .select(col("day_idx"), col("n"),
+        (col("n").cast("double") / 24.0).as("docs_per_hour"),
+        (col("dsum").cast("double") / 24.0).as("value_per_hour"))
+
+  /** ES normalize pipeline agg (method rescale_0_1): each bucket's
+    * value sum rescaled into [0, 1] by the min/max over all buckets.
+    * The gauge is a 1-row aggregate of the (tiny) bucket set broadcast
+    * back onto it — the bucketSelector shape; a degenerate span (all
+    * buckets equal) emits 0.0 per ES's convention for a zero range.
+    * Subtractions stay on the exact DECIMAL domain; each output is one
+    * double division. */
+  def normalizeBuckets(events: DataFrame): DataFrame = {
+    val day = dayBuckets(events)
+    val span = day.agg(min(col("dsum")).as("lo"), max(col("dsum")).as("hi"))
+    day.crossJoin(broadcast(span))
+      .select(col("day_idx"), col("n"), col("dsum").cast("double").as("sum_value"),
+        when(col("hi") === col("lo"), lit(0.0))
+          .otherwise((col("dsum") - col("lo")).cast("double") /
+            (col("hi") - col("lo")).cast("double")).as("normalized"))
+  }
+
+  /** ES t_test aggregation (Welch's unequal-variance form): t statistic
+    * between the value distributions of two event types, from EXACT
+    * decimal power sums (n, Σv, Σv² per side) in ONE conditional-
+    * aggregation scan — the extendedStats/matrixStats pattern, so the
+    * result is independent of partial-merge order and the final
+    * fixed-order double formula matches the oracle bit-for-bit. At
+    * 100 TB this is a single map-side-combined pass. */
+  def tTest(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val d2 = DecimalType(18, 2); val d4 = DecimalType(38, 4)
+    def cnt(t: String) = count(when(col("event_type") === t, 1))
+    def s1(t: String) = sum(when(col("event_type") === t, col("value").cast(d2)))
+    def s2(t: String) = sum(when(col("event_type") === t,
+      (col("value").cast(d2) * col("value").cast(d2)).cast(d4)))
+    val agg = events.agg(
+      cnt(typeA).as("n_a"), s1(typeA).as("sa"), s2(typeA).as("ssa"),
+      cnt(typeB).as("n_b"), s1(typeB).as("sb"), s2(typeB).as("ssb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("sa").cast("double"); val sb = col("sb").cast("double")
+    val ssa = col("ssa").cast("double"); val ssb = col("ssb").cast("double")
+    val ma = sa / na; val mb = sb / nb
+    val va = (ssa - sa * sa / na) / (na - 1)
+    val vb = (ssb - sb * sb / nb) / (nb - 1)
+    agg.select(col("n_a"), col("n_b"), ma.as("mean_a"), mb.as("mean_b"),
+      ((ma - mb) / sqrt(va / na + vb / nb)).as("t_stat"))
+  }
+
   /** ES cumulative_cardinality pipeline agg: running count of DISTINCT
     * users ever seen, per hour bucket (hourly, not daily — the dense
     * user base saturates within two days, which would leave the check

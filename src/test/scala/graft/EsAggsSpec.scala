@@ -513,6 +513,66 @@ class EsAggsSpec extends SparkSpec {
     assert(toks.values.flatten.exists(t => t != "row" && lev(t, "row") <= 2))
   }
 
+  test("movingFn / rate / normalize match a naive bucket recompute") {
+    val ev = Tables.events(spark, sfDir)
+    // naive day buckets: exact 2-dp sums per UTC day
+    val buckets = ev.select(graft.util.Det.tsMicros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (Math.floorDiv(r.getLong(0), 86400000000L), money(r.getDouble(1))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, rs) => (d, rs.length.toLong, rs.map(_._2).sum) }
+    assert(buckets.length > 7, "window must slide over a real bucket run")
+
+    val movWant = buckets.indices.map { i =>
+      val w = buckets.slice(math.max(0, i - 6), i + 1)
+      (buckets(i)._1, buckets(i)._2, buckets(i)._3.toDouble,
+        w.map(_._3).max.toDouble, w.map(_._3).min.toDouble, w.length.toLong)
+    }.toSet
+    val movGot = Analytics.movingFn(ev, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    assert(movGot === movWant)
+
+    val rateWant = buckets.map { case (d, n, s) =>
+      (d, n, n.toDouble / 24.0, s.toDouble / 24.0) }.toSet
+    val rateGot = Analytics.rateAgg(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(rateGot === rateWant)
+
+    val lo = buckets.map(_._3).min; val hi = buckets.map(_._3).max
+    val normWant = buckets.map { case (d, n, s) =>
+      (d, n, s.toDouble,
+        if (hi == lo) 0.0 else (s - lo).toDouble / (hi - lo).toDouble) }.toSet
+    val normGot = Analytics.normalizeBuckets(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(normGot === normWant)
+    assert(hi != lo, "degenerate-span branch must not be the exercised one")
+  }
+
+  test("tTest matches a naive Welch recompute from exact sums") {
+    val ev = Tables.events(spark, sfDir)
+    val vals = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), money(r.getDouble(1))))
+    def side(t: String) = {
+      val vs = vals.filter(_._1 == t).map(_._2)
+      (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+    }
+    val (naL, sa, ssa) = side("click"); val (nbL, sb, ssb) = side("view")
+    val na = naL.toDouble; val nb = nbL.toDouble
+    val (dsa, dsb, dssa, dssb) =
+      (sa.toDouble, sb.toDouble, ssa.toDouble, ssb.toDouble)
+    val va = (dssa - dsa * dsa / na) / (na - 1)
+    val vb = (dssb - dsb * dsb / nb) / (nb - 1)
+    // same fixed-order IEEE ops as the engine's formula → bit-equal
+    val want = (naL, nbL, dsa / na, dsb / nb,
+      (dsa / na - dsb / nb) / math.sqrt(va / na + vb / nb))
+    val r = Analytics.tTest(ev, "click", "view").collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4))
+    assert(got === want)
+    assert(naL > 1 && nbL > 1, "both strata must be populated")
+  }
+
   test("fieldCollapse equals the windowed collapse + inner_hits form") {
     val ev = Tables.events(spark, sfDir)
     val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
