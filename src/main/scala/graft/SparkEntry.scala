@@ -370,6 +370,14 @@ object SparkEntry {
     "q_field_collapse" -> ((s, dir) =>
       operators.Analytics.fieldCollapse(Tables.events(s, dir), 20, 3)),
 
+    "q_top_metrics" -> ((s, dir) =>
+      operators.Analytics.topMetrics(Tables.events(s, dir))),
+
+    // probe "bath": batch at distance 1; data + hash both at distance 2
+    // with different corpus frequencies, so the freq tie-break binds
+    "text_suggest" -> ((s, dir) =>
+      text.TextOps.termSuggest(Tables.documents(s, dir), "bath", 2, 5)),
+
     "q_extended_stats" -> ((s, dir) =>
       operators.Analytics.extendedStats(Tables.events(s, dir))),
 
@@ -1146,6 +1154,21 @@ object SparkEntry {
         |           ORDER BY value DESC, event_id) AS INT) AS rank,
         |       event_id, epoch_us(ts) AS ts_us, user_id, value
         |FROM events QUALIFY rank <= 3""".stripMargin,
+
+    "q_top_metrics" ->
+      """SELECT event_type, ts_us, event_id, value AS latest_value FROM (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "text_suggest" ->
+      raw"""WITH v AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+           |           FROM documents),
+           |tf AS (SELECT term, count(*) AS freq FROM v WHERE term <> '' GROUP BY term)
+           |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
+           |FROM tf WHERE levenshtein(term, 'bath') <= 2
+           |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin,
 
     "q_field_collapse" ->
       """WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,

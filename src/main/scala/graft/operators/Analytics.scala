@@ -971,6 +971,20 @@ object Analytics {
         min(col("event_id")).as("min_id"))
   }
 
+  /** ES top_metrics: per bucket, the metric value carried by the row
+    * with the top sort key (the latest timestamp here) — top_hits
+    * restricted to k=1 and a metric column, which admits a much
+    * stronger plan: ONE lexicographic struct-max aggregation, map-side
+    * combinable, no window, no sort, no second pass. (ts_us, event_id)
+    * is unique, so the argmax is deterministic. */
+  def topMetrics(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(max(struct(Det.tsMicros(col("ts")).as("ts_us"), col("event_id"),
+        col("value"))).as("m"))
+      .select(col("event_type"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"), col("m.value").as("latest_value"))
+
   /** ES field collapse + inner_hits: search results collapsed to one
     * group per `user_id`, groups ordered by their best hit (value desc,
     * the collapse-field sort ES applies), top `nGroups` groups kept,

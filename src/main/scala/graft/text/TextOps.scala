@@ -367,6 +367,24 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES term suggester: candidate corrections for a (possibly
+    * misspelled) probe term, ranked by edit distance, then corpus
+    * frequency (desc), then term — the "did you mean" primitive. The
+    * vocabulary aggregation is the one corpus pass (slim map-side-
+    * combinable TF count); distance scoring runs on the aggregated
+    * vocabulary, which is orders of magnitude smaller than the data —
+    * at 100 TB the vocab table is the persisted index a suggester
+    * serves from, and this plan rebuilds + queries it in one shot. */
+  def termSuggest(docs: DataFrame, probe: String, maxDist: Int, k: Int): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .withColumn("dist", levenshtein(col("term"), lit(probe)).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist"), col("freq").desc, col("term"))
+      .limit(k)
+
   /** Confusion matrix of predicted vs ground-truth language — the
     * eval loop a pipeline runs after changing the classifier. Single
     * pass + one tiny agg; no join (the truth label rides along). */

@@ -573,6 +573,40 @@ class EsAggsSpec extends SparkSpec {
     assert(naL > 1 && nbL > 1, "both strata must be populated")
   }
 
+  test("topMetrics picks the metric at the latest (ts, id) per bucket") {
+    val ev = Tables.events(spark, sfDir)
+    val want = ev.select(col("event_type"), graft.util.Det.tsMicros(col("ts")),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(r => (r._2, r._3)) }.toSet
+    val got = Analytics.topMetrics(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("termSuggest ranks corrections by distance, then frequency, then term") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs.select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = tf.toSeq.map { case (t, f) => (t, f, lev(t, "bath").toLong) }
+      .filter(_._3 <= 2).sortBy { case (t, f, d) => (d, -f, t) }.take(5)
+    val gotRows = TextOps.termSuggest(docs, "bath", 2, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotRows === want)
+    // the wired probe must exercise the frequency tie-break: ≥2 terms
+    // at the same distance
+    assert(want.groupBy(_._3).exists(_._2.size >= 2))
+  }
+
   test("fieldCollapse equals the windowed collapse + inner_hits form") {
     val ev = Tables.events(spark, sfDir)
     val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
