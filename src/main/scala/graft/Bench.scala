@@ -101,6 +101,13 @@ object Bench {
 
     val calibs = mutable.ArrayBuffer[Double]()
     def calibrate(tag: String): Double = {
+      // the calibration must measure the HOST, not the suite's own GC
+      // debt: a heavy query block leaves enough garbage that the next
+      // reading absorbs a multi-second collection pause (observed
+      // 0.15 s floor → 3.9 s right after the dedup/ANN block) and the
+      // guard false-positives on a perfectly idle host. Collect BEFORE
+      // timing so the reading starts from a clean heap.
+      System.gc()
       val t = timed(calibQuery)
       if (t >= 0) calibs += t
       System.err.println(f"[bench-calib] $tag: $t%.3f s")
