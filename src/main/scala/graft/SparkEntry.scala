@@ -378,6 +378,9 @@ object SparkEntry {
     "text_suggest" -> ((s, dir) =>
       text.TextOps.termSuggest(Tables.documents(s, dir), "bath", 2, 5)),
 
+    "text_highlight" -> ((s, dir) =>
+      text.TextOps.highlight(Tables.documents(s, dir), "vector", 30, 25)),
+
     "q_extended_stats" -> ((s, dir) =>
       operators.Analytics.extendedStats(Tables.events(s, dir))),
 
@@ -1169,6 +1172,15 @@ object SparkEntry {
            |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
            |FROM tf WHERE levenshtein(term, 'bath') <= 2
            |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin,
+
+    "text_highlight" ->
+      """SELECT doc_id, n_matches, first_pos, snippet FROM (
+        |  SELECT doc_id,
+        |    CAST((length(lower(text)) - length(replace(lower(text), 'vector', ''))) // 6 AS BIGINT) AS n_matches,
+        |    CAST(strpos(lower(text), 'vector') AS BIGINT) AS first_pos,
+        |    substring(text, greatest(strpos(lower(text), 'vector') - 30, 1), 66) AS snippet
+        |  FROM documents) t
+        |WHERE n_matches > 0 ORDER BY n_matches DESC, doc_id LIMIT 25""".stripMargin,
 
     "q_field_collapse" ->
       """WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,

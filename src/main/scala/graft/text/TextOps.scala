@@ -367,6 +367,31 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES highlight: matching docs with a snippet window of ±`radius`
+    * chars around the FIRST (case-folded) occurrence of `term`, plus
+    * the match count — the search-results presentation primitive. All
+    * locate/substring/length arithmetic — narrow codegen'd column work
+    * that fuses into the scan; the top-k bounds output. Positions are
+    * found on the case-folded text and applied to the raw text (ASCII
+    * case folding is length-preserving, the module's corpus contract). */
+  def highlight(docs: DataFrame, term: String, radius: Int, k: Int): DataFrame = {
+    require(radius >= 0)
+    val t = term.toLowerCase
+    val lowered = lower(col("text"))
+    val pos = locate(t, lowered) // 1-based; 0 = no match
+    val occurrences =
+      ((length(lowered) - length(replace(lowered, lit(t), lit("")))) /
+        lit(t.length)).cast("long")
+    docs
+      .select(col("doc_id"), occurrences.as("n_matches"),
+        pos.cast("long").as("first_pos"),
+        col("text").substr(greatest(pos - radius, lit(1)),
+          lit(t.length + 2 * radius)).as("snippet"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES term suggester: candidate corrections for a (possibly
     * misspelled) probe term, ranked by edit distance, then corpus
     * frequency (desc), then term — the "did you mean" primitive. The

@@ -573,6 +573,24 @@ class EsAggsSpec extends SparkSpec {
     assert(naL > 1 && nbL > 1, "both strata must be populated")
   }
 
+  test("highlight snippets a radius window around the first match") {
+    val docs = Tables.documents(spark, sfDir)
+    val want = docs.select("doc_id", "text").collect().map { r =>
+      val text = r.getString(1); val lo = text.toLowerCase
+      val n = (lo.length - lo.replace("vector", "").length) / 6
+      val p = lo.indexOf("vector") + 1 // 0-based → 1-based; 0 = no match
+      val start = math.max(p - 30, 1)
+      val snip = text.substring(start - 1,
+        math.min(start - 1 + 66, text.length))
+      (r.getLong(0), n.toLong, p.toLong, snip)
+    }.filter(_._2 > 0).sortBy(x => (-x._2, x._1)).take(25).toSeq
+    val got = TextOps.highlight(docs, "vector", 30, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === want && got.nonEmpty)
+    // a snippet must actually truncate somewhere on the spec corpus
+    assert(want.exists(_._4.length == 66))
+  }
+
   test("topMetrics picks the metric at the latest (ts, id) per bucket") {
     val ev = Tables.events(spark, sfDir)
     val want = ev.select(col("event_type"), graft.util.Det.tsMicros(col("ts")),
