@@ -59,6 +59,32 @@ class PercentilesSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("builtin approx_percentile stays within tolerance of the exact forms") {
+    // the OTHER 100 TB path the verdict named: approx_percentile is
+    // partial-aggregable (t-digest-style quantile summaries, no
+    // per-group sort) but only approximately correct and not
+    // cross-engine deterministic — so it carries no oracle slot; the
+    // _dist rank-select twins are the exact production path and this
+    // error spec documents the approx alternative, the
+    // approxCardinality pattern
+    val ev = Tables.events(spark, sfDir)
+    val fr = Seq(0.5, 0.9, 0.99)
+    val exact = Analytics.percentileFacet(ev, fr).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val approx = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), typedlit(fr), lit(10000)).as("qs"))
+      .collect()
+      .flatMap(r => fr.zip(r.getSeq[Double](1)).map { case (p, v) =>
+        (r.getString(0), p) -> v
+      }).toMap
+    assert(approx.keySet === exact.keySet)
+    // value range is ~[0, 560]; 10k-accuracy digests should land well
+    // within 1% of the range of the exact rank-selected value
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) <= 5.6, s"$k: approx $v vs exact ${exact(k)}")
+    }
+  }
+
   test("rank-select handles single-row and constant-value groups") {
     import spark.implicits._
     val df = Seq(("solo", 7.0, 1L), ("flat", 3.0, 1L), ("flat", 3.0, 2L),
