@@ -567,6 +567,25 @@ object SparkEntry {
       dedup.Dedup.nearDupClusters(
         dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.8))),
 
+    "dedup_containment" -> ((s, dir) => {
+      // the synthetic corpus has no quote-inclusion (measured: every
+      // containment≥0.9 pair is already a Jaccard≥0.8 pair), so the
+      // wiring injects it deterministically — every 17th doc quotes its
+      // predecessor wholesale (the pipe_redact inject-then-detect
+      // pattern). Detector then finds ~29 quote pairs with J < 0.8 per
+      // SF that symmetric Jaccard dedup misses.
+      val base = Tables.documents(s, dir)
+      val donor = base.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("donor_text"))
+      val docs = base.join(donor, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0 && col("donor_text").isNotNull,
+            concat(col("text"), lit(" "), col("donor_text")))
+            .otherwise(col("text")))
+        .select("doc_id", "text")
+      dedup.Dedup.containment(docs, 3, 0.9)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       dedup.MinHash.nearDupPairs(Tables.documents(s, dir))),
 
@@ -1705,6 +1724,25 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+
+    "dedup_containment" ->
+      raw"""WITH inj AS (SELECT d.doc_id,
+           |    CASE WHEN d.doc_id % 17 = 0 AND o.text IS NOT NULL
+           |         THEN d.text || ' ' || o.text ELSE d.text END AS text
+           |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 1),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM inj),
+           |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+           |sb AS (SELECT doc_id, sh, list_sort(sh) AS ss FROM s WHERE len(sh) > 0),
+           |b AS (SELECT doc_id, unnest(ss[1:4]) AS bucket FROM sb),
+           |p AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+           |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+           |SELECT a_id, b_id, containment FROM (
+           |  SELECT a_id, b_id,
+           |    CAST(len(list_intersect(sa.sh, sb2.sh)) AS DOUBLE)
+           |      / least(len(sa.sh), len(sb2.sh)) AS containment
+           |  FROM p JOIN sb sa ON p.a_id = sa.doc_id
+           |         JOIN sb sb2 ON p.b_id = sb2.doc_id) c
+           |WHERE containment >= 0.9""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

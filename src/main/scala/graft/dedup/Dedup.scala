@@ -87,6 +87,42 @@ object Dedup {
     confirmJaccard(pairs, s, tau)
   }
 
+  /** Containment near-dup — the QUOTE-INCLUSION detector: pairs where
+    * the smaller doc's shingle set is (nearly) a subset of the
+    * larger's, scored |∩| / min(|A|, |B|). Symmetric Jaccard misses
+    * exactly this case: a doc quoting another wholesale has J ≈
+    * |A|/|B| (low when sizes differ) but containment 1.0 — the
+    * duplication mode training corpora hit when pages embed other
+    * pages. Candidates come from the `kMin` lexicographically-smallest
+    * shingles per doc (the min-bucket rule widened: a contained doc's
+    * small shingles are all present in the container, so sharing one
+    * of the k smallest is likely though not guaranteed — the same
+    * deterministic-rule-replayed-by-the-oracle contract as
+    * [[ngramJaccard]]); the bucket join ships slim (bucket, id) rows
+    * and the wide shingle arrays attach by id for the confirm. */
+  def containment(docs: DataFrame, n: Int, tau: Double, kMin: Int = 4): DataFrame = {
+    val s = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val slim = s.select(col("doc_id"),
+      explode(slice(array_sort(col("sh")), 1, kMin)).as("bucket"))
+    val pairs = slim.select(col("bucket"), col("doc_id").as("a_id"))
+      .join(slim.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    pairs
+      .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(size(col("a_sh")), size(col("b_sh"))))
+      .filter(col("containment") >= tau)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Incremental [[ngramJaccard]]: a NEW batch of docs against an
     * existing corpus snapshot. The old side's (bucket, doc_id) frame
     * stands for the persisted min-shingle bucket index a production

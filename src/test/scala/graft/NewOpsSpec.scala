@@ -89,6 +89,44 @@ class NewOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall (${ivf.size}/${exact.size})")
   }
 
+  test("containment catches quote-inclusion pairs that Jaccard misses") {
+    import graft.dedup.Dedup
+    val docs0 = Tables.documents(spark, sfDir)
+    // the wiring's injection: every 17th doc quotes its predecessor
+    val donor = docs0.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("donor_text"))
+    val docs = docs0.join(donor, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 17 === 0 && col("donor_text").isNotNull,
+          concat(col("text"), lit(" "), col("donor_text")))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+    val got = Dedup.containment(docs, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // naive recompute, same k-min=4 candidate rule
+    val sh = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(" ").sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val kmin = sh.map { case (id, s) => id -> s.toSeq.sorted.take(4).toSet }.toMap
+    val want = (for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      (ida, a) = sh(i); (idb, b) = sh(j)
+      if (kmin(ida) & kmin(idb)).nonEmpty
+      c = (a & b).size.toDouble / math.min(a.size, b.size)
+      if c >= 0.9
+    } yield (math.min(ida, idb), math.max(ida, idb), c)).toSet
+    assert(got.toSet === want && got.nonEmpty)
+    // non-redundancy: the detector must surface pairs BELOW the Jaccard
+    // near-dup bar — the quote-inclusion mode symmetric dedup misses
+    val shM = sh.toMap
+    val quoteOnly = got.filter { case (a, b, _) =>
+      val i = (shM(a) & shM(b)).size
+      i.toDouble / (shM(a).size + shM(b).size - i) < 0.8
+    }
+    assert(quoteOnly.nonEmpty, "injection must produce containment-only pairs")
+  }
+
   test("embeddingNearDupAuto dispatches τ≤0.5 to IVF and high τ to LSH") {
     import graft.dedup.Dedup
     val emb = Tables.embeddings(spark, sfDir)
