@@ -350,17 +350,23 @@ object TextOps {
     * all narrow codegen'd column work that fuses into the scan, no
     * explode, no join, no shuffle below the final top-k. */
   def phraseMatchSlop(docs: DataFrame, term1: String, term2: String,
-      slop: Int, k: Int): DataFrame = {
+      slop: Int, k: Int, inOrder: Boolean = true): DataFrame = {
     require(slop >= 0, "slop must be non-negative")
     val toks = split(lower(col("text")), "\\s+")
     def positions(term: String) =
       filter(transform(toks, (t, i) => when(t === term, i + 1).otherwise(-1)),
         p => p > 0)
+    // span_near(in_order=false) admits j on either side of i; both
+    // variants count qualifying (i, j) pairs with ≤ slop intervening
+    // tokens (j ≠ i is implied: distinct terms occupy distinct slots)
+    def qualifies(i: Column, j: Column) =
+      if (inOrder) j > i && j - i - 1 <= slop
+      else abs(j - i) - 1 <= slop
     docs
       .select(col("doc_id"), positions(term1).as("p1"), positions(term2).as("p2"))
       .select(col("doc_id"),
         aggregate(col("p1"), lit(0L), (acc, i) =>
-          acc + size(filter(col("p2"), j => j > i && j - i - 1 <= slop)).cast("long"))
+          acc + size(filter(col("p2"), j => qualifies(i, j))).cast("long"))
           .as("n_matches"))
       .filter(col("n_matches") > 0)
       .orderBy(col("n_matches").desc, col("doc_id"))

@@ -662,5 +662,20 @@ class EsAggsSpec extends SparkSpec {
     val adjacent = TextOps.phraseMatchSlop(docs, "hash", "join", 0, 10000).count()
     val sloppy = TextOps.phraseMatchSlop(docs, "hash", "join", 2, 10000).count()
     assert(sloppy > adjacent, s"slop=2 ($sloppy docs) must widen slop=0 ($adjacent)")
+    // span_near(in_order=false): naive recompute + must widen in-order
+    val unordWant = docs.select("doc_id", "text").collect().map { r =>
+      val ts = r.getString(1).toLowerCase.split("\\s+")
+      val p1 = ts.zipWithIndex.collect { case (t, i) if t == "hash" => i + 1 }
+      val p2 = ts.zipWithIndex.collect { case (t, i) if t == "join" => i + 1 }
+      val n = p1.map(i => p2.count(j => math.abs(j - i) - 1 <= 2)).sum.toLong
+      (r.getLong(0), n)
+    }.filter(_._2 > 0).sortBy(x => (-x._2, x._1)).take(25).toSeq
+    val unordGot = TextOps.phraseMatchSlop(docs, "hash", "join", 2, 25,
+      inOrder = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(unordGot === unordWant && unordGot.nonEmpty)
+    val unordAll = TextOps.phraseMatchSlop(docs, "hash", "join", 2, 10000,
+      inOrder = false).count()
+    assert(unordAll >= sloppy, "unordered must be a superset of in-order")
   }
 }
