@@ -1715,10 +1715,18 @@ object SparkEntry {
            |  min(doc_id) AS keeper, count(*) AS n_docs
            |FROM documents GROUP BY 1""".stripMargin,
 
+    // bucket = smallest shingle with df ≤ 16 (prefix-filtering bound;
+    // hot shingles are never bucket keys), falling back to the overall
+    // min for all-hot docs — replayed here exactly
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
-        |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM s)
+        |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM s) GROUP BY shingle HAVING count(*) > 16),
+        |hotl AS (SELECT coalesce(list(shingle), CAST([] AS VARCHAR[])) AS hot FROM hs),
+        |b AS (SELECT doc_id, sh,
+        |        coalesce(list_aggregate(list_filter(sh, x -> NOT list_contains(hot, x)), 'min'),
+        |                 list_aggregate(sh, 'min')) AS bucket
+        |      FROM s CROSS JOIN hotl)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
@@ -1733,7 +1741,11 @@ object SparkEntry {
            |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM inj),
            |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
            |sb AS (SELECT doc_id, sh, list_sort(sh) AS ss FROM s WHERE len(sh) > 0),
-           |b AS (SELECT doc_id, unnest(ss[1:4]) AS bucket FROM sb),
+           |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM sb) GROUP BY shingle HAVING count(*) > 16),
+           |hotl AS (SELECT coalesce(list(shingle), CAST([] AS VARCHAR[])) AS hot FROM hs),
+           |b AS (SELECT doc_id, unnest((list_filter(ss, x -> NOT list_contains(hot, x))
+           |                          || list_filter(ss, x -> list_contains(hot, x)))[1:4]) AS bucket
+           |      FROM sb CROSS JOIN hotl),
            |p AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
            |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
            |SELECT a_id, b_id, containment FROM (
@@ -1747,7 +1759,12 @@ object SparkEntry {
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
-        |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM s),
+        |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM s) GROUP BY shingle HAVING count(*) > 16),
+        |hotl AS (SELECT coalesce(list(shingle), CAST([] AS VARCHAR[])) AS hot FROM hs),
+        |b AS (SELECT doc_id, sh,
+        |        coalesce(list_aggregate(list_filter(sh, x -> NOT list_contains(hot, x)), 'min'),
+        |                 list_aggregate(sh, 'min')) AS bucket
+        |      FROM s CROSS JOIN hotl),
         |p AS (SELECT a_id, b_id FROM (
         |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
@@ -1765,7 +1782,12 @@ object SparkEntry {
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
-        |b AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS bucket FROM s)
+        |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM s) GROUP BY shingle HAVING count(*) > 16),
+        |hotl AS (SELECT coalesce(list(shingle), CAST([] AS VARCHAR[])) AS hot FROM hs),
+        |b AS (SELECT doc_id, sh,
+        |        coalesce(list_aggregate(list_filter(sh, x -> NOT list_contains(hot, x)), 'min'),
+        |                 list_aggregate(sh, 'min')) AS bucket
+        |      FROM s CROSS JOIN hotl)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard

@@ -43,6 +43,35 @@ object Dedup {
   def shingleSet(textCol: Column, n: Int): Column =
     shingleSetFromTokens(split(textCol, " "), n)
 
+  /** HOT-shingle gauge: one row, one array column `hot` holding every
+    * shingle whose document frequency exceeds `maxDf`. This is the
+    * prefix-filtering bound that keeps min-shingle candidate buckets
+    * from going quadratic on Zipfian text: a shingle present in a
+    * constant fraction of the corpus would otherwise collect that
+    * fraction into ONE bucket and the in-bucket self-join does
+    * occupancy² confirm work. Excluding df > maxDf shingles from
+    * bucket-key eligibility caps rare-bucket occupancy at maxDf, so
+    * total candidate pairs are ≤ n·maxDf/2 — linear in the corpus.
+    * The hot set itself is small by construction (≤ shingle
+    * instances / maxDf entries), which is what makes the 1-row
+    * broadcast gauge safe; at warehouse scale the df table is a
+    * maintained intermediate (counts are additive per ingest batch)
+    * and the hot set a tiny side table. */
+  private[dedup] def hotShingles(s: DataFrame, maxDf: Long): DataFrame =
+    s.select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(collect_list(col("shingle")).as("hot"))
+
+  /** Bucket key under the df bound: the smallest shingle that is not
+    * hot; docs whose every shingle is hot (stopword-soup tail — a doc
+    * must consist entirely of >maxDf-df shingles to land here) fall
+    * back to their overall min shingle, preserving the old rule for
+    * exactly that residual. Deterministic given the corpus, so the
+    * DuckDB oracle replays it exactly. */
+  private[dedup] def dfBoundedMin(sh: Column, hot: Column): Column =
+    coalesce(array_min(array_except(sh, hot)), array_min(sh))
+
   /** Exact dedup: hash-groupBy on the text. One shuffle on the hash. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_hash"))
@@ -68,18 +97,27 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** Exact n-gram Jaccard over bucketed candidates: docs sharing their
-    * lexicographically-smallest shingle are compared; pairs at or above
-    * `tau` survive. The bucket self-join ships only (bucket, doc_id) —
-    * the shingle sets are attached afterwards by id, so the wide arrays
-    * cross the wire once, not once per candidate row. The shingle table
-    * is persisted for its three uses (at warehouse scale it would be a
-    * materialized intermediate table instead). */
-  def ngramJaccard(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    * smallest NON-HOT shingle (df ≤ `maxDf`; see [[hotShingles]]) are
+    * compared; pairs at or above `tau` survive. The df bound is the
+    * prefix-filtering fix for the Zipfian hot-bucket hazard: bucket
+    * occupancy is capped at maxDf, so candidate pairs stay linear in
+    * the corpus no matter how skewed the shingle distribution is. The
+    * bucket self-join ships only (bucket, doc_id) — the shingle sets
+    * are attached afterwards by id, so the wide arrays cross the wire
+    * once, not once per candidate row. The shingle table is persisted
+    * for its uses (at warehouse scale it would be a materialized
+    * intermediate table instead; the df counts it feeds are additive
+    * per ingest batch). maxDf=16 sits above the verify corpus's max
+    * natural df (7 at sf0.01 — rule armed, output unchanged there)
+    * and inside the bench corpus's tail (max 25 at sf0.1), and binds
+    * hard on the skew-injected audit corpus. */
+  def ngramJaccard(docs: DataFrame, n: Int, tau: Double, maxDf: Long = 16): DataFrame = {
     val s = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
       .persist()
-    val slim = s.select(array_min(col("sh")).as("bucket"), col("doc_id"))
+    val slim = s.crossJoin(broadcast(hotShingles(s, maxDf)))
+      .select(dfBoundedMin(col("sh"), col("hot")).as("bucket"), col("doc_id"))
     val pairs = slim.select(col("bucket"), col("doc_id").as("a_id"))
       .join(slim.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
@@ -93,21 +131,31 @@ object Dedup {
     * exactly this case: a doc quoting another wholesale has J ≈
     * |A|/|B| (low when sizes differ) but containment 1.0 — the
     * duplication mode training corpora hit when pages embed other
-    * pages. Candidates come from the `kMin` lexicographically-smallest
-    * shingles per doc (the min-bucket rule widened: a contained doc's
-    * small shingles are all present in the container, so sharing one
-    * of the k smallest is likely though not guaranteed — the same
-    * deterministic-rule-replayed-by-the-oracle contract as
-    * [[ngramJaccard]]); the bucket join ships slim (bucket, id) rows
+    * pages. Candidates come from the `kMin` smallest RARE shingles per
+    * doc (df ≤ `maxDf`, hot-deficient docs padding with their smallest
+    * hot shingles — the min-bucket rule widened and df-bounded: a
+    * contained doc's shingles are all present in the container, so
+    * sharing one of the k smallest rare ones is likely though not
+    * guaranteed — the same deterministic-rule-replayed-by-the-oracle
+    * contract as [[ngramJaccard]], with the same linear candidate
+    * bound: rare-bucket occupancy ≤ maxDf, candidate pairs ≤
+    * n·kMin·maxDf/2); the bucket join ships slim (bucket, id) rows
     * and the wide shingle arrays attach by id for the confirm. */
-  def containment(docs: DataFrame, n: Int, tau: Double, kMin: Int = 4): DataFrame = {
+  def containment(docs: DataFrame, n: Int, tau: Double, kMin: Int = 4,
+      maxDf: Long = 16): DataFrame = {
     val s = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    val slim = s.select(col("doc_id"),
-      explode(slice(array_sort(col("sh")), 1, kMin)).as("bucket"))
+    // sorted-rare ++ sorted-hot, first kMin: array_except/array_intersect
+    // preserve the (sorted) order of their first argument, so the concat
+    // is "rare ascending, then hot ascending" with no extra sort
+    val slim = s.crossJoin(broadcast(hotShingles(s, maxDf)))
+      .withColumn("ss", array_sort(col("sh")))
+      .select(col("doc_id"),
+        explode(slice(concat(array_except(col("ss"), col("hot")),
+          array_intersect(col("ss"), col("hot"))), 1, kMin)).as("bucket"))
     val pairs = slim.select(col("bucket"), col("doc_id").as("a_id"))
       .join(slim.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
@@ -140,13 +188,20 @@ object Dedup {
     * join output; the self-pair an equal id would otherwise emit
     * (least = greatest → jaccard 1.0) is guarded out below. */
   def incrementalNgramJaccard(oldDocs: DataFrame, newDocs: DataFrame,
-      n: Int, tau: Double): DataFrame = {
+      n: Int, tau: Double, maxDf: Long = 16): DataFrame = {
     def shingles(d: DataFrame) = d
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
     val oldS = shingles(oldDocs).persist()
     val newS = shingles(newDocs).persist()
-    def slim(s: DataFrame) = s.select(array_min(col("sh")).as("bucket"), col("doc_id"))
+    // df over old ∪ new, same bound as the full recompute — at scale
+    // the df table is MAINTAINED, not recomputed (counts are additive
+    // per batch: merge the delta's shingle counts into the snapshot's),
+    // the same persisted-index stand-in convention as oldIdx below; a
+    // shingle crossing maxDf re-buckets its docs at the next compaction
+    val hotRow = broadcast(hotShingles(oldS.unionByName(newS), maxDf))
+    def slim(s: DataFrame) = s.crossJoin(hotRow)
+      .select(dfBoundedMin(col("sh"), col("hot")).as("bucket"), col("doc_id"))
     val oldIdx = slim(oldS) // = the persisted snapshot index at scale
     val newIdx = slim(newS).persist()
     val vsOld = newIdx.select(col("bucket"), col("doc_id").as("n_id"))
