@@ -57,7 +57,7 @@ object Dedup {
     * broadcast gauge safe; at warehouse scale the df table is a
     * maintained intermediate (counts are additive per ingest batch)
     * and the hot set a tiny side table. */
-  private[dedup] def hotShingles(s: DataFrame, maxDf: Long): DataFrame =
+  private[graft] def hotShingles(s: DataFrame, maxDf: Long): DataFrame =
     s.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
@@ -69,7 +69,7 @@ object Dedup {
     * back to their overall min shingle, preserving the old rule for
     * exactly that residual. Deterministic given the corpus, so the
     * DuckDB oracle replays it exactly. */
-  private[dedup] def dfBoundedMin(sh: Column, hot: Column): Column =
+  private[graft] def dfBoundedMin(sh: Column, hot: Column): Column =
     coalesce(array_min(array_except(sh, hot)), array_min(sh))
 
   /** Exact dedup: hash-groupBy on the text. One shuffle on the hash. */
