@@ -626,6 +626,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0))
     }),
 
+    "dedup_substring" -> ((s, dir) =>
+      dedup.Dedup.substringDedup(Tables.documents(s, dir), 8)),
+
     "q_supplier_topk_agg" -> ((s, dir) =>
       operators.Analytics.supplierTopKAgg(Tables.lineitem(s, dir), 3)),
 
@@ -1793,6 +1796,20 @@ object SparkEntry {
         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
         |WHERE jaccard >= 0.8 AND (a_id % 10 = 0 OR b_id % 10 = 0)""".stripMargin,
+
+    // repeated ≥8-token spans: windows with ≥2 occurrences, all but the
+    // global first (min doc_id, pos) flagged, consecutive flagged
+    // positions merged into maximal spans (gaps-and-islands)
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t WHERE len(toks) >= 8)),
+        |r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS n_occ,
+        |             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+        |f AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+        |g AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end, count(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -28,14 +28,20 @@ object Dedup {
     * time, not per-index lambdas). Docs shorter than n shingle to the
     * empty set. Pass a *materialized* token column: inlining the split
     * here would re-split per shifted copy. */
-  def shingleSetFromTokens(toks: Column, n: Int): Column = {
+  def shingleSetFromTokens(toks: Column, n: Int): Column =
+    array_distinct(positionalWindows(toks, n))
+
+  /** All n-token windows of a token array, in position order (the
+    * non-distinct positional form of [[shingleSetFromTokens]]; window i
+    * of the result covers tokens i..i+n-1, 1-based). Docs shorter than
+    * n yield the empty array. */
+  def positionalWindows(toks: Column, n: Int): Column = {
     val chained = (1 until n).foldLeft(toks) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(
-      when(size(toks) >= n, slice(chained, lit(1), size(toks) - (n - 1)))
-        .otherwise(array()))
+    when(size(toks) >= n, slice(chained, lit(1), size(toks) - (n - 1)))
+      .otherwise(array())
   }
 
   /** Convenience form over raw text — only for small inputs/specs; the
@@ -215,6 +221,51 @@ object Dedup {
       .select("a_id", "b_id")
     val pairs = vsOld.union(vsNew).dropDuplicates("a_id", "b_id")
     confirmJaccard(pairs, oldS.unionByName(newS), tau)
+  }
+
+  /** Substring-level exact dedup — the repeated-span remover (the
+    * standard LLM-corpus step doc-granular dedup misses: a boilerplate
+    * paragraph shared by thousands of otherwise-distinct pages drives
+    * train-set memorization; cf. the dedup literature's ≥k-token
+    * repeated-substring removal). Every k-token window that occurs ≥2
+    * times in the corpus is flagged at every occurrence EXCEPT the
+    * global first (min (doc_id, pos) — last-writer-loses, the dual of
+    * the river's upsert), and per-doc runs of consecutive flagged
+    * windows merge into maximal spans: (doc_id, span_start, span_end,
+    * n_windows), token indices 0-based inclusive, span length ≥ k.
+    *
+    * Scale shape: positional windows are a linear explode (one row per
+    * token, like the shingle family); the repeat detection is a
+    * map-side-combinable (count, min-struct) agg on the md5 window
+    * key — a window repeated a million times produces ONE group row,
+    * never a self-join, so hot boilerplate cannot go quadratic (no
+    * occupancy hazard to bound here). The only windows (Spark-window,
+    * not token-window) run per-doc over the FLAGGED rows — sized by
+    * the dup volume, not the corpus. */
+  def substringDedup(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(positionalWindows(col("toks"), k)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("win")).as("h"))
+    val repeated = wh.groupBy("h").agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("n_occ") >= 2)
+      .select(col("h"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+    val flagged = wh.join(repeated, "h")
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
   /** Connected components over a near-dup pair list: every doc is

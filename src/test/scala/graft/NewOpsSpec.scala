@@ -213,6 +213,38 @@ class NewOpsSpec extends SparkSpec {
     assert(rate > 0.005 && rate < 0.05, s"rate $rate outside sanity band for prefix<05 (~2%)")
   }
 
+  test("substringDedup equals a naive positional-window recompute") {
+    import graft.dedup.Dedup
+    val k = 8
+    val docs = Tables.documents(spark, sfDir)
+    val got = Dedup.substringDedup(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val local = docs.collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val occ = for {
+      (id, toks) <- local.toSeq if toks.length >= k
+      p <- 0 to toks.length - k
+    } yield (toks.slice(p, p + k).mkString(" "), id, p.toLong)
+    val byWin = occ.groupBy(_._1).filter(_._2.size >= 2)
+    val flagged = byWin.values.flatMap { os =>
+      val sorted = os.sortBy(o => (o._2, o._3))
+      sorted.tail.map(o => (o._2, o._3))
+    }.toSet
+    val expected = flagged.groupBy(_._1).flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      // maximal runs of consecutive flagged positions
+      sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s, e, n) :: rest, p) if p == e + 1 => (s, p, n + 1) :: rest
+        case (acc, p) => (p, p, 1L) :: acc
+      }.map { case (s, e, n) => (id, s, e + (k - 1), n) }
+    }.toSet
+    assert(got.nonEmpty, "corpus must contain repeated spans at this SF")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // every span is at least k tokens long by construction
+    assert(got.forall(s => s._3 - s._2 + 1 >= k))
+  }
+
   test("percentileFacet picks the exact rank-selected values") {
     val ev = Tables.events(spark, sfDir)
     val got = Analytics.percentileFacet(ev, Seq(0.5)).collect()
