@@ -500,6 +500,13 @@ object SparkEntry {
       text.TextOps.tfidfSearch(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
 
+    // terms span the IDF range: df 25 / 385 / 398 of 500 docs at the
+    // verify SF — the rare term's IDF dominates, which is the BM25
+    // behavior raw TF cannot express
+    "text_bm25" -> ((s, dir) =>
+      text.TextOps.bm25Search(Tables.documents(s, dir),
+        Seq("dup", "query", "scan"), 15)),
+
     "text_percolate" -> ((s, dir) =>
       text.TextOps.percolate(Tables.documents(s, dir), Map(
         "q_hashjoin" -> Seq("hash", "join"),
@@ -1423,6 +1430,33 @@ object SparkEntry {
            |    + (CASE WHEN df2 > 0 THEN CAST(tf2 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df2) ELSE 0 END) AS score
            |  FROM tf CROSS JOIN stats) t
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // same fixed-order arithmetic as the Spark side: constants written
+    // as the same expressions ((1.2e0 + 1), (1 - 0.75e0), e0-notation forcing
+    // DOUBLE: DuckDB parses bare 1.2 as DECIMAL and folds tf*(1.2+1)
+    // exactly, 1 ulp off the IEEE product) so both engines
+    // fold them to identical doubles; ln/Math.log bit-match on this
+    // rational domain (verified over the N/df grid)
+    "text_bm25" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+           |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+           |      FROM d),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           |      FROM p)
+           |SELECT doc_id, dl, score FROM (
+           |  SELECT doc_id, dl,
+           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |  FROM p CROSS JOIN st
+           |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0) t
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     "text_significant_terms" ->
       raw"""WITH tok AS (SELECT source, term FROM (

@@ -200,6 +200,52 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 relevance search — ES's default similarity since 5.x (what
+    * every ES search user gets without asking; [[matchQuery]] is the
+    * raw-TF form, [[tfidfSearch]] the count-based TF·IDF form). Exact
+    * Lucene-shape formula per query term t:
+    *
+    *   idf(t) · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * with k1=1.2, b=0.75 defaults. All counts (tf, df, dl, N, Σdl) are
+    * exact integers; the score is a FIXED-ORDER double expression over
+    * them (terms summed in argument order), so it is bit-identical
+    * across engines/partitionings — Math.log and DuckDB ln bit-match
+    * on this rational domain (verified over the N/df grid), which is
+    * what makes BM25 oracle-able here where entropy was not.
+    *
+    * Scale shape: per-doc tf columns come from array-filter counts on
+    * the token array — ONE narrow corpus scan, no token explode, no
+    * shuffle; corpus stats (N, Σdl, per-term df) are one map-side-
+    * combinable agg to a 1-row broadcast; the final rank is a bounded
+    * TakeOrdered. Nothing exchanges the corpus. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = split(lower(col("text")), "\\s+")
+    val perDoc = docs.select(col("doc_id") +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i") }: _*)
+      .persist()
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks") +: terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), col("dl"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(kTop)
+  }
+
   /** ES significant-terms facet: terms over-represented in one source
     * vs the whole corpus, scored by exact-count lift
     * (tf_src·total)/(tf_corpus·src_total) — integer products, one

@@ -678,4 +678,38 @@ class EsAggsSpec extends SparkSpec {
       inOrder = false).count()
     assert(unordAll >= sloppy, "unordered must be a superset of in-order")
   }
+
+  test("bm25Search matches a naive Lucene-formula recompute; rare term dominates") {
+    val terms = Seq("dup", "query", "scan")
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.bm25Search(docs, terms, 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val local = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1).toLowerCase.split("\\s+", -1).toSeq))
+    val nDocs = local.length.toLong
+    val totalToks = local.map(_._2.size.toLong).sum
+    val avgdl = totalToks.toDouble / nDocs
+    val dfs = terms.map(t => local.count(_._2.contains(t)).toLong)
+    val scored = local.map { case (id, toks) =>
+      val dl = toks.size.toLong
+      val tfs = terms.map(t => toks.count(_ == t).toLong)
+      val score = terms.indices.map { i =>
+        val idf = math.log(1 + (nDocs - dfs(i) + 0.5) / (dfs(i) + 0.5))
+        idf * (tfs(i) * (k1 + 1)) / (tfs(i) + k1 * ((1 - b) + b * (dl / avgdl)))
+      }.reduce(_ + _)
+      (id, dl, score, tfs)
+    }
+    val expected = scored.filter(_._4.exists(_ > 0))
+      .sortBy(x => (-x._3, x._1)).take(15).map(x => (x._1, x._2, x._3)).toSeq
+    assert(expected.size == 15, "query must match at least k docs at this SF")
+    assert(got.toSeq == expected,
+      s"got=${got.take(3).toSeq} expected=${expected.take(3)}")
+    // the rare term (df ~5% of corpus) must dominate the ranking: every
+    // top-5 hit contains it even though the common terms have higher tf
+    val dupDocs = local.filter(_._2.contains("dup")).map(_._1).toSet
+    assert(got.take(5).forall(h => dupDocs.contains(h._1)),
+      "IDF must rank the rare term's docs first — raw TF cannot do this")
+  }
 }
