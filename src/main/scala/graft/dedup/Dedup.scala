@@ -444,9 +444,15 @@ object Dedup {
     * cheaper than Lloyd rounds. Both branches confirm exact cosine
     * ≥ τ inside the join stage, so the DISPATCH cannot change which
     * pairs are *eligible* — only which candidates are generated
-    * (branch-equivalence spec in `NewOpsSpec`). */
-  def embeddingNearDupAuto(emb: DataFrame, tau: Double): DataFrame =
-    if (tau <= 0.5) embeddingNearDupIvf(emb, tau)
+    * (branch-equivalence spec in `NewOpsSpec`). `ivfNprobe` is the
+    * recall knob of the IVF branch: release-time callers (the
+    * manifest v3 semantic stage) pass 4 — measured recall 1.0 vs
+    * all-pairs at τ=0.45 on every verify corpus, the same
+    * recall-first trade as the v2 manifest's 16×2 banding — at ~2×
+    * the candidate volume of the default 2. */
+  def embeddingNearDupAuto(emb: DataFrame, tau: Double,
+      ivfNprobe: Int = 2): DataFrame =
+    if (tau <= 0.5) embeddingNearDupIvf(emb, tau, nprobe = ivfNprobe)
     else embeddingNearDupLsh(emb, tau)
 
   /** Embedding-cosine near-dup pairs at or above `tau` — the exact

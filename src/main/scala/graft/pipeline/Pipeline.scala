@@ -166,7 +166,65 @@ object Pipeline {
     val keepers = fpKeepers.join(labels, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .drop("cluster")
-    manifestTail(docs, keepers, benchmarkSources, n, minQuality)
+    // eager materialization so the stage cache can be dropped before
+    // returning — a long-lived library session must not accumulate it
+    val out = manifestTail(docs, keepers, benchmarkSources, n, minQuality)
+      .localCheckpoint()
+    fpKeepers.unpersist(blocking = false)
+    out
+  }
+
+  /** [[releaseManifestV2]] with a SEMANTIC near-dup stage — the
+    * SemDeDup-shaped production chain: after the string stages
+    * (fingerprint, MinHash-Jaccard) the survivors' EMBEDDINGS go
+    * through [[graft.dedup.Dedup.embeddingNearDupAuto]] (τ ≤ 0.5
+    * routes to IVF candidates, exact cosine confirms in-stage) →
+    * min-label clustering → keeper, catching paraphrase-level
+    * duplicates no token-overlap stage can see. `emb` is the
+    * embeddings table (vec_id aligned with doc_id — the documents ↔
+    * embeddings contract of the testdata and of any corpus that
+    * embeds its docs); only keepers' embeddings enter the semantic
+    * join, so the stage is sized by the deduped corpus.
+    *
+    * Oracle soundness (the v2 replay pattern): the DuckDB oracle
+    * replays the semantic pairs as ALL-PAIRS exact cosine ≥ `cosTau`
+    * over the string-stage keepers, which is the operator's output
+    * exactly as long as the candidate generator loses no ≥-cosTau
+    * pair on this corpus — asserted by the completeness case in
+    * `PipelineSpec` (the IVF/LSH dispatch confirms exact cosine
+    * in-stage, so candidates can only be MISSING, never wrong).
+    *
+    * Library hygiene: the manifest is eagerly materialized
+    * (localCheckpoint) and every stage intermediate unpersisted
+    * before returning — a long-lived session does not accumulate
+    * stage caches (the v2 leak, fixed there too). */
+  def releaseManifestV3(docs: DataFrame, emb: DataFrame,
+      benchmarkSources: Seq[String], n: Int, minQuality: Double,
+      tau: Double = 0.8, cosTau: Double = 0.45): DataFrame = {
+    import graft.dedup.{Dedup, MinHash}
+    val fpKeepers = fingerprintKeepers(docs, benchmarkSources)
+      .persist() // feeds the pair join, the label join, and the next stage
+    val pairs = MinHash.nearDupPairs(fpKeepers, n = 3, numHashes = 32,
+      bands = 16, tau = tau)
+    val strLabels = Dedup.nearDupClusters(pairs).withColumnRenamed("id", "doc_id")
+    val strKeepers = fpKeepers.join(strLabels, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("cluster")
+      .persist() // feeds the embedding join and the tail
+    val keeperEmb = emb.select(col("vec_id"), col("embedding"))
+      .join(strKeepers.select(col("doc_id").as("vec_id")), "vec_id")
+    // ivfNprobe=4: recall-first, like the 16×2 banding above — the
+    // completeness spec pins recall 1.0 vs all-pairs at this τ
+    val semPairs = Dedup.embeddingNearDupAuto(keeperEmb, cosTau, ivfNprobe = 4)
+    val semLabels = Dedup.nearDupClusters(semPairs).withColumnRenamed("id", "doc_id")
+    val keepers = strKeepers.join(semLabels, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("cluster")
+    val out = manifestTail(docs, keepers, benchmarkSources, n, minQuality)
+      .localCheckpoint() // eager: safe to drop stage caches below
+    fpKeepers.unpersist(blocking = false)
+    strKeepers.unpersist(blocking = false)
+    out
   }
 
   /** Stage 1 of the release chain: drop benchmark sources, keep the

@@ -131,6 +131,38 @@ class PipelineSpec extends SparkSpec {
     assert(allPairs.nonEmpty, "spec corpus must contain ≥0.8 shingle-Jaccard pairs")
   }
 
+  test("releaseManifestV3: semantic stage drops paraphrases the string stages keep") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val v2 = Pipeline.releaseManifestV2(docs, Seq("src0", "src1"), 4, 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val v3 = Pipeline.releaseManifestV3(docs, emb, Seq("src0", "src1"), 4, 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(v3.subsetOf(v2), "the semantic stage can only remove docs")
+    assert(v3.size < v2.size,
+      "the semantic stage must fire: >=1 high-cosine pair among string-stage keepers")
+  }
+
+  test("v3 semantic candidates lose nothing vs all-pairs cosine (oracle precondition)") {
+    // the driver oracle replays v3's semantic pair set as ALL-PAIRS
+    // exact cosine >= 0.45 over the string-stage keepers; that replay
+    // is only exact if the tau-dispatched candidate generator (IVF at
+    // 0.45) catches every >=tau pair on this data. Both branches
+    // confirm exact cosine in-stage, so candidates can only be
+    // missing, never wrong — subset + completeness = equality.
+    // ivfNprobe=4 is what v3 wires (nprobe=2 measured 5/7 here — the
+    // recall-first setting is load-bearing, not decorative).
+    import graft.dedup.Dedup
+    val emb = Tables.embeddings(spark, sfDir)
+    val auto = Dedup.embeddingNearDupAuto(emb, 0.45, ivfNprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDup(emb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus must contain >=0.45-cosine pairs")
+    assert(auto === exact,
+      s"missing=${(exact -- auto).take(5)} extra=${(auto -- exact).take(5)}")
+  }
+
   test("weightedMix epochs: full copies always, fractional copy by hash band") {
     val spark2 = spark; import spark2.implicits._
     val docs = (0L until 400L).map(i =>
