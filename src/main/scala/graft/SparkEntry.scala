@@ -500,6 +500,22 @@ object SparkEntry {
       text.TextOps.tfidfSearch(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
 
+    // best_fields across title (first 8 tokens, boost 4) and body
+    // (boost 1) under a bool filter context (lang terms + n_chars
+    // range, both pushed to the scan) — the multi_match + bool
+    // composition every real ES user sends. Boost 4 is measured to
+    // DECIDE ranks at the verify SFs (3-4 of the top 15 score via the
+    // boosted title), so best_fields is non-vacuous
+    "q_multi_match" -> ((s, dir) => {
+      val filtered = Tables.documents(s, dir)
+        .filter(col("lang").isin("en", "de") && col("n_chars") >= 150)
+      val body = split(lower(col("text")), "\\s+")
+      val title = slice(body, 1, 8)
+      text.TextOps.multiMatch(filtered,
+        Seq(("title", title, 4.0), ("body", body, 1.0)),
+        Seq("hash", "join", "vector"), 15)
+    }),
+
     // terms span the IDF range: df 25 / 385 / 398 of 500 docs at the
     // verify SF — the rare term's IDF dominates, which is the BM25
     // behavior raw TF cannot express
@@ -1438,6 +1454,18 @@ object SparkEntry {
            |    + (CASE WHEN df2 > 0 THEN CAST(tf2 AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df2) ELSE 0 END) AS score
            |  FROM tf CROSS JOIN stats) t
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_multi_match" ->
+      raw"""WITH f AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS body
+           |           FROM documents WHERE lang IN ('en', 'de') AND n_chars >= 150),
+           |s AS (SELECT doc_id,
+           |        CAST(len(list_filter(body[1:8], x -> list_contains(['hash','join','vector'], x))) AS BIGINT) * 4.0e0 AS score_title,
+           |        CAST(len(list_filter(body, x -> list_contains(['hash','join','vector'], x))) AS BIGINT) * 1.0e0 AS score_body
+           |      FROM f)
+           |SELECT doc_id, score_title, score_body, greatest(score_title, score_body) AS score
+           |FROM s
+           |WHERE greatest(score_title, score_body) > 0
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // same fixed-order arithmetic as the Spark side: constants written
     // as the same expressions ((1.2e0 + 1), (1 - 0.75e0), e0-notation forcing

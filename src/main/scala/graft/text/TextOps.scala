@@ -246,6 +246,37 @@ object TextOps {
       .limit(kTop)
   }
 
+  /** ES multi_match, best_fields type — the most common real ES
+    * request shape: the same query terms scored independently per
+    * field, each field's TF score scaled by its boost, and the doc
+    * ranked by the BEST field (ES tie_breaker=0 semantics: a doc
+    * matching well in one field beats a doc matching a little in
+    * many). Fields are (name, token-array column, boost) — callers
+    * derive them (title/body split, nested columns, …) and compose
+    * the bool-query filter context on `docs` BEFORE calling, so
+    * filter predicates stay pushable to the scan (the q_bool_filter
+    * composition). Per-field scores are exact token counts scaled by
+    * one double multiply; max/tie-break (score desc, doc_id) is
+    * deterministic. One narrow scan, bounded TakeOrdered — nothing
+    * shuffles the corpus. */
+  def multiMatch(docs: DataFrame, fields: Seq[(String, Column, Double)],
+      terms: Seq[String], k: Int): DataFrame = {
+    require(fields.nonEmpty && terms.nonEmpty)
+    val termArr = typedlit(terms)
+    val scored = docs.select(col("doc_id") +: fields.map { case (name, toks, boost) =>
+      (size(filter(toks, t => array_contains(termArr, t))).cast("long") * lit(boost))
+        .as(s"score_$name") }: _*)
+    scored
+      .withColumn("score",
+        fields.map(f => col(s"score_${f._1}")) match {
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        })
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES significant-terms facet: terms over-represented in one source
     * vs the whole corpus, scored by exact-count lift
     * (tf_src·total)/(tf_corpus·src_total) — integer products, one

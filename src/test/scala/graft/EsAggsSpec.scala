@@ -679,6 +679,29 @@ class EsAggsSpec extends SparkSpec {
     assert(unordAll >= sloppy, "unordered must be a superset of in-order")
   }
 
+  test("multiMatch best_fields equals a naive per-field recompute; boost binds") {
+    val terms = Seq("hash", "join", "vector")
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 150)
+    val body = split(lower(col("text")), "\\s+")
+    val got = TextOps.multiMatch(docs,
+        Seq(("title", slice(body, 1, 8), 4.0), ("body", body, 1.0)), terms, 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+
+    val local = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+", -1).toSeq
+      val st = toks.take(8).count(terms.contains) * 4.0
+      val sb = toks.count(terms.contains) * 1.0
+      (r.getLong(0), st, sb, math.max(st, sb))
+    }
+    val expected = local.filter(_._4 > 0).sortBy(x => (-x._4, x._1)).take(15).toSeq
+    assert(expected.size == 15, "filter context must leave at least k matching docs")
+    assert(got.toSeq == expected)
+    // best_fields must actually fire: some top doc's score comes from
+    // the boosted title, not the body count
+    assert(got.exists(r => r._2 > r._3), "boosted title field must win for some hit")
+  }
+
   test("bm25Search matches a naive Lucene-formula recompute; rare term dominates") {
     val terms = Seq("dup", "query", "scan")
     val k1 = 1.2; val b = 0.75
