@@ -378,6 +378,13 @@ object SparkEntry {
     "text_suggest" -> ((s, dir) =>
       text.TextOps.termSuggest(Tables.documents(s, dir), "bath", 2, 5)),
 
+    // three misspelled tokens; both bigram links score > 0 on the
+    // winning chain ("hash join table", bigram sum 57+), so the chain
+    // ranking binds, not just the per-token distances
+    "text_phrase_suggest" -> ((s, dir) =>
+      text.TextOps.phraseSuggest(Tables.documents(s, dir),
+        Seq("hsah", "jion", "tble"), 2, 3, 10)),
+
     "text_highlight" -> ((s, dir) =>
       text.TextOps.highlight(Tables.documents(s, dir), "vector", 30, 25)),
 
@@ -1225,6 +1232,23 @@ object SparkEntry {
            |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
            |FROM tf WHERE levenshtein(term, 'bath') <= 2
            |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin,
+
+    "text_phrase_suggest" ->
+      raw"""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+           |v AS (SELECT term, count(*) AS freq FROM (SELECT unnest(t) AS term FROM toks) WHERE term <> '' GROUP BY term),
+           |bg AS (SELECT w1, w2, count(*) AS bcount FROM (
+           |    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks)
+           |    WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+           |c0 AS (SELECT term AS c0, CAST(levenshtein(term, 'hsah') AS BIGINT) AS d0 FROM v WHERE levenshtein(term, 'hsah') <= 2 ORDER BY levenshtein(term, 'hsah'), freq DESC, term LIMIT 3),
+           |c1 AS (SELECT term AS c1, CAST(levenshtein(term, 'jion') AS BIGINT) AS d1 FROM v WHERE levenshtein(term, 'jion') <= 2 ORDER BY levenshtein(term, 'jion'), freq DESC, term LIMIT 3),
+           |c2 AS (SELECT term AS c2, CAST(levenshtein(term, 'tble') AS BIGINT) AS d2 FROM v WHERE levenshtein(term, 'tble') <= 2 ORDER BY levenshtein(term, 'tble'), freq DESC, term LIMIT 3),
+           |j AS (SELECT c0.c0, c0.d0, c1.c1, c1.d1, c2.c2, c2.d2,
+           |        coalesce(b1.bcount, 0) AS b1, coalesce(b2.bcount, 0) AS b2
+           |      FROM c0 CROSS JOIN c1 CROSS JOIN c2
+           |      LEFT JOIN bg b1 ON b1.w1 = c0.c0 AND b1.w2 = c1.c1
+           |      LEFT JOIN bg b2 ON b2.w1 = c1.c1 AND b2.w2 = c2.c2)
+           |SELECT concat_ws(' ', c0, c1, c2) AS suggestion, b1 + b2 AS bigram_score, d0 + d1 + d2 AS dist_sum
+           |FROM j ORDER BY bigram_score DESC, dist_sum, suggestion LIMIT 10""".stripMargin,
 
     "text_highlight" ->
       """SELECT doc_id, n_matches, first_pos, snippet FROM (

@@ -493,6 +493,65 @@ object TextOps {
       .orderBy(col("dist"), col("freq").desc, col("term"))
       .limit(k)
 
+  /** ES phrase suggester — bigram-chain correction of a multi-word
+    * query (the "did you mean" for phrases [[termSuggest]] cannot do:
+    * per-token correction alone has no way to prefer "hash join" over
+    * "hash join-adjacent noise"). Per probe token, the [[termSuggest]]
+    * rule yields ≤ `perTokenK` vocabulary candidates (levenshtein ≤
+    * `maxDist`, ranked dist → freq desc → term); candidate phrases are
+    * the chain product, scored by the SUM of corpus bigram counts over
+    * adjacent pairs (exact integers — no smoothing, so the contract is
+    * oracle-replayable), ranked score desc → edit-distance sum → text.
+    *
+    * Scale shape: vocab and bigram tables are map-side-combinable
+    * aggs over one tokenize pass (persisted across its two uses); the
+    * candidate frames are ≤ perTokenK rows each (driver-bounded
+    * TakeOrdered), so every chain join broadcasts candidate pairs
+    * against the bigram table keyed on (w1, w2) — the corpus-sized
+    * side is filtered by a broadcast inner join BEFORE the tiny left
+    * join, never scanned per candidate. */
+  def phraseSuggest(docs: DataFrame, probe: Seq[String], maxDist: Int,
+      perTokenK: Int, k: Int): DataFrame = {
+    require(probe.size >= 2, "phrase suggestion needs at least two tokens")
+    val toks = docs.select(split(lower(col("text")), "\\s+").as("toks")).persist()
+    val vocab = toks.select(explode(col("toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .persist()
+    val bigrams = toks.select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .filter(col("bg.w1") =!= "" && col("bg.w2") =!= "")
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bcount"))
+    val cands = probe.zipWithIndex.map { case (t, i) =>
+      vocab.withColumn("dist", levenshtein(col("term"), lit(t)).cast("long"))
+        .filter(col("dist") <= maxDist)
+        .orderBy(col("dist"), col("freq").desc, col("term"))
+        .limit(perTokenK)
+        .select(col("term").as(s"c$i"), col("dist").as(s"d$i"))
+    }
+    var acc = cands.head
+    for (i <- 1 until probe.size) {
+      val pairKeys = acc.select(col(s"c${i - 1}")).distinct()
+        .crossJoin(cands(i).select(col(s"c$i")).distinct())
+      val link = bigrams.join(broadcast(pairKeys),
+        bigrams("w1") === pairKeys(s"c${i - 1}") && bigrams("w2") === pairKeys(s"c$i"))
+        .select(col(s"c${i - 1}"), col(s"c$i"), col("bcount").as(s"b$i"))
+      acc = acc.crossJoin(broadcast(cands(i)))
+        .join(link, Seq(s"c${i - 1}", s"c$i"), "left")
+        .na.fill(0L, Seq(s"b$i"))
+    }
+    val score = (1 until probe.size).map(i => col(s"b$i")).reduce(_ + _)
+    val distSum = probe.indices.map(i => col(s"d$i")).reduce(_ + _)
+    acc.select(
+        concat_ws(" ", probe.indices.map(i => col(s"c$i")): _*).as("suggestion"),
+        score.as("bigram_score"), distSum.as("dist_sum"))
+      .orderBy(col("bigram_score").desc, col("dist_sum"), col("suggestion"))
+      .limit(k)
+  }
+
   /** Confusion matrix of predicted vs ground-truth language — the
     * eval loop a pipeline runs after changing the classifier. Single
     * pass + one tiny agg; no join (the truth label rides along). */

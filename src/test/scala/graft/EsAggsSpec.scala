@@ -679,6 +679,45 @@ class EsAggsSpec extends SparkSpec {
     assert(unordAll >= sloppy, "unordered must be a superset of in-order")
   }
 
+  test("phraseSuggest corrects the chain by bigram plausibility, matching naive") {
+    val probe = Seq("hsah", "jion", "tble")
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.phraseSuggest(docs, probe, 2, 3, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = docs.select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\s+", -1).toSeq)
+    val vocab = texts.flatten.filter(_.nonEmpty).groupBy(identity)
+      .map { case (t, o) => (t, o.size.toLong) }
+    val bigrams = texts.flatMap(t => t.zip(t.drop(1)))
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+      .groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+    val cands = probe.map { t =>
+      vocab.toSeq.map { case (w, f) => (w, f, lev(w, t).toLong) }
+        .filter(_._3 <= 2)
+        .sortBy { case (w, f, d) => (d, -f, w) }.take(3)
+        .map { case (w, _, d) => (w, d) }
+    }
+    val expected = (for {
+      (w0, d0) <- cands(0); (w1, d1) <- cands(1); (w2, d2) <- cands(2)
+    } yield (s"$w0 $w1 $w2",
+        bigrams.getOrElse((w0, w1), 0L) + bigrams.getOrElse((w1, w2), 0L),
+        d0 + d1 + d2))
+      .sortBy { case (s, b, d) => (-b, d, s) }.take(10)
+    assert(got.toSeq == expected)
+    assert(got.head._1 == "hash join table",
+      "bigram chain must pick the co-occurring correction")
+    assert(got.head._2 > 0, "winning chain must have real bigram support")
+  }
+
   test("multiMatch best_fields equals a naive per-field recompute; boost binds") {
     val terms = Seq("hash", "join", "vector")
     val docs = Tables.documents(spark, sfDir)
