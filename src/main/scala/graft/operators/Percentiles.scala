@@ -47,19 +47,49 @@ object Percentiles {
   /** Value at rank ceil(p·n) per group for each fraction p, in
     * (value, id) order — output (groupCol, p, valueCol, n), one row per
     * (group, fraction). Columns keep their input names so callers
-    * re-alias to their facet's contract. */
+    * re-alias to their facet's contract.
+    *
+    * `depth` is the pathological-single-group escape hatch: at depth 1
+    * (default — the verified bench shape) located buckets are ranked
+    * directly; depth 2 re-buckets each located non-degenerate bucket
+    * with the same histogram-CDF machinery before ranking, so a group
+    * whose value distribution crams n_group/buckets ≫ memory rows into
+    * ONE bucket sorts only n_group/buckets² rows per task. An all-TIES
+    * located bucket (bmin = bmax) short-circuits at every depth — all
+    * rows equal the target value, so the answer needs no rank at all —
+    * which is what terminates the one distribution re-bucketing cannot
+    * split. Output is bit-identical across depths (equality spec in
+    * `PercentilesSpec`; the driver oracle is depth-blind). */
   def rankSelect(df: DataFrame, groupCol: String, valueCol: String,
-      idCol: String, fractions: Seq[Double], buckets: Int = 4096): DataFrame = {
+      idCol: String, fractions: Seq[Double], buckets: Int = 4096,
+      depth: Int = 1): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(p => p > 0 && p <= 1),
       "fractions must lie in (0, 1]")
-    require(buckets > 0)
-    val v = col(valueCol)
+    require(buckets > 0 && depth >= 1)
+    // pass 1: per-group count feeds the target ranks k = ceil(p·n) —
+    // the exact expression the window forms and the oracle share
+    val targets = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol).as("__tg"), col("__n"),
+        explode(typedlit(fractions)).as("__p"))
+      .withColumn("__k", ceil(col("__p") * col("__n")))
+    selectRanks(df.select(col(groupCol).as("__tg"), col(valueCol).as("__v"),
+        col(idCol).as("__id")), targets, buckets, depth)
+      .select(col("__tg").as(groupCol), col("__p").as("p"),
+        col("__v").as(valueCol), col("__n").as("n"))
+  }
 
-    // pass 1: per-group count + span. The group table is facet-sized
-    // (the whole point of this operator is few, huge groups), so it
-    // broadcasts onto the scan.
-    val stats = df.groupBy(groupCol)
-      .agg(count(lit(1)).as("__n"), min(v).as("__lo"), max(v).as("__hi"))
+  /** Recursive core: select the value at in-group rank `__k` for every
+    * (group `__tg`, tag `__p`) target. Frame columns are pinned
+    * (`__tg`, `__v`, `__id`); recursion descends with the located
+    * bucket folded into a struct group key and `__k` rebased by the
+    * ranks below it. */
+  private def selectRanks(df: DataFrame, targets: DataFrame,
+      buckets: Int, depth: Int): DataFrame = {
+    val v = col("__v")
+
+    // per-group span. The group table is facet-sized (the whole point
+    // of this operator is few, huge groups), so it broadcasts.
+    val stats = df.groupBy("__tg").agg(min(v).as("__lo"), max(v).as("__hi"))
 
     // monotone bucket id: floor((v − lo)/width) clamped to [0, B−1].
     // IEEE subtraction and division by a positive constant are monotone
@@ -70,46 +100,69 @@ object Percentiles {
     val bucketOf = when(col("__hi") === col("__lo"), lit(0L))
       .otherwise(least(lit(buckets - 1L),
         greatest(lit(0L), floor((v - col("__lo")) / width).cast("long"))))
-    def withBucket = df.join(broadcast(stats), groupCol)
+    def withBucket = df.join(broadcast(stats), "__tg")
       .withColumn("__bucket", bucketOf)
 
-    // pass 2: bucket histogram + cumulative counts (≤ `buckets` rows
-    // per group — a bounded post-agg window, never a data-scale sort)
-    val wb = Window.partitionBy(groupCol).orderBy("__bucket")
+    // bucket histogram + cumulative counts (≤ `buckets` rows per group
+    // — a bounded post-agg window, never a data-scale sort); per-bucket
+    // min/max feed the all-ties shortcut
+    val wb = Window.partitionBy("__g").orderBy("__bucket")
     val cum = withBucket
-      .groupBy(groupCol, "__bucket")
-      .agg(count(lit(1)).as("__bn"))
+      .groupBy(col("__tg").as("__g"), col("__bucket"))
+      .agg(count(lit(1)).as("__bn"), min(v).as("__bmin"), max(v).as("__bmax"))
       .withColumn("__below", coalesce(
         sum(col("__bn")).over(wb.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .withColumnRenamed(groupCol, "__g")
 
-    // target ranks: k = ceil(p·n) — the exact expression the window
-    // forms and the oracle share — located in the bucket whose
-    // cumulative range [below+1, below+bn] contains k
-    val targets = stats
-      .select(col(groupCol), col("__n"), explode(typedlit(fractions)).as("__p"))
-      .withColumn("__k", ceil(col("__p") * col("__n")))
+    // locate: the bucket whose cumulative range [below+1, below+bn]
+    // contains k
     val need = targets.join(cum,
-        col(groupCol) === col("__g") &&
+        col("__tg") === col("__g") &&
           col("__k") > col("__below") &&
           col("__k") <= col("__below") + col("__bn"))
       .select(col("__g"), col("__p"), col("__k"), col("__bucket").as("__b"),
-        col("__below"), col("__n"))
+        col("__below"), col("__n"), col("__bmin"), col("__bmax"))
 
-    // pass 3: rank only the located buckets (n_group/buckets rows per
-    // target), in-bucket rank + cum_below = global rank
-    val neededBuckets = need.select(col("__g"), col("__b")).distinct()
-    val wsel = Window.partitionBy(groupCol, "__bucket").orderBy(v, col(idCol))
-    withBucket
-      .join(broadcast(neededBuckets),
-        col(groupCol) === col("__g") && col("__bucket") === col("__b"))
-      .withColumn("__rn", row_number().over(wsel))
-      .drop("__g", "__b", "__n", "__lo", "__hi")
-      .join(broadcast(need),
-        col(groupCol) === col("__g") && col("__bucket") === col("__b") &&
-          col("__rn") === col("__k") - col("__below"))
-      .select(col(groupCol), col("__p").as("p"), v, col("__n").as("n"))
+    // all-ties bucket: every row equals the target value — answer
+    // directly, no rank (terminates the tie pathology at any depth)
+    val direct = need.filter(col("__bmin") === col("__bmax"))
+      .select(col("__g").as("__tg"), col("__p"), col("__bmin").as("__v"),
+        col("__n"))
+    val rest = need.filter(col("__bmin") =!= col("__bmax"))
+
+    val resolved =
+      if (depth <= 1) {
+        // rank only the located buckets (n_group/buckets rows per
+        // target), in-bucket rank + cum_below = global rank
+        val neededBuckets = rest.select(col("__g"), col("__b")).distinct()
+        val wsel = Window.partitionBy("__tg", "__bucket").orderBy(v, col("__id"))
+        withBucket
+          .join(broadcast(neededBuckets),
+            col("__tg") === col("__g") && col("__bucket") === col("__b"))
+          .withColumn("__rn", row_number().over(wsel))
+          .drop("__g", "__b", "__lo", "__hi")
+          .join(broadcast(rest),
+            col("__tg") === col("__g") && col("__bucket") === col("__b") &&
+              col("__rn") === col("__k") - col("__below"))
+          .select(col("__tg"), col("__p"), col("__v"), col("__n"))
+      } else {
+        // descend: located bucket folds into the group key, k rebases
+        // to the in-bucket rank, and the same machinery re-buckets the
+        // (n_group/buckets)-row subset
+        val neededBuckets = rest.select(col("__g"), col("__b")).distinct()
+        val sub = withBucket
+          .join(broadcast(neededBuckets),
+            col("__tg") === col("__g") && col("__bucket") === col("__b"))
+          .select(struct(col("__tg"), col("__bucket")).as("__tg"),
+            col("__v"), col("__id"))
+        val subTargets = rest.select(
+          struct(col("__g").as("__tg"), col("__b").as("__bucket")).as("__tg"),
+          col("__p"), (col("__k") - col("__below")).as("__k"), col("__n"))
+        selectRanks(sub, subTargets, buckets, depth - 1)
+          .select(col("__tg.__tg").as("__tg"), col("__p"), col("__v"),
+            col("__n"))
+      }
+    direct.unionByName(resolved)
   }
 
   /** [[Analytics.percentileFacet]] scale twin: identical output (same

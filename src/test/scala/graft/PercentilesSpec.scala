@@ -85,6 +85,52 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("depth-2 recursion is bit-identical on a pathological single group") {
+    import spark.implicits._
+    // one group whose values cram into ONE level-1 bucket: 99% of rows
+    // lie in [0, 1e-6) of a [0, 1e6] span (plus an all-ties run), so
+    // with buckets=4 the located bucket holds ~99% of the group — the
+    // exact case depth-1 would sort wholesale and depth-2 re-buckets.
+    // A handful of outliers define the wide span.
+    val data = (1 to 2000).map { i =>
+      val v =
+        if (i <= 1900) i * 5e-10          // dense cluster near 0
+        else if (i <= 1980) 0.5e-6        // tie run inside the cluster
+        else (i - 1980) * 50000.0         // outliers stretching the span
+      ("g", v, i.toLong)
+    }
+    val df = data.toDF("g", "v", "id")
+    val fr = Seq(0.1, 0.5, 0.9, 0.95, 1.0)
+    val naive = {
+      val sorted = data.sortBy(r => (r._2, r._3))
+      fr.map { p =>
+        val k = math.ceil(p * sorted.size).toInt
+        ("g", p, sorted(k - 1)._2, sorted.size.toLong)
+      }.toSet
+    }
+    val d1 = Percentiles.rankSelect(df, "g", "v", "id", fr, buckets = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val d2 = Percentiles.rankSelect(df, "g", "v", "id", fr, buckets = 4, depth = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(d1 === naive, "depth-1 must match the naive sort")
+    assert(d2 === naive, "depth-2 must be bit-identical to depth-1 and naive")
+  }
+
+  test("depth-2 equals depth-1 on the real events table (all fractions)") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val fr = Seq(0.5, 0.9, 0.99)
+    val d1 = rows(Percentiles.rankSelect(ev, "event_type", "value", "event_id",
+      fr, buckets = 64))
+    val d2 = rows(Percentiles.rankSelect(ev, "event_type", "value", "event_id",
+      fr, buckets = 64, depth = 2))
+    assert(d1.nonEmpty && d1 == d2)
+  }
+
   test("rank-select handles single-row and constant-value groups") {
     import spark.implicits._
     val df = Seq(("solo", 7.0, 1L), ("flat", 3.0, 1L), ("flat", 3.0, 2L),
