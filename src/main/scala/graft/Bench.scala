@@ -133,10 +133,12 @@ object Bench {
       .filter(n => only.isEmpty || only(n))
 
     // one bracketed pass over `todo`: calibration → segment → calibration
-    // → … ; returns the queries whose segment had a dirty bracket.
-    // (Brackets are evaluated against the FINAL ref — min over all
-    // calibrations — so a stall that inflates an early reading can't
-    // whitewash its own segment.)
+    // → … ; returns (segment, calib-before, calib-after) triples. The
+    // in-loop dirty filter below is only a RE-QUEUE heuristic (it sees
+    // ref as of that pass); the authoritative dirty verdict re-evaluates
+    // every recorded bracket against the FINAL ref after the loop, so a
+    // stall that inflates an early reading can't whitewash its own
+    // segment even when a later pass lowers ref retroactively.
     def pass(todo: Seq[String]): Seq[(Seq[String], Double, Double)] = {
       val out = mutable.ArrayBuffer[(Seq[String], Double, Double)]()
       var cPrev = calibrate("seg-start")
@@ -150,7 +152,9 @@ object Bench {
     }
 
     var attempts = 1
+    val allBrackets = mutable.ArrayBuffer[(Seq[String], Double, Double)]()
     var brackets = pass(names)
+    allBrackets ++= brackets
     var pending = brackets
       .filter { case (_, c0, c1) => dirtyCalib(c0) || dirtyCalib(c1) }
       .flatMap(_._1)
@@ -159,11 +163,21 @@ object Bench {
         s"[bench-calib] ${pending.size} queries in dirty segments — re-timing")
       attempts += 1
       brackets = pass(pending)
+      allBrackets ++= brackets
       pending = brackets
         .filter { case (_, c0, c1) => dirtyCalib(c0) || dirtyCalib(c1) }
         .flatMap(_._1)
     }
-    val dirtyNames = pending.sorted
+    // Final dirty verdict against the FINAL ref: a later pass can lower
+    // ref below what an earlier pass's filter saw, so every recorded
+    // bracket is re-evaluated here — a query is clean only if at least
+    // one of its brackets is clean under the final (lowest) ref, which
+    // closes the retroactively-dirty-segment hole the in-loop filter
+    // (a re-queue heuristic, nothing more) cannot see.
+    val cleanlyTimed = allBrackets
+      .filter { case (_, c0, c1) => !dirtyCalib(c0) && !dirtyCalib(c1) }
+      .flatMap(_._1).toSet
+    val dirtyNames = names.filterNot(cleanlyTimed).sorted
     val contaminated = dirtyNames.nonEmpty
 
     // The driver captures only the last 2000 chars of the build log
@@ -194,7 +208,7 @@ object Bench {
       if (calibs.isEmpty) "\"calib_min\":null,\"calib_max\":null"
       else s""""calib_min":${f3(calibs.min)},"calib_max":${f3(calibs.max)}"""
     val dirtyJson = dirtyNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","calib_ref":${ref.map(f3).getOrElse("null")},$calibStats,"n_calibs":${calibs.size},"n_dirty":${dirtyNames.size},"dirty":$dirtyJson,"contaminated":$contaminated,"attempts":$attempts}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","calib_ref":${ref.map(f3).getOrElse("null")},$calibStats,"n_calibs":${calibs.size},"n_dirty":${dirtyNames.size},"dirty":$dirtyJson,"n_errored":${errored.size},"contaminated":$contaminated,"attempts":$attempts}""")
     spark.stop()
   }
 }

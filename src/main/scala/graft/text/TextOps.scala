@@ -181,7 +181,7 @@ object TextOps {
       }: _*)
     // corpus stats: df per query term + N, one row
     val stats = hits.select(col("doc_id"), col("term"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .groupBy("n_docs")
       .agg(terms.zipWithIndex.map { case (t, i) =>
         countDistinct(when(col("term") === t, col("doc_id"))).as(s"df$i")
@@ -429,6 +429,10 @@ object TextOps {
   def phraseMatchSlop(docs: DataFrame, term1: String, term2: String,
       slop: Int, k: Int, inOrder: Boolean = true): DataFrame = {
     require(slop >= 0, "slop must be non-negative")
+    require(term1 != term2,
+      "span_near over a repeated term needs distinct slots; the unordered " +
+        "pair arithmetic below assumes term1 and term2 occupy different " +
+        "positions (a same-term position would count itself: |i-i|-1 <= slop)")
     val toks = split(lower(col("text")), "\\s+")
     def positions(term: String) =
       filter(transform(toks, (t, i) => when(t === term, i + 1).otherwise(-1)),
