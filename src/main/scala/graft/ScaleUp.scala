@@ -92,15 +92,20 @@ object ScaleUp {
               w => concat(w, lit("c"), col("__c"))), " ")))
       .drop("__c"))
 
-    // element rotation by copy index: norm-preserving, decorrelating
+    // element rotation by copy index (mod dim — factors beyond the
+    // dimension wrap, so copies c and c+dim carry identical vectors;
+    // at factor 100 over dim-64 embeddings ~35% of vectors gain one
+    // exact twin, a LINEAR artifact the near-dup ops absorb as extra
+    // confirmed pairs, unlike verbatim text copies which would be
+    // quadratic): norm-preserving, decorrelating
     write("embeddings", copies(Tables.embeddings(spark, src), factor)
       .withColumn("vec_id", off("vec_id"))
       .withColumn("embedding", {
         val d = size(col("embedding"))
-        val c = col("__c")
-        when(c === 0, col("embedding")).otherwise(
-          concat(slice(col("embedding"), c + 1, d - c),
-            slice(col("embedding"), lit(1), c)))
+        val r = pmod(col("__c"), d)
+        when(r === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), r + 1, d - r),
+            slice(col("embedding"), lit(1), r)))
       })
       .drop("__c"))
 

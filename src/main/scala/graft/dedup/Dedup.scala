@@ -397,25 +397,19 @@ object Dedup {
     val nCent = math.max(8, math.min(n / targetListSize,
       math.ceil(2 * math.sqrt(n.toDouble)).toLong)).toInt
     val cents = Ann.lloydCentroids(e, nCent, lloydRounds)
-    // Probe assignment is a broadcast join against the centroid TABLE +
-    // bounded top-nprobe aggregate — all codegen'd with map-side
-    // partial aggregation. The expression-literal form
-    // (array_sort over per-centroid cosine structs) is a higher-order
-    // function = CodegenFallback: every row would interpret nCent
-    // cosines (measured ~15× over the codegen'd join at 156 centroids).
-    // This is also the only form that survives warehouse-scale nCent —
-    // centroids are data, not expression literals.
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centDf = cents.map { case (id, c) => (id.toLong, c) }.toDF("cent_id", "centroid")
-    val assigned = e
-      .join(broadcast(centDf))
-      .select(col("vec_id"),
-        GraftFunctions.cosineSim(col("embedding"), col("centroid")).as("cos"),
-        col("cent_id"))
-      .groupBy("vec_id")
-      .agg(graft.functions.TopKPairs.topK(col("cos"), col("cent_id"), nprobe).as("top"))
-      .select(col("vec_id"), explode(col("top.id")).as("cent_id"))
+    // Probe assignment is the TopCentroids codegen expression — one
+    // tight per-row loop against the constant centroid matrix, no rows
+    // beyond the corpus itself. The two join-shaped alternatives both
+    // die at scale: a broadcast join + per-vector top-nprobe aggregate
+    // materializes n·nCent rows whose struct/object-buffered aggregate
+    // plans as a SORT (measured at ×100: 500k × 1414 = 7e8 rows,
+    // tens of GB of sort spill until the disk died), and the
+    // literal-array struct-sort form drops out of whole-stage codegen
+    // past ~100 centroids and interprets every cosine (~15× slower).
+    // List keys are centroid matrix row indices.
+    val assigned = e.select(col("vec_id"),
+      explode(GraftFunctions.topCentroids(
+        col("embedding"), Ann.centMatrix(cents), nprobe)).as("cent_id"))
     // same confirm-in-stage shape as the LSH twin: embeddings ride the
     // (corpus × nprobe)-sized list table, pairs materialize and confirm
     // inside the join stage, only τ-survivors shuffle on

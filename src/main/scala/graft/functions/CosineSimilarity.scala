@@ -98,6 +98,11 @@ object GraftFunctions {
   def l2Distance(a: Column, b: Column): Column =
     Glue.column(L2Distance(Glue.expression(a), Glue.expression(b)))
 
+  /** `top_centroids(emb)` against a constant centroid matrix — see
+    * [[TopCentroids]]. */
+  def topCentroids(emb: Column, cents: Array[Array[Double]], k: Int): Column =
+    Glue.column(TopCentroids(Glue.expression(emb), cents, k))
+
   /** Register all graft functions so `spark.sql("SELECT cosine_sim(...)")`
     * works (SURVEY §2: FunctionRegistry registration). */
   def register(spark: SparkSession): Unit = {

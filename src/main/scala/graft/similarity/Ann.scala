@@ -117,25 +117,28 @@ object Ann {
       .select("query_id", "rank", "cand_id", "cos_sim")
   }
 
-  /** Nearest centroid id as a pure codegen'd expression: argmax cosine
-    * over the (tiny, literal) centroid set with ascending-id tie-break —
-    * struct max compares cos first, then -id. No join, no window. */
-  private def nearestCentId(embCol: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-    val best = array_max(array(cents.map { case (id, c) =>
-      struct(GraftFunctions.cosineSim(embCol, typedlit(c)).as("cos"),
-        lit(-id).as("negid")) }: _*))
-    -best.getField("negid")
-  }
+  /** The centroid matrix in list order (row i = centroid of list i) —
+    * the constant the [[graft.functions.TopCentroids]] expression
+    * assigns against. List keys everywhere downstream are MATRIX ROW
+    * INDICES (cents is seed-id ascending, so index order = id order
+    * and the (cos desc, id asc) tie contract is preserved). */
+  private[graft] def centMatrix(cents: Seq[(Int, Seq[Double])]): Array[Array[Double]] =
+    cents.map(_._2.toArray).toArray
 
   /** Deterministic-seeded Lloyd refinement: seeds are the first
     * `nCentroids` vectors by id, then `rounds` FIXED assign-to-nearest /
-    * recompute-mean iterations. Each round is one corpus scan joined
-    * against the broadcast centroid table, a per-vector argmax, and a
-    * (cent_id, dim) mean; only nCentroids × dim doubles come back to
-    * the driver per round (metadata, not data). Empty clusters keep
-    * their previous centroid. Mean doubles are not bit-pinned across
-    * partitionings — an index-construction detail only; the search
-    * re-ranks with exact cosine inside the probed lists. */
+    * recompute-mean iterations. Assignment is the [[graft.functions
+    * .TopCentroids]] expression (k=1) — one tight per-row loop against
+    * the constant centroid matrix, NO broadcast-join row explosion:
+    * the join + per-vector-argmax form materialized n·nCent rows whose
+    * struct-buffered aggregate plans as SortAggregate, which at ×100
+    * (7·10⁸ rows) sort-spilled the disk to death. Each round is one
+    * corpus scan + a (list, dim) mean agg; only nCentroids × dim
+    * doubles come back to the driver per round (metadata, not data).
+    * Empty clusters keep their previous centroid. Mean doubles are not
+    * bit-pinned across partitionings — an index-construction detail
+    * only; the search re-ranks with exact cosine inside the probed
+    * lists. */
   private[graft] def lloydCentroids(emb: DataFrame, nCentroids: Int,
       rounds: Int): Seq[(Int, Seq[Double])] = {
     def toDoubles(a: Any): Seq[Double] = a.asInstanceOf[scala.collection.Seq[Any]].map {
@@ -146,46 +149,21 @@ object Ann {
     var cents: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0).toInt, toDoubles(r.get(1)))).toSeq
-    val spark = emb.sparkSession
-    import spark.implicits._
     (0 until rounds).foreach { _ =>
-      // assign-to-nearest is a broadcast join against the centroid TABLE
-      // + max_by per vector — all codegen'd with map-side partial
-      // aggregation. The literal-expression argmax (array_max over
-      // nCentroids cosine structs) collapses out of whole-stage codegen
-      // past ~100 centroids and interprets every cosine (measured: the
-      // whole 32 s of the ×10 near-dup op was this assignment).
-      val centDf = cents.toDF("cid", "centroid")
       val means = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .join(broadcast(centDf))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(
-            GraftFunctions.cosineSim(col("e"), col("centroid")).as("cos"),
-            (-col("cid")).as("negid"))).as("cent_id"),
-          first(col("e")).as("e"))
-        .select(col("cent_id"), posexplode(col("e")).as(Seq("dim", "v")))
-        .groupBy("cent_id", "dim").agg(avg(col("v")).as("m"))
+        .select(col("embedding").cast("array<double>").as("e"))
+        .select(GraftFunctions.topCentroids(col("e"), centMatrix(cents), 1)
+          .getItem(0).as("ci"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy("ci", "dim").agg(avg(col("v")).as("m"))
         .collect().groupBy(_.getInt(0))
-      cents = cents.map { case (id, old) =>
-        id -> means.get(id)
+      cents = cents.zipWithIndex.map { case ((id, old), i) =>
+        id -> means.get(i)
           .map(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
           .getOrElse(old)
       }
     }
     cents
   }
-
-  /** The `nprobe` nearest centroid ids for a vector, as an array column:
-    * ascending struct sort on (-cos, cent_id) = cosine descending with
-    * id tie-break, sliced to nprobe — per-row array ops over the (tiny,
-    * literal) centroid set; no join, no shuffle. Shared by the IVF
-    * query path and the IVF near-dup candidate generator. */
-  private[graft] def probedCentIds(embCol: Column,
-      cents: Seq[(Int, Seq[Double])], nprobe: Int): Column =
-    slice(array_sort(array(cents.map { case (id, c) =>
-      struct((-GraftFunctions.cosineSim(embCol, typedlit(c))).as("neg"),
-        lit(id).as("cent_id")) }: _*)), 1, nprobe)
 
   /** IVF (inverted-file) ANN top-k — the partitioned-index scale path.
     * Centroids are deterministic seeds (first `nCentroids` vectors)
@@ -201,13 +179,15 @@ object Ann {
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, lloydRounds: Int = 3): DataFrame = {
     val cents = lloydCentroids(emb, nCentroids, lloydRounds)
+    val mat = centMatrix(cents)
     val corpus = emb.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb"),
-      nearestCentId(col("embedding"), cents).as("cent_id"))
+      GraftFunctions.topCentroids(col("embedding"), mat, 1)
+        .getItem(0).as("cent_id"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(probedCentIds(col("embedding"), cents, nprobe)).as("p"))
-      .select(col("query_id"), col("q_emb"), col("p.cent_id").as("cent_id"))
+        explode(GraftFunctions.topCentroids(col("embedding"), mat, nprobe))
+          .as("cent_id"))
     // queries×nprobe is tiny by construction; size estimation can't see
     // through the explode, so broadcast explicitly (SMJ otherwise)
     val sim = broadcast(queries).join(corpus, Seq("cent_id"))
