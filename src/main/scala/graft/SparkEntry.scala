@@ -385,6 +385,11 @@ object SparkEntry {
       text.TextOps.phraseSuggest(Tables.documents(s, dir),
         Seq("hsah", "jion", "tble"), 2, 3, 10)),
 
+    // prefix "s" covers 5+ vocab terms (scan/sort/stream/small/slow/
+    // spark…) with distinct frequencies, so the weight ranking binds
+    "text_completion_suggest" -> ((s, dir) =>
+      text.TextOps.completionSuggest(Tables.documents(s, dir), "s", 5)),
+
     "text_highlight" -> ((s, dir) =>
       text.TextOps.highlight(Tables.documents(s, dir), "vector", 30, 25)),
 
@@ -1232,6 +1237,14 @@ object SparkEntry {
            |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
            |FROM tf WHERE levenshtein(term, 'bath') <= 2
            |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin,
+
+    "text_completion_suggest" ->
+      raw"""SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs FROM (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |  FROM documents)
+           |WHERE term LIKE 's%'
+           |GROUP BY term
+           |ORDER BY n_occ DESC, n_docs DESC, term LIMIT 5""".stripMargin,
 
     "text_phrase_suggest" ->
       raw"""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),

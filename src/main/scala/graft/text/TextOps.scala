@@ -556,6 +556,26 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES completion suggester — prefix-indexed type-ahead: vocabulary
+    * terms starting with `prefix`, ranked by total corpus occurrences
+    * (the weight ES derives when none is supplied), then doc frequency,
+    * then term. ES serves this from an FST built at index time; the
+    * engine form is the same two-level shape — a map-side-combinable
+    * vocab aggregation (at warehouse scale a maintained index table,
+    * additive per ingest batch like the dedup df table) filtered by
+    * the prefix predicate, bounded TakeOrdered on top. One tokenize
+    * pass; nothing corpus-sized shuffles. */
+  def completionSuggest(docs: DataFrame, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "completion needs a non-empty prefix")
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("term"))
+      .limit(k)
+  }
+
   /** Confusion matrix of predicted vs ground-truth language — the
     * eval loop a pipeline runs after changing the classifier. Single
     * pass + one tiny agg; no join (the truth label rides along). */

@@ -679,6 +679,22 @@ class EsAggsSpec extends SparkSpec {
     assert(unordAll >= sloppy, "unordered must be a superset of in-order")
   }
 
+  test("completionSuggest ranks prefix completions by weight, matching naive") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.completionSuggest(docs, "s", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val local = docs.select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+", -1)
+        .filter(_.startsWith("s")).map(t => (t, r.getLong(0))))
+    val expected = local.groupBy(_._1).toSeq
+      .map { case (t, os) => (t, os.length.toLong, os.map(_._2).distinct.length.toLong) }
+      .sortBy { case (t, occ, df) => (-occ, -df, t) }.take(5)
+    assert(expected.size == 5, "prefix must cover at least k vocab terms")
+    assert(got.toSeq == expected)
+    assert(expected.map(_._2).distinct.size > 1,
+      "frequencies must differ so the weight ranking binds")
+  }
+
   test("phraseSuggest corrects the chain by bigram plausibility, matching naive") {
     val probe = Seq("hsah", "jion", "tble")
     val docs = Tables.documents(spark, sfDir)
