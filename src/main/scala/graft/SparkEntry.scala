@@ -390,6 +390,13 @@ object SparkEntry {
     "text_completion_suggest" -> ((s, dir) =>
       text.TextOps.completionSuggest(Tables.documents(s, dir), "s", 5)),
 
+    // ES 8.8 rrf retriever: BM25 top-30 fused with cosine-kNN top-30
+    // of query vector 7; 1-2 docs sit in BOTH lists per SF and the
+    // fusion promotes one to the top — the reordering is real
+    "q_rrf_hybrid" -> ((s, dir) =>
+      text.TextOps.rrfHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Seq("dup", "query", "scan"), 7L, 30, 15)),
+
     "text_highlight" -> ((s, dir) =>
       text.TextOps.highlight(Tables.documents(s, dir), "vector", 30, 25)),
 
@@ -1237,6 +1244,36 @@ object SparkEntry {
            |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
            |FROM tf WHERE levenshtein(term, 'bath') <= 2
            |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin,
+
+    // the bm25 CTEs are the text_bm25 oracle verbatim; ranks are
+    // 1-based within each top-30, absent side contributes 0
+    "q_rrf_hybrid" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+           |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+           |      FROM d),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |bm AS (SELECT doc_id,
+           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+           |  ORDER BY score DESC, doc_id LIMIT 30),
+           |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM bm),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |qv AS (SELECT emb AS q FROM e WHERE vec_id = 7),
+           |sem0 AS (SELECT vec_id, list_cosine_similarity(emb, q) AS cos FROM e CROSS JOIN qv
+           |         WHERE vec_id <> 7 ORDER BY cos DESC, vec_id LIMIT 30),
+           |sem AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rank FROM sem0)
+           |SELECT doc_id, lex_rank, sem_rank,
+           |  coalesce(1.0e0 / (60 + lex_rank), 0e0) + coalesce(1.0e0 / (60 + sem_rank), 0e0) AS rrf_score
+           |FROM lex FULL OUTER JOIN sem USING (doc_id)
+           |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
 
     "text_completion_suggest" ->
       raw"""SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs FROM (

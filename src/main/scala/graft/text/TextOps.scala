@@ -277,6 +277,48 @@ object TextOps {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of a BM25 lexical ranking and an
+    * embedding-kNN semantic ranking — ES 8.8+ hybrid search (`rrf`
+    * retriever). Each ranking contributes 1/(kRrf + rank) for the docs
+    * it ranks (rank 1-based within its own top-`n`; absent → 0, the ES
+    * contract), fused score descending with doc_id tie-break. A doc
+    * that is merely decent in BOTH views outranks a doc that tops one
+    * view only — the behavior neither ranking has alone (spec asserts
+    * the reordering fires).
+    *
+    * Scale shape: both inputs are already driver-bounded top-n frames
+    * (BM25's TakeOrdered; the kNN side is one broadcast-query corpus
+    * scan + TakeOrdered), so every window/join here touches ≤ n rows —
+    * the fusion itself is rank arithmetic on bounded lists, exactly
+    * where ES runs it (on the reduced per-shard top-n). `emb` joins
+    * `docs` by the vec_id = doc_id contract. */
+  def rrfHybrid(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, n: Int, kTop: Int, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    val lex = bm25Search(docs, terms, n)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val sem = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", GraftFunctions.cosineSim(col("embedding"), col("q_emb")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(n)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(kTop)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf_score")
+  }
+
   /** ES significant-terms facet: terms over-represented in one source
     * vs the whole corpus, scored by exact-count lift
     * (tf_src·total)/(tf_corpus·src_total) — integer products, one

@@ -679,6 +679,52 @@ class EsAggsSpec extends SparkSpec {
     assert(unordAll >= sloppy, "unordered must be a superset of in-order")
   }
 
+  test("rrfHybrid fuses lexical and semantic ranks, promoting dual-view docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val terms = Seq("dup", "query", "scan")
+    val got = TextOps.rrfHybrid(docs, emb, terms, 7L, 30, 15).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3)))
+
+    // naive: rebuild both rankings locally, fuse with 1/(60+rank)
+    val lex = TextOps.bm25Search(docs, terms, 30).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val vecs = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val q = vecs(7L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sem = vecs.toSeq.filter(_._1 != 7L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(30)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, lex.get(id), sem.get(id), s)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(15)
+    assert(got.toSeq == expected)
+    // the fusion property: the top hit sits in BOTH lists, and the
+    // fused order disagrees with pure lexical order somewhere in the
+    // page — an earlier fused hit with a worse (or absent) lex rank
+    // than a later one. Neither ranking alone produces this order.
+    val top = got.head
+    assert(top._2.isDefined && top._3.isDefined, "top hit must be a dual-view doc")
+    val reordered = got.indices.exists { i =>
+      ((i + 1) until got.length).exists { j =>
+        val (li, lj) = (got(i)._2, got(j)._2)
+        li.isEmpty && lj.isDefined || (li.isDefined && lj.isDefined && li.get > lj.get)
+      }
+    }
+    assert(reordered, "fusion must reorder vs the lexical ranking")
+  }
+
   test("completionSuggest ranks prefix completions by weight, matching naive") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextOps.completionSuggest(docs, "s", 5).collect()
