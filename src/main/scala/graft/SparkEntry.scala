@@ -769,7 +769,10 @@ object SparkEntry {
     }),
 
     "pipe_pack_sequences" -> ((s, dir) =>
-      pipeline.Pipeline.packSequences(Tables.documents(s, dir), 1000L))
+      pipeline.Pipeline.packSequences(Tables.documents(s, dir), 1000L)),
+
+    "pipe_strip_spans" -> ((s, dir) =>
+      pipeline.Pipeline.stripRepeatedSpans(Tables.documents(s, dir), 8))
   )
 
   // ---- DuckDB oracle ---------------------------------------------------
@@ -2021,6 +2024,28 @@ object SparkEntry {
         |g AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f)
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end, count(*) AS n_windows
         |FROM g GROUP BY doc_id, grp""".stripMargin,
+
+    // apply step of dedup_substring: the same span derivation, then
+    // tokens at covered positions dropped and the remainder re-joined
+    "pipe_strip_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS win
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t WHERE len(toks) >= 8)),
+        |r AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS n_occ,
+        |             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+        |f AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+        |g AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM g GROUP BY doc_id, grp),
+        |tokpos AS (SELECT doc_id, tok, p - 1 AS pos FROM (
+        |    SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS p FROM t)),
+        |kept AS (SELECT tp.doc_id, tp.tok, tp.pos FROM tokpos tp
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e)),
+        |o AS (SELECT doc_id, count(*) AS n_kept, md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+        |      FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+        |       CAST(len(t.toks) - coalesce(o.n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(o.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM t LEFT JOIN o ON t.doc_id = o.doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

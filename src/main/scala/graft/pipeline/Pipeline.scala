@@ -265,6 +265,36 @@ object Pipeline {
       md5(redacted).as("redacted_md5"))
   }
 
+  /** The APPLY step of substring-level dedup: remove every token
+    * covered by a [[graft.dedup.Dedup.substringDedup]] span (repeated
+    * ≥k-token runs, global-first occurrence kept corpus-wide) and emit
+    * the per-doc audit row — token count before, tokens removed, md5 of
+    * the cleaned token stream (the hash a release manifest would carry;
+    * a doc that was one big repeated span cleans to the empty stream).
+    *
+    * Scale shape: the span frame is sized by the DUP volume, not the
+    * corpus; it aggregates to one small span-list row per affected doc
+    * and joins back by id. The strip itself is a per-row positional
+    * array filter over that doc's own spans — linear, no shuffle beyond
+    * the span join. */
+  def stripRepeatedSpans(docs: DataFrame, k: Int): DataFrame = {
+    val spans = graft.dedup.Dedup.substringDedup(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("spans"), sp =>
+            i.cast("long") >= sp("s") && i.cast("long") <= sp("e"))).as("kept"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+  }
+
   /** Token-budget sequence packing (concat-stream form): documents are
     * concatenated in doc_id order and the stream is cut every `budget`
     * tokens; a doc's bin is the bin its first token lands in. This is

@@ -163,6 +163,33 @@ class PipelineSpec extends SparkSpec {
       s"missing=${(exact -- auto).take(5)} extra=${(auto -- exact).take(5)}")
   }
 
+  test("stripRepeatedSpans removes exactly the span-covered tokens") {
+    import graft.dedup.Dedup
+    val k = 8
+    val docs = Tables.documents(spark, sfDir)
+    val got = Pipeline.stripRepeatedSpans(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    val spans = Dedup.substringDedup(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    val expected = docs.collect().map { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split(" ", -1)
+      val sp = spans.getOrElse(id, Array.empty[(Long, Long)])
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !sp.exists(s => i >= s._1 && i <= s._2) => t
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (id, toks.length.toLong, (toks.length - kept.length).toLong, md)
+    }.toSet
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "some doc must lose a repeated span at this SF")
+    assert(got.exists(_._3 == 0), "untouched docs must pass through unchanged")
+  }
+
   test("weightedMix epochs: full copies always, fractional copy by hash band") {
     val spark2 = spark; import spark2.implicits._
     val docs = (0L until 400L).map(i =>
