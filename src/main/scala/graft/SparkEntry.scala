@@ -390,6 +390,20 @@ object SparkEntry {
     "text_completion_suggest" -> ((s, dir) =>
       text.TextOps.completionSuggest(Tables.documents(s, dir), "s", 5)),
 
+    // 3-of-4 distinct terms — between `terms` (any) and `must` (all);
+    // measured: keeps 277/500 docs at sf0.01 (m=2 keeps 414, m=4 keeps
+    // 11) — the minimum_should_match bound is the load-bearing knob
+    "text_terms_set" -> ((s, dir) =>
+      text.TextOps.termsSetQuery(Tables.documents(s, dir),
+        Seq("dup", "merge", "vector", "window"), 3)),
+
+    // value decays around origin 50: plateau |v−50| ≤ 0.1 (12 events at
+    // sf0.01 — both plateau and slope appear in the top-20 page),
+    // linear to 0.5 at distance 40, floor 0 — pivot s = 40/(1−0.5) = 80
+    "q_decay_function" -> ((s, dir) =>
+      operators.Analytics.decayFunctionScore(Tables.events(s, dir),
+        50.0, 40.0, 0.1, 0.5, 20)),
+
     // ES 8.8 rrf retriever: BM25 top-30 fused with cosine-kNN top-30
     // of query vector 7; 1-2 docs sit in BOTH lists per SF and the
     // fusion promotes one to the top — the reordering is real
@@ -1247,6 +1261,22 @@ object SparkEntry {
            |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
            |FROM tf WHERE levenshtein(term, 'bath') <= 2
            |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin,
+
+    "text_terms_set" ->
+      raw"""SELECT doc_id, n_matched FROM (
+           |  SELECT doc_id,
+           |    CAST(len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+           |         ['dup', 'merge', 'vector', 'window'])) AS BIGINT) AS n_matched
+           |  FROM documents) t
+           |WHERE n_matched >= 3""".stripMargin,
+
+    // s = scale/(1-decay) = 80, precomputed on both sides; e0 literals
+    // keep DuckDB in DOUBLE (the text_bm25 decimal-fold lesson)
+    "q_decay_function" ->
+      """SELECT event_id, value,
+        |  greatest((80e0 - greatest(abs(value - 50e0) - 0.1e0, 0e0)) / 80e0, 0e0) AS decay_score
+        |FROM events
+        |ORDER BY decay_score DESC, event_id LIMIT 20""".stripMargin,
 
     // the bm25 CTEs are the text_bm25 oracle verbatim; ranks are
     // 1-based within each top-30, absent side contributes 0

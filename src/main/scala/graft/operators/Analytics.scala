@@ -1052,4 +1052,24 @@ object Analytics {
       )).as("p"))
       .select("p.pair", "p.n", "p.mean_a", "p.mean_b", "p.cov_ab", "p.corr_ab")
   }
+
+  /** ES function_score LINEAR decay on a numeric field: events scored
+    * by proximity of `value` to `origin` — decay 1.0 inside `offset`
+    * of the origin, falling linearly to `decay` at distance `scale`,
+    * clamped at 0 beyond (ES's s = scale/(1−decay) pivot form,
+    * written as one fixed-order double expression: linear decay is the
+    * family member with no exp()/gauss libm dependence, so the score
+    * is oracle-exact). Narrow scan + bounded TakeOrdered; the geo/date
+    * variants are the same arithmetic over a different distance. */
+  def decayFunctionScore(events: DataFrame, origin: Double, scale: Double,
+      offset: Double, decay: Double, k: Int): DataFrame = {
+    require(scale > 0 && decay > 0 && decay < 1 && offset >= 0)
+    val s = scale / (1 - decay) // pivot: decay_value(scale) = `decay` exactly
+    val dist = greatest(abs(col("value") - lit(origin)) - lit(offset), lit(0.0))
+    events
+      .select(col("event_id"), col("value"),
+        greatest((lit(s) - dist) / lit(s), lit(0.0)).as("decay_score"))
+      .orderBy(col("decay_score").desc, col("event_id"))
+      .limit(k)
+  }
 }

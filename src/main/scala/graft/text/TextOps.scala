@@ -246,6 +246,23 @@ object TextOps {
       .limit(kTop)
   }
 
+  /** ES terms_set query: docs where at least `minShouldMatch` DISTINCT
+    * terms of the set occur — the "N of these M terms" middle ground
+    * between `terms` (any) and `bool.must` (all). One narrow scan, the
+    * match count is a per-row array intersection; output every
+    * qualifying doc with its distinct-match count (deterministic
+    * without a limit — the full qualifying set IS the contract). */
+  def termsSetQuery(docs: DataFrame, terms: Seq[String],
+      minShouldMatch: Int): DataFrame = {
+    require(minShouldMatch >= 1 && minShouldMatch <= terms.size)
+    val termArr = typedlit(terms)
+    docs
+      .select(col("doc_id"),
+        size(array_intersect(array_distinct(split(lower(col("text")), "\\s+")),
+          termArr)).cast("long").as("n_matched"))
+      .filter(col("n_matched") >= minShouldMatch)
+  }
+
   /** ES multi_match, best_fields type — the most common real ES
     * request shape: the same query terms scored independently per
     * field, each field's TF score scaled by its boost, and the doc

@@ -679,6 +679,38 @@ class EsAggsSpec extends SparkSpec {
     assert(unordAll >= sloppy, "unordered must be a superset of in-order")
   }
 
+  test("termsSetQuery keeps exactly the >= minShouldMatch docs") {
+    val terms = Seq("dup", "merge", "vector", "window")
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.termsSetQuery(docs, terms, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = docs.collect().map { r =>
+      r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+", -1).distinct.count(terms.contains).toLong
+    }.toMap
+    val expected = local.filter(_._2 >= 3)
+    assert(got == expected)
+    assert(expected.nonEmpty, "bound must keep some docs")
+    assert(local.exists(v => v._2 > 0 && v._2 < 3),
+      "minimum_should_match must exclude partial-match docs — the bound binds")
+  }
+
+  test("decayFunctionScore is the exact linear-decay pivot form") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.decayFunctionScore(ev, 50.0, 40.0, 0.1, 0.5, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val local = ev.select("event_id", "value").collect()
+      .map { r =>
+        val v = r.getDouble(1)
+        val dist = math.max(math.abs(v - 50.0) - 0.1, 0.0)
+        (r.getLong(0), v, math.max((80.0 - dist) / 80.0, 0.0))
+      }
+    val expected = local.sortBy(x => (-x._3, x._1)).take(20).toSeq
+    assert(got.toSeq == expected)
+    assert(got.head._3 == 1.0 && got.exists(_._3 < 1.0),
+      "plateau and slope must both appear in the page")
+  }
+
   test("rrfHybrid fuses lexical and semantic ranks, promoting dual-view docs") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
