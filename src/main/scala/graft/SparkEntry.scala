@@ -708,6 +708,15 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       similarity.Ann.ivfTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // ES 8 knn.filter: candidates restricted to lang='en' docs BEFORE
+    // ranking (218/500 at sf0.01 — the page differs from unfiltered
+    // kNN, so the filter is load-bearing); predicate pushed to the
+    // documents scan, query vector broadcast, bounded TakeOrdered
+    "ann_filtered_knn" -> ((s, dir) =>
+      similarity.Ann.filteredKnn(Tables.embeddings(s, dir),
+        Tables.documents(s, dir).filter(col("lang") === "en").select("doc_id"),
+        7L, 10)),
+
     // ----- multimodal (SURVEY §2 group 6) -----
 
     "mm_binary_meta" -> ((s, dir) =>
@@ -2107,6 +2116,16 @@ object SparkEntry {
         |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rank
         |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
         |WHERE rank <= 5""".stripMargin,
+
+    "ann_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 7)
+        |SELECT cand_id, cos_sim FROM (
+        |  SELECT e.vec_id AS cand_id, list_cosine_similarity(e.emb, q.q_emb) AS cos_sim
+        |  FROM e JOIN c ON e.vec_id = c.doc_id CROSS JOIN q
+        |  WHERE e.vec_id <> 7) t
+        |ORDER BY cos_sim DESC, cand_id LIMIT 10""".stripMargin,
 
     "ann_l2_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -117,6 +117,30 @@ object Ann {
       .select("query_id", "rank", "cand_id", "cos_sim")
   }
 
+  /** ES 8 FILTERED kNN: exact cosine top-k over only the vectors whose
+    * document row passes a metadata predicate — the filter applies
+    * BEFORE ranking (ES `knn.filter` semantics: k survivors of the
+    * filter, not a post-filtered page that can come up short). The
+    * caller supplies the already-filtered candidate id frame (so the
+    * predicate stays pushable to ITS scan — the q_multi_match
+    * composition rule); candidates semi-join the embeddings by id, the
+    * query vector broadcasts, and the rank is a bounded TakeOrdered.
+    * At 100 TB this is one filtered corpus pass per query batch; the
+    * IVF/LSH candidate generators compose the same way when the filter
+    * is loose. */
+  def filteredKnn(emb: DataFrame, candidateIds: DataFrame, queryVecId: Long,
+      k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    emb.join(candidateIds.select(col("doc_id").as("vec_id")), "vec_id")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("cand_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+      .limit(k)
+  }
+
   /** The centroid matrix in list order (row i = centroid of list i) —
     * the constant the [[graft.functions.TopCentroids]] expression
     * assigns against. List keys everywhere downstream are MATRIX ROW

@@ -36,4 +36,34 @@ class AnnSpec extends SparkSpec {
       exactSims.get(key).foreach(v => assert(v == r.getDouble(3)))
     }
   }
+
+  test("filteredKnn ranks only filter survivors; the filter binds") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val cand = docs.filter(col("lang") === "en").select("doc_id")
+    val got = Ann.filteredKnn(emb, cand, 7L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+
+    val allowed = cand.collect().map(_.getLong(0)).toSet - 7L
+    val vecs = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val q = vecs(7L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.toSeq.filter(v => allowed.contains(v._1))
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.toSeq == expected)
+    assert(got.forall(h => allowed.contains(h._1)))
+    // the filter must change the page vs unfiltered kNN — otherwise
+    // the composition is decorative
+    val unfiltered = vecs.toSeq.filter(_._1 != 7L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert(got.map(_._1).toSet != unfiltered, "filter must reshape the top-k page")
+  }
 }
