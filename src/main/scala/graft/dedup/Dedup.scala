@@ -49,33 +49,89 @@ object Dedup {
   def shingleSet(textCol: Column, n: Int): Column =
     shingleSetFromTokens(split(textCol, " "), n)
 
-  /** HOT-shingle gauge: one row, one array column `hot` holding every
-    * shingle whose document frequency exceeds `maxDf`. This is the
-    * prefix-filtering bound that keeps min-shingle candidate buckets
-    * from going quadratic on Zipfian text: a shingle present in a
-    * constant fraction of the corpus would otherwise collect that
-    * fraction into ONE bucket and the in-bucket self-join does
-    * occupancy² confirm work. Excluding df > maxDf shingles from
-    * bucket-key eligibility caps rare-bucket occupancy at maxDf, so
-    * total candidate pairs are ≤ n·maxDf/2 — linear in the corpus.
-    * The hot set itself is small by construction (≤ shingle
-    * instances / maxDf entries), which is what makes the 1-row
-    * broadcast gauge safe; at warehouse scale the df table is a
-    * maintained intermediate (counts are additive per ingest batch)
-    * and the hot set a tiny side table. */
-  private[graft] def hotShingles(s: DataFrame, maxDf: Long): DataFrame =
+  /** Shingle document-frequency table: one slim (shingle, df) row per
+    * distinct shingle, keyed — and shuffled — by shingle. This is the
+    * prefix-filtering bound's backing table: at warehouse scale it is a
+    * MAINTAINED intermediate (df counts are additive per ingest batch;
+    * `graft.river.StreamingRiver` maintains exactly this table in its
+    * foreachBatch index stage), and the library form recomputes it from
+    * the corpus in one explode + hash aggregate. */
+  private[graft] def shingleDf(s: DataFrame): DataFrame =
     s.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .agg(collect_list(col("shingle")).as("hot"))
 
-  /** Bucket key under the df bound: the smallest shingle that is not
-    * hot; docs whose every shingle is hot (stopword-soup tail — a doc
-    * must consist entirely of >maxDf-df shingles to land here) fall
-    * back to their overall min shingle, preserving the old rule for
-    * exactly that residual. Deterministic given the corpus, so the
-    * DuckDB oracle replays it exactly. */
-  private[graft] def dfBoundedMin(sh: Column, hot: Column): Column =
+  /** HOT-shingle TABLE: one slim row per shingle whose document
+    * frequency exceeds `maxDf`. This is the prefix-filtering bound
+    * that keeps min-shingle candidate buckets from going quadratic on
+    * Zipfian text: a shingle present in a constant fraction of the
+    * corpus would otherwise collect that fraction into ONE bucket and
+    * the in-bucket self-join does occupancy² confirm work. Excluding
+    * df > maxDf shingles from bucket-key eligibility caps rare-bucket
+    * occupancy at maxDf, so total candidate pairs are ≤ n·maxDf/2 —
+    * linear in the corpus. Materialized as a TABLE, never collected:
+    * on a real Zipfian web corpus the distinct shingles with df >
+    * maxDf number in the 10⁸s (a multi-GB set), so the bound is
+    * applied with a shingle-keyed anti-join ([[dfBoundedMinBuckets]]),
+    * not a broadcast array. */
+  private[graft] def hotShingleTable(s: DataFrame, maxDf: Long): DataFrame =
+    shingleDf(s).filter(col("df") > maxDf).select("shingle")
+
+  /** JOIN-form df-bounded min bucket: one (bucket, doc_id) row per
+    * doc. The bucket key is the smallest shingle that is not hot; docs
+    * whose every shingle is hot (stopword-soup tail — a doc must
+    * consist entirely of >maxDf-df shingles to land here) fall back to
+    * their overall min shingle, preserving the old rule for exactly
+    * that residual; docs with an empty shingle set get a null bucket
+    * (they join to nothing, exactly as before). Deterministic given
+    * the corpus, so the DuckDB oracle replays it exactly.
+    *
+    * Shape: explode to slim (doc_id, shingle) rows, anti-join the hot
+    * table on shingle (a shingle-keyed shuffle — broadcast only if the
+    * optimizer deems the hot side small), min(shingle) per doc, then
+    * one doc_id-keyed left join back onto the per-doc overall min for
+    * the hot-only residual. Every exchange is keyed and linear in
+    * shingle instances; nothing is ever collected into a row. */
+  private[graft] def dfBoundedMinBuckets(s: DataFrame, hot: DataFrame): DataFrame = {
+    val rareMin = s.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(hot, Seq("shingle"), "left_anti")
+      .groupBy("doc_id").agg(min(col("shingle")).as("rare_min"))
+    s.select(col("doc_id"), array_min(col("sh")).as("all_min"))
+      .join(rareMin, Seq("doc_id"), "left")
+      .select(coalesce(col("rare_min"), col("all_min")).as("bucket"), col("doc_id"))
+  }
+
+  /** JOIN-form df-bounded kMin buckets (the [[containment]] rule): up
+    * to `kMin` (bucket, doc_id) rows per doc — its rare shingles
+    * ascending, then (for hot-deficient docs) its hot shingles
+    * ascending, first `kMin` of the concatenation; identical to
+    * sorting the shingle set with hot membership as the major key.
+    * The rank runs in a per-doc window over the slim exploded rows —
+    * partitioned by doc_id, so the sort is within doc-sized groups,
+    * linear in shingle instances. */
+  private[graft] def dfBoundedKMinBuckets(s: DataFrame, hot: DataFrame,
+      kMin: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = s.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(hot.withColumn("is_hot", lit(1)), Seq("shingle"), "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(0)))
+    flagged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("is_hot"), col("shingle"))))
+      .filter(col("rn") <= kMin)
+      .select(col("doc_id"), col("shingle").as("bucket"))
+  }
+
+  /** GAUGE form of the df bound — kept ONLY as the spec reference
+    * ([[dfBoundedMinBuckets]] must stay row-equal to it; `DfBoundSpec`
+    * asserts this). Collects every hot shingle into ONE broadcast
+    * array row; safe on the test corpora (tiny vocab) but NOT the
+    * library path — a real corpus's hot set is far too large for a
+    * single-row array. No operator calls this. */
+  private[graft] def hotShinglesGauge(s: DataFrame, maxDf: Long): DataFrame =
+    hotShingleTable(s, maxDf).agg(collect_list(col("shingle")).as("hot"))
+
+  /** Spec-reference twin of the gauge form (see [[hotShinglesGauge]]). */
+  private[graft] def dfBoundedMinGauge(sh: Column, hot: Column): Column =
     coalesce(array_min(array_except(sh, hot)), array_min(sh))
 
   /** Exact dedup: hash-groupBy on the text. One shuffle on the hash. */
@@ -103,7 +159,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** Exact n-gram Jaccard over bucketed candidates: docs sharing their
-    * smallest NON-HOT shingle (df ≤ `maxDf`; see [[hotShingles]]) are
+    * smallest NON-HOT shingle (df ≤ `maxDf`; see [[hotShingleTable]]) are
     * compared; pairs at or above `tau` survive. The df bound is the
     * prefix-filtering fix for the Zipfian hot-bucket hazard: bucket
     * occupancy is capped at maxDf, so candidate pairs stay linear in
@@ -116,14 +172,18 @@ object Dedup {
     * per ingest batch). maxDf=16 sits above the verify corpus's max
     * natural df (7 at sf0.01 — rule armed, output unchanged there)
     * and inside the bench corpus's tail (max 25 at sf0.1), and binds
-    * hard on the skew-injected audit corpus. */
+    * hard on the skew-injected audit corpus. The bound is applied in
+    * JOIN form ([[dfBoundedMinBuckets]]): the hot set is a table in a
+    * shingle-keyed anti-join, never a collected array — real-corpus
+    * hot-set cardinality (10⁸s of distinct shingles under Zipf) is a
+    * data-size problem for a broadcast gauge, not for a join. */
   def ngramJaccard(docs: DataFrame, n: Int, tau: Double, maxDf: Long = 16): DataFrame = {
     val s = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
       .persist()
-    val slim = s.crossJoin(broadcast(hotShingles(s, maxDf)))
-      .select(dfBoundedMin(col("sh"), col("hot")).as("bucket"), col("doc_id"))
+    // persisted: the bucket frame feeds both sides of the self-join
+    val slim = dfBoundedMinBuckets(s, hotShingleTable(s, maxDf)).persist()
     val pairs = slim.select(col("bucket"), col("doc_id").as("a_id"))
       .join(slim.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
@@ -154,14 +214,10 @@ object Dedup {
       .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    // sorted-rare ++ sorted-hot, first kMin: array_except/array_intersect
-    // preserve the (sorted) order of their first argument, so the concat
-    // is "rare ascending, then hot ascending" with no extra sort
-    val slim = s.crossJoin(broadcast(hotShingles(s, maxDf)))
-      .withColumn("ss", array_sort(col("sh")))
-      .select(col("doc_id"),
-        explode(slice(concat(array_except(col("ss"), col("hot")),
-          array_intersect(col("ss"), col("hot"))), 1, kMin)).as("bucket"))
+    // rare ascending, then hot ascending, first kMin — join form: hot
+    // membership comes from a shingle-keyed join, the per-doc rank from
+    // a doc_id-partitioned window over the slim exploded rows
+    val slim = dfBoundedKMinBuckets(s, hotShingleTable(s, maxDf), kMin).persist()
     val pairs = slim.select(col("bucket"), col("doc_id").as("a_id"))
       .join(slim.select(col("bucket"), col("doc_id").as("b_id")), Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
@@ -202,14 +258,15 @@ object Dedup {
     val newS = shingles(newDocs).persist()
     // df over old ∪ new, same bound as the full recompute — at scale
     // the df table is MAINTAINED, not recomputed (counts are additive
-    // per batch: merge the delta's shingle counts into the snapshot's),
-    // the same persisted-index stand-in convention as oldIdx below; a
-    // shingle crossing maxDf re-buckets its docs at the next compaction
-    val hotRow = broadcast(hotShingles(oldS.unionByName(newS), maxDf))
-    def slim(s: DataFrame) = s.crossJoin(hotRow)
-      .select(dfBoundedMin(col("sh"), col("hot")).as("bucket"), col("doc_id"))
-    val oldIdx = slim(oldS) // = the persisted snapshot index at scale
-    val newIdx = slim(newS).persist()
+    // per batch: merge the delta's shingle counts into the snapshot's —
+    // StreamingRiver's index stage does exactly this), the same
+    // persisted-index stand-in convention as oldIdx below; a shingle
+    // crossing maxDf re-buckets its docs at the next compaction. Join
+    // form: the hot set is a persisted TABLE feeding two anti-joins,
+    // never a collected broadcast row.
+    val hot = hotShingleTable(oldS.unionByName(newS), maxDf).persist()
+    val oldIdx = dfBoundedMinBuckets(oldS, hot) // = the persisted snapshot index at scale
+    val newIdx = dfBoundedMinBuckets(newS, hot).persist()
     val vsOld = newIdx.select(col("bucket"), col("doc_id").as("n_id"))
       .join(oldIdx.select(col("bucket"), col("doc_id").as("o_id")), Seq("bucket"))
       .filter(col("n_id") =!= col("o_id")) // disjointness guard: no self-pairs

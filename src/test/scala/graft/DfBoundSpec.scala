@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
 /** Skew-injected specs for the df-bounded min-shingle candidate rule
-  * (prefix filtering, `Dedup.hotShingles`/`dfBoundedMin`): the natural
+  * (prefix filtering, `Dedup.hotShingleTable`/`dfBoundedMinBuckets` —
+  * join form; `hotShinglesGauge` is the spec-only reference): the natural
   * synthetic corpus is df-decorrelated (max 3-gram df 7-25 across SFs)
   * and cannot exhibit the Zipfian hot-bucket hazard, so these specs
   * build the hazard deliberately — a prefix shingle carried by 40% of
@@ -150,6 +151,71 @@ class DfBoundSpec extends SparkSpec {
     // bucket occupancy ≤ df ≤ maxDf even with kMin buckets per doc
     assert(rareOcc.max <= MaxDf,
       s"rare containment bucket occupancy bound violated: ${rareOcc.max}")
+  }
+
+  test("JOIN-form df bound is row-equal to the gauge reference (min and kMin buckets)") {
+    val s = skewed
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), Dedup.shingleSetFromTokens(col("toks"), N).as("sh"))
+      .persist()
+    val hotT = Dedup.hotShingleTable(s, MaxDf)
+    val joinMin = Dedup.dfBoundedMinBuckets(s, hotT)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val gaugeMin = s.crossJoin(broadcast(Dedup.hotShinglesGauge(s, MaxDf)))
+      .select(Dedup.dfBoundedMinGauge(col("sh"), col("hot")).as("bucket"), col("doc_id"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(joinMin == gaugeMin,
+      s"min-bucket drift: joinOnly=${(joinMin -- gaugeMin).take(3)} gaugeOnly=${(gaugeMin -- joinMin).take(3)}")
+    val joinK = Dedup.dfBoundedKMinBuckets(s, hotT, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val gaugeK = s.filter(size(col("sh")) > 0)
+      .crossJoin(broadcast(Dedup.hotShinglesGauge(s, MaxDf)))
+      .withColumn("ss", array_sort(col("sh")))
+      .select(col("doc_id"), explode(slice(concat(array_except(col("ss"), col("hot")),
+        array_intersect(col("ss"), col("hot"))), 1, 4)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(joinK == gaugeK,
+      s"kMin-bucket drift: joinOnly=${(joinK -- gaugeK).take(3)} gaugeOnly=${(gaugeK -- joinK).take(3)}")
+    s.unpersist()
+  }
+
+  test("join-form bound under MANY distinct hot shingles: equality holds, occupancy capped") {
+    // The cardinality hazard: hundreds+ of distinct hot shingles (a
+    // collected gauge would be a giant broadcast array on real text;
+    // the thousands-scale timing evidence lives in SkewAudit's `many`
+    // mode at sf0.1/×10). Pool-indexed hot runs: ~40% of docs carry a
+    // 20-token group run sized so every run shingle has df ≈ 20 > 16.
+    val nAll = Tables.documents(spark, sfDir).count()
+    val nGroups = math.max(8L, nAll * 2 / 5 / 20)
+    // carrier index (bijective over doc_id%5<2 docs) mod nGroups: every
+    // group is hit evenly, so every run shingle's df clears maxDf
+    val carrierIdx = floor(col("doc_id") / 5) * 2 + pmod(col("doc_id"), lit(5))
+    val hotRun = concat_ws(" ", (0 until 20).map(j =>
+      concat(lit("!g"), pmod(carrierIdx, lit(nGroups)), lit(s"t$j"))): _*)
+    val many = Tables.documents(spark, sfDir).withColumn("text",
+      when(col("doc_id") % 5 < 2, concat_ws(" ", lit("!a !b !c"), hotRun, col("text")))
+        .otherwise(col("text")))
+    val s = many
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), Dedup.shingleSetFromTokens(col("toks"), N).as("sh"))
+      .persist()
+    val hotT = Dedup.hotShingleTable(s, MaxDf).persist()
+    val nHot = hotT.count()
+    assert(nHot > 100, s"cardinality hazard must be real: nHot=$nHot")
+    val joinMin = Dedup.dfBoundedMinBuckets(s, hotT)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val gaugeMin = s.crossJoin(broadcast(Dedup.hotShinglesGauge(s, MaxDf)))
+      .select(Dedup.dfBoundedMinGauge(col("sh"), col("hot")).as("bucket"), col("doc_id"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(joinMin == gaugeMin)
+    // occupancy of every non-null bucket that is NOT hot obeys the cap
+    val occ = joinMin.toSeq.collect { case (Some(b), _) => b }
+      .groupBy(identity).view.mapValues(_.size)
+    val hotSetMany = hotT.collect().map(_.getString(0)).toSet
+    val rareOcc = occ.collect { case (b, n) if !hotSetMany.contains(b) => n }
+    assert(rareOcc.nonEmpty && rareOcc.max <= MaxDf,
+      s"rare occupancy cap violated under many-hot injection: ${rareOcc.max}")
+    hotT.unpersist(); s.unpersist()
   }
 
   test("incremental == restricted full recompute on the skewed corpus") {
