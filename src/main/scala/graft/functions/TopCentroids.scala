@@ -110,5 +110,24 @@ case class TopCentroids(child: Expression, cents: Array[Array[Double]], k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
+  // case-class equality over an Array field is reference identity, which
+  // would make two semantically identical instances never compare equal
+  // and silently defeat Catalyst canonicalization / common-subexpression
+  // elimination — compare the centroid matrix by value instead
+  override def equals(other: Any): Boolean = other match {
+    case t: TopCentroids =>
+      k == t.k && child == t.child &&
+        cents.length == t.cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), t.cents(i)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = 31 * child.hashCode() + k
+    var i = 0
+    while (i < cents.length) { h = h * 31 + java.util.Arrays.hashCode(cents(i)); i += 1 }
+    h
+  }
+
   override def prettyName: String = "top_centroids"
 }

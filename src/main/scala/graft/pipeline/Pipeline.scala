@@ -228,8 +228,10 @@ object Pipeline {
   }
 
   /** Stage 1 of the release chain: drop benchmark sources, keep the
-    * smallest doc_id per token-set fingerprint (one hash shuffle). */
-  private def fingerprintKeepers(docs: DataFrame,
+    * smallest doc_id per token-set fingerprint (one hash shuffle).
+    * Package-visible so `PipelineSpec` can rebuild the exact
+    * string-stage keeper frame v3 feeds its semantic stage. */
+  private[graft] def fingerprintKeepers(docs: DataFrame,
       benchmarkSources: Seq[String]): DataFrame = {
     import graft.text.TextOps
     val corpus = docs.filter(!col("source").isin(benchmarkSources: _*))

@@ -239,11 +239,17 @@ object TextOps {
       idf * (col(s"tf$i") * lit(k1 + 1)) /
         (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
     }.reduce(_ + _)
-    perDoc.crossJoin(broadcast(stats))
+    // eager materialization of the bounded page so the tf intermediate
+    // can be dropped before returning (manifest pattern — a long-lived
+    // library session must not accumulate stage caches)
+    val out = perDoc.crossJoin(broadcast(stats))
       .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select(col("doc_id"), col("dl"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(kTop)
+      .localCheckpoint()
+    perDoc.unpersist(blocking = false)
+    out
   }
 
   /** ES terms_set query: docs where at least `minShouldMatch` DISTINCT
@@ -350,7 +356,8 @@ object TextOps {
     val byTerm = tok.groupBy("term").agg(count(lit(1)).as("b"))
     val bySrc = tok.groupBy("source").agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).as("d"))
-    bySrcTerm
+    // bounded result materialized eagerly; tokenize cache dropped
+    val out = bySrcTerm
       .join(byTerm, "term")
       .join(broadcast(bySrc), "source")
       .crossJoin(broadcast(total))
@@ -360,6 +367,9 @@ object TextOps {
         col("b").as("n_in_corpus"), col("lift"))
       .orderBy(col("lift").desc, col("source"), col("term"))
       .limit(k)
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
   }
 
   /** ES significant_text: terms over-represented in the HITS of a query
@@ -387,7 +397,8 @@ object TextOps {
     val b = tok.groupBy("term").agg(count(lit(1)).as("b"))
     val c = fgTok.agg(count(lit(1)).as("c"))
     val d = tok.agg(count(lit(1)).as("d"))
-    a.join(b, "term")
+    // bounded result materialized eagerly; tokenize cache dropped
+    val out = a.join(b, "term")
       .crossJoin(broadcast(c))
       .crossJoin(broadcast(d))
       .filter(col("a") >= minCount)
@@ -396,6 +407,9 @@ object TextOps {
         col("lift"))
       .orderBy(col("lift").desc, col("term"))
       .limit(k)
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
   }
 
   /** ES prefix query: docs with ≥1 token starting with `prefix`, scored
@@ -608,11 +622,16 @@ object TextOps {
     }
     val score = (1 until probe.size).map(i => col(s"b$i")).reduce(_ + _)
     val distSum = probe.indices.map(i => col(s"d$i")).reduce(_ + _)
-    acc.select(
+    // bounded result materialized eagerly; tokenize + vocab caches dropped
+    val out = acc.select(
         concat_ws(" ", probe.indices.map(i => col(s"c$i")): _*).as("suggestion"),
         score.as("bigram_score"), distSum.as("dist_sum"))
       .orderBy(col("bigram_score").desc, col("dist_sum"), col("suggestion"))
       .limit(k)
+      .localCheckpoint()
+    vocab.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
+    out
   }
 
   /** ES completion suggester — prefix-indexed type-ahead: vocabulary
@@ -715,12 +734,16 @@ object TextOps {
       .groupBy("word").agg(sum(col("tf")).as("seed_tf"))
       .join(df.filter(col("df") <= maxDf), "word")
       .select("word", "seed_tf")
-    tf.filter(!col("doc_id").isin(seedIds: _*))
+    // bounded result materialized eagerly; tf cache dropped
+    val out = tf.filter(!col("doc_id").isin(seedIds: _*))
       .join(broadcast(seedTerms), "word")
       .groupBy("doc_id")
       .agg(sum(least(col("tf"), col("seed_tf"))).as("score"),
         count(lit(1)).as("n_shared_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+      .localCheckpoint()
+    tf.unpersist(blocking = false)
+    out
   }
 }

@@ -163,6 +163,34 @@ class PipelineSpec extends SparkSpec {
       s"missing=${(exact -- auto).take(5)} extra=${(auto -- exact).take(5)}")
   }
 
+  test("v3 semantic completeness holds on the EXACT keeper-subset frame v3 feeds") {
+    // the full-table completeness case above is necessary but not
+    // sufficient: v3 runs embeddingNearDupAuto on the string-stage
+    // keeper SUBSET, whose seeded centroids and nCent differ from the
+    // full table's, so subset recall must be pinned on that exact
+    // frame — rebuilt here with the same calls releaseManifestV3 makes
+    import graft.dedup.{Dedup, MinHash}
+    import graft.pipeline.Pipeline
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val fpKeepers = Pipeline.fingerprintKeepers(docs, Seq("src0", "src1"))
+    val pairs = MinHash.nearDupPairs(fpKeepers, n = 3, numHashes = 32,
+      bands = 16, tau = 0.8)
+    val strLabels = Dedup.nearDupClusters(pairs).withColumnRenamed("id", "doc_id")
+    val strKeepers = fpKeepers.join(strLabels, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("cluster")
+    val keeperEmb = emb.select(col("vec_id"), col("embedding"))
+      .join(strKeepers.select(col("doc_id").as("vec_id")), "vec_id")
+    val auto = Dedup.embeddingNearDupAuto(keeperEmb, 0.45, ivfNprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDup(keeperEmb, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "keeper subset must still contain >=0.45-cosine pairs")
+    assert(auto === exact,
+      s"missing=${(exact -- auto).take(5)} extra=${(auto -- exact).take(5)}")
+  }
+
   test("stripRepeatedSpans removes exactly the span-covered tokens") {
     import graft.dedup.Dedup
     val k = 8
