@@ -149,6 +149,16 @@ object SparkEntry {
           col("__p.leaf").as("leaf"), col("value"))
     }),
 
+    "q_nested_match" -> ((s, dir) =>
+      river.Nested.nestedMatch(
+        river.Nested.nestedDocs(Tables.events(s, dir)), "click", 15.0)),
+
+    "q_nested_exists" -> ((s, dir) =>
+      river.Nested.nestedExists(river.Nested.nestedDocs(Tables.events(s, dir)))),
+
+    "q_nested_terms_agg" -> ((s, dir) =>
+      river.Nested.nestedTermsAgg(river.Nested.nestedDocs(Tables.events(s, dir)))),
+
     "river_delete_old" -> ((s, dir) => {
       val scanned = literalScan(s, dir)
       val failed = Tables.eventsRaw(s, dir).filter(col("event_id") % 97 === 0)
@@ -547,6 +557,24 @@ object SparkEntry {
       text.TextOps.multiMatch(filtered,
         Seq(("title", title, 4.0), ("body", body, 1.0)),
         Seq("hash", "join", "vector"), 15)
+    }),
+
+    // ES bool tree composing five leaf types + a nested bool: must
+    // (match 'hash' AND (join OR vector, scored)), should (lang=en
+    // boost), must_not (source=src13 — load-bearing: src13 is INSIDE
+    // the filter terms list), filter context (n_chars range + source
+    // terms — pushed to the scan, plan-verified in BoolDslSpec)
+    "q_bool_dsl" -> ((s, dir) => {
+      import text.BoolDsl._
+      text.BoolDsl.search(Tables.documents(s, dir),
+        Bool(
+          must = Seq(MatchQ("hash", 1.0),
+            Bool(should = Seq(MatchQ("join", 2.0), MatchQ("vector", 0.5)))),
+          should = Seq(TermQ("lang", "en", 0.25)),
+          mustNot = Seq(TermQ("source", "src13")),
+          filter = Seq(RangeQ("n_chars", gte = Some(150), lte = Some(450)),
+            TermsQ("source", (0 to 9).map("src" + _) :+ "src13"))),
+        20)
     }),
 
     // terms span the IDF range: df 25 / 385 / 398 of 500 docs at the
@@ -1583,6 +1611,24 @@ object SparkEntry {
            |WHERE greatest(score_title, score_body) > 0
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
+    "q_bool_dsl" ->
+      raw"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'hash')) AS BIGINT) AS tf_hash,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) AS BIGINT) AS tf_join,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'vector')) AS BIGINT) AS tf_vec
+           |  FROM documents)
+           |SELECT doc_id,
+           |  (tf_hash * 1.0e0
+           |   + (CASE WHEN tf_join > 0 THEN tf_join * 2.0e0 ELSE 0.0e0 END
+           |      + CASE WHEN tf_vec > 0 THEN tf_vec * 0.5e0 ELSE 0.0e0 END)
+           |   + CASE WHEN lang = 'en' THEN 0.25e0 ELSE 0.0e0 END) AS score
+           |FROM t
+           |WHERE tf_hash > 0 AND (tf_join > 0 OR tf_vec > 0)
+           |  AND NOT source = 'src13'
+           |  AND n_chars >= 150 AND n_chars <= 450
+           |  AND source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9','src13')
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     // same fixed-order arithmetic as the Spark side: constants written
     // as the same expressions ((1.2e0 + 1), (1 - 0.75e0), e0-notation forcing
     // DOUBLE: DuckDB parses bare 1.2 as DECIMAL and folds tf*(1.2+1)
@@ -2234,6 +2280,39 @@ object SparkEntry {
         |SELECT event_id, qualifier, split_part(qualifier, '-', 1) AS parent,
         |       split_part(qualifier, '-', 2) AS leaf, value
         |FROM t""".stripMargin,
+
+    // Nested-surface oracles replay the ES nested semantics on the FLAT
+    // item rows — exactly equivalent because collect_list → filter/size
+    // commutes with GROUP BY + conditional counts (per-element predicates
+    // never cross items).
+    "q_nested_match" ->
+      """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+        |                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |                        THEN NULL ELSE event_type END AS parent,
+        |                   value
+        |            FROM events)
+        |SELECT user_id, day_idx, count(*) AS n_items,
+        |       count(CASE WHEN parent = 'click' AND value >= 15 THEN 1 END) AS n_match
+        |FROM it GROUP BY 1, 2 HAVING n_match > 0""".stripMargin,
+
+    "q_nested_exists" ->
+      """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+        |                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |                        THEN NULL ELSE event_type END AS parent
+        |            FROM events)
+        |SELECT user_id, day_idx, count(*) AS n_items, count(parent) AS n_nested
+        |FROM it GROUP BY 1, 2 HAVING n_nested > 0""".stripMargin,
+
+    "q_nested_terms_agg" ->
+      """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+        |                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |                        THEN NULL ELSE event_type END AS parent,
+        |                   value
+        |            FROM events)
+        |SELECT parent, count(*) AS n_nested,
+        |       count(DISTINCT (user_id, day_idx)) AS n_parent_docs,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM it WHERE parent IS NOT NULL GROUP BY 1""".stripMargin,
 
     "river_delete_old" ->
       s"""WITH $sinkWm

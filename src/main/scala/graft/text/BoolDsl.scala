@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ES bool-query AST → one Column predicate + one score expression.
+  *
+  * Every leaf the library already serves (term, terms, range, match,
+  * prefix, exists) exists as a standalone operator; this compiler is
+  * the missing composition layer — ES users write a bool *tree*
+  * (must/should/must_not/filter, nested bools, boosts), not a menu of
+  * single queries. Semantics follow the ES query DSL:
+  *
+  *  - `must`: all clauses match; their scores add.
+  *  - `filter`: all clauses match; scores are ignored (ES filter
+  *    context — and because the compiled predicate is one conjunction
+  *    over plain columns, Catalyst splits it and pushes the
+  *    filter-context conjuncts into the scan: the plan shows them in
+  *    PushedFilters, spec-verified).
+  *  - `must_not`: no clause matches; contributes nothing to score.
+  *  - `should`: optional, matched clauses add score; when a bool has
+  *    no must/filter, at least one should must match
+  *    (`minimum_should_match` defaults to 1 there, 0 otherwise — the
+  *    ES rule), and an explicit minimumShouldMatch overrides.
+  *  - leaf scoring is deterministic and oracle-replayable: MatchQ
+  *    scores boost × term-frequency over the whitespace token stream
+  *    (the library's matchQuery contract); term/terms/range/prefix
+  *    score a constant boost (ES constant_score filter semantics);
+  *    exists scores 1.
+  *
+  * Boost discipline: callers should pick boosts exactly representable
+  * in binary (1.0, 2.0, 0.5, 0.25…) so score sums stay exact and the
+  * DuckDB oracle can replay them bit-identically.
+  *
+  * Scale shape: the whole tree compiles to ONE narrow per-row
+  * projection + predicate — no join, no shuffle, whole-stage codegen,
+  * filter-context conjuncts at the scan. Cost is a single corpus scan
+  * regardless of tree depth; top-k is a driver-bounded TakeOrdered.
+  */
+object BoolDsl {
+
+  sealed trait Query
+
+  /** Exact keyword equality (ES `term`), constant score `boost`. */
+  final case class TermQ(field: String, value: String, boost: Double = 1.0) extends Query
+  /** Membership (ES `terms`), constant score `boost`. */
+  final case class TermsQ(field: String, values: Seq[String], boost: Double = 1.0) extends Query
+  /** Numeric range (ES `range`), constant score `boost`. */
+  final case class RangeQ(field: String, gte: Option[Double] = None,
+      lte: Option[Double] = None, boost: Double = 1.0) extends Query
+  /** Full-text single-term match (ES `match`) on `textField`, scored
+    * boost × tf over the lowercased whitespace token stream. */
+  final case class MatchQ(term: String, boost: Double = 1.0,
+      textField: String = "text") extends Query
+  /** Keyword prefix (ES `prefix`), constant score `boost`. */
+  final case class PrefixQ(field: String, prefix: String, boost: Double = 1.0) extends Query
+  /** Field present (ES `exists`), scores 1 when matched. */
+  final case class ExistsQ(field: String) extends Query
+  /** The composite node. */
+  final case class Bool(must: Seq[Query] = Nil, should: Seq[Query] = Nil,
+      mustNot: Seq[Query] = Nil, filter: Seq[Query] = Nil,
+      minimumShouldMatch: Int = 0, boost: Double = 1.0) extends Query
+
+  /** Compile a query tree to (predicate, score). The score expression
+    * is only meaningful where the predicate holds (ES never scores
+    * non-matching docs). */
+  def compile(q: Query): (Column, Column) = q match {
+    case TermQ(f, v, b) => (col(f) === v, lit(b))
+    case TermsQ(f, vs, b) => (col(f).isin(vs: _*), lit(b))
+    case RangeQ(f, gte, lte, b) =>
+      // integral bounds stay integer literals so the comparison keeps the
+      // column's type and the predicate pushes to the scan un-cast
+      def bound(v: Double): Column = if (v.isWhole) lit(v.toLong) else lit(v)
+      val preds = gte.map(v => col(f) >= bound(v)).toSeq ++
+        lte.map(v => col(f) <= bound(v)).toSeq
+      require(preds.nonEmpty, s"range on $f needs a bound")
+      (preds.reduce(_ && _), lit(b))
+    case MatchQ(t, b, tf) =>
+      val n = size(filter(split(lower(col(tf)), "\\s+"), x => x === t)).cast("long")
+      (n > 0, n.cast("double") * lit(b))
+    case PrefixQ(f, p, b) => (col(f).startsWith(p), lit(b))
+    case ExistsQ(f) => (col(f).isNotNull, lit(1.0))
+    case Bool(must, should, mustNot, filterQ, msm, boost) =>
+      val m = must.map(compile)
+      val s = should.map(compile)
+      val n = mustNot.map(compile)
+      val f = filterQ.map(compile)
+      val msmEff =
+        if (msm == 0 && must.isEmpty && filterQ.isEmpty && should.nonEmpty) 1 else msm
+      val nMatched = s.map { case (p, _) => when(p, lit(1)).otherwise(lit(0)) }
+        .reduceOption(_ + _).getOrElse(lit(0))
+      val preds = m.map(_._1) ++ f.map(_._1) ++ n.map(!_._1) ++
+        (if (msmEff > 0) Seq(nMatched >= msmEff) else Nil)
+      val pred = preds.reduceOption(_ && _).getOrElse(lit(true))
+      val score = (m ++ s).map { case (p, sc) => when(p, sc).otherwise(lit(0.0)) }
+        .reduceOption(_ + _).getOrElse(lit(0.0)) * lit(boost)
+      (pred, score)
+  }
+
+  /** Run a compiled tree as a relevance-ranked search: matching docs,
+    * top-k by (score desc, doc_id). */
+  def search(docs: DataFrame, q: Query, k: Int): DataFrame = {
+    val (pred, score) = compile(q)
+    docs.filter(pred)
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.text.BoolDsl
+import graft.text.BoolDsl._
+
+/** The bool-query AST compiler vs hand-written Column composition,
+  * the ES should/minimum_should_match rules, and filter-context
+  * pushdown visible in the physical plan. */
+class BoolDslSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  private val srcList = (0 to 9).map("src" + _) :+ "src13"
+
+  // the q_bool_dsl tree
+  private val tree = Bool(
+    must = Seq(MatchQ("hash", 1.0),
+      Bool(should = Seq(MatchQ("join", 2.0), MatchQ("vector", 0.5)))),
+    should = Seq(TermQ("lang", "en", 0.25)),
+    mustNot = Seq(TermQ("source", "src13")),
+    filter = Seq(RangeQ("n_chars", gte = Some(150), lte = Some(450)),
+      TermsQ("source", srcList)))
+
+  private def tf(t: String): Column =
+    size(filter(split(lower(col("text")), "\\s+"), x => x === t)).cast("long")
+
+  test("compiled tree equals the hand-written Column composition") {
+    val got = BoolDsl.search(docs, tree, 100000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val hand = docs
+      .withColumn("tf_hash", tf("hash"))
+      .withColumn("tf_join", tf("join"))
+      .withColumn("tf_vec", tf("vector"))
+      .filter(col("tf_hash") > 0 && (col("tf_join") > 0 || col("tf_vec") > 0) &&
+        !(col("source") === "src13") &&
+        col("n_chars") >= 150 && col("n_chars") <= 450 &&
+        col("source").isin(srcList: _*))
+      .select(col("doc_id"),
+        (col("tf_hash").cast("double") * 1.0
+          + when(col("tf_join") > 0, col("tf_join").cast("double") * 2.0).otherwise(0.0)
+          + when(col("tf_vec") > 0, col("tf_vec").cast("double") * 0.5).otherwise(0.0)
+          + when(col("lang") === "en", 0.25).otherwise(0.0)).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got.nonEmpty && got === hand)
+  }
+
+  test("bare-should bool requires one match; a must makes shoulds optional") {
+    val bare = BoolDsl.search(docs,
+      Bool(should = Seq(MatchQ("join"), MatchQ("vector"))), 100000)
+      .collect().map(_.getLong(0)).toSet
+    val naive = docs.filter(tf("join") > 0 || tf("vector") > 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(bare === naive)
+
+    val withMust = BoolDsl.search(docs,
+      Bool(must = Seq(MatchQ("hash")), should = Seq(MatchQ("join"))), 100000)
+      .collect().map(_.getLong(0)).toSet
+    val hashOnly = docs.filter(tf("hash") > 0 && tf("join") === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(hashOnly.nonEmpty && hashOnly.subsetOf(withMust),
+      "docs matching the must but no should must still match")
+  }
+
+  test("minimumShouldMatch binds") {
+    val got = BoolDsl.search(docs,
+      Bool(should = Seq(MatchQ("join"), MatchQ("vector"), TermQ("lang", "en")),
+        minimumShouldMatch = 2), 100000)
+      .collect().map(_.getLong(0)).toSet
+    val naive = docs
+      .withColumn("nm",
+        when(tf("join") > 0, 1).otherwise(0) +
+        when(tf("vector") > 0, 1).otherwise(0) +
+        when(col("lang") === "en", 1).otherwise(0))
+      .filter(col("nm") >= 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === naive)
+    val any = BoolDsl.search(docs,
+      Bool(should = Seq(MatchQ("join"), MatchQ("vector"), TermQ("lang", "en"))),
+      100000).count()
+    assert(got.size < any, "msm=2 must be stricter than the default msm=1")
+  }
+
+  test("must_not is load-bearing against the filter terms list") {
+    val without = BoolDsl.search(docs, tree.copy(mustNot = Nil), 100000)
+      .count()
+    val withNot = BoolDsl.search(docs, tree, 100000).count()
+    assert(withNot < without, "src13 docs must be excluded by must_not alone")
+  }
+
+  test("filter-context conjuncts reach the parquet scan") {
+    val (pred, _) = BoolDsl.compile(tree)
+    // the scan's metadata string truncates at 100 chars by default —
+    // widen so every pushed conjunct is visible to the assertions
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan =
+      try docs.filter(pred).queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(n_chars,150)"), plan)
+    assert(plan.contains("LessThanOrEqual(n_chars,450)"), plan)
+    assert(plan.contains("In(source"), plan)
+  }
+}
