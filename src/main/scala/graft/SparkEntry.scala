@@ -36,7 +36,8 @@ object SparkEntry {
     * events so the filter pushes into the parquet source (file/row-group
     * pruning at scale). An empty table or empty sink degrades to a full
     * scan, mirroring the reference's setMinTimestamp(0) first-import
-    * path. Returns rows past the watermark with `ts` still raw epoch-ns. */
+    * path. Returns rows past the watermark with `ts` still in the file's
+    * scan-native form (raw epoch-ns BIGINT or TimestampType µs). */
   private def literalScan(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.eventsRaw(s, dir)
     val halfRow = raw.agg(floor(max(col("event_id")) / 2).cast("long")).head()
@@ -68,10 +69,12 @@ object SparkEntry {
 
     // ----- river core (SURVEY §2 group 1) -----
 
-    "river_incremental_scan" -> ((s, dir) =>
-      literalScan(s, dir).select(col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("user_id"),
-        col("event_type"), col("value"))),
+    "river_incremental_scan" -> ((s, dir) => {
+      val scan = literalScan(s, dir)
+      scan.select(col("event_id"),
+        Det.tsMicrosOf(scan, "ts").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    }),
 
     "river_stats_facet" -> ((s, dir) =>
       River.statsFacet(Tables.events(s, dir), "ts")),
@@ -413,6 +416,25 @@ object SparkEntry {
     "q_decay_function" -> ((s, dir) =>
       operators.Analytics.decayFunctionScore(Tables.events(s, dir),
         50.0, 40.0, 0.1, 0.5, 20)),
+
+    // ----- geo surface (SURVEY §2, round 11): deterministic lat/lon
+    // derived from user_id/event_id (Geo.withCoords — exact modulo +
+    // one double division, IEEE-identical in DuckDB) -----
+
+    // box covers ~35% of the lat band × ~33% of lon → ~12% of events,
+    // faceted per family like the ES filter+agg shape
+    "q_geo_bounding_box" -> ((s, dir) =>
+      operators.Geo.boundingBox(operators.Geo.withCoords(Tables.events(s, dir)),
+        -20.0, 40.0, -90.0, 30.0)),
+
+    // plane-distance top-25 around (10, −30) within 20° radius
+    "q_geo_distance" -> ((s, dir) =>
+      operators.Geo.distanceTopK(operators.Geo.withCoords(Tables.events(s, dir)),
+        10.0, -30.0, 400.0, 25)),
+
+    // precision-2 geohash buckets (≤1024 cells), top 20 by doc count
+    "q_geohash_grid" -> ((s, dir) =>
+      operators.Geo.geohashGrid(operators.Geo.withCoords(Tables.events(s, dir)), 2, 20)),
 
     // ES 8.8 rrf retriever: BM25 top-30 fused with cosine-kNN top-30
     // of query vector 7; 1-2 docs sit in BOTH lists per SF and the
@@ -766,7 +788,7 @@ object SparkEntry {
     "river_full_pipeline" -> ((s, dir) => {
       val scanned = literalScan(s, dir)
       val parsed = scanned.select(
-        col("event_id"), expr("ts div 1000").as("ts_us"), col("value"),
+        col("event_id"), Det.tsMicrosOf(scanned, "ts").as("ts_us"), col("value"),
         concat(River.normalizeField(col("event_type")), lit(":"),
           River.extractId(col("props"), "k")).as("doc_id"))
       val latest = River.latestPerKey(parsed, "doc_id", "ts_us", "event_id")
@@ -1314,6 +1336,31 @@ object SparkEntry {
         |  greatest((80e0 - greatest(abs(value - 50e0) - 0.1e0, 0e0)) / 80e0, 0e0) AS decay_score
         |FROM events
         |ORDER BY decay_score DESC, event_id LIMIT 20""".stripMargin,
+
+    // geo: coordinate derivation + geohash bit math generated from the
+    // SAME Scala parameters as the Spark side (Geo.coordsSql /
+    // Geo.geohashSql) so the two engines cannot drift
+    "q_geo_bounding_box" ->
+      s"""WITH pts AS (SELECT event_type, value, ${operators.Geo.coordsSql} FROM events)
+         |SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM pts
+         |WHERE lat >= -20.0 AND lat <= 40.0 AND lon >= -90.0 AND lon <= 30.0
+         |GROUP BY event_type""".stripMargin,
+
+    "q_geo_distance" ->
+      s"""WITH pts AS (SELECT event_id, ${operators.Geo.coordsSql} FROM events)
+         |SELECT event_id, lat, lon,
+         |       (lat - 10.0) * (lat - 10.0) + (lon - (-30.0)) * (lon - (-30.0)) AS d2
+         |FROM pts
+         |WHERE (lat - 10.0) * (lat - 10.0) + (lon - (-30.0)) * (lon - (-30.0)) <= 400.0
+         |ORDER BY d2, event_id LIMIT 25""".stripMargin,
+
+    "q_geohash_grid" ->
+      s"""WITH pts AS (SELECT ${operators.Geo.coordsSql} FROM events),
+         |g AS (SELECT ${operators.Geo.geohashSql(2)} AS geohash FROM pts)
+         |SELECT geohash, count(*) AS n FROM g
+         |GROUP BY geohash ORDER BY n DESC, geohash LIMIT 20""".stripMargin,
 
     // the bm25 CTEs are the text_bm25 oracle verbatim; ranks are
     // 1-based within each top-30, absent side contributes 0

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
@@ -20,30 +20,46 @@ object Tables {
     "lineitem" -> Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
     "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is ns-precision parquet, which Spark 4 refuses by default;
-    // read it as BIGINT nanos and convert to a µs timestamp with exact
-    // integer division (same truncation DuckDB's epoch_us applies).
+  /** Parquet reader tolerant of every ts encoding the driver has shipped
+    * (see SURVEY §3's encoding matrix):
+    *  - INT64 TIMESTAMP(NANOS) [legacy]: nanosAsLong=true reads it as a
+    *    BIGINT of epoch-ns instead of failing;
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) [current]:
+    *    inferTimestampNTZ=false reads it as plain TimestampType — the
+    *    physical epoch-µs value used directly, which under the pinned-UTC
+    *    session tz is the exact instant AND keeps ts predicates native
+    *    (pushable to the scan; an NTZ→LTZ cast column would not be);
+    *  - INT64 TIMESTAMP(MICROS, adjusted) : TimestampType natively. */
+  private def readParquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(path)
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = readParquet(spark, s"$dir/$name.parquet")
     requiredColumns.get(name).foreach { cols =>
       val missing = cols.filterNot(df.columns.contains)
       require(missing.isEmpty, s"table '$name' at $dir is missing columns: $missing")
     }
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // Normalize events.ts to TimestampType(µs) whatever the file carried;
+    // downstream code (Det.tsMicros/dayIdx, window(), watermarks) assumes it.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => // legacy epoch-ns BIGINT → exact integer division
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // only if a caller overrode the reader conf
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
-  /** events with `ts` left as raw epoch-nanos BIGINT — the form whose
-    * predicates push down to the parquet scan (filtering the converted
-    * timestamp column would not). */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
-    if (df.schema("ts").dataType == LongType) df
-    else df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
-  }
+  /** events with `ts` left in the file's own scan-native form — either raw
+    * epoch-ns BIGINT (legacy files) or TimestampType µs (current files) —
+    * the form whose watermark predicates reach `PushedFilters` (a computed
+    * µs/ns column would not). Consumers dispatch via `Det.tsMicrosOf` /
+    * `River.scanPastWatermark`, which handle both. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    readParquet(spark, s"$dir/events.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

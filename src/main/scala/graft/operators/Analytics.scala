@@ -256,21 +256,32 @@ object Analytics {
         count(lit(1)).as("n_events"))
 
   /** ES search_after keyset pagination: strictly-after-(cursor) page in
-    * (ts, id) order, over the RAW-ns events (Tables.eventsRaw). The
-    * coarse `ts >= cursor·1000` bound is a plain raw-column predicate
+    * (ts, id) order, over the scan-native events (Tables.eventsRaw). The
+    * coarse `ts >= cursor` bound is a native-column literal predicate
     * that lands in PushedFilters (file/row-group pruning — the reason
     * deep ES pagination uses search_after, not OFFSET); the exact
-    * µs-truncated tie-break filter runs on the survivors. */
+    * µs tie-break filter runs on the survivors. Encoding-agnostic: a ns
+    * literal on legacy BIGINT files, a folded timestamp literal on
+    * current TIMESTAMP_MICROS files. */
   def searchAfter(eventsRaw: DataFrame, cursorTsUs: Long, cursorId: Long,
-                  pageSize: Int): DataFrame =
+                  pageSize: Int): DataFrame = {
+    val coarse = eventsRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") >= lit(cursorTsUs * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts") >= timestamp_micros(lit(cursorTsUs))
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+      case _ => col("ts") >= timestamp_micros(lit(cursorTsUs))
+    }
     eventsRaw
-      .filter(col("ts") >= cursorTsUs * 1000L)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      .filter(coarse)
+      .select(col("event_id"), Det.tsMicrosOf(eventsRaw, "ts").as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .filter(col("ts_us") > cursorTsUs ||
         (col("ts_us") === cursorTsUs && col("event_id") > cursorId))
       .orderBy(col("ts_us"), col("event_id"))
       .limit(pageSize)
+  }
 
   /** Deterministic content-hash sampling: keep rows whose md5(id) hex
     * prefix falls under `hexLt` (e.g. "05" ≈ 5/256 ≈ 2%). Unlike

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Det
+
+/** ES geo query surface (reference context: the river feeds an ES index
+  * whose query side serves filters + facets; geo_distance /
+  * geo_bounding_box filters and the geohash_grid bucket agg are the
+  * largest facet family — SURVEY §2 round-11 addition).
+  *
+  * Determinism discipline (the reason every formula here is
+  * transcendental-free): the DuckDB oracle must reproduce results
+  * BIT-IDENTICALLY. +, −, ×, / and floor on doubles are exact IEEE-754
+  * ops both engines share; sin/cos/atan2 (haversine) are libm calls
+  * whose last-ulp behavior differs across implementations. So:
+  *  - coordinates derive from integer columns by exact modulo, then one
+  *    double division — same value in both engines;
+  *  - geo_distance uses the squared-degree planar form (ES supports
+  *    `distance_type: plane`; at query radii the ordering matches arc
+  *    distance near the equator band the synthetic data covers);
+  *  - geohash_grid computes TRUE base-32 geohash cells via integer
+  *    bisection counts + bit interleaving — floor((lat+90)/180·2^10) IS
+  *    the 10-step binary-subdivision path, no iteration needed.
+  *
+  * Scale: everything is a narrow projection + filter + hash aggregate —
+  * map-side combinable, no shuffle beyond the one the aggregate needs,
+  * no UDFs (whole-stage codegen keeps the bit math in-line).
+  */
+object Geo {
+
+  /** Deterministic synthetic coordinates: user_id spreads latitude,
+    * event_id spreads longitude (primes decorrelate them from the id
+    * sequences). lat ∈ [−85, 84.99], lon ∈ [−180, 179.99], 0.01°
+    * cells — every value exactly representable in double (k/100 with
+    * |k| ≤ 36000 rounds identically in both engines' parsers/dividers). */
+  def withCoords(events: DataFrame): DataFrame = events
+    .withColumn("lat",
+      (col("user_id") * lit(7919L) % lit(17000L)).cast("double") / lit(100.0) - lit(85.0))
+    .withColumn("lon",
+      (col("event_id") * lit(104729L) % lit(36000L)).cast("double") / lit(100.0) - lit(180.0))
+
+  /** The identical derivation as DuckDB SQL (kept textually adjacent so
+    * the two can't drift). */
+  val coordsSql: String =
+    "(CAST(user_id * 7919 % 17000 AS DOUBLE) / 100.0 - 85.0) AS lat, " +
+      "(CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0) AS lon"
+
+  /** ES geo_bounding_box filter + per-family facet: count and exact
+    * value sum per event_type inside the box. Plain range predicates —
+    * at scale these sit directly on (clustered) point columns. */
+  def boundingBox(pts: DataFrame, latMin: Double, latMax: Double,
+                  lonMin: Double, lonMax: Double): DataFrame =
+    pts.filter(col("lat") >= latMin && col("lat") <= latMax &&
+        col("lon") >= lonMin && col("lon") <= lonMax)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+
+  /** ES geo_distance (distance_type: plane) as top-k nearest: squared
+    * planar degree distance, k nearest with id tie-break. The k-row
+    * result is a TakeOrdered (bounded per-partition heaps) — no global
+    * sort at 100 TB. */
+  def distanceTopK(pts: DataFrame, lat0: Double, lon0: Double,
+                   maxD2: Double, k: Int): DataFrame = {
+    val d2 = (col("lat") - lit(lat0)) * (col("lat") - lit(lat0)) +
+      (col("lon") - lit(lon0)) * (col("lon") - lit(lon0))
+    pts.withColumn("d2", d2)
+      .filter(col("d2") <= lit(maxD2))
+      .select(col("event_id"), col("lat"), col("lon"), col("d2"))
+      .orderBy(col("d2"), col("event_id"))
+      .limit(k)
+  }
+
+  private val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** True geohash cell id at `precision` characters (5 bits each,
+    * lon-first interleave — the standard encoding). Bisection-free:
+    * with b = ceil(5·precision/2) lon bits and floor(5·precision/2) lat
+    * bits, the cell index along each axis is one floor of a scaled
+    * double, and the base-32 string is bit-interleave + table lookup —
+    * all codegen'd integer ops. */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val latI = floor((lat + lit(90.0)) / lit(180.0) * lit((1L << latBits).toDouble))
+      .cast("long")
+    val lonI = floor((lon + lit(180.0)) / lit(360.0) * lit((1L << lonBits).toDouble))
+      .cast("long")
+    // interleave, lon taking the even (high-first) positions
+    val inter = (0 until totalBits).foldLeft(lit(0L)) { (acc, pos) =>
+      val fromLon = pos % 2 == 0
+      val srcIdx = pos / 2 // 0-based from the MSB of that axis
+      val src = if (fromLon) lonI else latI
+      val nBits = if (fromLon) lonBits else latBits
+      acc + shiftright(src, nBits - 1 - srcIdx).bitwiseAND(lit(1L)) *
+        lit(1L << (totalBits - 1 - pos))
+    }
+    val alphabet = typedLit(base32.map(_.toString): Seq[String])
+    concat((0 until precision).map { k =>
+      element_at(alphabet,
+        (shiftright(inter, totalBits - 5 * (k + 1)).bitwiseAND(lit(31L)) + lit(1L))
+          .cast("int"))
+    }: _*)
+  }
+
+  /** The identical geohash as a DuckDB SQL expression over columns
+    * lat/lon (generated from the same parameters so the engines cannot
+    * drift). */
+  def geohashSql(precision: Int): String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    val latI = s"CAST(floor((lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT)"
+    val lonI = s"CAST(floor((lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT)"
+    val inter = (0 until totalBits).map { pos =>
+      val fromLon = pos % 2 == 0
+      val srcIdx = pos / 2
+      val src = if (fromLon) lonI else latI
+      val nBits = if (fromLon) lonBits else latBits
+      s"((($src >> ${nBits - 1 - srcIdx}) & 1) * ${1L << (totalBits - 1 - pos)})"
+    }.mkString(" + ")
+    (0 until precision).map { k =>
+      s"substr('$base32', CAST(((($inter) >> ${totalBits - 5 * (k + 1)}) & 31) AS INTEGER) + 1, 1)"
+    }.mkString("(", " || ", ")")
+  }
+
+  /** ES geohash_grid aggregation: doc count per geohash cell, top
+    * buckets by (count desc, cell) — one map-side-combinable hash agg
+    * over a computed grouping key, then a bounded TakeOrdered. */
+  def geohashGrid(pts: DataFrame, precision: Int, topN: Int): DataFrame =
+    pts.withColumn("geohash", geohash(col("lat"), col("lon"), precision))
+      .groupBy("geohash")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("geohash"))
+      .limit(topN)
+}

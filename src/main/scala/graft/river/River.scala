@@ -3,6 +3,7 @@ package graft.river
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 import graft.util.Det
 
 /** The river's import surface (reference: `/root/reference/src/main/java/
@@ -30,25 +31,35 @@ object River {
     src.join(broadcast(wm), col(tsCol) > col("__wm")).drop("__wm")
   }
 
-  /** Sink watermark in epoch-µs over a raw epoch-ns BIGINT ts column —
-    * the reference's "statistical facet" round trip
-    * (HBaseParser.setMinTimestamp:258): a tiny driver-side aggregate.
-    * None on an empty sink (first import). */
-  def watermarkMicros(sink: DataFrame, tsNsCol: String): Option[Long] = {
-    val row = sink.agg(max(col(tsNsCol))).head()
-    // ns→µs truncation commutes with max (monotonic)
-    if (row.isNullAt(0)) None else Some(row.getLong(0) / 1000L)
+  /** Sink watermark in epoch-µs — the reference's "statistical facet"
+    * round trip (HBaseParser.setMinTimestamp:258): a tiny driver-side
+    * aggregate. Encoding-agnostic via `Det.tsMicrosOf` (unit conversion
+    * commutes with max — monotonic). None on an empty sink (first
+    * import). */
+  def watermarkMicros(sink: DataFrame, tsCol: String): Option[Long] = {
+    val row = sink.agg(max(Det.tsMicrosOf(sink, tsCol))).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 
   /** Two-phase incremental scan, phase 2: rows strictly past `wmUs`,
-    * expressed as a LITERAL predicate on the raw ns column — so unlike
-    * [[incrementalScan]]'s runtime broadcast join, the filter reaches
-    * the source scan (`PushedFilters` + row-group/file pruning: at
+    * expressed as a LITERAL predicate in the ts column's NATIVE encoding —
+    * so unlike [[incrementalScan]]'s runtime broadcast join, the filter
+    * reaches the source scan (`PushedFilters` + row-group/file pruning: at
     * 100 TB the import reads only data past the watermark, exactly like
-    * `Scanner.setMinTimestamp`). µs semantics: ts_ns ≥ (wmUs+1)·1000 ⟺
-    * µs-truncated ts > wmUs, matching the sink's µs watermark exactly. */
-  def scanPastWatermark(srcRaw: DataFrame, tsNsCol: String, wmUs: Long): DataFrame =
-    srcRaw.filter(col(tsNsCol) >= lit((wmUs + 1L) * 1000L))
+    * `Scanner.setMinTimestamp`). Semantics are exact in every encoding:
+    * µs-truncated ts > wmUs ⟺ ts_µs ≥ wmUs+1 ⟺ ts_ns ≥ (wmUs+1)·1000.
+    * The timestamp branch uses `timestamp_micros(lit)` — foldable, so
+    * Catalyst collapses it to a plain timestamp literal that pushes down;
+    * a µs-long *computed column* here would silently defeat pruning. */
+  def scanPastWatermark(srcRaw: DataFrame, tsCol: String, wmUs: Long): DataFrame =
+    srcRaw.schema(tsCol).dataType match {
+      case LongType => // legacy raw epoch-ns BIGINT
+        srcRaw.filter(col(tsCol) >= lit((wmUs + 1L) * 1000L))
+      case TimestampNTZType =>
+        srcRaw.filter(col(tsCol) >= timestamp_micros(lit(wmUs + 1L)).cast(TimestampNTZType))
+      case _ =>
+        srcRaw.filter(col(tsCol) >= timestamp_micros(lit(wmUs + 1L)))
+    }
 
   /** The ES "statistical facet" the reference uses to find its watermark
     * (HBaseParser.java:264: count/min/max/sum/mean/variance/stddev over

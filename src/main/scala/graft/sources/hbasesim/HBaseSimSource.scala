@@ -12,7 +12,7 @@ import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
-import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -41,8 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - one InputPartition per parquet row group, so a 1000-executor
   *    cluster scans row groups in parallel with no driver fan-in.
   *
-  * Exposes `ts` as `ts_us` (epoch micros, ns÷1000 — the same truncation
-  * DuckDB's `epoch_us` applies).
+  * Exposes `ts` as `ts_us` (epoch micros). The file's physical INT64 may
+  * carry ns, µs, or ms — the unit comes from the parquet footer's
+  * logical-type annotation per file ([[HBaseSimTable.tsToMicros]]), never
+  * from an assumption.
   */
 class HBaseSimProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "hbasesim"
@@ -65,9 +67,39 @@ object HBaseSimTable {
     StructField("value", DoubleType, nullable = false),
     StructField("props", StringType, nullable = false)))
 
-  /** source column → parquet column (ts_us is derived from ns `ts`). */
+  /** source column → parquet column (ts_us is derived from raw `ts`). */
   val parquetField: Map[String, String] =
     schema.fieldNames.map(n => n -> (if (n == "ts_us") "ts" else n)).toMap
+
+  /** raw INT64 `ts` → epoch-µs converter, dispatched ONCE PER FILE on the
+    * parquet footer's logical-type annotation (round-10 postmortem: a
+    * fixed ÷1000 read regenerated TIMESTAMP_MICROS data as 1000× too
+    * small — silently. Unit handling must come from file metadata, never
+    * be assumed):
+    *  - TIMESTAMP(MICROS) (current driver data, NTZ or adjusted): as-is;
+    *  - TIMESTAMP(NANOS) or unannotated INT64 (legacy ns data): ÷1000
+    *    (the same truncation DuckDB's epoch_us applies);
+    *  - TIMESTAMP(MILLIS): ×1000.
+    * INT96 (Spark's default write type!) is rejected with a pointer at
+    * the outputTimestampType conf rather than decoded wrong. */
+  def tsToMicros(schema: MessageType): Long => Long = {
+    if (!schema.containsField("ts")) identity
+    else {
+      val t = schema.getType(Seq("ts"): _*).asPrimitiveType()
+      require(t.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT64,
+        s"hbasesim: ts must be INT64 (µs/ns/ms), found ${t.getPrimitiveTypeName}; " +
+          "write the file with spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS")
+      t.getLogicalTypeAnnotation match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+            case LogicalTypeAnnotation.TimeUnit.NANOS => (v: Long) => v / 1000L
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => (v: Long) => Math.multiplyExact(v, 1000L)
+          }
+        case _ => (v: Long) => v / 1000L // unannotated INT64: legacy epoch-ns
+      }
+    }
+  }
 
   /** A "table" is either one parquet file or a directory of part files
     * (the layout any distributed writer produces — the single-file form
@@ -212,38 +244,45 @@ object HBaseSimStats {
   }
 
   /** (output schema, one row of values) from the parquet footer alone, or
-    * None when a required statistic is missing. ts_us derives from the ns
-    * `ts` stats — truncation commutes with min/max (monotone). */
+    * None when a required statistic is missing. ts_us derives from the raw
+    * `ts` stats via each FILE's own logical-type unit (tsToMicros) — unit
+    * conversion commutes with min/max (monotone). */
   def fromFooter(path: String, agg: Aggregation): Option[(StructType, Seq[Any])] = {
     import scala.collection.JavaConverters._
-    // all row groups of all part files: block metadata survives reader
-    // close, so the footers open briefly and only metadata is held
+    // all row groups of all part files, each paired with its file's ts
+    // unit converter: block metadata survives reader close, so the
+    // footers open briefly and only metadata is held
     val blocks = HBaseSimTable.dataFiles(path).flatMap { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), new Configuration()))
-      try reader.getFooter.getBlocks.asScala.toList finally reader.close()
+      try {
+        val toUs = HBaseSimTable.tsToMicros(reader.getFooter.getFileMetaData.getSchema)
+        reader.getFooter.getBlocks.asScala.toList.map(b => (b, toUs))
+      } finally reader.close()
     }
     locally {
-      val rowCount = blocks.map(_.getRowCount).sum
-      def colStats(src: String): Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
+      val rowCount = blocks.map(_._1.getRowCount).sum
+      def minMax(src: String, isMax: Boolean): Option[Any] = {
         val pq = HBaseSimTable.parquetField(src)
-        val per = blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == pq)
-          .flatMap(c => Option(c.getStatistics)).filter(_.hasNonNullValue))
-        if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
-      }
-      def minMax(src: String, isMax: Boolean): Option[Any] = colStats(src).map { st =>
-        val raw = st.map(s => (if (isMax) s.genericGetMax else s.genericGetMin) match {
-          case l: java.lang.Long => l.longValue(): Any
-          case d: java.lang.Double => d.doubleValue(): Any
-        })
-        val vals = if (src == "ts_us") raw.map(v => v.asInstanceOf[Long] / 1000L) else raw
-        vals.reduce { (a, b) =>
+        val per = blocks.map { case (b, toUs) =>
+          b.getColumns.asScala.find(_.getPath.toDotString == pq)
+            .flatMap(c => Option(c.getStatistics)).filter(_.hasNonNullValue)
+            .map { s =>
+              val raw = (if (isMax) s.genericGetMax else s.genericGetMin) match {
+                case l: java.lang.Long => l.longValue(): Any
+                case d: java.lang.Double => d.doubleValue(): Any
+              }
+              if (src == "ts_us") (toUs(raw.asInstanceOf[Long]): Any) else raw
+            }
+        }
+        if (!per.forall(_.isDefined)) return None
+        Some(per.map(_.get).reduce { (a, b) =>
           val cmp = (a, b) match {
             case (x: Long, y: Long) => x.compareTo(y)
             case (x: Double, y: Double) => x.compareTo(y)
           }
           if ((cmp >= 0) == isMax) a else b
-        }
+        })
       }
       val fields = agg.aggregateExpressions.toSeq.map(aggField)
       if (fields.exists(_.isEmpty)) return None
@@ -312,14 +351,15 @@ class HBaseSimScan(path: String, required: StructType, minStamp: Long,
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), new Configuration()))
       try {
+        val toUs = HBaseSimTable.tsToMicros(reader.getFooter.getFileMetaData.getSchema)
         val blocks = reader.getFooter.getBlocks.asScala.toArray
         blocks.zipWithIndex.flatMap { case (block, i) =>
-          val tsMaxNs = block.getColumns.asScala
+          val tsMaxRaw = block.getColumns.asScala
             .find(_.getPath.toDotString == "ts")
             .flatMap(c => Option(c.getStatistics))
             .filter(_.hasNonNullValue)
             .map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-          val survives = tsMaxNs.forall(maxNs => maxNs / 1000L > minStamp)
+          val survives = tsMaxRaw.forall(maxRaw => toUs(maxRaw) > minStamp)
           if (survives) Some(HBaseSimInputPartition(f, i): InputPartition) else None
         }
       } finally reader.close()
@@ -389,11 +429,14 @@ class HBaseSimPartitionReader(path: String, rowGroup: Int, required: StructType,
   // Group ASSEMBLY, not field access, dominates the row decode; see
   // SCALING.md round 7 for the measured throughput and the
   // vectorize-vs-descope disposition.)
+  // the file's own ts unit (footer logical type), resolved once per reader
+  private val tsToUs: Long => Long = HBaseSimTable.tsToMicros(fileSchema)
+
   private def decoderFor(source: String): Group => Any = {
     val idx = projection.getFieldIndex(HBaseSimTable.parquetField(source))
     source match {
       case "event_id" | "user_id" => g => g.getLong(idx, 0)
-      case "ts_us" => g => g.getLong(idx, 0) / 1000L
+      case "ts_us" => g => tsToUs(g.getLong(idx, 0))
       case "value" => g => g.getDouble(idx, 0)
       case "event_type" | "props" => g => UTF8String.fromString(g.getString(idx, 0))
     }
@@ -409,7 +452,7 @@ class HBaseSimPartitionReader(path: String, rowGroup: Int, required: StructType,
   private val familyName: String = family.orNull
 
   private def passes(g: Group): Boolean =
-    (tsIdx < 0 || g.getLong(tsIdx, 0) / 1000L > minStamp) &&
+    (tsIdx < 0 || tsToUs(g.getLong(tsIdx, 0)) > minStamp) &&
     (familyIdx < 0 || g.getString(familyIdx, 0) == familyName)
 
   private def buildRow(g: Group): InternalRow = {

@@ -1,8 +1,8 @@
 package graft.util
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Determinism helpers for DuckDB-oracle parity.
   *
@@ -29,11 +29,27 @@ object Det {
   def moneyAvg(c: Column, scale: Int = 2): Column =
     (sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1)))
 
-  /** Event timestamps are ns-precision parquet; Spark reads them truncated
-    * to microseconds. All ts arithmetic goes through epoch-micros BIGINT so
-    * the DuckDB oracle (which sees full ns) can mirror the truncation with
-    * epoch_us(ts). */
+  /** All ts arithmetic goes through epoch-micros BIGINT so the DuckDB
+    * oracle can mirror it exactly with epoch_us(ts). Assumes the column is
+    * already TimestampType — [[graft.Tables.load]] normalizes every
+    * driver encoding to that at load; see [[tsMicrosOf]] for the raw form. */
   def tsMicros(c: Column): Column = unix_micros(c)
+
+  /** Epoch-µs BIGINT view of an event-time column in ANY encoding the
+    * driver's testdata has shipped — THE one place encoding dispatch
+    * lives (everything else assumes a normalized TimestampType):
+    *  - BIGINT epoch-ns (legacy data, read via nanosAsLong): exact
+    *    integer `div 1000` — the same truncation DuckDB's epoch_us applies;
+    *  - TIMESTAMP (µs, parquet TIMESTAMP_MICROS — current data; session
+    *    tz is pinned UTC in every entrypoint): unix_micros;
+    *  - TIMESTAMP_NTZ (only if a caller bypasses Tables' reader conf):
+    *    cast to TIMESTAMP first — exact under the UTC session tz. */
+  def tsMicrosOf(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case LongType => expr(s"$tsCol div 1000")
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _ => unix_micros(col(tsCol))
+    }
 
   /** Epoch seconds (truncating), as BIGINT. */
   def tsSeconds(c: Column): Column = (unix_micros(c) / lit(1000000L)).cast("long")

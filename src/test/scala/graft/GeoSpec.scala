@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Geo
+
+class GeoSpec extends SparkSpec {
+
+  /** Independent reference: the standard iterative bisection geohash
+    * (textbook form), to pin the closed-form bit-interleave encoder. */
+  private def refGeohash(lat: Double, lon: Double, precision: Int): String = {
+    val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    var latLo = -90.0; var latHi = 90.0; var lonLo = -180.0; var lonHi = 180.0
+    var even = true; var bit = 0; var ch = 0
+    val sb = new StringBuilder
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = ch * 2 + 1; lonLo = mid } else { ch = ch * 2; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = ch * 2 + 1; latLo = mid } else { ch = ch * 2; latHi = mid }
+      }
+      even = !even; bit += 1
+      if (bit == 5) { sb.append(base32(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  test("geohash matches the canonical example and the bisection reference") {
+    import spark.implicits._
+    // classic canonical point: geohash(57.64911, 10.40744) = u4pruydqqvj
+    val probes = Seq(
+      (57.64911, 10.40744), (0.0, 0.0), (-33.8688, 151.2093),
+      (40.7128, -74.006), (-85.0, -180.0), (84.99, 179.99))
+    val df = probes.toDF("lat", "lon")
+    for (p <- Seq(2, 4, 6)) {
+      val got = df.withColumn("gh", Geo.geohash(col("lat"), col("lon"), p))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getString(2)).toMap
+      for ((la, lo) <- probes)
+        assert(got((la, lo)) == refGeohash(la, lo, p), s"($la,$lo) p=$p")
+    }
+    assert(refGeohash(57.64911, 10.40744, 6) == "u4pruy") // self-check vs published value
+  }
+
+  test("bounding box facet equals a naive filter") {
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val got = Geo.boundingBox(pts, -20.0, 40.0, -90.0, 30.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = pts.filter(col("lat").between(-20.0, 40.0) &&
+        col("lon").between(-90.0, 30.0))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == naive && got.values.sum > 0)
+  }
+
+  test("distance top-k equals a driver-side recompute") {
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val got = Geo.distanceTopK(pts, 10.0, -30.0, 400.0, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val naive = pts.select("event_id", "lat", "lon").collect()
+      .map(r => (r.getLong(0),
+        (r.getDouble(1) - 10.0) * (r.getDouble(1) - 10.0) +
+          (r.getDouble(2) - -30.0) * (r.getDouble(2) - -30.0)))
+      .filter(_._2 <= 400.0).sortBy(p => (p._2, p._1)).take(25)
+    assert(got.toSeq == naive.toSeq && got.nonEmpty)
+  }
+
+  test("geohash grid cells cover every point exactly once") {
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val grid = pts.withColumn("gh", Geo.geohash(col("lat"), col("lon"), 2))
+      .groupBy("gh").count()
+    assert(grid.agg(sum("count")).head().getLong(0) == pts.count())
+    // every cell id is 2 chars of the base32 alphabet
+    assert(grid.filter(!col("gh").rlike("^[0-9b-hjkmnp-z]{2}$")).count() == 0)
+  }
+}

@@ -11,8 +11,16 @@ class RiverSpec extends SparkSpec {
     val wmUs = River.watermarkMicros(raw.limit(100), "ts").get
     val scan = River.scanPastWatermark(raw, "ts", wmUs)
     val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") &&
-      plan.contains(s"GreaterThanOrEqual(ts,${(wmUs + 1) * 1000})"), plan)
+    // the ts predicate must land in the scan's PushedFilters in the
+    // file's NATIVE encoding (ns long literal on legacy files, a folded
+    // timestamp literal on TIMESTAMP_MICROS files) — a computed-column
+    // filter would read the whole table at 100 TB
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1))
+      .getOrElse(fail(s"no PushedFilters in plan:\n$plan"))
+    assert(pushed.contains("GreaterThanOrEqual(ts,"), s"pushed=[$pushed]\n$plan")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      assert(pushed.contains(s"GreaterThanOrEqual(ts,${(wmUs + 1) * 1000})"), pushed)
   }
 
   test("literal scan and broadcast-join scan select the same rows") {

@@ -39,8 +39,10 @@ class ScaleLayoutSpec extends SparkSpec {
 
   test("date-partitioned layout prunes partitions for the watermark scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/events"
-    val ev = Tables.eventsRaw(spark, sfDir)
-      .withColumn("day", expr("ts div 86400000000000")) // ns → day index
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val ev = raw // UTC day index via exact integer div, whatever encoding the file carries
+      .withColumn("__us", graft.util.Det.tsMicrosOf(raw, "ts"))
+      .withColumn("day", expr("__us div 86400000000")).drop("__us")
     ev.write.mode("overwrite").partitionBy("day").parquet(dir)
 
     // partition values are directory names; inferred as int here

@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") // events copies must stay INT64 µs (hbasesim + DuckDB read them), never INT96
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
