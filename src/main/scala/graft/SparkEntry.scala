@@ -732,6 +732,37 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0))
     }),
 
+    // ----- maintained-index incremental dedup (round 11): the same
+    // delta math, but the hot-shingle df table / LSH band index are
+    // READ from tables maintained batch-by-batch (DedupIndex), not
+    // recomputed — the shape a continuously-running 100 TB import
+    // actually has. Snapshot ingested as 3 deterministic batches. -----
+
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val neu = docs.filter(col("doc_id") % 10 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+      (0L until 3L).foreach(b =>
+        dedup.DedupIndex.updateWithBatch(old.filter(col("doc_id") % 3 === b), b, root))
+      // the delta's counts merge in before querying (df is additive —
+      // hot(old ∪ new) without any recompute over old)
+      dedup.DedupIndex.updateWithBatch(neu, 3L, root)
+      dedup.DedupIndex.incrementalNgramJaccardIndexed(s, root, old, neu, 3, 0.8)
+    }),
+
+    "dedup_incremental_minhash_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val neu = docs.filter(col("doc_id") % 10 === 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+      (0L until 3L).foreach(b =>
+        dedup.DedupIndex.updateWithBatch(old.filter(col("doc_id") % 3 === b), b, root))
+      // new bands join the index only AFTER dedup (MinHash.bandTable
+      // doc) — the delta is signed fresh, the index is old-only
+      dedup.DedupIndex.incrementalNearDupPairsIndexed(s, root, old, neu)
+    }),
+
     "dedup_substring" -> ((s, dir) =>
       dedup.Dedup.substringDedup(Tables.documents(s, dir), 8)),
 
@@ -2129,6 +2160,25 @@ object SparkEntry {
     // in the wiring) — per-doc shingles/buckets don't depend on the
     // split, so the restriction IS the incremental result
     "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+        |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM s) GROUP BY shingle HAVING count(*) > 16),
+        |hotl AS (SELECT coalesce(list(shingle), CAST([] AS VARCHAR[])) AS hot FROM hs),
+        |b AS (SELECT doc_id, sh,
+        |        coalesce(list_aggregate(list_filter(sh, x -> NOT list_contains(hot, x)), 'min'),
+        |                 list_aggregate(sh, 'min')) AS bucket
+        |      FROM s CROSS JOIN hotl)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+        |WHERE jaccard >= 0.8 AND (a_id % 10 = 0 OR b_id % 10 = 0)""".stripMargin,
+
+    // the maintained-index variant returns the SAME pairs by
+    // construction (merged per-batch df == from-scratch df — additive
+    // counts; StreamingDedupIndexSpec pins the equality), so it shares
+    // dedup_incremental's oracle verbatim
+    "dedup_incremental_indexed" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
         |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM s) GROUP BY shingle HAVING count(*) > 16),

@@ -254,17 +254,31 @@ object Dedup {
     def shingles(d: DataFrame) = d
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
-    val oldS = shingles(oldDocs).persist()
-    val newS = shingles(newDocs).persist()
     // df over old ∪ new, same bound as the full recompute — at scale
     // the df table is MAINTAINED, not recomputed (counts are additive
-    // per batch: merge the delta's shingle counts into the snapshot's —
-    // StreamingRiver's index stage does exactly this), the same
-    // persisted-index stand-in convention as oldIdx below; a shingle
-    // crossing maxDf re-buckets its docs at the next compaction. Join
-    // form: the hot set is a persisted TABLE feeding two anti-joins,
-    // never a collected broadcast row.
-    val hot = hotShingleTable(oldS.unionByName(newS), maxDf).persist()
+    // per batch: `DedupIndex.updateWithBatch` merges each delta's
+    // shingle counts into the snapshot, and the `WithHot` core below
+    // consumes that maintained table directly); a shingle crossing
+    // maxDf re-buckets its docs at the next compaction.
+    incrementalNgramJaccardWithHot(oldDocs, newDocs,
+      hotShingleTable(shingles(oldDocs).unionByName(shingles(newDocs)), maxDf),
+      n, tau)
+  }
+
+  /** Core of [[incrementalNgramJaccard]] with the hot-shingle set
+    * supplied by the caller — either recomputed over old ∪ new (above;
+    * row-identical, since df(old ∪ new) = merged per-batch df) or read
+    * from the MAINTAINED df table (`DedupIndex`). Join form: the hot
+    * set is a TABLE feeding anti-joins, never a collected broadcast
+    * row. */
+  private[dedup] def incrementalNgramJaccardWithHot(oldDocs: DataFrame,
+      newDocs: DataFrame, hotIn: DataFrame, n: Int, tau: Double): DataFrame = {
+    def shingles(d: DataFrame) = d
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleSetFromTokens(col("toks"), n).as("sh"))
+    val oldS = shingles(oldDocs).persist()
+    val newS = shingles(newDocs).persist()
+    val hot = hotIn.persist()
     val oldIdx = dfBoundedMinBuckets(oldS, hot) // = the persisted snapshot index at scale
     val newIdx = dfBoundedMinBuckets(newS, hot).persist()
     val vsOld = newIdx.select(col("bucket"), col("doc_id").as("n_id"))

@@ -115,10 +115,20 @@ object MinHash {
     * duplicate shingle rows in the confirm frame; the self-pair it
     * would emit is guarded out below. */
   def incrementalNearDupPairs(oldDocs: DataFrame, newDocs: DataFrame,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.8): DataFrame = {
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.8): DataFrame =
+    incrementalNearDupPairsWithIndex(oldDocs, newDocs,
+      bandTable(docShingles(oldDocs, n), numHashes, bands), n, numHashes, bands, tau)
+
+  /** Core of [[incrementalNearDupPairs]] with the old side's band index
+    * supplied by the caller — either recomputed (above) or read from the
+    * MAINTAINED index table (`DedupIndex.bandTable`), which is the
+    * actual 100 TB shape: the candidate join is delta bands × persisted
+    * index, the corpus is never re-signed. */
+  private[dedup] def incrementalNearDupPairsWithIndex(oldDocs: DataFrame,
+      newDocs: DataFrame, oldIdx: DataFrame, n: Int, numHashes: Int,
+      bands: Int, tau: Double): DataFrame = {
     val oldS = docShingles(oldDocs, n).persist()
     val newS = docShingles(newDocs, n).persist()
-    val oldIdx = bandTable(oldS, numHashes, bands) // = the persisted index
     val newIdx = bandTable(newS, numHashes, bands).persist()
     val vsOld = newIdx.select(col("band"), col("band_hash"), col("doc_id").as("n_id"))
       .join(oldIdx.select(col("band"), col("band_hash"), col("doc_id").as("o_id")),
