@@ -1589,7 +1589,7 @@ object SparkEntry {
       raw"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
            |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
            |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS n_word_tokens,
-           |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+           |  ${text.Bpe.tokenCountSql("text")} AS n_bpe_tokens
            |FROM documents""".stripMargin,
 
     "text_quality" ->
@@ -2456,7 +2456,7 @@ object SparkEntry {
         |  AND (epoch < wfull OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < band)""".stripMargin,
 
     "pipe_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      s"""WITH t AS (SELECT doc_id, ${text.Bpe.tokenCountSql("text")} AS n_tok FROM documents),
         |c AS (SELECT doc_id, n_tok,
         |             CAST((CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) - n_tok) // 1000
         |                  AS BIGINT) AS bin

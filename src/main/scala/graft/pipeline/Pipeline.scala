@@ -316,8 +316,11 @@ object Pipeline {
   def packSequences(docs: DataFrame, budget: Long): DataFrame = {
     val spark = docs.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // REAL token counts (merges-table BPE, round 11) — a packing run's
+    // whole purpose is hitting a context-length budget, and chars/4 or
+    // whitespace counts mis-size bins by double-digit percents
     val withTok = docs.select(col("doc_id"),
-      size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
     val sorted = withTok
       .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))

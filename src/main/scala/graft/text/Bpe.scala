@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic merges-table BPE token counting (SURVEY §2 round 11 —
+  * replaces the chars/4 estimate so `pipe_pack_sequences` budgets are
+  * computed from REAL token counts).
+  *
+  * The merge table is a fixed, priority-ordered artifact — exactly the
+  * shape of a published `merges.txt` (GPT-2's tokenizer ships its merge
+  * list as a static file; application, not training, is the engine-side
+  * operation). Convention: rules apply in priority order, one
+  * left-to-right non-overlapping pass per rule (leftmost-first — the
+  * standard greedy convention), over the word alphabet `[a-z0-9']`.
+  *
+  * Execution trick that keeps BOTH engines exact and fast: every token
+  * (base char or merged) is assigned a single-character SYMBOL, so a
+  * merge is a 2-char → 1-char `replace` on a plain string — no arrays,
+  * no loops, no UDFs; a chain of `replace` calls IS the merge loop, and
+  * the final token count is just `length()`. `replace`'s left-to-right
+  * non-overlapping scan is identical in Spark and DuckDB, so the oracle
+  * replays the loop verbatim from the same generated rule list
+  * ([[tokenCountSql]] — the geohashSql "generated from one source"
+  * pattern). Symbols are drawn outside the input alphabet (uppercase +
+  * accented capitals), so a rule can never re-match its own output.
+  */
+object Bpe {
+
+  /** The merges table, priority-ordered; every side is a token produced
+    * by earlier rules (or a base char) — the defining BPE property. */
+  val mergeTokens: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("l", "l"), ("c", "o"), ("s", "e"), ("l", "e"),
+    ("d", "e"), ("m", "e"), ("t", "o"), ("i", "s"), ("e", "d"),
+    ("a", "l"), ("t", "i"), ("ti", "on"), ("u", "n"), ("w", "h"),
+    ("c", "h"), ("f", "o"), ("fo", "r"), ("w", "i"), ("wi", "th"),
+    ("b", "e"), ("h", "a"), ("p", "e"), ("er", "s"), ("q", "u"))
+
+  /** Symbol alphabet for merged tokens: single BMP chars outside
+    * `[a-z0-9']` (uppercase + Latin-1 capitals), one per rule. */
+  private val symbols: String = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏ"
+
+  /** (2-char pattern, 1-char replacement) per rule, in priority order. */
+  val compiled: Seq[(String, String)] = {
+    require(mergeTokens.size <= symbols.length, "extend the symbol alphabet")
+    val sym = scala.collection.mutable.Map[String, String]()
+    mergeTokens.zipWithIndex.map { case ((a, b), i) =>
+      def of(t: String): String =
+        if (t.length == 1) t
+        else sym.getOrElse(t, sys.error(s"merge ($a,$b): '$t' not yet produced"))
+      val rule = (of(a) + of(b), symbols(i).toString)
+      sym(a + b) = rule._2
+      rule
+    }
+  }
+
+  /** symbol char → the token string it stands for (base chars map to
+    * themselves) — for decoding in [[tokenize]]. */
+  val symbolToken: Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    mergeTokens.zipWithIndex.foreach { case ((a, b), i) =>
+      def tok(s: String) = m.getOrElse(s, s)
+      m(symbols(i).toString) = tok(a) + tok(b)
+    }
+    m.toMap
+  }
+
+  private val wordPattern = "[a-z0-9']+"
+
+  /** The merge loop over one (already-lowercased, in-alphabet) word. */
+  private def mergeWord(w: Column): Column =
+    compiled.foldLeft(w) { case (acc, (pat, sym)) =>
+      replace(acc, lit(pat), lit(sym))
+    }
+
+  /** Per-document BPE token count (word tokens only — the
+    * `n_word_tokens` convention; punctuation/whitespace don't count). */
+  def tokenCount(textCol: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(lower(textCol), lit(wordPattern), lit(0)),
+        w => length(mergeWord(w)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-document token strings (flattened across words), for specs and
+    * downstream consumers that need the pieces, not just the count. */
+  def tokenize(textCol: Column): Column = {
+    val decode = typedLit(
+      ((('a' to 'z') ++ ('0' to '9') :+ '\'').map(c => c.toString -> c.toString)
+        ++ symbolToken.toSeq).toMap)
+    flatten(transform(
+      regexp_extract_all(lower(textCol), lit(wordPattern), lit(0)),
+      w => transform(split(mergeWord(w), ""), c => element_at(decode, c))))
+  }
+
+  /** The identical merge loop as a DuckDB SQL expression over
+    * `wordExpr` (generated from [[compiled]], so the engines cannot
+    * drift). */
+  def mergeWordSql(wordExpr: String): String =
+    compiled.foldLeft(wordExpr) { case (acc, (pat, sym)) =>
+      s"replace($acc, '$pat', '$sym')"
+    }
+
+  /** Per-document token count as DuckDB SQL over a text column
+    * (coalesce: DuckDB's list_sum of an empty list is NULL, Spark's
+    * aggregate with a 0 seed is 0). */
+  def tokenCountSql(textExpr: String): String =
+    s"CAST(coalesce(list_sum(list_transform(regexp_extract_all(lower($textExpr), '[a-z0-9'']+'), " +
+      s"w -> length(${mergeWordSql("w")}))), 0) AS BIGINT)"
+}

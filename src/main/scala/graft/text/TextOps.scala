@@ -26,15 +26,18 @@ object TextOps {
   private def stopHits(c: Column, lang: String): Column =
     hits(c, "\\b(" + stopwords(lang) + ")\\b")
 
-  /** Whitespace tokens, wordlike regex tokens, and a BPE-ish length/4
-    * estimate (the classic chars-per-token heuristic). */
+  /** Whitespace tokens, wordlike regex tokens, and TRUE merges-table
+    * BPE token counts ([[Bpe]] — a fixed priority-ordered merge list
+    * applied as a chain of codegen'd replaces; replaced the old
+    * chars/4 estimate in round 11 so downstream token budgets are
+    * real). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0))).cast("long").as("n_word_tokens"),
-      ceil(length(col("text")) / lit(4.0)).cast("long").as("est_bpe_tokens"))
+      Bpe.tokenCount(col("text")).as("n_bpe_tokens"))
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length, and a composite score in [0,1]. `keep` carries extra

@@ -254,7 +254,7 @@ class PipelineSpec extends SparkSpec {
 
     val w = Window.orderBy("doc_id")
     val expect = docs
-      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+      .select(col("doc_id"), graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
       .withColumn("bin", ((sum("n_tok").over(w) - col("n_tok")) / budget).cast("long"))
       .groupBy("bin").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
@@ -283,7 +283,7 @@ class PipelineSpec extends SparkSpec {
     // every bin except possibly the last spans at least the budget once
     // its last doc is included (concat-stream semantics)
     val totalTok = docs
-      .select(size(split(col("text"), " ", -1)).cast("long").as("t"))
+      .select(graft.text.Bpe.tokenCount(col("text")).as("t"))
       .agg(sum("t")).head().getLong(0)
     assert(rows.map(_._3).sum == totalTok)
     assert(rows.map(_._2).sum == docs.count())
