@@ -202,7 +202,7 @@ object Bench {
       "text_top_terms", "dedup_exact", "dedup_minhash_lsh",
       "dedup_clusters", "dedup_embedding_lsh", "ann_bruteforce_topk",
       "ann_ivf_topk", "mm_feature_stub", "pipe_pack_sequences",
-      "pipe_decontaminate")
+      "pipe_decontaminate", "q_geohash_grid")
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     System.err.println(s"[bench-full] ${jmap(results)}")
     val total = results.map(_._2).filter(_ >= 0).sum

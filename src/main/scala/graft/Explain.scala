@@ -1,28 +1,37 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit main: prints the formatted physical plan of the named
-  * queries (or all) at the given SF — the `.explain`-and-iterate loop
-  * SURVEY §5 prescribes (PushedFilters reaching the scan, broadcast on
-  * dim joins, WholeStageCodegen spans, no unexpected shuffles). */
+/** Plan-inspection diagnostic: `runMain graft.Explain <sfDir> <query>...`
+  * prints each named query's formatted physical plan (or a summary line
+  * with --summary) — the ".explain and iterate" loop SURVEY §5 demands
+  * after every operator lands. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val summary = args.contains("--summary")
+    val rest = args.filterNot(_ == "--summary")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val only = args.toSet
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.isEmpty || only(n) }
-      .foreach { case (name, fn) =>
-        println(s"\n===== $name =====")
-        try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"[explain] failed: ${e.getMessage}") }
-      }
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"===== $n")
+      if (summary) {
+        "ReadSchema: [^\n]*".r.findAllIn(plan).foreach(s => println("  " + s.take(160)))
+        "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).foreach(s => println("  " + s.take(160)))
+        println(s"  WholeStageCodegen spans: ${"WholeStageCodegen".r.findAllIn(plan).size}")
+        println(s"  Exchanges: ${"Exchange".r.findAllIn(plan).size}")
+      } else println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     spark.stop()
   }
 }

@@ -436,6 +436,17 @@ object SparkEntry {
     "q_geohash_grid" -> ((s, dir) =>
       operators.Geo.geohashGrid(operators.Geo.withCoords(Tables.events(s, dir)), 2, 20)),
 
+    // distance rings at 5/10/20/40° around (10, −30) — edges squared,
+    // zero-count rings emitted like ES's full range list
+    "q_geo_distance_rings" -> ((s, dir) =>
+      operators.Geo.distanceRings(operators.Geo.withCoords(Tables.events(s, dir)),
+        10.0, -30.0, Seq(25.0, 100.0, 400.0, 1600.0))),
+
+    // per-family geo_centroid on the exact decimal domain
+    "q_geo_centroid" -> ((s, dir) =>
+      operators.Geo.centroids(operators.Geo.withCoords(Tables.events(s, dir)),
+        "event_type")),
+
     // ES 8.8 rrf retriever: BM25 top-30 fused with cosine-kNN top-30
     // of query vector 7; 1-2 docs sit in BOTH lists per SF and the
     // fusion promotes one to the top — the reordering is real
@@ -738,16 +749,19 @@ object SparkEntry {
     // recomputed — the shape a continuously-running 100 TB import
     // actually has. Snapshot ingested as 3 deterministic batches. -----
 
+    // (wiring builds the index with the FEWEST batches that exercise
+    // the read path — snapshot + delta; multi-batch incrementality is
+    // StreamingDedupIndexSpec's job, and benching 4 index builds per
+    // run would measure construction, not the query)
     "dedup_incremental_indexed" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val neu = docs.filter(col("doc_id") % 10 === 0)
       val root = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
-      (0L until 3L).foreach(b =>
-        dedup.DedupIndex.updateWithBatch(old.filter(col("doc_id") % 3 === b), b, root))
+      dedup.DedupIndex.updateWithBatch(old, 0L, root)
       // the delta's counts merge in before querying (df is additive —
       // hot(old ∪ new) without any recompute over old)
-      dedup.DedupIndex.updateWithBatch(neu, 3L, root)
+      dedup.DedupIndex.updateWithBatch(neu, 1L, root)
       dedup.DedupIndex.incrementalNgramJaccardIndexed(s, root, old, neu, 3, 0.8)
     }),
 
@@ -756,8 +770,7 @@ object SparkEntry {
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val neu = docs.filter(col("doc_id") % 10 === 0)
       val root = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
-      (0L until 3L).foreach(b =>
-        dedup.DedupIndex.updateWithBatch(old.filter(col("doc_id") % 3 === b), b, root))
+      dedup.DedupIndex.updateWithBatch(old, 0L, root)
       // new bands join the index only AFTER dedup (MinHash.bandTable
       // doc) — the delta is signed fresh, the index is old-only
       dedup.DedupIndex.incrementalNearDupPairsIndexed(s, root, old, neu)
@@ -1392,6 +1405,29 @@ object SparkEntry {
          |g AS (SELECT ${operators.Geo.geohashSql(2)} AS geohash FROM pts)
          |SELECT geohash, count(*) AS n FROM g
          |GROUP BY geohash ORDER BY n DESC, geohash LIMIT 20""".stripMargin,
+
+    "q_geo_distance_rings" ->
+      s"""WITH pts AS (SELECT value, ${operators.Geo.coordsSql} FROM events),
+         |d AS (SELECT value,
+         |        (lat - 10.0) * (lat - 10.0) + (lon - (-30.0)) * (lon - (-30.0)) AS d2
+         |      FROM pts),
+         |r AS (SELECT CASE WHEN d2 < 25.0 THEN 0 WHEN d2 < 100.0 THEN 1
+         |                  WHEN d2 < 400.0 THEN 2 WHEN d2 < 1600.0 THEN 3
+         |                  ELSE 4 END AS ring, value FROM d),
+         |g AS (SELECT ring, count(*) AS n,
+         |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |      FROM r GROUP BY ring)
+         |SELECT CAST(rr.ring AS BIGINT) AS ring,
+         |       coalesce(g.n, 0) AS n, coalesce(g.sum_value, 0.0) AS sum_value
+         |FROM (SELECT unnest(range(0, 5)) AS ring) rr
+         |LEFT JOIN g ON rr.ring = g.ring""".stripMargin,
+
+    "q_geo_centroid" ->
+      s"""WITH pts AS (SELECT event_type, ${operators.Geo.coordsSql} FROM events)
+         |SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS centroid_lat,
+         |       CAST(sum(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS centroid_lon
+         |FROM pts GROUP BY event_type""".stripMargin,
 
     // the bm25 CTEs are the text_bm25 oracle verbatim; ranks are
     // 1-based within each top-30, absent side contributes 0

@@ -135,4 +135,42 @@ object Geo {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("geohash"))
       .limit(topN)
+
+  /** ES geo_distance AGGREGATION (distance range rings around an
+    * origin): doc count + exact value sum per ring. Rings are defined
+    * on the squared planar distance (edges supplied pre-squared), so
+    * bucketing needs no sqrt — exact comparisons only; one conditional
+    * projection + hash agg, no shuffle beyond the agg's. Every ring is
+    * emitted (zero-count rings included) the way ES returns its full
+    * range list; ring key = index into `edgesD2`. */
+  def distanceRings(pts: DataFrame, lat0: Double, lon0: Double,
+                    edgesD2: Seq[Double]): DataFrame = {
+    val d2 = (col("lat") - lit(lat0)) * (col("lat") - lit(lat0)) +
+      (col("lon") - lit(lon0)) * (col("lon") - lit(lon0))
+    // ring i covers [edge(i-1), edge(i)); the last is [edge(last), ∞)
+    val ring = edgesD2.zipWithIndex.foldRight(lit(edgesD2.size): Column) {
+      case ((e, i), acc) => when(d2 < lit(e), lit(i)).otherwise(acc)
+    }
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val allRings = (0 to edgesD2.size).toDF("ring")
+    pts.select(ring.cast("int").as("ring"), col("value"))
+      .groupBy("ring")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .join(allRings, Seq("ring"), "right")
+      .select(col("ring").cast("long").as("ring"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** ES geo_centroid per bucket: mean lat/lon. The synthetic
+    * coordinates are exact multiples of 0.01, so the mean is computed
+    * on the EXACT decimal domain (sum at DECIMAL, one double division
+    * at the end — the Det.moneyAvg discipline): merge-order
+    * independent, bit-identical to the oracle. */
+  def centroids(pts: DataFrame, keyCol: String): DataFrame =
+    pts.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        Det.moneyAvg(col("lat")).as("centroid_lat"),
+        Det.moneyAvg(col("lon")).as("centroid_lon"))
 }

@@ -70,6 +70,11 @@ object Bpe {
 
   private val wordPattern = "[a-z0-9']+"
 
+  /** Everything that is NOT a token character after merging: words are
+    * `[a-z0-9']`, merged tokens are single symbol chars. No regex
+    * metacharacters appear in either set. */
+  private val nonTokenClass = "[^a-z0-9'" + symbols.take(mergeTokens.size) + "]"
+
   /** The merge loop over one (already-lowercased, in-alphabet) word. */
   private def mergeWord(w: Column): Column =
     compiled.foldLeft(w) { case (acc, (pat, sym)) =>
@@ -77,12 +82,19 @@ object Bpe {
     }
 
   /** Per-document BPE token count (word tokens only — the
-    * `n_word_tokens` convention; punctuation/whitespace don't count). */
+    * `n_word_tokens` convention; punctuation/whitespace don't count).
+    *
+    * Runs the replace chain over the WHOLE lowercased text at once,
+    * not per word: merge patterns contain only word-alphabet chars and
+    * words are maximal `[a-z0-9']` runs, so a pattern can never span a
+    * word boundary — whole-text merging is exactly per-word merging
+    * (the `tokenCount == size(tokenize)` spec pins the equivalence)
+    * while skipping the per-word array materialization, which measured
+    * ~4× of the operator's cost at sf0.1. The count is then one strip
+    * of non-token chars + length. */
   def tokenCount(textCol: Column): Column =
-    aggregate(
-      transform(regexp_extract_all(lower(textCol), lit(wordPattern), lit(0)),
-        w => length(mergeWord(w)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    length(regexp_replace(mergeWord(lower(textCol)), nonTokenClass, ""))
+      .cast("long")
 
   /** Per-document token strings (flattened across words), for specs and
     * downstream consumers that need the pieces, not just the count. */
@@ -103,10 +115,10 @@ object Bpe {
       s"replace($acc, '$pat', '$sym')"
     }
 
-  /** Per-document token count as DuckDB SQL over a text column
-    * (coalesce: DuckDB's list_sum of an empty list is NULL, Spark's
-    * aggregate with a 0 seed is 0). */
-  def tokenCountSql(textExpr: String): String =
-    s"CAST(coalesce(list_sum(list_transform(regexp_extract_all(lower($textExpr), '[a-z0-9'']+'), " +
-      s"w -> length(${mergeWordSql("w")}))), 0) AS BIGINT)"
+  /** Per-document token count as DuckDB SQL over a text column — the
+    * same whole-text replace chain + non-token strip as [[tokenCount]]. */
+  def tokenCountSql(textExpr: String): String = {
+    val cls = nonTokenClass.replace("'", "''")
+    s"CAST(length(regexp_replace(${mergeWordSql(s"lower($textExpr)")}, '$cls', '', 'g')) AS BIGINT)"
+  }
 }

@@ -66,6 +66,37 @@ class GeoSpec extends SparkSpec {
     assert(got.toSeq == naive.toSeq && got.nonEmpty)
   }
 
+  test("distance rings partition all points and match a naive recompute") {
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val edges = Seq(25.0, 100.0, 400.0, 1600.0)
+    val got = Geo.distanceRings(pts, 10.0, -30.0, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to edges.size.toLong).toSet, "every ring emitted")
+    assert(got.values.sum == pts.count(), "rings partition the points")
+    val naive = pts.select("lat", "lon").collect()
+      .map { r =>
+        val d2 = (r.getDouble(0) - 10.0) * (r.getDouble(0) - 10.0) +
+          (r.getDouble(1) - -30.0) * (r.getDouble(1) - -30.0)
+        edges.indexWhere(d2 < _) match { case -1 => edges.size.toLong; case i => i.toLong }
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert((0L to edges.size.toLong).forall(r => got(r) == naive.getOrElse(r, 0L)))
+  }
+
+  test("centroids match a naive exact-decimal recompute") {
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val got = Geo.centroids(pts, "event_type")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val naive = pts.select("event_type", "lat", "lon").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        def exactMean(get: org.apache.spark.sql.Row => Double): Double =
+          (rows.map(r => BigDecimal(get(r)).setScale(2, BigDecimal.RoundingMode.HALF_EVEN))
+            .sum.toDouble / rows.length)
+        k -> (rows.length.toLong, exactMean(_.getDouble(1)), exactMean(_.getDouble(2)))
+      }
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("geohash grid cells cover every point exactly once") {
     val pts = Geo.withCoords(Tables.events(spark, sfDir))
     val grid = pts.withColumn("gh", Geo.geohash(col("lat"), col("lon"), 2))
