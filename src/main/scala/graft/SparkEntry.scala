@@ -447,6 +447,24 @@ object SparkEntry {
       operators.Geo.centroids(operators.Geo.withCoords(Tables.events(s, dir)),
         "event_type")),
 
+    // the bool-query compiler (round 10) with this round's geo clauses:
+    // geo_bounding_box + numeric range in FILTER context, terms in
+    // must (score 2.0), value >= 200 excluded by must_not, and a
+    // geo_distance SHOULD that lifts near-origin docs to 2.5 — every
+    // clause measured load-bearing at sf0.001 (spec-asserted)
+    "q_bool_dsl_geo" -> ((s, dir) => {
+      import text.BoolDsl._
+      search(operators.Geo.withCoords(Tables.events(s, dir)),
+        Bool(
+          must = Seq(TermsQ("event_type", Seq("click", "view"), boost = 2.0)),
+          filter = Seq(
+            GeoBoundingBoxQ("lat", "lon", -20.0, 40.0, -90.0, 30.0),
+            RangeQ("value", gte = Some(10.0))),
+          mustNot = Seq(RangeQ("value", gte = Some(200.0))),
+          should = Seq(GeoDistanceQ("lat", "lon", 10.0, -30.0, 400.0, boost = 0.5))),
+        20, idCol = "event_id")
+    }),
+
     // ES 8.8 rrf retriever: BM25 top-30 fused with cosine-kNN top-30
     // of query vector 7; 1-2 docs sit in BOTH lists per SF and the
     // fusion promotes one to the top — the reordering is real
@@ -1428,6 +1446,18 @@ object SparkEntry {
          |       CAST(sum(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS centroid_lat,
          |       CAST(sum(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS centroid_lon
          |FROM pts GROUP BY event_type""".stripMargin,
+
+    "q_bool_dsl_geo" ->
+      s"""WITH pts AS (SELECT event_id, event_type, value, ${operators.Geo.coordsSql} FROM events)
+         |SELECT event_id,
+         |       (CASE WHEN event_type IN ('click', 'view') THEN 2.0 ELSE 0.0 END +
+         |        CASE WHEN (lat - 10.0) * (lat - 10.0) + (lon - (-30.0)) * (lon - (-30.0)) <= 400.0
+         |             THEN 0.5 ELSE 0.0 END) AS score
+         |FROM pts
+         |WHERE event_type IN ('click', 'view')
+         |  AND lat >= -20.0 AND lat <= 40.0 AND lon >= -90.0 AND lon <= 30.0
+         |  AND value >= 10.0 AND NOT (value >= 200.0)
+         |ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
 
     // the bm25 CTEs are the text_bm25 oracle verbatim; ranks are
     // 1-based within each top-30, absent side contributes 0

@@ -56,6 +56,15 @@ object BoolDsl {
   final case class PrefixQ(field: String, prefix: String, boost: Double = 1.0) extends Query
   /** Field present (ES `exists`), scores 1 when matched. */
   final case class ExistsQ(field: String) extends Query
+  /** ES `geo_bounding_box` clause over point columns (constant score —
+    * in ES geo queries are filter-context citizens). */
+  final case class GeoBoundingBoxQ(latField: String, lonField: String,
+      latMin: Double, latMax: Double, lonMin: Double, lonMax: Double,
+      boost: Double = 1.0) extends Query
+  /** ES `geo_distance` clause, distance_type: plane, radius supplied
+    * pre-squared (transcendental-free — the `Geo` discipline). */
+  final case class GeoDistanceQ(latField: String, lonField: String,
+      lat0: Double, lon0: Double, maxD2: Double, boost: Double = 1.0) extends Query
   /** The composite node. */
   final case class Bool(must: Seq[Query] = Nil, should: Seq[Query] = Nil,
       mustNot: Seq[Query] = Nil, filter: Seq[Query] = Nil,
@@ -80,6 +89,13 @@ object BoolDsl {
       (n > 0, n.cast("double") * lit(b))
     case PrefixQ(f, p, b) => (col(f).startsWith(p), lit(b))
     case ExistsQ(f) => (col(f).isNotNull, lit(1.0))
+    case GeoBoundingBoxQ(laF, loF, laMin, laMax, loMin, loMax, b) =>
+      (col(laF) >= lit(laMin) && col(laF) <= lit(laMax) &&
+        col(loF) >= lit(loMin) && col(loF) <= lit(loMax), lit(b))
+    case GeoDistanceQ(laF, loF, la0, lo0, maxD2, b) =>
+      val d2 = (col(laF) - lit(la0)) * (col(laF) - lit(la0)) +
+        (col(loF) - lit(lo0)) * (col(loF) - lit(lo0))
+      (d2 <= lit(maxD2), lit(b))
     case Bool(must, should, mustNot, filterQ, msm, boost) =>
       val m = must.map(compile)
       val s = should.map(compile)
@@ -97,13 +113,14 @@ object BoolDsl {
       (pred, score)
   }
 
-  /** Run a compiled tree as a relevance-ranked search: matching docs,
-    * top-k by (score desc, doc_id). */
-  def search(docs: DataFrame, q: Query, k: Int): DataFrame = {
+  /** Run a compiled tree as a relevance-ranked search: matching rows,
+    * top-k by (score desc, id). `idCol` defaults to the documents
+    * table's key; pass e.g. "event_id" to search another index. */
+  def search(docs: DataFrame, q: Query, k: Int, idCol: String = "doc_id"): DataFrame = {
     val (pred, score) = compile(q)
     docs.filter(pred)
-      .select(col("doc_id"), score.as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 }

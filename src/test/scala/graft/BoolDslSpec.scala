@@ -89,6 +89,38 @@ class BoolDslSpec extends SparkSpec {
     assert(withNot < without, "src13 docs must be excluded by must_not alone")
   }
 
+  test("geo clauses: every clause of the q_bool_dsl_geo tree binds") {
+    val pts = graft.operators.Geo.withCoords(Tables.events(spark, sfDir))
+    val geoTree = Bool(
+      must = Seq(TermsQ("event_type", Seq("click", "view"), boost = 2.0)),
+      filter = Seq(
+        GeoBoundingBoxQ("lat", "lon", -20.0, 40.0, -90.0, 30.0),
+        RangeQ("value", gte = Some(10.0))),
+      mustNot = Seq(RangeQ("value", gte = Some(200.0))),
+      should = Seq(GeoDistanceQ("lat", "lon", 10.0, -30.0, 400.0, boost = 0.5)))
+    val all = BoolDsl.search(pts, geoTree, 1000000, idCol = "event_id")
+    val matched = all.count()
+    assert(matched > 0)
+    // dropping each clause changes the result — nothing is vacuous
+    assert(BoolDsl.search(pts, geoTree.copy(filter = geoTree.filter.tail),
+      1000000, idCol = "event_id").count() > matched, "bounding box binds")
+    assert(BoolDsl.search(pts, geoTree.copy(mustNot = Nil),
+      1000000, idCol = "event_id").count() > matched, "must_not binds")
+    // the distance SHOULD splits the score domain: both 2.5 and 2.0 present
+    val scores = all.select("score").distinct().collect().map(_.getDouble(0)).toSet
+    assert(scores == Set(2.5, 2.0), s"scores=$scores")
+    // equality with a hand-written composition
+    val hand = pts.filter(col("event_type").isin("click", "view") &&
+        col("lat").between(-20.0, 40.0) && col("lon").between(-90.0, 30.0) &&
+        col("value") >= 10.0 && !(col("value") >= 200.0))
+      .select(col("event_id"),
+        (lit(2.0) + when((col("lat") - 10.0) * (col("lat") - 10.0) +
+          (col("lon") - -30.0) * (col("lon") - -30.0) <= 400.0, 0.5)
+          .otherwise(0.0)).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(all.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == hand)
+  }
+
   test("filter-context conjuncts reach the parquet scan") {
     val (pred, _) = BoolDsl.compile(tree)
     // the scan's metadata string truncates at 100 chars by default —
