@@ -447,6 +447,11 @@ object SparkEntry {
       operators.Geo.centroids(operators.Geo.withCoords(Tables.events(s, dir)),
         "event_type")),
 
+    // per-family geo_bounds (tight bounding box, pure min/max)
+    "q_geo_bounds" -> ((s, dir) =>
+      operators.Geo.bounds(operators.Geo.withCoords(Tables.events(s, dir)),
+        "event_type")),
+
     // the bool-query compiler (round 10) with this round's geo clauses:
     // geo_bounding_box + numeric range in FILTER context, terms in
     // must (score 2.0), value >= 200 excluded by must_not, and a
@@ -1445,6 +1450,12 @@ object SparkEntry {
          |SELECT event_type, count(*) AS n,
          |       CAST(sum(CAST(lat AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS centroid_lat,
          |       CAST(sum(CAST(lon AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS centroid_lon
+         |FROM pts GROUP BY event_type""".stripMargin,
+
+    "q_geo_bounds" ->
+      s"""WITH pts AS (SELECT event_type, ${operators.Geo.coordsSql} FROM events)
+         |SELECT event_type, min(lat) AS min_lat, max(lat) AS max_lat,
+         |       min(lon) AS min_lon, max(lon) AS max_lon
          |FROM pts GROUP BY event_type""".stripMargin,
 
     "q_bool_dsl_geo" ->

@@ -163,6 +163,15 @@ object Geo {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** ES geo_bounds per bucket: the tight bounding box of the bucket's
+    * points (ES returns it as top_left/bottom_right; min/max per axis
+    * is the same box). Pure min/max — exact on any engine, map-side
+    * combinable, one hash agg. */
+  def bounds(pts: DataFrame, keyCol: String): DataFrame =
+    pts.groupBy(keyCol).agg(
+      min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+      min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"))
+
   /** ES geo_centroid per bucket: mean lat/lon. The synthetic
     * coordinates are exact multiples of 0.01, so the mean is computed
     * on the EXACT decimal domain (sum at DECIMAL, one double division

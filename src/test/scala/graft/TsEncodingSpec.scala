@@ -143,6 +143,49 @@ class TsEncodingSpec extends SparkSpec {
     }
   }
 
+  test("hbasesim handles a MIXED-encoding directory (per-file dispatch)") {
+    // a table whose files were written in different eras: one µs-NTZ
+    // part, one ns part — the unit must resolve per FILE, so rows 1-3
+    // (ns file) and 4-5 (µs file) all decode to the same µs instants
+    val dir = Files.createTempDirectory("graft-enc-mixed").toString
+    val table = s"$dir/events.parquet"
+    new java.io.File(table).mkdirs()
+    // part 1: rows 1-3 in TIMESTAMP(NANOS) via parquet-mr
+    val nsSchema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(new Path(s"$table/part-ns.parquet"))
+      .withType(nsSchema).build()
+    val factory = new SimpleGroupFactory(nsSchema)
+    try rowsUs.take(3).foreach { case (id, us, uid, typ, v, props) =>
+      val g = factory.newGroup()
+      g.add("event_id", id); g.add("ts", us * 1000L); g.add("user_id", uid)
+      g.add("event_type", typ); g.add("value", v); g.add("props", props)
+      writer.write(g)
+    } finally writer.close()
+    // part 2: rows 4-5 in µs NTZ via Spark
+    base.filter(col("event_id") > 3)
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+      .drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(table)
+    val got = spark.read.format("hbasesim").option("path", table).load()
+      .select("event_id", "ts_us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expectUs)
+    // footer-stats watermark across the mixed files is still exact
+    val agg = spark.read.format("hbasesim").option("path", table).load()
+      .agg(max(col("ts_us")), min(col("ts_us"))).head()
+    assert(agg.getLong(0) == expectUs(5L) && agg.getLong(1) == expectUs(1L))
+  }
+
   test("hbasesim rejects an INT96 ts instead of decoding it wrong") {
     val dir = Files.createTempDirectory("graft-enc-int96").toString
     val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
