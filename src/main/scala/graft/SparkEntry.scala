@@ -29,6 +29,37 @@ object SparkEntry {
 
   // ---- shared builders -------------------------------------------------
 
+  /** Shared q_geo_polygon vertex list (lat, lon) — ONE definition feeds
+    * both the Spark predicate and the generated oracle SQL so the two
+    * engines cannot drift. Concave hexagon (the (5,5) notch) over the
+    * synthetic coordinate domain; every vertex exactly representable. */
+  private val geoPolygon: Seq[(Double, Double)] = Seq(
+    (0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
+    (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
+
+  /** Maintained-index roots, memoized per (kind, sfDir): the indexed
+    * dedup queries READ a maintained index — building it is ingest-time
+    * work, not query-time work, so Bench's repeated thunk invocations
+    * must not re-run two full index writes per timed run (ADVICE r11).
+    * First use per JVM builds the index into a temp dir; a shutdown
+    * hook removes every memoized root. */
+  private val indexRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def indexRoot(kind: String, dir: String)(build: String => Unit): String =
+    indexRoots.computeIfAbsent((kind, dir), { _ =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$kind-idx").toString
+      build(root)
+      root
+    })
+  sys.addShutdownHook {
+    indexRoots.values.forEach { root =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   /** Two-phase river scan (reference facet-then-scan): tiny watermark
     * aggregates over the simulated sink (= the first half of the key
     * space — the "already-imported" snapshot, deterministic so the
@@ -452,6 +483,13 @@ object SparkEntry {
       operators.Geo.bounds(operators.Geo.withCoords(Tables.events(s, dir)),
         "event_type")),
 
+    // ES geo_polygon filter (even-odd ray casting, concave hexagon) +
+    // the per-family facet — the one geo query type missing from the
+    // round-11 ring (VERDICT r11 next #4)
+    "q_geo_polygon" -> ((s, dir) =>
+      operators.Geo.polygonFacet(
+        operators.Geo.withCoords(Tables.events(s, dir)), geoPolygon)),
+
     // the bool-query compiler (round 10) with this round's geo clauses:
     // geo_bounding_box + numeric range in FILTER context, terms in
     // must (score 2.0), value >= 200 excluded by must_not, and a
@@ -780,11 +818,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val neu = docs.filter(col("doc_id") % 10 === 0)
-      val root = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
-      dedup.DedupIndex.updateWithBatch(old, 0L, root)
-      // the delta's counts merge in before querying (df is additive —
-      // hot(old ∪ new) without any recompute over old)
-      dedup.DedupIndex.updateWithBatch(neu, 1L, root)
+      // index build memoized per sfDir (ingest-time work; see indexRoot).
+      // The delta's counts merge in before querying (df is additive —
+      // hot(old ∪ new) without any recompute over old).
+      val root = indexRoot("dedup", dir) { r =>
+        dedup.DedupIndex.updateWithBatch(old, 0L, r)
+        dedup.DedupIndex.updateWithBatch(neu, 1L, r)
+      }
       dedup.DedupIndex.incrementalNgramJaccardIndexed(s, root, old, neu, 3, 0.8)
     }),
 
@@ -792,10 +832,9 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val old = docs.filter(col("doc_id") % 10 =!= 0)
       val neu = docs.filter(col("doc_id") % 10 === 0)
-      val root = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
-      dedup.DedupIndex.updateWithBatch(old, 0L, root)
       // new bands join the index only AFTER dedup (MinHash.bandTable
       // doc) — the delta is signed fresh, the index is old-only
+      val root = indexRoot("mh", dir)(r => dedup.DedupIndex.updateWithBatch(old, 0L, r))
       dedup.DedupIndex.incrementalNearDupPairsIndexed(s, root, old, neu)
     }),
 
@@ -1457,6 +1496,14 @@ object SparkEntry {
          |SELECT event_type, min(lat) AS min_lat, max(lat) AS max_lat,
          |       min(lon) AS min_lon, max(lon) AS max_lon
          |FROM pts GROUP BY event_type""".stripMargin,
+
+    "q_geo_polygon" ->
+      s"""WITH pts AS (SELECT event_type, value, ${operators.Geo.coordsSql} FROM events)
+         |SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM pts
+         |WHERE ${operators.Geo.pointInPolygonSql(geoPolygon)}
+         |GROUP BY event_type""".stripMargin,
 
     "q_bool_dsl_geo" ->
       s"""WITH pts AS (SELECT event_id, event_type, value, ${operators.Geo.coordsSql} FROM events)

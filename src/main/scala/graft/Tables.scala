@@ -24,15 +24,20 @@ object Tables {
     * (see SURVEY §3's encoding matrix):
     *  - INT64 TIMESTAMP(NANOS) [legacy]: nanosAsLong=true reads it as a
     *    BIGINT of epoch-ns instead of failing;
-    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) [current]:
-    *    inferTimestampNTZ=false reads it as plain TimestampType — the
-    *    physical epoch-µs value used directly, which under the pinned-UTC
-    *    session tz is the exact instant AND keeps ts predicates native
-    *    (pushable to the scan; an NTZ→LTZ cast column would not be);
-    *  - INT64 TIMESTAMP(MICROS, adjusted) : TimestampType natively. */
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) [current]: read
+    *    as TimestampNTZType (Spark default inference) — the physical
+    *    epoch-µs wall-clock, which matches what DuckDB's oracle sees
+    *    (naive TIMESTAMP). Consumers that need an instant dispatch via
+    *    `Det.tsMicrosOf` / `River.scanPastWatermark`; `load` normalizes
+    *    events.ts to TimestampType for window()/watermark code.
+    *  - INT64 TIMESTAMP(MICROS, adjusted) : TimestampType natively.
+    * Deliberately NO global `inferTimestampNTZ.enabled=false` here: that
+    * override (round 11) silently turned orders.o_orderdate /
+    * lineitem.l_shipdate tz-aware, and the two queries that project a raw
+    * timestamp to output then wrote isAdjustedToUTC=true parquet the
+    * DuckDB oracle can't mirror (q3/q18 schema+hash FAIL, VERDICT r11). */
   private def readParquet(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(path)
   }
 
@@ -47,7 +52,7 @@ object Tables {
     if (name == "events") df.schema("ts").dataType match {
       case LongType => // legacy epoch-ns BIGINT → exact integer division
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => // only if a caller overrode the reader conf
+      case TimestampNTZType => // current driver encoding (µs NTZ), default path
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     } else df

@@ -36,6 +36,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object DedupIndex {
 
+  /** Superseded df snapshots kept beyond the newest (reader grace
+    * window — see the retirement note in [[updateWithBatch]]). */
+  val retainSnapshots: Int = 1
+
   private def dfDir(root: String) = s"$root/shingle_df"
   private def bandsDir(root: String) = s"$root/minhash_bands"
 
@@ -103,9 +107,16 @@ object DedupIndex {
           case None => batchCounts
         }
         merged.write.mode("overwrite").parquet(s"${dfDir(root)}/v=$batchId")
-        // retire superseded snapshots (newest stays)
+        // Retire superseded snapshots, but keep a grace window of the
+        // `retainSnapshots` newest besides the one just committed: a
+        // concurrent reader that resolved an older version via
+        // dfVersions but hasn't executed its lazy DataFrame yet would
+        // otherwise hit FileNotFound mid-query. With the window, the
+        // "readers take the newest complete version" guarantee holds as
+        // long as no query outlives `retainSnapshots` maintenance
+        // cycles (deleting immediately only worked single-process).
         val fs = hadoopFs(spark, dfDir(root))
-        versions.filter(_ < batchId)
+        versions.filter(_ < batchId).sorted.dropRight(retainSnapshots)
           .foreach(v => fs.delete(new Path(s"${dfDir(root)}/v=$v"), true))
       }
     } finally docs.unpersist()

@@ -57,6 +57,50 @@ object Geo {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
 
+  /** ES geo_polygon membership via even-odd ray casting (planar, like
+    * the rest of the geo surface): a horizontal ray from the point
+    * crosses edge (p1,p2) iff the edge straddles the point's latitude
+    * and the edge's longitude at that latitude lies east of the point.
+    * Transcendental-free — per edge one multiply, one divide, three
+    * compares, all exact-rounded IEEE ops DuckDB replays bit-identically
+    * (the masked 0/0→NaN and x/0→±inf cases only arise when the
+    * straddle test is already false, so they never decide membership).
+    * Parity is an integer crossing count mod 2 — no boolean-fold drift.
+    * Codegen-friendly: the whole polygon compiles to one flat scalar
+    * expression, no UDF, no join; cost O(vertices) per row. */
+  def pointInPolygon(lat: Column, lon: Column, poly: Seq[(Double, Double)]): Column = {
+    require(poly.length >= 3, "polygon needs >= 3 vertices")
+    val crossings = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      val straddles = (lit(y1) > lat) =!= (lit(y2) > lat)
+      val eastOf = lon < (lit(x2) - lit(x1)) * (lat - lit(y1)) / (lit(y2) - lit(y1)) + lit(x1)
+      when(straddles && eastOf, lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** The identical ray-casting test as DuckDB SQL over columns lat/lon
+    * (generated from the same vertex list so the engines cannot drift). */
+  def pointInPolygonSql(poly: Seq[(Double, Double)]): String = {
+    val terms = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      s"(CASE WHEN (($y1 > lat) <> ($y2 > lat)) AND " +
+        s"(lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"(($terms) % 2 = 1)"
+  }
+
+  /** ES geo_polygon filter + per-family facet (count + exact value sum
+    * per event_type inside the polygon) — the geo_bounding_box facet
+    * shape with the ray-casting predicate. Same scale story: narrow
+    * projection, one codegen'd predicate, one map-side-combinable agg. */
+  def polygonFacet(pts: DataFrame, poly: Seq[(Double, Double)]): DataFrame =
+    pts.filter(pointInPolygon(col("lat"), col("lon"), poly))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+
   /** ES geo_distance (distance_type: plane) as top-k nearest: squared
     * planar degree distance, k nearest with id tie-break. The k-row
     * result is a TakeOrdered (bounded per-partition heaps) — no global
@@ -84,10 +128,16 @@ object Geo {
     val totalBits = 5 * precision
     val lonBits = (totalBits + 1) / 2
     val latBits = totalBits / 2
-    val latI = floor((lat + lit(90.0)) / lit(180.0) * lit((1L << latBits).toDouble))
-      .cast("long")
-    val lonI = floor((lon + lit(180.0)) / lit(360.0) * lit((1L << lonBits).toDouble))
-      .cast("long")
+    // clamp to 2^bits - 1: at the exact domain maximum (lat=90, lon=180)
+    // the floor yields cell index 2^bits, whose low bits are all zero —
+    // without the clamp the extreme point would encode as the MINIMUM
+    // cell (-90/-180) instead of the maximal one (ADVICE r11)
+    val latI = least(
+      floor((lat + lit(90.0)) / lit(180.0) * lit((1L << latBits).toDouble)).cast("long"),
+      lit((1L << latBits) - 1))
+    val lonI = least(
+      floor((lon + lit(180.0)) / lit(360.0) * lit((1L << lonBits).toDouble)).cast("long"),
+      lit((1L << lonBits) - 1))
     // interleave, lon taking the even (high-first) positions
     val inter = (0 until totalBits).foldLeft(lit(0L)) { (acc, pos) =>
       val fromLon = pos % 2 == 0
@@ -112,8 +162,9 @@ object Geo {
     val totalBits = 5 * precision
     val lonBits = (totalBits + 1) / 2
     val latBits = totalBits / 2
-    val latI = s"CAST(floor((lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT)"
-    val lonI = s"CAST(floor((lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT)"
+    // same boundary clamp as the Spark form (lat=90 / lon=180)
+    val latI = s"least(CAST(floor((lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT), ${(1L << latBits) - 1})"
+    val lonI = s"least(CAST(floor((lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT), ${(1L << lonBits) - 1})"
     val inter = (0 until totalBits).map { pos =>
       val fromLon = pos % 2 == 0
       val srcIdx = pos / 2

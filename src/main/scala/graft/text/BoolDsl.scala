@@ -65,6 +65,11 @@ object BoolDsl {
     * pre-squared (transcendental-free — the `Geo` discipline). */
   final case class GeoDistanceQ(latField: String, lonField: String,
       lat0: Double, lon0: Double, maxD2: Double, boost: Double = 1.0) extends Query
+  /** ES `geo_polygon` clause — even-odd ray-casting membership
+    * (`Geo.pointInPolygon`), constant score like the other geo
+    * filter-context clauses. Vertices as (lat, lon). */
+  final case class GeoPolygonQ(latField: String, lonField: String,
+      vertices: Seq[(Double, Double)], boost: Double = 1.0) extends Query
   /** The composite node. */
   final case class Bool(must: Seq[Query] = Nil, should: Seq[Query] = Nil,
       mustNot: Seq[Query] = Nil, filter: Seq[Query] = Nil,
@@ -96,6 +101,8 @@ object BoolDsl {
       val d2 = (col(laF) - lit(la0)) * (col(laF) - lit(la0)) +
         (col(loF) - lit(lo0)) * (col(loF) - lit(lo0))
       (d2 <= lit(maxD2), lit(b))
+    case GeoPolygonQ(laF, loF, vs, b) =>
+      (graft.operators.Geo.pointInPolygon(col(laF), col(loF), vs), lit(b))
     case Bool(must, should, mustNot, filterQ, msm, boost) =>
       val m = must.map(compile)
       val s = should.map(compile)

@@ -121,6 +121,26 @@ class BoolDslSpec extends SparkSpec {
     assert(all.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == hand)
   }
 
+  test("geo_polygon clause composes like bounding_box and equals the standalone predicate") {
+    val poly = Seq((0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
+      (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
+    val pts = graft.operators.Geo.withCoords(Tables.events(spark, sfDir))
+    // clause-in-filter-context == standalone Geo.pointInPolygon filter
+    val viaDsl = BoolDsl.search(pts,
+      Bool(filter = Seq(GeoPolygonQ("lat", "lon", poly))),
+      1000000, idCol = "event_id")
+    val direct = pts.filter(graft.operators.Geo.pointInPolygon(
+      col("lat"), col("lon"), poly))
+    val n = viaDsl.count()
+    assert(n > 0 && n == direct.count())
+    // composes: polygon filter + terms must narrows the polygon set
+    val composed = BoolDsl.search(pts,
+      Bool(must = Seq(TermsQ("event_type", Seq("click"), boost = 2.0)),
+        filter = Seq(GeoPolygonQ("lat", "lon", poly))),
+      1000000, idCol = "event_id").count()
+    assert(composed > 0 && composed < n)
+  }
+
   test("filter-context conjuncts reach the parquet scan") {
     val (pred, _) = BoolDsl.compile(tree)
     // the scan's metadata string truncates at 100 chars by default —

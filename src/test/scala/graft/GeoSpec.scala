@@ -43,6 +43,54 @@ class GeoSpec extends SparkSpec {
     assert(refGeohash(57.64911, 10.40744, 6) == "u4pruy") // self-check vs published value
   }
 
+  test("geohash encodes the exact domain maxima into the maximal cell") {
+    import spark.implicits._
+    // at lat=90 / lon=180 the unclamped floor lands on cell 2^bits whose
+    // low bits are all zero — i.e. the MINIMUM cell. The clamp must pin
+    // these to the maximal cell ("zzz…"), matching the bisection form
+    // (which never exits the top half-interval for the maximum input).
+    val extremes = Seq((90.0, 180.0), (90.0, 0.0), (0.0, 180.0), (90.0, -180.0))
+    for (p <- Seq(1, 3, 5)) {
+      val got = extremes.toDF("lat", "lon")
+        .withColumn("gh", Geo.geohash(col("lat"), col("lon"), p))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getString(2)).toMap
+      for ((la, lo) <- extremes)
+        assert(got((la, lo)) == refGeohash(la, lo, p), s"($la,$lo) p=$p")
+    }
+    assert(refGeohash(90.0, 180.0, 4) == "zzzz") // the maximal cell, not "0000"
+  }
+
+  test("polygon facet equals a driver-side ray-casting recompute") {
+    // same concave hexagon family as the wired query (notch exercises
+    // the even-odd rule: 2 crossings = outside again)
+    val poly = Seq((0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
+      (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
+    def inPoly(la: Double, lo: Double): Boolean = {
+      var c = 0
+      for (i <- poly.indices) {
+        val (y1, x1) = poly(i); val (y2, x2) = poly((i + 1) % poly.length)
+        if (((y1 > la) != (y2 > la)) && lo < (x2 - x1) * (la - y1) / (y2 - y1) + x1)
+          c += 1
+      }
+      c % 2 == 1
+    }
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val got = Geo.polygonFacet(pts, poly)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = pts.select("event_type", "lat", "lon").collect()
+      .filter(r => inPoly(r.getDouble(1), r.getDouble(2)))
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    assert(got == naive && got.values.sum > 0)
+    // membership sanity on the notch: deep inside vs inside the concave cut
+    import spark.implicits._
+    val probes = Seq((-10.0, 0.0), (20.0, 10.0), (80.0, 0.0))
+    val sparkSide = probes.toDF("lat", "lon")
+      .withColumn("in", Geo.pointInPolygon(col("lat"), col("lon"), poly))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    for ((la, lo) <- probes) assert(sparkSide((la, lo)) == inPoly(la, lo), s"($la,$lo)")
+    assert(inPoly(-10.0, 0.0) && !inPoly(80.0, 0.0))
+  }
+
   test("bounding box facet equals a naive filter") {
     val pts = Geo.withCoords(Tables.events(spark, sfDir))
     val got = Geo.boundingBox(pts, -20.0, 40.0, -90.0, 30.0)

@@ -42,8 +42,10 @@ class StreamingDedupIndexSpec extends SparkSpec {
     maintainBatches(root)
     assert(dfMap(DedupIndex.shingleDfTable(spark, root)) ==
       dfMap(Dedup.shingleDf(stringShingles(docs))))
-    // only the newest snapshot survives (older versions retired)
-    assert(DedupIndex.dfVersions(spark, root) == Seq(2L))
+    // superseded snapshots retire, keeping a reader grace window of
+    // retainSnapshots besides the newest (v=0 deleted, v=1 kept)
+    assert(DedupIndex.dfVersions(spark, root) == Seq(1L, 2L))
+    assert(DedupIndex.retainSnapshots == 1)
   }
 
   test("band index across batches equals the from-scratch band table") {
@@ -77,7 +79,7 @@ class StreamingDedupIndexSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = DedupIndex.maintain(stream, root, tmp("dedup-idx-ckpt"))
     q.awaitTermination()
-    assert(DedupIndex.dfVersions(spark, root).size == 1)
+    assert(DedupIndex.dfVersions(spark, root).size == 1 + DedupIndex.retainSnapshots)
     assert(dfMap(DedupIndex.shingleDfTable(spark, root)) ==
       dfMap(Dedup.shingleDf(stringShingles(docs))))
     assert(bandSet(DedupIndex.bandTable(spark, root)) ==

@@ -11,11 +11,77 @@ separately so near-misses are visible).
 """
 import sys, json, glob, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def type_key(t: pa.DataType) -> str:
+    """Canonical type label for the schema-strict compare.
+
+    Timestamps keep tz-awareness (the round-11 q3/q18 class: pandas/numpy
+    silently coerce tz-aware vs naive datetimes to equal instants, so the
+    value compare alone is blind to the exact mismatch the driver gate
+    fails on — VERDICT r11 #2). Widths are canonicalized loosely (all
+    ints -> int, etc.) because the driver's value-hash compare is
+    width-agnostic, but tz/unit and container structure are strict.
+    """
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit},tz={t.tz}]"
+    if pa.types.is_date(t):
+        return "date"
+    # all numerics canonicalize to one kind: DuckDB emits DECIMAL for
+    # literal arithmetic where Spark emits DOUBLE, and the driver gate
+    # demonstrably tolerates that (q_percentile_facet et al. were
+    # hash-green in r11 with decimal-vs-double); numeric value drift is
+    # the value compare's job
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "num"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_key(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{type_key(t.key_type)},{type_key(t.item_type)}>"
+    return str(t)
+
+
+def to_pandas_num(t: pa.Table) -> pd.DataFrame:
+    """to_pandas with decimal columns cast to float64 first (matching
+    duckdb's .df() behavior, which the value compare was written for —
+    raw to_pandas would yield object columns of decimal.Decimal)."""
+    arrays, names = [], []
+    for f in t.schema:
+        c = t.column(f.name)
+        if pa.types.is_decimal(f.type):
+            c = c.cast(pa.float64())
+        arrays.append(c)
+        names.append(f.name)
+    return pa.table(dict(zip(names, arrays))).to_pandas()
+
+
+def schema_diff(spark_t: pa.Table, oracle_t: pa.Table):
+    """Arrow-level schema compare (sorted by column name) run BEFORE the
+    pandas value compare; returns a message or None."""
+    a = {f.name: type_key(f.type) for f in spark_t.schema}
+    b = {f.name: type_key(f.type) for f in oracle_t.schema}
+    if sorted(a) != sorted(b):
+        return f"SCHEMA cols spark={sorted(a)} oracle={sorted(b)}"
+    bad = [(n, a[n], b[n]) for n in sorted(a) if a[n] != b[n]]
+    if bad:
+        n, at, bt = bad[0]
+        return f"SCHEMA-TYPES {len(bad)} col(s), first: {n} spark={at} oracle={bt}"
+    return None
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -53,7 +119,28 @@ def compare(name, spark_df, oracle_df):
     return None
 
 
+def selftest():
+    """Regression proof for the r11 blind spot: a tz-aware (UTC) spark
+    output vs a naive oracle result — identical instants — must FAIL the
+    schema-strict compare even though the pandas value compare is blind
+    to it (numpy coerces both to the same datetime64)."""
+    import pandas as _pd
+    naive = pa.table({"k": [1, 2], "ts": _pd.to_datetime(["1995-03-15", "1995-03-16"])})
+    aware = pa.table({"k": [1, 2],
+                      "ts": _pd.to_datetime(["1995-03-15", "1995-03-16"]).tz_localize("UTC")})
+    d = schema_diff(aware, naive)
+    assert d and d.startswith("SCHEMA-TYPES"), f"schema_diff missed tz-awareness: {d!r}"
+    # and prove the old value-only compare is indeed blind to it (the bug)
+    v = compare("selftest", aware.to_pandas(), naive.to_pandas())
+    assert v is None, f"expected value-compare blindness, got {v!r}"
+    print("selftest ok: schema-strict compare catches tz-aware-vs-naive; "
+          "value compare alone is blind (as in r11)")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+        return
     out = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     con = duckdb.connect()
@@ -69,17 +156,19 @@ def main():
             print(f"FAIL {qname}: no spark output parquet")
             n_bad += 1
             continue
-        spark_df = pq.read_table(name).to_pandas()
+        spark_t = pq.read_table(name)
+        spark_df = to_pandas_num(spark_t)
         if qname not in oracle:
             rows_only.append((qname, len(spark_df)))
             continue
         try:
-            oracle_df = con.execute(oracle[qname]).df()
+            oracle_t = con.execute(oracle[qname]).fetch_arrow_table()
+            oracle_df = to_pandas_num(oracle_t)
         except Exception as e:
             print(f"FAIL {qname}: oracle SQL error: {e}")
             n_bad += 1
             continue
-        diff = compare(qname, spark_df, oracle_df)
+        diff = schema_diff(spark_t, oracle_t) or compare(qname, spark_df, oracle_df)
         if diff:
             print(f"FAIL {qname}: {diff}")
             n_bad += 1
