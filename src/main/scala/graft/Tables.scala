@@ -37,7 +37,12 @@ object Tables {
     * timestamp to output then wrote isAdjustedToUTC=true parquet the
     * DuckDB oracle can't mirror (q3/q18 schema+hash FAIL, VERDICT r11). */
   private def readParquet(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // conditional: a per-load redundant set was the round-11 suspect for
+    // cached-relation invalidation (ruled out by the round-12 isolated
+    // re-times — SCALING.md — but only-set-when-different is strictly
+    // safer for any conf-keyed cache)
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }
 

@@ -103,6 +103,13 @@ object GraftFunctions {
   def topCentroids(emb: Column, cents: Array[Array[Double]], k: Int): Column =
     Glue.column(TopCentroids(Glue.expression(emb), cents, k))
 
+  /** `top_centroids` with the matrix behind a SparkContext broadcast —
+    * the large-matrix form (see [[TopCentroidsBcast]]). */
+  def topCentroidsBcast(emb: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      k: Int): Column =
+    Glue.column(TopCentroidsBcast(Glue.expression(emb), bc, k))
+
   /** Register all graft functions so `spark.sql("SELECT cosine_sim(...)")`
     * works (SURVEY §2: FunctionRegistry registration). */
   def register(spark: SparkSession): Unit = {

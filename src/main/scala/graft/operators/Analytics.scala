@@ -544,6 +544,28 @@ object Analytics {
         count(lit(1)).over(w).as("mov_n"))
   }
 
+  /** ES moving_percentiles pipeline agg (round 12): exact rank-selected
+    * percentiles of the value sum over a sliding window of
+    * date-histogram buckets. Percentile = the k = ceil(p·n) order
+    * statistic of the window's DECIMAL sums — a `sort_array` over a
+    * ≤ windowBuckets-element array per bucket, so the whole pipeline
+    * step is a bounded post-agg window (one row per day), never a
+    * data-scale sort; DECIMAL keeps ordering exact and the DuckDB
+    * oracle replays the identical list-sort + ceil-index convention. */
+  def movingPercentiles(events: DataFrame, windowBuckets: Int,
+      fractions: Seq[Double]): DataFrame = {
+    require(windowBuckets > 0 && fractions.forall(p => p > 0 && p <= 1))
+    val w = Window.orderBy("day_idx").rowsBetween(-(windowBuckets - 1), 0)
+    val withArr = dayBuckets(events)
+      .withColumn("__arr", sort_array(collect_list(col("dsum")).over(w)))
+    val pCols = fractions.map { p =>
+      element_at(col("__arr"), ceil(lit(p) * size(col("__arr"))).cast("int"))
+        .cast("double").as(s"p${(p * 100).round}")
+    }
+    withArr.select(Seq(col("day_idx"), col("n"),
+      col("dsum").cast("double").as("sum_value")) ++ pCols: _*)
+  }
+
   /** ES rate aggregation: date-histogram bucket totals rescaled to a
     * finer unit (day buckets reported as per-hour rates). The rescale
     * is one double division per BUCKET on top of the usual one-pass

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKPairs
 import graft.util.Det
 
 /** ES geo query surface (reference context: the river feeds an ES index
@@ -114,6 +116,32 @@ object Geo {
       .select(col("event_id"), col("lat"), col("lon"), col("d2"))
       .orderBy(col("d2"), col("event_id"))
       .limit(k)
+  }
+
+  /** ES geo_line aggregation (round 12): per group, the track of points
+    * in event-time order, truncated at `maxPoints` (ES's `size`) —
+    * emitted EXPLODED as (event_type, seq, lat, lon) so hash gates can
+    * compare (an array-of-points column is opaque to them).
+    *
+    * Scale shape: the truncation happens FIRST, via the bounded
+    * [[TopKPairs]] aggregate (score = −ts_µs, exact in double since
+    * |epoch µs| ≪ 2^53; its (score desc, id asc) contract IS
+    * (ts asc, id asc)) — map-side combine ships ≤ maxPoints pairs per
+    * group per partition, where a rank-truncating window would sort
+    * every group's full history. The final row_number runs on the
+    * ≤ groups × maxPoints survivors joined back for their coordinates. */
+  def geoLine(pts: DataFrame, maxPoints: Int): DataFrame = {
+    val base = pts.select(col("event_type"), col("event_id"),
+      Det.tsMicrosOf(pts, "ts").as("ts_us"), col("lat"), col("lon"))
+    val picked = base
+      .groupBy("event_type")
+      .agg(TopKPairs.topK((-col("ts_us")).cast("double"), col("event_id"),
+        maxPoints).as("top"))
+      .select(col("event_type"), explode(col("top.id")).as("event_id"))
+    val w = Window.partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
+    base.join(broadcast(picked), Seq("event_type", "event_id"))
+      .withColumn("seq", row_number().over(w))
+      .select("event_type", "seq", "lat", "lon")
   }
 
   private val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"

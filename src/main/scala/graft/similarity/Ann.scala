@@ -1,9 +1,9 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftFunctions, TopKPairs}
+import graft.functions.{GraftFunctions, TopCentroids, TopKPairs}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY §2 group 5).
@@ -149,6 +149,25 @@ object Ann {
   private[graft] def centMatrix(cents: Seq[(Int, Seq[Double])]): Array[Array[Double]] =
     cents.map(_._2.toArray).toArray
 
+  /** Centroid-assignment column factory — the size dispatch VERDICT r11
+    * #7 asked for: below [[TopCentroids.maxLiteralValues]] (≈1e6 doubles,
+    * 8 MB) the matrix rides the plan as a constant reference (zero extra
+    * moving parts); above it — 2√n centroids at n=10⁹ is ~63k × dim —
+    * it goes through `SparkContext.broadcast` so tasks carry only the
+    * handle and each executor fetches the blocks once. Same kernel,
+    * bit-identical assignment either way (`AnnSpec`). */
+  private[graft] def centroidAssigner(spark: SparkSession,
+      mat: Array[Array[Double]],
+      literalLimit: Long = TopCentroids.maxLiteralValues): (Column, Int) => Column = {
+    val values = mat.length.toLong * mat.headOption.map(_.length).getOrElse(0)
+    if (values <= literalLimit) {
+      (c, k) => GraftFunctions.topCentroids(c, mat, k)
+    } else {
+      val bc = spark.sparkContext.broadcast(mat)
+      (c, k) => GraftFunctions.topCentroidsBcast(c, bc, k)
+    }
+  }
+
   /** Deterministic-seeded Lloyd refinement: seeds are the first
     * `nCentroids` vectors by id, then `rounds` FIXED assign-to-nearest /
     * recompute-mean iterations. Assignment is the [[graft.functions
@@ -174,9 +193,13 @@ object Ann {
       .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0).toInt, toDoubles(r.get(1)))).toSeq
     (0 until rounds).foreach { _ =>
+      // fresh assigner per round (the matrix changes every round); at
+      // broadcast scale that is one broadcast per Lloyd round — index
+      // construction cost, not query cost
+      val assign = centroidAssigner(emb.sparkSession, centMatrix(cents))
       val means = emb
         .select(col("embedding").cast("array<double>").as("e"))
-        .select(GraftFunctions.topCentroids(col("e"), centMatrix(cents), 1)
+        .select(assign(col("e"), 1)
           .getItem(0).as("ci"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy("ci", "dim").agg(avg(col("v")).as("m"))
         .collect().groupBy(_.getInt(0))
@@ -203,15 +226,13 @@ object Ann {
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, lloydRounds: Int = 3): DataFrame = {
     val cents = lloydCentroids(emb, nCentroids, lloydRounds)
-    val mat = centMatrix(cents)
+    val assign = centroidAssigner(emb.sparkSession, centMatrix(cents))
     val corpus = emb.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb"),
-      GraftFunctions.topCentroids(col("embedding"), mat, 1)
-        .getItem(0).as("cent_id"))
+      assign(col("embedding"), 1).getItem(0).as("cent_id"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(GraftFunctions.topCentroids(col("embedding"), mat, nprobe))
-          .as("cent_id"))
+        explode(assign(col("embedding"), nprobe)).as("cent_id"))
     // queries×nprobe is tiny by construction; size estimation can't see
     // through the explode, so broadcast explicitly (SMJ otherwise)
     val sim = broadcast(queries).join(corpus, Seq("cent_id"))

@@ -115,6 +115,19 @@ object Bpe {
       s"replace($acc, '$pat', '$sym')"
     }
 
+  /** Per-document token count through the large-vocab kernel
+    * ([[BpeTokenCount]]): merge table broadcast once per executor,
+    * classic priority-merge loop per word. Use past a few hundred
+    * rules, where the replace-chain form's per-rule cost takes over
+    * (SCALING.md round-12 probe); equal to [[tokenCount]] for any
+    * well-formed table (`BpeMergeSpec`). */
+  def tokenCountLargeVocab(spark: org.apache.spark.sql.SparkSession,
+      textCol: Column, merges: Seq[(String, String)] = mergeTokens): Column = {
+    import org.apache.spark.sql.graftglue.Glue
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    Glue.column(BpeTokenCount(Glue.expression(textCol), bc)) // kernel lowercases
+  }
+
   /** Per-document token count as DuckDB SQL over a text column — the
     * same whole-text replace chain + non-token strip as [[tokenCount]]. */
   def tokenCountSql(textExpr: String): String = {

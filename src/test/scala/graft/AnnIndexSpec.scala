@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.similarity.{Ann, AnnIndex}
+
+/** Maintained IVF index (AnnIndex): the StreamingDedupIndexSpec
+  * contract applied to ANN — batch-N maintenance == from-scratch,
+  * replay idempotence, and the indexed query == an index-free recompute
+  * against the same frozen centroids. */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def buildIndex(root: String): Unit = {
+    AnnIndex.trainCentroids(emb.filter(col("vec_id") % 3 === 0), 0L, root)
+    (0L until 3L).foreach(b =>
+      AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, root))
+  }
+
+  private def assignSet(df: DataFrame): Set[(Long, Int)] =
+    df.select(col("vec_id"), col("cent_id").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("batch-by-batch assignments equal a from-scratch pass over the whole corpus") {
+    val root = tmp("ann-idx")
+    buildIndex(root)
+    val mat = Ann.centMatrix(AnnIndex.readCentroids(spark, root))
+    val scratch = emb.select(col("vec_id"),
+      GraftFunctions.topCentroids(col("embedding"), mat, 1).getItem(0).as("cent_id"))
+    assert(assignSet(AnnIndex.assignments(spark, root)) == assignSet(scratch))
+    assert(assignSet(scratch).size == emb.count())
+  }
+
+  test("replayed train + append batches are no-ops (exactly-once under retries)") {
+    val root = tmp("ann-idx")
+    buildIndex(root)
+    val before = assignSet(AnnIndex.assignments(spark, root))
+    val centsBefore = AnnIndex.readCentroids(spark, root)
+    // foreachBatch may replay after a crash: same train id, same batch id
+    AnnIndex.trainCentroids(emb.filter(col("vec_id") % 3 === 0), 0L, root)
+    AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === 2), 2L, root)
+    assert(AnnIndex.readCentroids(spark, root) == centsBefore)
+    assert(assignSet(AnnIndex.assignments(spark, root)) == before)
+    assert(AnnIndex.centroidVersions(spark, root) == Seq(0L))
+  }
+
+  test("indexed query equals the recompute form with the same frozen centroids") {
+    val root = tmp("ann-idx")
+    buildIndex(root)
+    val got = AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // index-free recompute: same matrix, same probe, corpus assigned by
+    // the pure expression instead of read from the bucketed table
+    val mat = Ann.centMatrix(AnnIndex.readCentroids(spark, root))
+    val corpus = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"),
+      GraftFunctions.topCentroids(col("embedding"), mat, 1).getItem(0).as("cent_id"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(GraftFunctions.topCentroids(col("embedding"), mat, 4)).as("cent_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    val expect = broadcast(queries).join(corpus, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("cand_id")))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("streaming maintenance converges to the batch-built index") {
+    val root = tmp("ann-idx")
+    val src = tmp("ann-idx-src")
+    (0L until 3L).foreach { b =>
+      emb.filter(col("vec_id") % 3 === b).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val stream = spark.readStream
+      .schema(emb.select("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = AnnIndex.maintain(stream, root, tmp("ann-idx-ckpt"))
+    q.awaitTermination()
+    assert(AnnIndex.centroidVersions(spark, root).size == 1)
+    // the streamed split is by FILE, not vec_id%3, so compare against a
+    // from-scratch assignment with the streamed index's own centroids
+    val mat = Ann.centMatrix(AnnIndex.readCentroids(spark, root))
+    val scratch = emb.select(col("vec_id"),
+      GraftFunctions.topCentroids(col("embedding"), mat, 1).getItem(0).as("cent_id"))
+    assert(assignSet(AnnIndex.assignments(spark, root)) == assignSet(scratch))
+  }
+
+  test("probe reads only the probed cent_id partitions") {
+    val root = tmp("ann-idx")
+    buildIndex(root)
+    val mat = Ann.centMatrix(AnnIndex.readCentroids(spark, root))
+    val nLists = mat.length
+    // a 1-query, 1-probe plan must scan fewer partition dirs than exist
+    val probedPlan = AnnIndex.assignments(spark, root)
+      .filter(col("cent_id") === 0)
+      .queryExecution.executedPlan.toString
+    val m = "partition count: (\\d+)".r.findFirstMatchIn(probedPlan)
+      .orElse("numPartitions=(\\d+)".r.findFirstMatchIn(probedPlan))
+    // plan-string partition counters vary by Spark version; fall back to
+    // the input-file check which is version-stable
+    val files = AnnIndex.assignments(spark, root).filter(col("cent_id") === 0)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("cent_id=0")),
+      s"scan escaped the probed partition: ${files.take(3).mkString(",")}")
+    assert(nLists > 1, "degenerate index: single list")
+    m.foreach(mm => assert(mm.group(1).toInt < 3 * nLists))
+  }
+}

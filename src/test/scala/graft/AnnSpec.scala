@@ -66,4 +66,30 @@ class AnnSpec extends SparkSpec {
       .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
     assert(got.map(_._1).toSet != unfiltered, "filter must reshape the top-k page")
   }
+
+  test("broadcast-backed TopCentroids equals the literal form; dispatcher switches on size") {
+    import graft.functions.{GraftFunctions, TopCentroids}
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val mat = Array.tabulate(8, 64)((c, d) => math.sin(c * 64 + d)) // any fixed matrix
+    for (k <- Seq(1, 4)) {
+      val lit = emb.select(col("vec_id"),
+          GraftFunctions.topCentroids(col("embedding"), mat, k).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      val bc = spark.sparkContext.broadcast(mat)
+      val via = emb.select(col("vec_id"),
+          GraftFunctions.topCentroidsBcast(col("embedding"), bc, k).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      assert(lit == via && lit.nonEmpty, s"k=$k")
+    }
+    // the dispatcher: forced-broadcast branch (limit 0) produces the
+    // same assignment as the default literal branch
+    val small = Ann.centroidAssigner(spark, mat)
+    val forced = Ann.centroidAssigner(spark, mat, literalLimit = 0L)
+    val a = emb.select(small(col("embedding"), 1).getItem(0)).collect().map(_.getInt(0))
+    val b = emb.select(forced(col("embedding"), 1).getItem(0)).collect().map(_.getInt(0))
+    assert(a.sameElements(b))
+    // default threshold: 8×64 is literal-sized
+    assert(8L * 64 <= TopCentroids.maxLiteralValues)
+  }
 }

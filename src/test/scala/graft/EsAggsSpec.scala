@@ -549,6 +549,25 @@ class EsAggsSpec extends SparkSpec {
     assert(hi != lo, "degenerate-span branch must not be the exercised one")
   }
 
+  test("movingPercentiles picks the exact window order statistics") {
+    val ev = Tables.events(spark, sfDir)
+    val buckets = ev.select(graft.util.Det.tsMicros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (Math.floorDiv(r.getLong(0), 86400000000L), money(r.getDouble(1))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, rs) => (d, rs.length.toLong, rs.map(_._2).sum) }
+    assert(buckets.length > 7)
+    val want = buckets.indices.map { i =>
+      val w = buckets.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+      def pick(p: Double) = w(math.ceil(p * w.length).toInt - 1).toDouble
+      (buckets(i)._1, buckets(i)._2, buckets(i)._3.toDouble, pick(0.5), pick(0.9))
+    }.toSet
+    val got = Analytics.movingPercentiles(ev, 7, Seq(0.5, 0.9)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got === want)
+  }
+
   test("tTest matches a naive Welch recompute from exact sums") {
     val ev = Tables.events(spark, sfDir)
     val vals = ev.select("event_type", "value").collect()

@@ -91,6 +91,27 @@ class GeoSpec extends SparkSpec {
     assert(inPoly(-10.0, 0.0) && !inPoly(80.0, 0.0))
   }
 
+  test("geo_line equals the plain rank-truncating window form") {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val got = Geo.geoLine(pts, 20)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    // reference: the direct window rank (correct, but sorts every
+    // group's full history — the shape geoLine's TopKPairs prefilter avoids)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    val naive = pts.select(col("event_type"), col("event_id"),
+        graft.util.Det.tsMicrosOf(pts, "ts").as("ts_us"), col("lat"), col("lon"))
+      .withColumn("seq", row_number().over(w))
+      .filter(col("seq") <= 20)
+      .select("event_type", "seq", "lat", "lon")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == naive && got.nonEmpty)
+    // every family contributes a full page (sf0.001 has > 20 events/family)
+    val perGroup = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ == 20), perGroup.toString)
+  }
+
   test("bounding box facet equals a naive filter") {
     val pts = Geo.withCoords(Tables.events(spark, sfDir))
     val got = Geo.boundingBox(pts, -20.0, 40.0, -90.0, 30.0)
