@@ -377,6 +377,12 @@ object SparkEntry {
       operators.Analytics.movingPercentiles(Tables.events(s, dir), 7,
         Seq(0.5, 0.9))),
 
+    // ES percentiles_bucket: one-shot p25/p50/p90/p99 of the whole
+    // day-histogram sum set (round 12)
+    "q_percentiles_bucket" -> ((s, dir) =>
+      operators.Analytics.percentilesBucket(Tables.events(s, dir),
+        Seq(0.25, 0.5, 0.9, 0.99))),
+
     "q_rate" -> ((s, dir) =>
       operators.Analytics.rateAgg(Tables.events(s, dir))),
 
@@ -1321,6 +1327,19 @@ object SparkEntry {
         |       CAST(arr[CAST(ceil(0.5 * len(arr)) AS INTEGER)] AS DOUBLE) AS p50,
         |       CAST(arr[CAST(ceil(0.9 * len(arr)) AS INTEGER)] AS DOUBLE) AS p90
         |FROM m""".stripMargin,
+
+    "q_percentiles_bucket" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT list_sort(list(dsum)) AS arr FROM day)
+        |SELECT CAST(len(arr) AS BIGINT) AS n_buckets,
+        |       CAST(arr[CAST(ceil(0.25 * len(arr)) AS INTEGER)] AS DOUBLE) AS p25,
+        |       CAST(arr[CAST(ceil(0.5 * len(arr)) AS INTEGER)] AS DOUBLE) AS p50,
+        |       CAST(arr[CAST(ceil(0.9 * len(arr)) AS INTEGER)] AS DOUBLE) AS p90,
+        |       CAST(arr[CAST(ceil(0.99 * len(arr)) AS INTEGER)] AS DOUBLE) AS p99
+        |FROM a""".stripMargin,
 
     "q_rate" ->
       """WITH day AS (

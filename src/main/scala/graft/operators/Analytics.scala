@@ -566,6 +566,24 @@ object Analytics {
       col("dsum").cast("double").as("sum_value")) ++ pCols: _*)
   }
 
+  /** ES percentiles_bucket pipeline agg (round 12): exact k = ceil(p·n)
+    * order statistics of the WHOLE date-histogram bucket-sum set — the
+    * one-shot sibling of [[movingPercentiles]]. One sort of the
+    * (bucket-count-sized) sum list on the driver-free DECIMAL domain:
+    * sort_array over an array built by collect_list in a 1-row global
+    * aggregate — bucket cardinality is bounded by the date range, so
+    * this is a metadata-sized array, not a data-scale sort. */
+  def percentilesBucket(events: DataFrame, fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(p => p > 0 && p <= 1))
+    val arr = dayBuckets(events)
+      .agg(sort_array(collect_list(col("dsum"))).as("__arr"))
+    val pCols = fractions.map { p =>
+      element_at(col("__arr"), ceil(lit(p) * size(col("__arr"))).cast("int"))
+        .cast("double").as(s"p${(p * 100).round}")
+    }
+    arr.select(Seq(size(col("__arr")).cast("long").as("n_buckets")) ++ pCols: _*)
+  }
+
   /** ES rate aggregation: date-histogram bucket totals rescaled to a
     * finer unit (day buckets reported as per-hour rates). The rescale
     * is one double division per BUCKET on top of the usual one-pass

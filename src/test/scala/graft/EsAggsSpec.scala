@@ -568,6 +568,18 @@ class EsAggsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("percentilesBucket picks the exact global bucket order statistics") {
+    val ev = Tables.events(spark, sfDir)
+    val sums = ev.select(graft.util.Det.tsMicros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (Math.floorDiv(r.getLong(0), 86400000000L), money(r.getDouble(1))))
+      .groupBy(_._1).values.map(_.map(_._2).sum).toSeq.sorted
+    def pick(p: Double) = sums(math.ceil(p * sums.length).toInt - 1).toDouble
+    val r = Analytics.percentilesBucket(ev, Seq(0.25, 0.5, 0.9, 0.99)).collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) ==
+      ((sums.length.toLong, pick(0.25), pick(0.5), pick(0.9), pick(0.99))))
+  }
+
   test("tTest matches a naive Welch recompute from exact sums") {
     val ev = Tables.events(spark, sfDir)
     val vals = ev.select("event_type", "value").collect()
