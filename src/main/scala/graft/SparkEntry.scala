@@ -857,6 +857,24 @@ object SparkEntry {
       dedup.DedupIndex.incrementalNearDupPairsIndexed(s, root, old, neu)
     }),
 
+    // incremental SEMANTIC near-dup against the maintained IVF index
+    // (round 12): delta probes the frozen centroids, corpus read
+    // partition-prunes to the probed lists, exact cosine confirms —
+    // the dedup-before-ingest shape. Corpus-only index (the delta must
+    // NOT be ingested), memoized per sfDir. rows-only gate;
+    // AnnIndexSpec pins subset-of-exact + recall.
+    "dedup_embedding_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.filter(col("vec_id") % 10 =!= 0)
+      val neu = emb.filter(col("vec_id") % 10 === 0)
+      val root = indexRoot("annd", dir) { r =>
+        similarity.AnnIndex.trainCentroids(old, 0L, r)
+        (0L until 2L).foreach(b =>
+          similarity.AnnIndex.appendBatch(old.filter(col("vec_id") % 2 === b), b, r))
+      }
+      similarity.AnnIndex.incrementalEmbeddingNearDup(s, root, neu, 0.4, nprobe = 4)
+    }),
+
     "dedup_substring" -> ((s, dir) =>
       dedup.Dedup.substringDedup(Tables.documents(s, dir), 8)),
 

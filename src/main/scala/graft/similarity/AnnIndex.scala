@@ -127,6 +127,50 @@ object AnnIndex {
     * re-ranks inside them. Identical output to the recompute form with
     * the same frozen centroids (`AnnIndexSpec`), without touching
     * (1 − nprobe/nCentroids) of the corpus. */
+  /** Incremental SEMANTIC near-dup against the maintained index — the
+    * embedding analog of `MinHash.incrementalNearDupPairsWithIndex`,
+    * and the shape a continuously-ingesting corpus actually runs
+    * (dedup the delta BEFORE ingesting it): each new vector probes its
+    * `nprobe` nearest frozen centroids, candidates are (delta ×
+    * probed cent_id partitions of the cluster-bucketed corpus) plus
+    * the delta-sized within-probe self-join, and exact cosine ≥ τ
+    * confirms in-stage. The probed id set is ≤ nCentroids ints
+    * (metadata), so the corpus read partition-prunes; the corpus is
+    * never re-assigned or self-joined. Emits pairs touching ≥ 1 new
+    * vector, `a_id < b_id`; PRECONDITION: the delta is NOT yet
+    * ingested (else the self-match guard hides real dups).
+    * Subset-of-exact + recall spec in `AnnIndexSpec`. */
+  def incrementalEmbeddingNearDup(spark: SparkSession, root: String,
+      newEmb: DataFrame, tau: Double, nprobe: Int = 2): DataFrame = {
+    val assign = Ann.centroidAssigner(spark,
+      Ann.centMatrix(readCentroids(spark, root)))
+    val delta = newEmb.select(col("vec_id"), col("embedding"),
+        explode(assign(col("embedding"), nprobe)).as("cent_id"))
+      .persist()
+    val probed = delta.select("cent_id").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nCentroids
+    val corpus = assignments(spark, root)
+      .filter(col("cent_id").isin(probed.map(Int.box): _*))
+    val vsOld = delta
+      .select(col("cent_id"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(corpus.select(col("cent_id"), col("vec_id").as("o_id"),
+        col("embedding").as("o_emb")), Seq("cent_id"))
+      .filter(col("n_id") =!= col("o_id")) // disjointness guard
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("n_emb"), col("o_emb")))
+      .filter(col("cos_sim") >= tau)
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"), col("cos_sim"))
+    val vsNew = delta
+      .select(col("cent_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(delta.select(col("cent_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("cos_sim") >= tau)
+      .select("a_id", "b_id", "cos_sim")
+    vsOld.unionByName(vsNew).dropDuplicates("a_id", "b_id")
+  }
+
   def ivfTopKIndexed(spark: SparkSession, root: String, emb: DataFrame,
       nQueries: Int, k: Int, nprobe: Int = 4): DataFrame = {
     val assign = Ann.centroidAssigner(spark,

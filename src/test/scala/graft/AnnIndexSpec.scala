@@ -98,6 +98,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(assignSet(AnnIndex.assignments(spark, root)) == assignSet(scratch))
   }
 
+  test("incremental embedding near-dup: subset of exact, usable recall, new-new covered") {
+    val root = tmp("ann-idx")
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val neu = emb.filter(col("vec_id") % 10 === 0)
+    AnnIndex.trainCentroids(old, 0L, root)
+    (0L until 2L).foreach(b =>
+      AnnIndex.appendBatch(old.filter(col("vec_id") % 2 === b), b, root))
+    val tau = 0.4
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(AnnIndex.incrementalEmbeddingNearDup(spark, root, neu, tau, nprobe = 4))
+    // exact incremental reference: all pairs touching >= 1 new vector
+    val newIds = neu.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = pairSet(graft.dedup.Dedup.embeddingNearDup(emb, tau))
+      .filter { case (a, b) => newIds(a) || newIds(b) }
+    assert(got.subsetOf(exact), s"false positives: ${(got -- exact).take(3)}")
+    assert(exact.nonEmpty && got.nonEmpty)
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall (${got.size}/${exact.size})")
+    // both pair kinds must be exercised: new-old and new-new
+    assert(got.exists { case (a, b) => newIds(a) ^ newIds(b) }, "no new-old pair")
+  }
+
   test("probe reads only the probed cent_id partitions") {
     val root = tmp("ann-idx")
     buildIndex(root)
