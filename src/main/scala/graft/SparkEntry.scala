@@ -193,6 +193,12 @@ object SparkEntry {
     "q_nested_terms_agg" -> ((s, dir) =>
       river.Nested.nestedTermsAgg(river.Nested.nestedDocs(Tables.events(s, dir)))),
 
+    // ES nested + inner_hits (round 12): the matching items themselves,
+    // exploded after the per-row array filter
+    "q_nested_inner_hits" -> ((s, dir) =>
+      river.Nested.nestedInnerHits(
+        river.Nested.nestedDocs(Tables.events(s, dir)), "click", 15.0)),
+
     "river_delete_old" -> ((s, dir) => {
       val scanned = literalScan(s, dir)
       val failed = Tables.eventsRaw(s, dir).filter(col("event_id") % 97 === 0)
@@ -276,6 +282,17 @@ object SparkEntry {
 
     "q_part_type_stats" -> ((s, dir) =>
       operators.Analytics.partTypeStats(Tables.part(s, dir), 15)),
+
+    // ES join-field family (round 12): has_child / has_parent as LEFT
+    // SEMI joins — predicate pushed to the inner side's scan, no row
+    // explosion, facet on the survivors
+    "q_has_child" -> ((s, dir) =>
+      operators.JoinField.hasChildFacet(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), 48.0, 0.05)),
+
+    "q_has_parent" -> ((s, dir) =>
+      operators.JoinField.hasParentFacet(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), 300000.0, "1996-01-01", "1997-01-01")),
 
     "q_bool_filter" -> ((s, dir) =>
       operators.Analytics.boolFilter(Tables.events(s, dir),
@@ -501,6 +518,13 @@ object SparkEntry {
     "q_geo_polygon" -> ((s, dir) =>
       operators.Geo.polygonFacet(
         operators.Geo.withCoords(Tables.events(s, dir)), geoPolygon)),
+
+    // ES geotile_grid at zoom 3 (8×8 web-mercator tiles), top 20 by
+    // doc count — the libm exception with the exhaustive margin proof
+    // (GeoSpec; see Geo.geotileGrid)
+    "q_geotile_grid" -> ((s, dir) =>
+      operators.Geo.geotileGrid(
+        operators.Geo.withCoords(Tables.events(s, dir)), 3, 20)),
 
     // ES geo_line: per-family track of the 20 earliest points in
     // (ts, id) order, exploded — bounded TopKPairs prefilter, final
@@ -1187,6 +1211,24 @@ object SparkEntry {
         |FROM events
         |WHERE value >= 50 AND event_type IN ('click', 'purchase') AND NOT (user_id % 10 = 0)""".stripMargin,
 
+    "q_has_child" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_quantity >= 48 AND l.l_discount >= 0.05)
+        |GROUP BY 1""".stripMargin,
+
+    "q_has_parent" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        |              AND o.o_totalprice >= 300000.0
+        |              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |              AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY 1""".stripMargin,
+
     "q_numeric_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1584,6 +1626,12 @@ object SparkEntry {
          |FROM pts
          |WHERE ${operators.Geo.pointInPolygonSql(geoPolygon)}
          |GROUP BY event_type""".stripMargin,
+
+    "q_geotile_grid" ->
+      s"""WITH pts AS (SELECT ${operators.Geo.coordsSql} FROM events),
+         |t AS (SELECT ${operators.Geo.geotileSql(3)} AS tile FROM pts)
+         |SELECT tile, count(*) AS n FROM t
+         |GROUP BY tile ORDER BY n DESC, tile LIMIT 20""".stripMargin,
 
     "q_geo_line" ->
       s"""WITH pts AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, ${operators.Geo.coordsSql} FROM events),
@@ -2602,6 +2650,22 @@ object SparkEntry {
         |SELECT user_id, day_idx, count(*) AS n_items,
         |       count(CASE WHEN parent = 'click' AND value >= 15 THEN 1 END) AS n_match
         |FROM it GROUP BY 1, 2 HAVING n_match > 0""".stripMargin,
+
+    "q_nested_inner_hits" ->
+      """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+        |                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |                        THEN NULL ELSE event_type END AS parent,
+        |                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |                        THEN event_type ELSE json_extract_string(props, '$.k') END AS leaf,
+        |                   value
+        |            FROM events),
+        |d AS (SELECT user_id, day_idx, count(*) AS n_items,
+        |             count(CASE WHEN parent = 'click' AND value >= 15 THEN 1 END) AS n_match
+        |      FROM it GROUP BY 1, 2)
+        |SELECT i.user_id, i.day_idx, d.n_items, d.n_match,
+        |       i.parent AS hit_parent, i.leaf AS hit_leaf, i.value AS hit_value
+        |FROM it i JOIN d ON i.user_id = d.user_id AND i.day_idx = d.day_idx
+        |WHERE d.n_match > 0 AND i.parent = 'click' AND i.value >= 15""".stripMargin,
 
     "q_nested_exists" ->
       """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,

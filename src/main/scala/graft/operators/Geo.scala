@@ -205,6 +205,42 @@ object Geo {
     }.mkString("(", " || ", ")")
   }
 
+  /** ES geotile_grid aggregation (round 12): doc count per slippy-map
+    * z/x/y web-mercator tile, top buckets by (count desc, tile).
+    *
+    * The Mercator y needs ln/tan/cos — a deliberate, DOCUMENTED
+    * exception to this file's transcendental-free rule, sound for this
+    * data by an exhaustive boundary-margin argument instead: engines'
+    * libm results can differ in the last ulps, but a differing floor
+    * needs a point within that divergence of a tile edge, and the
+    * synthetic coordinate domain is FINITE (lat = k/100 − 85 for
+    * k ∈ [0, 17000) — 17k values total, every SF draws from the same
+    * grid). `GeoSpec` enumerates the whole domain and asserts every
+    * tile coordinate sits ≥ 1e-6 tile-units from the nearest edge —
+    * ~7 orders above cross-libm drift, so Spark and DuckDB floor
+    * identically on every possible input, not just the sampled ones. */
+  def geotileGrid(pts: DataFrame, zoom: Int, topN: Int): DataFrame = {
+    val n = lit((1L << zoom).toDouble)
+    val x = floor((col("lon") + lit(180.0)) / lit(360.0) * n).cast("long")
+    val latRad = radians(col("lat"))
+    val y = floor((lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi))
+      / lit(2.0) * n).cast("long")
+    pts.withColumn("tile", concat_ws("/", lit(zoom), x, y))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tile"))
+      .limit(topN)
+  }
+
+  /** The identical tile derivation as DuckDB SQL (generated from the
+    * same zoom so the engines cannot drift structurally; see the
+    * margin argument above for the libm question). */
+  def geotileSql(zoom: Int): String = {
+    val n = (1L << zoom).toDouble
+    s"('$zoom/' || CAST(floor((lon + 180.0) / 360.0 * $n) AS BIGINT) || '/' || " +
+      s"CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * $n) AS BIGINT))"
+  }
+
   /** ES geohash_grid aggregation: doc count per geohash cell, top
     * buckets by (count desc, cell) — one map-side-combinable hash agg
     * over a computed grouping key, then a bounded TakeOrdered. */

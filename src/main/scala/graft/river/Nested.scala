@@ -82,6 +82,28 @@ object Nested {
           .cast("long").as("n_nested"))
       .filter(col("n_nested") > 0)
 
+  /** ES nested query + `inner_hits` (round 12): the matching parent
+    * docs AND the specific items that matched, exploded one row per
+    * inner hit (parent key, total/matching counts, the hit's
+    * parent/leaf/value). Same per-row array `filter` as [[nestedMatch]]
+    * — matching items are selected BEFORE the explode, so the explode's
+    * output is hit-sized, not item-sized; still zero joins and only the
+    * doc-assembly shuffle. */
+  def nestedInnerHits(docs: DataFrame, parent: String, minValue: Double): DataFrame = {
+    val hit = (it: Column) =>
+      it.getField("parent") === parent && it.getField("value") >= minValue
+    docs.select(col("user_id"), col("day_idx"),
+        size(col("items")).cast("long").as("n_items"),
+        filter(col("items"), hit).as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("user_id"), col("day_idx"), col("n_items"),
+        size(col("hits")).cast("long").as("n_match"),
+        explode(col("hits")).as("hit"))
+      .select(col("user_id"), col("day_idx"), col("n_items"), col("n_match"),
+        col("hit.parent").as("hit_parent"), col("hit.leaf").as("hit_leaf"),
+        col("hit.value").as("hit_value"))
+  }
+
   /** ES nested terms agg on the path field + reverse_nested: per term,
     * the nested-doc count, the reverse_nested parent-doc count, and an
     * exact-decimal value sum. */

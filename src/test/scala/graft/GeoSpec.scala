@@ -91,6 +91,48 @@ class GeoSpec extends SparkSpec {
     assert(inPoly(-10.0, 0.0) && !inPoly(80.0, 0.0))
   }
 
+  test("geotile_grid: exhaustive boundary-margin proof + naive recompute") {
+    val zoom = 3
+    val n = (1L << zoom).toDouble
+    // the synthetic coordinate domain is FINITE: lat = k/100 - 85 for
+    // k in [0, 17000), lon = k/100 - 180 for k in [0, 36000). Enumerate
+    // ALL of it — every SF draws from this grid — and measure each tile
+    // coordinate's distance to the nearest integer (= floor boundary).
+    def frac(t: Double): Double = { val f = t - math.floor(t); math.min(f, 1 - f) }
+    val margins = (0 until 17000).map { k =>
+      val lat = k / 100.0 - 85.0
+      val r = math.toRadians(lat)
+      k -> frac((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.Pi) / 2.0 * n)
+    }
+    // only the Mercator y path involves libm (ln/tan/cos); the x path
+    // is +,/,× — exactly-rounded IEEE ops both engines share, so x is
+    // bit-identical by construction and needs no margin. Cross-libm
+    // drift on y is last-ulp scale (~1e-13 in tile units here); 1e-6
+    // leaves ~7 orders of safety over the WHOLE input domain. The one
+    // zero-margin input is lat = 0 (k = 8500), where the whole chain is
+    // IEEE-exact in EVERY libm (tan(0) = 0, cos(0) = 1, ln(1) = 0 are
+    // mandated special values), so both engines produce exactly 4.0 and
+    // floor identically — exact-integral results need no margin.
+    val zeroKs = margins.filter(_._2 == 0.0).map(_._1)
+    assert(zeroKs == Seq(8500), s"unexpected exact-edge inputs: $zeroKs")
+    val latMargin = margins.filter(_._2 > 0).map(_._2).min
+    assert(latMargin > 1e-6, s"lat margin $latMargin")
+
+    // naive recompute of the wired query
+    val pts = Geo.withCoords(Tables.events(spark, sfDir))
+    val got = Geo.geotileGrid(pts, zoom, 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val naive = pts.select("lat", "lon").collect().map { r =>
+      val (la, lo) = (r.getDouble(0), r.getDouble(1))
+      val rr = math.toRadians(la)
+      val x = math.floor((lo + 180.0) / 360.0 * n).toLong
+      val y = math.floor((1.0 - math.log(math.tan(rr) + 1.0 / math.cos(rr)) / math.Pi) / 2.0 * n).toLong
+      s"$zoom/$x/$y"
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(got.toSeq == naive && got.nonEmpty)
+  }
+
   test("geo_line equals the plain rank-truncating window form") {
     import org.apache.spark.sql.expressions.Window
     val pts = Geo.withCoords(Tables.events(spark, sfDir))
