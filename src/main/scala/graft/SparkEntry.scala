@@ -37,6 +37,13 @@ object SparkEntry {
     (0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
     (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
 
+  /** q_ip_range shared edges (10.64/10.128/10.192 quarter boundaries)
+    * — one definition feeds the Spark facet and the generated oracle. */
+  private val ipEdges: Seq[Long] =
+    Seq(64L, 128L, 192L).map(h => 10L * 16777216L + h * 65536L)
+  private def ipDotted(v: Long): String =
+    s"${v >> 24 & 255}.${v >> 16 & 255}.${v >> 8 & 255}.${v & 255}"
+
   /** Maintained-index roots, memoized per (kind, sfDir): the indexed
     * dedup queries READ a maintained index — building it is ingest-time
     * work, not query-time work, so Bench's repeated thunk invocations
@@ -393,6 +400,11 @@ object SparkEntry {
     "q_moving_percentiles" -> ((s, dir) =>
       operators.Analytics.movingPercentiles(Tables.events(s, dir), 7,
         Seq(0.5, 0.9))),
+
+    // ES ip field + ip_range facet over the derived deterministic IPv4
+    // (round 12): quarter-space buckets, zero-count ranges emitted
+    "q_ip_range" -> ((s, dir) =>
+      operators.Analytics.ipRangeFacet(Tables.events(s, dir), ipEdges)),
 
     // ES percentiles_bucket: one-shot p25/p50/p90/p99 of the whole
     // day-histogram sum set (round 12)
@@ -766,6 +778,11 @@ object SparkEntry {
 
     "text_corpus_stats" -> ((s, dir) =>
       text.TextOps.corpusStats(Tables.documents(s, dir))),
+
+    // ES categorize_text, deterministic baseline form (round 12):
+    // digit-wildcarded 3-token signature buckets, top 20
+    "text_categorize" -> ((s, dir) =>
+      text.TextOps.categorize(Tables.documents(s, dir), 3, 20)),
 
     "text_chunk" -> ((s, dir) =>
       text.TextOps.chunk(Tables.documents(s, dir), 50, 40)),
@@ -1387,6 +1404,23 @@ object SparkEntry {
         |       CAST(arr[CAST(ceil(0.5 * len(arr)) AS INTEGER)] AS DOUBLE) AS p50,
         |       CAST(arr[CAST(ceil(0.9 * len(arr)) AS INTEGER)] AS DOUBLE) AS p90
         |FROM m""".stripMargin,
+
+    "q_ip_range" -> {
+      val full = Seq(10L * 16777216L) ++ ipEdges ++ Seq(11L * 16777216L)
+      val cases = ipEdges.zipWithIndex
+        .map { case (e, i) => s"WHEN u32 < $e THEN $i" }.mkString(" ")
+      val values = full.init.zipWithIndex
+        .map { case (lo, i) => s"($i, '${ipDotted(lo)}', '${ipDotted(full(i + 1))}')" }
+        .mkString(", ")
+      s"""WITH ip AS (SELECT user_id, ${operators.Analytics.ipU32Sql} AS u32 FROM events),
+         |r AS (SELECT CASE $cases ELSE ${ipEdges.size} END AS range_idx, user_id FROM ip),
+         |g AS (SELECT range_idx, count(*) AS n, count(DISTINCT user_id) AS n_users
+         |      FROM r GROUP BY 1)
+         |SELECT CAST(rr.range_idx AS BIGINT) AS range_idx, rr.ip_from, rr.ip_to,
+         |       coalesce(g.n, 0) AS n, coalesce(g.n_users, 0) AS n_users
+         |FROM (VALUES $values) rr(range_idx, ip_from, ip_to)
+         |LEFT JOIN g ON rr.range_idx = g.range_idx""".stripMargin
+    },
 
     "q_percentiles_bucket" ->
       """WITH day AS (
@@ -2320,6 +2354,19 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents GROUP BY source, lang""".stripMargin,
+
+    "text_categorize" ->
+      raw"""WITH c AS (
+           |  SELECT doc_id,
+           |         array_to_string(list_slice(
+           |           string_split_regex(regexp_replace(lower(text), '[0-9]+', '#', 'g'), '\s+'),
+           |           1, 3), ' ') AS category,
+           |         len(string_split_regex(text, '\s+')) AS n_toks
+           |  FROM documents)
+           |SELECT category, count(*) AS n_docs, min(doc_id) AS example_doc_id,
+           |       CAST(sum(n_toks) AS BIGINT) AS sum_toks
+           |FROM c GROUP BY category
+           |ORDER BY n_docs DESC, category LIMIT 20""".stripMargin,
 
     "text_chunk" ->
       raw"""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

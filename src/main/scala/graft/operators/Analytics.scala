@@ -566,6 +566,48 @@ object Analytics {
       col("dsum").cast("double").as("sum_value")) ++ pCols: _*)
   }
 
+  /** ES ip field + ip_range aggregation (round 12). The synthetic
+    * events carry no IP column, so one is DERIVED deterministically
+    * from user_id (the `Geo.withCoords` pattern — exact integer modulo
+    * per octet, so both engines materialize the identical address):
+    * 10.(uid·7 mod 256).(uid·13 mod 256).(uid mod 256). Buckets are
+    * half-open [from, to) ranges on the numeric u32 form — exactly how
+    * ES evaluates ip_range internally — with every requested range
+    * emitted (zero-count included) and the CIDR-ish dotted bounds
+    * echoed per bucket. One narrow projection + hash agg. */
+  def ipRangeFacet(events: DataFrame, edges: Seq[Long]): DataFrame = {
+    require(edges == edges.sorted && edges.nonEmpty)
+    val uid = col("user_id")
+    val u32 = lit(10L * 16777216L) + (uid * 7 % 256) * 65536L +
+      (uid * 13 % 256) * 256L + uid % 256
+    val full = Seq(10L * 16777216L) ++ edges ++ Seq(11L * 16777216L)
+    val rangeIdx = full.init.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((lo, i), acc) =>
+        when(col("__u32") >= lit(lo) && col("__u32") < lit(full(i + 1)), lit(i))
+          .otherwise(acc)
+    }
+    def dotted(v: Long): String =
+      s"${v >> 24 & 255}.${v >> 16 & 255}.${v >> 8 & 255}.${v & 255}"
+    val spark = events.sparkSession
+    import spark.implicits._
+    val allRanges = full.init.zipWithIndex
+      .map { case (lo, i) => (i.toLong, dotted(lo), dotted(full(i + 1))) }
+      .toDF("range_idx", "ip_from", "ip_to")
+    events.select(u32.as("__u32"), col("user_id"))
+      .select(rangeIdx.cast("long").as("range_idx"), col("user_id"))
+      .groupBy("range_idx")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .join(broadcast(allRanges), Seq("range_idx"), "right")
+      .select(col("range_idx"), col("ip_from"), col("ip_to"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
+  /** The identical u32 derivation as DuckDB SQL (kept adjacent so the
+    * engines cannot drift). */
+  val ipU32Sql: String =
+    "(10 * 16777216 + (user_id * 7 % 256) * 65536 + (user_id * 13 % 256) * 256 + user_id % 256)"
+
   /** ES percentiles_bucket pipeline agg (round 12): exact k = ceil(p·n)
     * order statistics of the WHOLE date-histogram bucket-sum set — the
     * one-shot sibling of [[movingPercentiles]]. One sort of the

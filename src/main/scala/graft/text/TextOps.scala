@@ -673,6 +673,30 @@ object TextOps {
         sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
 
+  /** ES categorize_text aggregation — deterministic baseline form
+    * (round 12): ES clusters log-like messages by token pattern
+    * (numbers and high-variance tokens wildcarded); this implements the
+    * reproducible core of that idea — the category key is the doc's
+    * first `sigTokens` tokens after lowercasing and collapsing digit
+    * runs to `#` (the wildcard step), which groups "error 404 at ..."
+    * with "error 500 at ...". Buckets: doc count, example doc
+    * (min id), mean doc length on the exact integer domain. One narrow
+    * projection + hash agg + bounded TakeOrdered — the same shape as
+    * every terms-style facet; deterministic where ES's online
+    * clustering is order-dependent, which is what makes it
+    * oracle-replayable. */
+  def categorize(docs: DataFrame, sigTokens: Int, topN: Int): DataFrame =
+    docs.select(col("doc_id"),
+        concat_ws(" ", slice(split(regexp_replace(lower(col("text")), "[0-9]+", "#"),
+          "\\s+"), 1, sigTokens)).as("category"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("example_doc_id"),
+        sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("n_docs").desc, col("category"))
+      .limit(topN)
+
   /** Token-window chunking: windows of `width` tokens every `stride`
     * tokens — the doc→training-sample splitter. Narrow (no shuffle):
     * chunk enumeration is an explode of per-row start offsets; at 100 TB

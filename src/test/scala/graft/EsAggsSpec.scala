@@ -580,6 +580,29 @@ class EsAggsSpec extends SparkSpec {
       ((sums.length.toLong, pick(0.25), pick(0.5), pick(0.9), pick(0.99))))
   }
 
+  test("ipRangeFacet buckets the derived IPv4 space with zero-count ranges emitted") {
+    val ev = Tables.events(spark, sfDir)
+    val edges = Seq(64L, 128L, 192L).map(h => 10L * 16777216L + h * 65536L)
+    val got = Analytics.ipRangeFacet(ev, edges)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val uids = ev.select("user_id").collect().map(_.getLong(0))
+    def u32(uid: Long) = 10L * 16777216L + (uid * 7 % 256) * 65536L +
+      (uid * 13 % 256) * 256L + uid % 256
+    val full = Seq(10L * 16777216L) ++ edges ++ Seq(11L * 16777216L)
+    def idx(v: Long) = full.init.lastIndexWhere(_ <= v)
+    val byRange = uids.groupBy(u => idx(u32(u)))
+    def dotted(v: Long) = s"${v >> 24 & 255}.${v >> 16 & 255}.${v >> 8 & 255}.${v & 255}"
+    val want = full.init.zipWithIndex.map { case (lo, i) =>
+      val us = byRange.getOrElse(i, Array.empty[Long])
+      (i.toLong, dotted(lo), dotted(full(i + 1)), us.length.toLong,
+        us.distinct.length.toLong)
+    }
+    assert(got.toSeq == want)
+    assert(got.map(_._4).sum == uids.length)
+    assert(got.head._2 == "10.0.0.0" && got.last._3 == "11.0.0.0")
+  }
+
   test("tTest matches a naive Welch recompute from exact sums") {
     val ev = Tables.events(spark, sfDir)
     val vals = ev.select("event_type", "value").collect()

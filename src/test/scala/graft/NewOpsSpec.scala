@@ -203,6 +203,27 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("categorize groups digit-variant docs into one category") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "error 404 at endpoint alpha"),
+      (2L, "error 500 at endpoint beta"),
+      (3L, "error 404 at endpoint alpha"),   // exact dup of 1
+      (4L, "user login ok session 9"),
+      (5L, "user login ok session 12345")
+    ).toDF("doc_id", "text")
+    val got = TextOps.categorize(docs, 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // digits wildcard to '#': docs 1,2,3 share "error # at"; 4,5 share
+    // "user login ok" — the wildcard step is load-bearing
+    assert(got == List(("error # at", 3L, 1L), ("user login ok", 2L, 4L)))
+    // and on the corpus: categories partition the docs (counts sum)
+    val corpus = Tables.documents(spark, sfDir)
+    val all = TextOps.categorize(corpus, 3, 1000000)
+    assert(all.agg(sum("n_docs")).head.getLong(0) == corpus.count())
+  }
+
   test("hashSample is deterministic and near the expected rate") {
     val ev = Tables.events(spark, sfDir)
     val s1 = Analytics.hashSample(ev, "05").collect().map(_.getLong(0)).toSet
