@@ -301,6 +301,38 @@ object SparkEntry {
       operators.JoinField.hasParentFacet(Tables.orders(s, dir),
         Tables.lineitem(s, dir), 300000.0, "1996-01-01", "1997-01-01")),
 
+    // children agg (the aggregation-side complement of has_child):
+    // parent buckets with child metrics via one parent-key equi-join
+    "q_children_agg" -> ((s, dir) =>
+      operators.Analytics.childrenAgg(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+
+    // missing agg: sparse field derived deterministically from props.k
+    // (k%5==0 → absent, else term c(k%7)) so absence is replayable
+    "q_missing_agg" -> ((s, dir) =>
+      operators.Analytics.missingAgg(Tables.events(s, dir), 5, 7)),
+
+    // global agg: purchase-hits metrics beside the corpus gauge in one
+    // conditional-agg pass
+    "q_global_agg" -> ((s, dir) =>
+      operators.Analytics.globalAgg(Tables.events(s, dir),
+        col("event_type") === "purchase" && col("value") >= 50.0)),
+
+    // terms partitioning: partition 2 of 4 of the user_id term space
+    // (md5 nibble band), top-25 by count
+    "q_terms_partition" -> ((s, dir) =>
+      operators.Analytics.termsPartition(Tables.events(s, dir), 4, 2, 25)),
+
+    // change_point: max-mean-shift step split over the day histogram
+    "q_change_point" -> ((s, dir) =>
+      operators.Analytics.changePoint(Tables.events(s, dir))),
+
+    // distance_feature: proximity-to-origin rational decay on ts
+    // (origin mid-range, pivot = 1 day)
+    "q_distance_feature" -> ((s, dir) =>
+      operators.Analytics.distanceFeature(Tables.events(s, dir),
+        1705330000000000L, 86400000000L, 2.0, 20)),
+
     "q_bool_filter" -> ((s, dir) =>
       operators.Analytics.boolFilter(Tables.events(s, dir),
         50.0, Seq("click", "purchase"), 10L)),
@@ -708,6 +740,37 @@ object SparkEntry {
         Seq("hash", "join", "vector"), 15)
     }),
 
+    // dis_max with tie_breaker=0.3 (between best_fields and
+    // most_fields): title = first 8 tokens ^2, body ^1
+    "q_dis_max" -> ((s, dir) => {
+      val body = split(lower(col("text")), "\\s+")
+      val title = slice(body, 1, 8)
+      text.TextOps.disMax(Tables.documents(s, dir),
+        Seq(("title", title, 2.0), ("body", body, 1.0)),
+        Seq("hash", "join", "vector"), 0.3, 15)
+    }),
+
+    // boosting query: hash/join ranked, vector-mentioning docs demoted
+    // to 0.3× (demoted, not excluded — the must_not difference)
+    "q_boosting" -> ((s, dir) =>
+      text.TextOps.boostingQuery(Tables.documents(s, dir),
+        Seq("hash", "join"), "vector", 0.3, 20)),
+
+    // pinned query: curated ids 42, 7, 123 first in that order, then
+    // organic TF ranking
+    "q_pinned" -> ((s, dir) =>
+      text.TextOps.pinnedQuery(Tables.documents(s, dir),
+        Seq(42L, 7L, 123L), Seq("hash", "join"), 20)),
+
+    // match_phrase_prefix: "hash j..." type-ahead phrase
+    "text_match_phrase_prefix" -> ((s, dir) =>
+      text.TextOps.matchPhrasePrefix(Tables.documents(s, dir),
+        "hash", "j", 25)),
+
+    // frequent_item_sets (pairs): top-20 vocab, support ≥ 5 docs
+    "text_frequent_pairs" -> ((s, dir) =>
+      text.TextOps.frequentItemSets(Tables.documents(s, dir), 20, 5L, 25)),
+
     // ES bool tree composing five leaf types + a nested bool: must
     // (match 'hash' AND (join OR vector, scored)), should (lang=en
     // boost), must_not (source=src13 — load-bearing: src13 is INSIDE
@@ -967,6 +1030,12 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("lang") === "en").select("doc_id"),
         7L, 10)),
 
+    // kNN radius search: the complete cosine ≥ τ neighborhood of each
+    // of the first 10 query vectors (τ=0.3 measured non-vacuous at
+    // every verify SF)
+    "ann_range_search" -> ((s, dir) =>
+      similarity.Ann.rangeSearch(Tables.embeddings(s, dir), 10, 0.3)),
+
     // ----- multimodal (SURVEY §2 group 6) -----
 
     "mm_binary_meta" -> ((s, dir) =>
@@ -1045,7 +1114,22 @@ object SparkEntry {
       pipeline.Pipeline.packSequences(Tables.documents(s, dir), 1000L)),
 
     "pipe_strip_spans" -> ((s, dir) =>
-      pipeline.Pipeline.stripRepeatedSpans(Tables.documents(s, dir), 8))
+      pipeline.Pipeline.stripRepeatedSpans(Tables.documents(s, dir), 8)),
+
+    // token-length inventory: (source, 32-token bucket) doc counts +
+    // exact BPE token sums — the context-length planning profile
+    "pipe_token_histogram" -> ((s, dir) =>
+      pipeline.Pipeline.tokenHistogram(Tables.documents(s, dir), 32L)),
+
+    // deterministic size-balanced sharding: (tokens desc, id) rank
+    // dealt round-robin into 4 shards, per-shard manifest
+    "pipe_shard_manifest" -> ((s, dir) =>
+      pipeline.Pipeline.shardManifest(Tables.documents(s, dir), 4)),
+
+    // variable_width_histogram: 6 equal-frequency clusters with exact
+    // quantile edges (distributed rank-select — no global sort)
+    "q_variable_width_histogram" -> ((s, dir) =>
+      operators.Analytics.variableWidthHistogram(Tables.events(s, dir), 6))
   )
 
   // ---- DuckDB oracle ---------------------------------------------------
@@ -1245,6 +1329,69 @@ object SparkEntry {
         |              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |              AND o.o_orderdate < TIMESTAMP '1997-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q_children_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_children,
+        |       count(DISTINCT o_orderkey) AS n_parents,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_missing_agg" ->
+      """SELECT coalesce(CASE WHEN k % 5 = 0 THEN NULL
+        |                     ELSE 'c' || CAST(k % 7 AS VARCHAR) END,
+        |                '__missing__') AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q_global_agg" ->
+      """SELECT count(*) FILTER (WHERE event_type = 'purchase' AND value >= 50.0) AS n_hits,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2)))
+        |            FILTER (WHERE event_type = 'purchase' AND value >= 50.0) AS DOUBLE) AS sum_hits,
+        |       count(*) AS n_all,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_all
+        |FROM events""".stripMargin,
+
+    "q_terms_partition" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE (instr('0123456789abcdef',
+        |             substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) // 4 = 2
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 25""".stripMargin,
+
+    "q_change_point" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT day_idx,
+        |         sum(dsum) OVER (ORDER BY day_idx) AS c_sum,
+        |         sum(n) OVER (ORDER BY day_idx) AS c_n,
+        |         sum(dsum) OVER () AS t_sum, sum(n) OVER () AS t_n,
+        |         max(day_idx) OVER () AS last_day
+        |  FROM day),
+        |cand AS (
+        |  SELECT day_idx, c_n,
+        |         CAST(c_sum AS DOUBLE) / c_n AS mean_left,
+        |         CAST(t_sum - c_sum AS DOUBLE) / (t_n - c_n) AS mean_right,
+        |         t_n - c_n AS n_right
+        |  FROM cum WHERE day_idx < last_day)
+        |SELECT day_idx AS split_after_day, c_n AS n_left, n_right,
+        |       mean_left, mean_right, abs(mean_right - mean_left) AS shift
+        |FROM cand ORDER BY shift DESC, day_idx LIMIT 1""".stripMargin,
+
+    "q_distance_feature" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us,
+        |       2.0 * 86400000000.0 /
+        |         (86400000000.0 + CAST(abs(epoch_us(ts) - 1705330000000000) AS DOUBLE)) AS score
+        |FROM events
+        |ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
 
     "q_numeric_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,
@@ -1981,6 +2128,70 @@ object SparkEntry {
            |FROM s
            |WHERE greatest(score_title, score_body) > 0
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_dis_max" ->
+      raw"""WITH f AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS body
+           |           FROM documents),
+           |s AS (SELECT doc_id,
+           |        CAST(len(list_filter(body[1:8], x -> list_contains(['hash','join','vector'], x))) AS DOUBLE) * 2.0e0 AS score_title,
+           |        CAST(len(list_filter(body, x -> list_contains(['hash','join','vector'], x))) AS DOUBLE) * 1.0e0 AS score_body
+           |      FROM f)
+           |SELECT doc_id, score_title, score_body,
+           |       greatest(score_title, score_body)
+           |         + 0.3e0 * (score_title + score_body - greatest(score_title, score_body)) AS score
+           |FROM s
+           |WHERE greatest(score_title, score_body)
+           |        + 0.3e0 * (score_title + score_body - greatest(score_title, score_body)) > 0
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_boosting" ->
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           |           FROM documents),
+           |s AS (SELECT doc_id, list_contains(toks, 'vector') AS demoted,
+           |        CAST(len(list_filter(toks, x -> list_contains(['hash','join'], x))) AS DOUBLE)
+           |          * (CASE WHEN list_contains(toks, 'vector') THEN 0.3e0 ELSE 1.0e0 END) AS score
+           |      FROM t)
+           |SELECT doc_id, demoted, score FROM s
+           |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_pinned" ->
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+           |           FROM documents),
+           |s AS (SELECT doc_id,
+           |        CAST(len(list_filter(toks, x -> list_contains(['hash','join'], x))) AS BIGINT) AS score,
+           |        CAST(CASE WHEN doc_id = 42 THEN 1 WHEN doc_id = 7 THEN 2
+           |                  WHEN doc_id = 123 THEN 3 ELSE 0 END AS BIGINT) AS pin_rank
+           |      FROM t)
+           |SELECT doc_id, score, pin_rank FROM s
+           |WHERE pin_rank > 0 OR score > 0
+           |ORDER BY CASE WHEN pin_rank > 0 THEN pin_rank ELSE 9223372036854775807 END,
+           |         score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_match_phrase_prefix" ->
+      raw"""WITH tk AS (SELECT doc_id,
+           |    unnest(string_split_regex(lower(text), '\s+')) AS t,
+           |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |pa AS (SELECT doc_id, i FROM tk WHERE t = 'hash'),
+           |pb AS (SELECT doc_id, i FROM tk WHERE t LIKE 'j%' AND t <> 'hash')
+           |SELECT pa.doc_id, count(*) AS n_matches
+           |FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+           |WHERE pb.i = pa.i + 1
+           |GROUP BY pa.doc_id
+           |ORDER BY n_matches DESC, pa.doc_id LIMIT 25""".stripMargin,
+
+    "text_frequent_pairs" ->
+      raw"""WITH dt AS (SELECT DISTINCT doc_id, t FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+           |    FROM documents) u WHERE t <> ''),
+           |vocab AS (SELECT t FROM dt GROUP BY t
+           |          ORDER BY count(*) DESC, t LIMIT 20),
+           |kept AS (SELECT doc_id, t FROM dt WHERE t IN (SELECT t FROM vocab))
+           |SELECT a.t AS term1, b.t AS term2, count(*) AS support
+           |FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 5
+           |ORDER BY support DESC, term1, term2 LIMIT 25""".stripMargin,
 
     "q_bool_dsl" ->
       raw"""WITH t AS (SELECT doc_id, lang, source, n_chars,
@@ -2785,6 +2996,60 @@ object SparkEntry {
         |      FROM t)
         |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY bin""".stripMargin
+        |FROM c GROUP BY bin""".stripMargin,
+
+    "ann_range_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |       list_cosine_similarity(a.emb, b.emb) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3""".stripMargin,
+
+    "pipe_token_histogram" ->
+      s"""WITH t AS (SELECT source, ${text.Bpe.tokenCountSql("text")} AS n_tok FROM documents)
+        |SELECT source, n_tok // 32 AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "pipe_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, ${text.Bpe.tokenCountSql("text")} AS n_tok FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |             (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 4 AS shard
+        |      FROM t)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |       max(n_tok) AS max_tok, min(n_tok) AS min_tok
+        |FROM r GROUP BY shard""".stripMargin,
+
+    "q_variable_width_histogram" -> variableWidthSql
   )
+
+  /** q_variable_width_histogram oracle, GENERATED from the same
+    * fraction list the Spark operator uses (nBuckets = 6): edges are
+    * the ceil(p·n) order statistics in (value, event_id) order — the
+    * percentile-family convention — and the cluster id counts edges
+    * strictly below the value (one edge PER FRACTION, duplicates
+    * preserved, matching the operator's per-fraction edge array). */
+  private def variableWidthSql: String = {
+    val fracs = (1 until 6).map(i => i.toDouble / 6)
+    // e0 suffix forces DOUBLE: DuckDB folds bare decimal literals as
+    // exact DECIMAL, which would make ceil(p·n) diverge from Spark's
+    // IEEE product on rank-boundary cases (the text_bm25 1-ulp lesson)
+    val fracRows = fracs.map(p => s"(${p}e0)").mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn,
+       |         count(*) OVER () AS n
+       |  FROM events),
+       |edges AS (
+       |  SELECT r.value AS e
+       |  FROM (VALUES $fracRows) p(p) JOIN ranked r
+       |    ON r.rn = CAST(ceil(p.p * r.n) AS BIGINT)),
+       |clustered AS (
+       |  SELECT value,
+       |         (SELECT count(*) FROM edges WHERE edges.e < ev.value) AS cluster
+       |  FROM events ev)
+       |SELECT cluster, count(*) AS n, min(value) AS min_value,
+       |       max(value) AS max_value,
+       |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+       |FROM clustered GROUP BY cluster""".stripMargin
+  }
 }

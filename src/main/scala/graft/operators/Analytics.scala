@@ -1165,4 +1165,161 @@ object Analytics {
       .orderBy(col("decay_score").desc, col("event_id"))
       .limit(k)
   }
+
+  /** ES missing aggregation: the bucket of documents that DON'T carry a
+    * field, beside the present-value terms buckets (the ES pattern of a
+    * `terms` agg plus a sibling `missing` agg on the same field). The
+    * synthetic events always carry `props.k`, so the wiring derives a
+    * genuinely-sparse field from it deterministically (k % `absentMod`
+    * == 0 → absent) — both engines build the identical field, so the
+    * absence pattern is oracle-replayable, not an accident of the data.
+    * One conditional projection + one hash agg; the missing bucket is
+    * just another group key (ES's `missing` bucket), so the whole agg
+    * stays map-side combinable. */
+  def missingAgg(events: DataFrame, absentMod: Int, termMod: Int): DataFrame = {
+    val k = expr("from_json(props, 'k BIGINT')").getField("k")
+    val field = when(k % absentMod === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("c"), (k % termMod).cast("string")))
+    events
+      .select(coalesce(field, lit("__missing__")).as("bucket"), col("value"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
+  /** ES global aggregation: metrics over ALL documents computed beside
+    * the query-context hits — the "show the filtered slice against the
+    * corpus gauge" pattern. One conditional-agg scan (the filters-facet
+    * shape): the query predicate becomes a CASE inside each aggregate,
+    * so corpus and hit metrics share a single pass and the global side
+    * costs no second scan — ES pays the same trick via its global
+    * bucket short-circuiting the query. */
+  def globalAgg(events: DataFrame, hit: Column): DataFrame =
+    events.agg(
+      count(when(hit, 1)).as("n_hits"),
+      sum(when(hit, dec2(col("value")))).cast("double").as("sum_hits"),
+      count(lit(1)).as("n_all"),
+      sum(dec2(col("value"))).cast("double").as("sum_all"))
+
+  /** ES join-field `children` aggregation (the agg-side complement of
+    * the has_child QUERY): parent buckets (order priority) with metrics
+    * over their CHILD docs — child count, exact child quantity sum,
+    * distinct parents having children. The parent attribute travels to
+    * the child via one equi-join on the parent key (ES co-locates
+    * parent and child on one shard for exactly this); aggregation is
+    * one map-side-combinable hash agg on the parent bucket. */
+  def childrenAgg(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity"), col("l_extendedprice")), Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_children"),
+        countDistinct(col("o_orderkey")).as("n_parents"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+
+  /** ES terms-agg partitioning (`include.partition` / `num_partitions`):
+    * page a huge-cardinality terms facet by deterministically splitting
+    * the TERM space — each request aggregates only the terms in one
+    * hash partition, so no single response materializes the full
+    * cardinality. Partition = md5 first hex nibble of the term, divided
+    * into `nPartitions` equal ranges (the q_hash_sample md5-band
+    * discipline — reproducible on any engine, unlike ES's internal
+    * murmur3). The partition predicate applies BEFORE the aggregation,
+    * so the hash agg only sees ~1/nPartitions of the key space. */
+  def termsPartition(events: DataFrame, nPartitions: Int, partition: Int,
+      k: Int): DataFrame = {
+    require(nPartitions > 0 && 16 % nPartitions == 0 && partition >= 0
+      && partition < nPartitions)
+    val span = 16 / nPartitions
+    val nib = instr(lit("0123456789abcdef"),
+      substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)) - 1
+    events
+      .filter(floor(nib / span) === partition)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** ES change_point aggregation (8.x), deterministic step-change
+    * detector: over the date-histogram bucket means, pick the split
+    * maximizing the between-segment mean shift |mean_L − mean_R| (both
+    * segments non-empty), earliest split day on ties. ES runs several
+    * ML detectors here; the max-mean-shift split IS its step_change
+    * detector's core statistic, and the exact-arithmetic form (decimal
+    * cumulative sums, one fixed-order double division per side) is the
+    * deterministic contract an oracle can replay. Everything past the
+    * day histogram is a bounded post-agg window over bucket rows. */
+  def changePoint(events: DataFrame): DataFrame = {
+    val day = dayBuckets(events)
+    val w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    val gauge = day.agg(sum(col("dsum")).as("t_sum"),
+      sum(col("n")).as("t_n"), max(col("day_idx")).as("last_day"))
+    day
+      .withColumn("c_sum", sum(col("dsum")).over(w))
+      .withColumn("c_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(gauge))
+      // split AFTER this bucket: left = [first..day], right = (day..last]
+      .filter(col("day_idx") < col("last_day"))
+      .withColumn("mean_left", col("c_sum").cast("double") / col("c_n"))
+      .withColumn("mean_right",
+        (col("t_sum") - col("c_sum")).cast("double") / (col("t_n") - col("c_n")))
+      .withColumn("shift", abs(col("mean_right") - col("mean_left")))
+      .orderBy(col("shift").desc, col("day_idx"))
+      .limit(1)
+      .select(col("day_idx").as("split_after_day"), col("c_n").as("n_left"),
+        (col("t_n") - col("c_n")).as("n_right"),
+        col("mean_left"), col("mean_right"), col("shift"))
+  }
+
+  /** ES variable_width_histogram aggregation, deterministic
+    * equal-frequency form: `nBuckets` clusters whose edges are the
+    * exact i/nBuckets quantiles of the value (the ceil(p·n) order
+    * statistic in (value, id) order — the percentile-family contract),
+    * each cluster reporting count/min/max/exact-decimal mean. ES's
+    * version is an order-dependent online clustering; the quantile-edge
+    * form is the deterministic contract an oracle can replay, and it
+    * IS what variable-width buckets converge to on stationary data.
+    * Edges come from the distributed rank-select ([[Percentiles]] — no
+    * global sort, three narrow scans), collect as ≤ nBuckets−1 doubles
+    * (bounded metadata), and the cluster id is a codegen'd
+    * count-of-edges-below compare chain; ties at an edge go left. */
+  def variableWidthHistogram(events: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2)
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val edges = Percentiles.rankSelect(
+        events.select(lit(0L).as("__g"), col("value"), col("event_id")),
+        "__g", "value", "event_id", fracs)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).map(_._2) // one edge per fraction, p-ascending
+    val cluster = edges.map(e => when(lit(e) < col("value"), 1).otherwise(0))
+      .reduce(_ + _)
+    events
+      .select(col("value"), cluster.cast("long").as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+  }
+
+  /** ES distance_feature query: rank documents by closeness of a date
+    * field to an origin, score = boost · pivot / (pivot + |ts − origin|)
+    * — the rational-decay relevance signal ES recommends over
+    * function_score for dates ("boost recent documents"). The µs
+    * distance is exact integer arithmetic; the score is one fixed-order
+    * double division, so the ranking is oracle-exact (no exp()).
+    * Narrow scan + bounded TakeOrdered. */
+  def distanceFeature(events: DataFrame, originUs: Long, pivotUs: Long,
+      boost: Double, k: Int): DataFrame = {
+    require(pivotUs > 0)
+    val distUs = abs(unix_micros(col("ts")) - lit(originUs))
+    events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        (lit(boost) * lit(pivotUs.toDouble) /
+          (lit(pivotUs.toDouble) + distUs.cast("double"))).as("score"))
+      .orderBy(col("score").desc, col("event_id"))
+      .limit(k)
+  }
 }

@@ -356,4 +356,72 @@ object Pipeline {
       out.localCheckpoint()
     } finally rdd.unpersist(blocking = false)
   }
+
+  /** Token-length inventory: per (source, width-bucketed BPE token
+    * count) doc counts + exact token sums — the corpus profile a
+    * context-length / curriculum decision reads ("how much of source X
+    * is under 128 tokens?"). Token counts are the real merges-table BPE
+    * (`graft.text.Bpe`); bucketing is exact integer division, so the
+    * whole thing is one narrow projection + one map-side-combinable
+    * hash agg over (source, bucket) — scan-shaped at any corpus size. */
+  def tokenHistogram(docs: DataFrame, width: Long): DataFrame = {
+    require(width > 0)
+    docs
+      .select(col("source"),
+        graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
+      .withColumn("bucket", floor(col("n_tok") / width).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+  }
+
+  /** Deterministic size-balanced output sharding: docs ranked by (BPE
+    * tokens desc, doc_id) are dealt round-robin into `nShards` training
+    * shards — the classic LPT-flavored deal that lands every shard
+    * within one max-doc of the mean token load, reproducible on any
+    * engine (no RNG, no greedy bin state). The global rank is the
+    * packSequences total-order problem, solved the same two-phase way:
+    * range-partition on the sort key, per-partition counts →
+    * driver-side exclusive scan (metadata), parallel local rank +
+    * offset. Output is the per-shard manifest (doc count, exact token
+    * sum, heaviest/lightest doc) — what a release writes next to the
+    * shard files. */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val spark = docs.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withTok = docs.select(col("doc_id"),
+      graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
+    val sorted = withTok
+      .repartitionByRange(nParts, col("n_tok").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_tok").desc, col("doc_id"))
+    val rdd = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partCounts = rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partCounts.scanLeft(0L)(_ + _)
+      val dealt = rdd.mapPartitionsWithIndex { (i, it) =>
+        var rank = offsets(i)
+        it.map { case (id, t) =>
+          rank += 1
+          org.apache.spark.sql.Row(id, t, (rank - 1) % nShards)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tok",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val df = spark.createDataFrame(dealt, schema)
+      val out = df.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        max(col("n_tok")).as("max_tok"),
+        min(col("n_tok")).as("min_tok"))
+      out.localCheckpoint()
+    } finally rdd.unpersist(blocking = false)
+  }
 }

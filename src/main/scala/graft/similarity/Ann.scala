@@ -128,6 +128,25 @@ object Ann {
     * At 100 TB this is one filtered corpus pass per query batch; the
     * IVF/LSH candidate generators compose the same way when the filter
     * is loose. */
+  /** ES 8 kNN *radius* search (`similarity` threshold instead of `k`):
+    * every corpus vector within cosine ≥ `tau` of each query vector —
+    * the "all sufficiently-similar neighbors" dual of top-k, used when
+    * the caller needs the complete neighborhood (dedup audit, recall
+    * measurement) rather than a page. Same broadcast shape as
+    * [[bruteForceTopK]]: the query subset broadcasts against one
+    * streamed corpus scan, the codegen'd cosine runs in the scan, and
+    * the τ predicate filters BEFORE anything shuffles — output is
+    * neighborhood-sized, never corpus². */
+  def rangeSearch(emb: DataFrame, nQueries: Int, tau: Double): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+      .filter(col("cos_sim") >= tau)
+      .select("query_id", "cand_id", "cos_sim")
+  }
+
   def filteredKnn(emb: DataFrame, candidateIds: DataFrame, queryVecId: Long,
       k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)

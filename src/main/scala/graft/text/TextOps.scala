@@ -773,4 +773,143 @@ object TextOps {
     tf.unpersist(blocking = false)
     out
   }
+
+  /** ES dis_max query with a non-zero tie_breaker: each sub-query (here
+    * per-field TF scores, the multi_match machinery) contributes its
+    * score; a doc's total is best + tieBreaker · (sum − best) — between
+    * best_fields (tb=0, [[multiMatch]]) and most_fields (tb=1). Exact
+    * integer TF counts × rational boosts, one fixed-order double
+    * combine, so the ranking is oracle-exact. Narrow scan + bounded
+    * TakeOrdered, same shape as multiMatch. */
+  def disMax(docs: DataFrame, fields: Seq[(String, Column, Double)],
+      terms: Seq[String], tieBreaker: Double, k: Int): DataFrame = {
+    require(fields.size >= 2 && terms.nonEmpty
+      && tieBreaker >= 0 && tieBreaker <= 1)
+    val termArr = typedlit(terms)
+    val scored = docs.select(col("doc_id") +: fields.map { case (name, toks, boost) =>
+      (size(filter(toks, t => array_contains(termArr, t))).cast("double") * lit(boost))
+        .as(s"score_$name") }: _*)
+    val cols = fields.map(f => col(s"score_${f._1}"))
+    val best = greatest(cols: _*)
+    val total = cols.reduce(_ + _)
+    scored
+      .withColumn("score", best + lit(tieBreaker) * (total - best))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES boosting query: docs are ranked by the positive query's score,
+    * but docs ALSO matching the negative query have their score
+    * multiplied by `negativeBoost` (demoted, not excluded — the
+    * difference from must_not). Positive score = TF count over the
+    * positive terms; the negative test is a token membership check.
+    * All narrow codegen'd column work + bounded TakeOrdered. */
+  def boostingQuery(docs: DataFrame, positiveTerms: Seq[String],
+      negativeTerm: String, negativeBoost: Double, k: Int): DataFrame = {
+    require(positiveTerms.nonEmpty && negativeBoost > 0 && negativeBoost < 1)
+    val toks = split(lower(col("text")), "\\s+")
+    val termArr = typedlit(positiveTerms)
+    val pos = size(filter(toks, t => array_contains(termArr, t))).cast("double")
+    val neg = array_contains(toks, negativeTerm)
+    docs
+      .select(col("doc_id"), neg.as("demoted"),
+        (pos * when(neg, lit(negativeBoost)).otherwise(lit(1.0))).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES pinned query: curated doc ids rank first IN THE GIVEN ORDER,
+    * organic results (ranked by TF score over `terms`) follow — the
+    * "promoted results" search primitive. The pinned list is a literal
+    * array in the plan (a query carries a handful of pins), so the
+    * rank column is pure codegen'd arithmetic: pinned docs sort by
+    * list position, organic docs by (score desc, id). One narrow scan
+    * + bounded TakeOrdered; pinned docs that don't match the query
+    * still surface, per ES. */
+  def pinnedQuery(docs: DataFrame, pinnedIds: Seq[Long], terms: Seq[String],
+      k: Int): DataFrame = {
+    require(pinnedIds.nonEmpty && terms.nonEmpty)
+    val toks = split(lower(col("text")), "\\s+")
+    val termArr = typedlit(terms)
+    val pinArr = typedlit(pinnedIds)
+    val pinPos = array_position(pinArr, col("doc_id")) // 1-based; 0 = not pinned
+    docs
+      .select(col("doc_id"),
+        size(filter(toks, t => array_contains(termArr, t))).cast("long").as("score"),
+        pinPos.cast("long").as("pin_rank"))
+      .filter(col("pin_rank") > 0 || col("score") > 0)
+      .orderBy(
+        when(col("pin_rank") > 0, col("pin_rank")).otherwise(lit(Long.MaxValue)),
+        col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES match_phrase_prefix: `term` immediately followed by a token
+    * starting with `prefix` (the type-ahead phrase query — "hash j"
+    * matches "hash join" and "hash joins"). Scored by qualifying
+    * adjacent position pairs, the [[phraseMatchSlop]] position
+    * machinery with a prefix predicate on the second slot; all narrow
+    * array arithmetic, no explode/join below the top-k. */
+  def matchPhrasePrefix(docs: DataFrame, term: String, prefix: String,
+      k: Int): DataFrame = {
+    require(term.nonEmpty && prefix.nonEmpty)
+    val toks = split(lower(col("text")), "\\s+")
+    def positions(pred: Column => Column) =
+      filter(transform(toks, (t, i) => when(pred(t), i + 1).otherwise(-1)),
+        p => p > 0)
+    docs
+      .select(col("doc_id"),
+        positions(_ === term).as("p1"),
+        positions(t => t.startsWith(prefix) && t =!= term).as("p2"))
+      .select(col("doc_id"),
+        aggregate(col("p1"), lit(0L), (acc, i) =>
+          acc + size(filter(col("p2"), j => j === i + 1)).cast("long"))
+          .as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES frequent_item_sets aggregation (8.4+), restricted to pair sets
+    * — the co-occurrence miner ("terms that appear together"). Two
+    * passes: (1) the vocabulary is bounded to the top `vocabK` corpus
+    * terms (a map-side-combinable doc-frequency agg + TakeOrdered — at
+    * warehouse scale this is the maintained vocab table), broadcast;
+    * (2) each doc's DISTINCT kept terms become C(v,2) ordered pairs via
+    * a nested array transform (v ≤ vocabK bounds the blow-up), counted
+    * in one hash agg. Pairs below `minSupport` docs drop; top-k by
+    * support. No self-join of the corpus — the pair explosion is
+    * per-doc and vocab-bounded. */
+  def frequentItemSets(docs: DataFrame, vocabK: Int, minSupport: Long,
+      k: Int): DataFrame = {
+    require(vocabK > 1 && minSupport >= 1)
+    val tokens = array_distinct(filter(split(lower(col("text")), "\\s+"),
+      t => t =!= ""))
+    // pass 1: top-vocabK terms by doc frequency (df desc, term asc)
+    val vocab = docs
+      .select(explode(tokens).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(vocabK)
+      .select("term")
+    val vocabArr = typedlit(vocab.collect().map(_.getString(0)).toSeq.sorted)
+    // pass 2: per-doc kept-term array (sorted), pairwise expansion.
+    // `kept` is materialized as an attribute FIRST so the nested
+    // transform's re-reference is a cheap column ref, not a
+    // re-evaluation of the tokenize+filter expression per element.
+    docs
+      .select(sort_array(filter(tokens, t => array_contains(vocabArr, t)))
+        .as("kept"))
+      .select(explode(flatten(transform(col("kept"), (a, i) =>
+        transform(slice(col("kept"), i + 2, lit(vocabK)),
+          b => struct(a.as("t1"), b.as("t2"))))))
+        .as("pair"))
+      .groupBy(col("pair.t1").as("term1"), col("pair.t2").as("term2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("term1"), col("term2"))
+      .limit(k)
+  }
 }

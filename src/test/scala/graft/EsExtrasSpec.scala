@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.text.TextOps
+
+/** Specs for the round-12 second widening wave: missing/global/children
+  * aggs, terms partitioning, change_point, distance_feature, and the
+  * dis_max / boosting / pinned / match_phrase_prefix /
+  * frequent_item_sets search surface. Each operator gets a naive
+  * recompute and, where a knob shapes the result, a knob-binds case. */
+class EsExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("missingAgg: missing bucket equals the derived-null count and buckets cover the corpus") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.missingAgg(ev, 5, 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ks = ev.select(expr("from_json(props, 'k BIGINT').k").as("k")).collect()
+      .map(_.getLong(0))
+    assert(out("__missing__") == ks.count(_ % 5 == 0).toLong)
+    assert(out.values.sum == ks.length.toLong)
+    // present buckets replay the c(k%7) rule
+    val present = ks.filter(_ % 5 != 0).groupBy(k => s"c${k % 7}").view.mapValues(_.size.toLong)
+    present.foreach { case (b, n) => assert(out(b) == n, s"bucket $b") }
+  }
+
+  test("globalAgg: one-pass conditional agg equals two separate aggregations") {
+    val ev = Tables.events(spark, sfDir)
+    val hit = col("event_type") === "purchase" && col("value") >= 50.0
+    val got = Analytics.globalAgg(ev, hit).head()
+    val hits = ev.filter(hit).agg(count(lit(1)),
+      sum(col("value").cast("decimal(12,2)")).cast("double")).head()
+    val all = ev.agg(count(lit(1)),
+      sum(col("value").cast("decimal(12,2)")).cast("double")).head()
+    assert(got.getLong(0) == hits.getLong(0) && got.getDouble(1) == hits.getDouble(1))
+    assert(got.getLong(2) == all.getLong(0) && got.getDouble(3) == all.getDouble(1))
+    assert(got.getLong(0) < got.getLong(2), "hit set must be a strict subset")
+  }
+
+  test("childrenAgg: per-parent-bucket child metrics match a naive recompute") {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val got = Analytics.childrenAgg(orders, lineitem).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val prio = orders.select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val children = lineitem.select("l_orderkey").collect().map(_.getLong(0))
+      .filter(prio.contains)
+    val byPrio = children.groupBy(prio)
+    byPrio.foreach { case (p, ks) =>
+      val (nChildren, nParents) = got(p)
+      assert(nChildren == ks.length.toLong, s"children of $p")
+      assert(nParents == ks.distinct.length.toLong, s"parents of $p")
+    }
+    assert(got.keySet == byPrio.keySet)
+  }
+
+  test("termsPartition: the partitions are a disjoint exact cover of the terms facet") {
+    val ev = Tables.events(spark, sfDir)
+    val full = ev.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parts = (0 until 4).map(p =>
+      Analytics.termsPartition(ev, 4, p, 1000000).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // disjoint
+    parts.combinations(2).foreach { case Seq(a, b) =>
+      assert(a.keySet.intersect(b.keySet).isEmpty)
+    }
+    // exact cover with identical counts
+    val union = parts.reduce(_ ++ _)
+    assert(union == full)
+    // the partitioning is load-bearing: no single partition is the whole space
+    assert(parts.forall(_.size < full.size))
+  }
+
+  test("changePoint: finds a planted step and replays the exact mean arithmetic") {
+    // 10 days at mean 10, then 10 days at mean 50 → best split after day 9
+    val rows = (0 until 20).flatMap { d =>
+      val v = if (d < 10) 10.0 else 50.0
+      Seq((d.toLong * 86400000000L + 1000L, v), (d.toLong * 86400000000L + 2000L, v + 2.0))
+    }
+    val ev = rows.toDF("us", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = Analytics.changePoint(ev).head()
+    assert(got.getLong(0) == 9L, s"split_after_day = ${got.getLong(0)}")
+    assert(got.getLong(1) == 20L && got.getLong(2) == 20L)
+    assert(got.getDouble(3) == 11.0 && got.getDouble(4) == 51.0)
+    assert(got.getDouble(5) == 40.0)
+  }
+
+  test("distanceFeature: score is the exact rational decay and ordering is by µs distance") {
+    val ev = Tables.events(spark, sfDir)
+    val origin = 1705330000000000L
+    val pivot = 86400000000L
+    val got = Analytics.distanceFeature(ev, origin, pivot, 2.0, 20).collect()
+    val naive = ev.select(col("event_id"), unix_micros(col("ts"))).collect()
+      .map { r =>
+        val d = math.abs(r.getLong(1) - origin)
+        (r.getLong(0), 2.0 * pivot.toDouble / (pivot.toDouble + d.toDouble))
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(got.map(r => (r.getLong(0), r.getDouble(2))).toSeq == naive.toSeq)
+  }
+
+  test("disMax: tie_breaker=0.3 rewards dual-field hits past the best_fields order") {
+    // docA: 8 title hits (also body hits) → fields (16, 8): best 16,
+    //   dis_max 16 + 0.3·8 = 18.4. docB: 17 body hits past the title
+    //   window → fields (0, 17): best 17, dis_max 17. tb=0 ranks docB
+    //   first (17 > 16); tb=0.3 must flip to docA (18.4 > 17) — the
+    //   dual-field doc wins only because the tie_breaker binds.
+    val docs = docsDf(
+      1L -> Seq.fill(8)("hash").mkString(" "),
+      2L -> (Seq.fill(8)("x") ++ Seq.fill(17)("hash")).mkString(" "))
+    val body = split(lower(col("text")), "\\s+")
+    val fields = Seq(("title", slice(body, 1, 8), 2.0), ("body", body, 1.0))
+    val terms = Seq("hash", "join")
+    val tb = TextOps.disMax(docs, fields, terms, 0.3, 10).collect()
+    assert(tb.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(tb.map(r => r.getAs[Double]("score")).toSeq == Seq(18.4, 17.0))
+    val tb0 = TextOps.disMax(docs, fields, terms, 0.0, 10).collect()
+    assert(tb0.map(_.getLong(0)).toSeq == Seq(2L, 1L), "tb=0 (best_fields) must rank docB first")
+  }
+
+  test("boostingQuery: negative matches are demoted, not excluded") {
+    val docs = docsDf(
+      1L -> "hash join vector stuff", // 2 positive hits but demoted → 0.6
+      2L -> "hash only here",         // 1 hit, clean → 1.0
+      3L -> "vector vector vector")   // no positive hit → filtered out
+    val got = TextOps.boostingQuery(docs, Seq("hash", "join"), "vector", 0.3, 10).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L), "clean doc must outrank demoted")
+    assert(got.map(r => r.getAs[Double]("score")).toSeq == Seq(1.0, 0.6))
+    assert(got.map(r => r.getAs[Boolean]("demoted")).toSeq == Seq(false, true))
+  }
+
+  test("pinnedQuery: pins rank first in the given order, zero-score pins still surface") {
+    val docs = docsDf(
+      1L -> "hash hash hash", // top organic
+      2L -> "hash join",
+      3L -> "nothing relevant here", // pinned with zero score
+      4L -> "hash")
+    val got = TextOps.pinnedQuery(docs, Seq(3L, 2L), Seq("hash", "join"), 10).collect()
+    // pinned 3 then 2 (in pin order), then organic 1, 4 by score desc
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L, 4L))
+    assert(got.head.getAs[Long]("score") == 0L, "zero-score pin surfaces")
+  }
+
+  test("matchPhrasePrefix: adjacency with a prefixed second slot") {
+    val docs = docsDf(
+      1L -> "hash join here",    // match
+      2L -> "hash joins galore", // prefix match
+      3L -> "hash x join",       // not adjacent
+      4L -> "join hash",         // wrong order
+      5L -> "hash join hash jelly") // two matches
+    val got = TextOps.matchPhrasePrefix(docs, "hash", "j", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
+  }
+
+  test("frequentItemSets: pair supports match a naive recompute over the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.frequentItemSets(docs, 20, 5L, 25).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // naive: top-20 vocab by doc frequency, then per-doc pair expansion
+    val docTerms = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSet)
+    val df = docTerms.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val vocab = df.toSeq.sortBy { case (t, n) => (-n, t) }.take(20).map(_._1).toSet
+    val support = docTerms.toSeq
+      .flatMap { case (_, ts) =>
+        ts.intersect(vocab).toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) }
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5L).toMap
+    val top = support.toSeq.sortBy { case ((a, b), s) => (-s, a, b) }.take(25).toMap
+    assert(got == top)
+    assert(got.nonEmpty)
+  }
+
+  test("rangeSearch: exactly the cosine >= tau neighborhood of each query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = similarity.Ann.rangeSearch(emb, 10, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // naive: brute-force cosine over the collected corpus
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val naive = (for {
+      q <- vecs.keys.filter(_ < 10).toSeq
+      c <- vecs.keys.filter(_ != q).toSeq
+      s = cos(vecs(q), vecs(c)) if s >= 0.3
+    } yield (q, c) -> s).toMap
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (k, s) => assert(s >= 0.3 && math.abs(s - naive(k)) < 1e-12) }
+    assert(got.nonEmpty)
+  }
+
+  test("tokenHistogram: buckets replay per-doc BPE counts") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = pipeline.Pipeline.tokenHistogram(docs, 32L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val perDoc = docs.select(col("source"),
+        graft.text.Bpe.tokenCount(col("text")).as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val naive = perDoc.groupBy { case (src, t) => (src, t / 32) }
+      .map { case (k, rs) => k -> ((rs.length.toLong, rs.map(_._2).sum)) }
+    assert(got == naive)
+  }
+
+  test("shardManifest: round-robin deal is balanced and replays the global rank") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = pipeline.Pipeline.shardManifest(docs, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    // naive: rank by (tokens desc, id), deal modulo 4
+    val toks = docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dealt = toks.sortBy { case (id, t) => (-t, id) }.zipWithIndex
+      .groupBy { case (_, rk) => rk.toLong % 4 }
+    dealt.foreach { case (sh, rows) =>
+      val (n, sum, _) = got(sh)
+      assert(n == rows.length.toLong && sum == rows.map(_._1._2).sum, s"shard $sh")
+    }
+    // balance: doc counts within 1, token loads within one max-doc
+    val counts = got.values.map(_._1)
+    assert(counts.max - counts.min <= 1)
+    val loads = got.values.map(_._2)
+    assert(loads.max - loads.min <= toks.map(_._2).max,
+      s"token imbalance ${loads.max - loads.min} exceeds one max doc")
+  }
+
+  test("variableWidthHistogram: clusters are ordered, disjoint, near-equal-count, and cover") {
+    val ev = Tables.events(spark, sfDir)
+    val got = operators.Analytics.variableWidthHistogram(ev, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val total = ev.count()
+    assert(got.map(_._2).sum == total, "clusters must cover the corpus")
+    assert(got.map(_._1).toSeq == (0L until got.length.toLong).toSeq)
+    // value ranges are monotone and non-overlapping across clusters
+    got.sliding(2).foreach {
+      case Array((_, _, _, hiA), (_, _, loB, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+    // equal-frequency edges: each cluster within 2x of the ideal share
+    // (ties at an edge can skew counts; the synthetic values are dense)
+    val ideal = total.toDouble / 6
+    got.foreach { case (c, n, _, _) =>
+      assert(n >= ideal / 2 && n <= ideal * 2, s"cluster $c count $n vs ideal $ideal")
+    }
+  }
+}
