@@ -333,6 +333,21 @@ object SparkEntry {
       operators.Analytics.distanceFeature(Tables.events(s, dir),
         1705330000000000L, 86400000000L, 2.0, 20)),
 
+    // runtime fields: weekend day-of-week × value band derived at
+    // query time (schema-on-read), faceted
+    "q_runtime_fields" -> ((s, dir) =>
+      operators.Analytics.runtimeFields(Tables.events(s, dir))),
+
+    // random_sampler: deterministic md5-band p=0x200/0x1000=12.5%
+    // sample, estimates rescaled by 1/p
+    "q_random_sampler" -> ((s, dir) =>
+      operators.Analytics.randomSamplerAgg(Tables.events(s, dir), "200")),
+
+    // TSDB counter rate (reset-aware): per-user per-hour increase
+    // rate, top-20
+    "q_counter_rate" -> ((s, dir) =>
+      operators.Analytics.counterRate(Tables.events(s, dir), 20)),
+
     "q_bool_filter" -> ((s, dir) =>
       operators.Analytics.boolFilter(Tables.events(s, dir),
         50.0, Seq("click", "purchase"), 10L)),
@@ -770,6 +785,10 @@ object SparkEntry {
     // frequent_item_sets (pairs): top-20 vocab, support ≥ 5 docs
     "text_frequent_pairs" -> ((s, dir) =>
       text.TextOps.frequentItemSets(Tables.documents(s, dir), 20, 5L, 25)),
+
+    // span_first: "hash" within the first 12 tokens
+    "text_span_first" -> ((s, dir) =>
+      text.TextOps.spanFirst(Tables.documents(s, dir), "hash", 12, 25)),
 
     // ES bool tree composing five leaf types + a nested bool: must
     // (match 'hash' AND (join OR vector, scored)), should (lang=en
@@ -1392,6 +1411,54 @@ object SparkEntry {
         |         (86400000000.0 + CAST(abs(epoch_us(ts) - 1705330000000000) AS DOUBLE)) AS score
         |FROM events
         |ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
+
+    "q_runtime_fields" ->
+      """SELECT day_of_week, value_band, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week,
+        |             CAST(floor(value / 50.0) AS BIGINT) AS value_band, value
+        |      FROM events)
+        |WHERE day_of_week IN (0, 6)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_random_sampler" ->
+      """SELECT event_type, count(*) AS n_sampled,
+        |       count(*) / 0.125e0 AS est_n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / 0.125e0 AS est_sum_value
+        |FROM events
+        |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 3) < '200'
+        |GROUP BY event_type""".stripMargin,
+
+    "q_counter_rate" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CAST(value AS DECIMAL(12,2)) AS v,
+        |         lag(CAST(value AS DECIMAL(12,2))) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |i AS (SELECT user_id, ts_us,
+        |        CASE WHEN prev IS NULL THEN CAST(0.0 AS DECIMAL(12,2))
+        |             WHEN v >= prev THEN v - prev
+        |             ELSE v END AS inc
+        |      FROM d),
+        |g AS (SELECT user_id, count(*) AS n_samples,
+        |        CAST(sum(inc) AS DOUBLE) AS total_increase,
+        |        max(ts_us) - min(ts_us) AS span_us
+        |      FROM i GROUP BY user_id)
+        |SELECT user_id, n_samples, total_increase, span_us,
+        |       total_increase * 3600000000.0e0 / CAST(span_us AS DOUBLE) AS rate_per_hour
+        |FROM g WHERE span_us > 0
+        |ORDER BY rate_per_hour DESC, user_id LIMIT 20""".stripMargin,
+
+    "text_span_first" ->
+      raw"""WITH tk AS (SELECT doc_id,
+           |    unnest(string_split_regex(lower(text), '\s+')) AS t,
+           |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |p AS (SELECT doc_id, i FROM tk WHERE t = 'hash' AND i <= 12)
+           |SELECT doc_id, count(*) AS n_within, min(i) AS first_pos
+           |FROM p GROUP BY doc_id
+           |ORDER BY n_within DESC, doc_id LIMIT 25""".stripMargin,
 
     "q_numeric_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,

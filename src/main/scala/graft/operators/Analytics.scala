@@ -1304,6 +1304,79 @@ object Analytics {
         (sum(dec2(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
   }
 
+  /** ES runtime fields (schema-on-read): fields that exist only in the
+    * query's runtime mapping — here day-of-week from the timestamp and
+    * a coarse value band — filtered and faceted like indexed fields.
+    * In Spark a runtime field IS a projected expression, which is the
+    * point: the derivation runs codegen'd inside the scan, the filter
+    * on it still prunes early, and no reindex ever happens. Weekend
+    * traffic per value band; exact integer arithmetic both engines
+    * share (1970-01-01 anchors day 0 = Thursday). */
+  def runtimeFields(events: DataFrame): DataFrame = {
+    val dow = (Det.dayIdx("ts") + lit(4)) % 7 // 0=Sun..6=Sat
+    val band = floor(col("value") / 50.0).cast("long")
+    events
+      .select(dow.as("day_of_week"), band.as("value_band"), col("value"))
+      .filter(col("day_of_week") === 0 || col("day_of_week") === 6)
+      .groupBy("day_of_week", "value_band")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+  }
+
+  /** ES random_sampler aggregation (8.2+): aggregate a p-probability
+    * sample and RESCALE the estimates by 1/p — the "cheap approximate
+    * facet over a huge index" primitive. ES uses a seeded RNG; the
+    * engine form is the md5-band deterministic sample (the hashSample
+    * discipline — reproducible across engines/runs/partitionings),
+    * with p an exact binary fraction so the rescale is exact. The
+    * sample predicate runs in the scan; everything downstream touches
+    * only the sample. */
+  def randomSamplerAgg(events: DataFrame, bandHexLt: String): DataFrame = {
+    // p = band/4096 for a 3-hex-digit band: exact in double
+    require(bandHexLt.nonEmpty && bandHexLt.length <= 4)
+    val p = java.lang.Long.parseLong(bandHexLt, 16).toDouble /
+      math.pow(16.0, bandHexLt.length)
+    events
+      .filter(substring(md5(col("event_id").cast("string").cast("binary")),
+        1, bandHexLt.length) < bandHexLt)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        (count(lit(1)) / lit(p)).as("est_n"),
+        (sum(dec2(col("value"))).cast("double") / lit(p)).as("est_sum_value"))
+  }
+
+  /** ES TSDB `rate` aggregation over a COUNTER field (reset-aware):
+    * per time series (user), the per-hour rate of counter increase,
+    * where a negative delta is a counter reset and contributes the new
+    * value (the increase since the restart) — the Prometheus/ES-TSDB
+    * contract. Deltas come from one lag window per series key (a
+    * single hash shuffle on user_id — series are independent, so this
+    * scales out by key); increases accumulate on the exact DECIMAL
+    * domain, one double division by the series' µs span at the end.
+    * Series with a single sample (span 0) are dropped. */
+  def counterRate(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val withDelta = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), dec2(col("value")).as("v"))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("inc",
+        when(col("prev").isNull, dec2(lit(0.0)))
+          .when(col("v") >= col("prev"), col("v") - col("prev"))
+          .otherwise(col("v"))) // reset: counter restarted at v
+    withDelta
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("inc")).cast("double").as("total_increase"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+      .filter(col("span_us") > 0)
+      .withColumn("rate_per_hour",
+        col("total_increase") * lit(3600000000.0e0) / col("span_us").cast("double"))
+      .orderBy(col("rate_per_hour").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** ES distance_feature query: rank documents by closeness of a date
     * field to an origin, score = boost · pivot / (pivot + |ts − origin|)
     * — the rational-decay relevance signal ES recommends over

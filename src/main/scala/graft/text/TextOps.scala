@@ -872,6 +872,28 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES span_first query: docs where `term` occurs within the first
+    * `end` token positions ("in the opening words" — title-ish matching
+    * without a separate title field). Scored by the count of qualifying
+    * positions, with the earliest position surfaced; the
+    * [[phraseMatchSlop]] position machinery with a position-bound
+    * predicate. Narrow array arithmetic in the scan, bounded
+    * TakeOrdered. */
+  def spanFirst(docs: DataFrame, term: String, end: Int, k: Int): DataFrame = {
+    require(term.nonEmpty && end > 0)
+    val toks = split(lower(col("text")), "\\s+")
+    val pos = filter(transform(toks, (t, i) => when(t === term, i + 1).otherwise(-1)),
+      p => p > 0 && p <= end)
+    docs
+      .select(col("doc_id"), pos.as("p"))
+      .select(col("doc_id"),
+        size(col("p")).cast("long").as("n_within"),
+        array_min(col("p")).cast("long").as("first_pos"))
+      .filter(col("n_within") > 0)
+      .orderBy(col("n_within").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES frequent_item_sets aggregation (8.4+), restricted to pair sets
     * — the co-occurrence miner ("terms that appear together"). Two
     * passes: (1) the vocabulary is bounded to the top `vocabK` corpus

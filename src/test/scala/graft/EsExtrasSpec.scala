@@ -258,4 +258,82 @@ class EsExtrasSpec extends SparkSpec {
       assert(n >= ideal / 2 && n <= ideal * 2, s"cluster $c count $n vs ideal $ideal")
     }
   }
+
+  test("runtimeFields: weekend facet replays the derived-field arithmetic") {
+    val ev = Tables.events(spark, sfDir)
+    val got = operators.Analytics.runtimeFields(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = ev.select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => ((r.getLong(0) / 86400000000L + 4) % 7, math.floor(r.getDouble(1) / 50.0).toLong))
+    val weekend = rows.filter(r => r._1 == 0 || r._1 == 6)
+    val naive = weekend.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == naive)
+    assert(weekend.length < rows.length, "the runtime-field filter must bind")
+  }
+
+  test("randomSamplerAgg: md5-band sample with exactly rescaled estimates") {
+    val ev = Tables.events(spark, sfDir)
+    val got = operators.Analytics.randomSamplerAgg(ev, "200").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex3(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).take(2)
+        .map(b => f"${b & 0xff}%02x").mkString.take(3)
+    val naive = ev.select("event_id", "event_type").collect()
+      .filter(r => hex3(r.getLong(0)) < "200")
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == naive)
+    // the 1/p rescale is exact: p = 0x200/0x1000 = 0.125
+    got.foreach { case (t, (n, est)) => assert(est == n / 0.125, s"estimate of $t") }
+    val total = ev.count()
+    val sampled = got.values.map(_._1).sum
+    assert(sampled > 0 && sampled < total / 4, "sample must be a small strict subset")
+  }
+
+  test("counterRate: reset-aware increase matches a naive per-series replay") {
+    val ev = Tables.events(spark, sfDir)
+    val got = operators.Analytics.counterRate(ev, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    val rows = ev.select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    var resets = 0
+    val naive = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val incs = sorted.zip(BigDecimal(0) +: sorted.map(_._4)).zipWithIndex.map {
+        case (((_, _, _, v), prev), idx) =>
+          if (idx == 0) BigDecimal(0)
+          else if (v >= prev) v - prev
+          else { resets += 1; v }
+      }
+      val span = sorted.map(_._2).max - sorted.map(_._2).min
+      if (span > 0)
+        Some(u -> ((sorted.length.toLong, incs.sum.toDouble, span,
+          incs.sum.toDouble * 3600000000.0 / span.toDouble)))
+      else None
+    }
+    got.foreach { case (u, n, inc, span, rate) =>
+      val (en, einc, espan, erate) = naive(u)
+      assert(n == en && inc == einc && span == espan && rate == erate, s"user $u")
+    }
+    assert(resets > 0, "the reset branch must fire on the synthetic counters")
+    // top-20 selection replayed
+    val expectTop = naive.toSeq.map { case (u, (_, _, _, r)) => (u, r) }
+      .sortBy { case (u, r) => (-r, u) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq == expectTop)
+  }
+
+  test("spanFirst: position bound binds and counts replay") {
+    val docs = docsDf(
+      1L -> "hash right at the start",
+      2L -> ("x " * 12 + "hash too late"),    // position 13 — excluded
+      3L -> "a hash b hash c",                // positions 2 and 4
+      4L -> "no match here")
+    val got = TextOps.spanFirst(docs, "hash", 12, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 1L)), 3L -> ((2L, 2L))))
+    val loose = TextOps.spanFirst(docs, "hash", 100, 10).collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L, 3L), "the end bound must bind")
+  }
 }
