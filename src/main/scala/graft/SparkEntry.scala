@@ -790,6 +790,36 @@ object SparkEntry {
     "text_span_first" -> ((s, dir) =>
       text.TextOps.spanFirst(Tables.documents(s, dir), "hash", 12, 25)),
 
+    // combined_fields (BM25F): title window (8 tokens) ^2 + body ^1
+    // merged into one virtual field with shared IDF
+    "text_combined_fields" -> ((s, dir) =>
+      text.TextOps.combinedFieldsSearch(Tables.documents(s, dir),
+        Seq("merge", "query", "scan"), 8, 2L, 1L, 15)),
+
+    // linear retriever: 0.75·minmax(bm25) + 0.25·minmax(kNN cosine)
+    // over the two top-30 pages (ES 8.16 normalized hybrid fusion)
+    "q_retriever_linear" -> ((s, dir) =>
+      text.TextOps.linearRetriever(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), Seq("dup", "query", "scan"),
+        7L, 30, 15, 0.75, 0.25)),
+
+    // percolate with stored BOOL TREES: three registered queries with
+    // filter/should/must_not context evaluated in one corpus pass
+    "text_percolate_dsl" -> ((s, dir) =>
+      text.BoolDsl.percolateDsl(Tables.documents(s, dir), Seq(
+        "pq1" -> text.BoolDsl.Bool(
+          must = Seq(text.BoolDsl.MatchQ("hash")),
+          filter = Seq(text.BoolDsl.RangeQ("n_chars", gte = Some(200)))),
+        // explicit minimum_should_match=1: with a filter present the
+        // ES default is 0 and the should clauses would not constrain
+        "pq2" -> text.BoolDsl.Bool(
+          should = Seq(text.BoolDsl.MatchQ("join"), text.BoolDsl.MatchQ("vector")),
+          filter = Seq(text.BoolDsl.TermQ("lang", "en")),
+          minimumShouldMatch = 1),
+        "pq3" -> text.BoolDsl.Bool(
+          must = Seq(text.BoolDsl.MatchQ("scan")),
+          mustNot = Seq(text.BoolDsl.TermQ("source", "src13")))))),
+
     // ES bool tree composing five leaf types + a nested bool: must
     // (match 'hash' AND (join OR vector, scored)), should (lang=en
     // boost), must_not (source=src13 — load-bearing: src13 is INSIDE
@@ -1459,6 +1489,78 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_within, min(i) AS first_pos
            |FROM p GROUP BY doc_id
            |ORDER BY n_within DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_combined_fields" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id,
+           |        CAST(2 * len(toks[1:8]) + len(toks[9:]) AS BIGINT) AS dl,
+           |        CAST(2 * len(list_filter(toks[1:8], x -> x = 'merge'))
+           |             + len(list_filter(toks[9:], x -> x = 'merge')) AS BIGINT) AS tf0,
+           |        CAST(2 * len(list_filter(toks[1:8], x -> x = 'query'))
+           |             + len(list_filter(toks[9:], x -> x = 'query')) AS BIGINT) AS tf1,
+           |        CAST(2 * len(list_filter(toks[1:8], x -> x = 'scan'))
+           |             + len(list_filter(toks[9:], x -> x = 'scan')) AS BIGINT) AS tf2
+           |      FROM d),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           |      FROM p)
+           |SELECT doc_id, dl, score FROM (
+           |  SELECT doc_id, dl,
+           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |  FROM p CROSS JOIN st
+           |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0) t
+           |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_retriever_linear" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+           |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+           |      FROM d),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |bm AS (SELECT doc_id,
+           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+           |  ORDER BY score DESC, doc_id LIMIT 30),
+           |lexg AS (SELECT min(score) AS lo, max(score) AS hi FROM bm),
+           |lex AS (SELECT doc_id,
+           |          CASE WHEN hi = lo THEN 1.0e0 ELSE (score - lo) / (hi - lo) END AS lex_norm
+           |        FROM bm CROSS JOIN lexg),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |qv AS (SELECT emb AS q FROM e WHERE vec_id = 7),
+           |sem0 AS (SELECT vec_id, list_cosine_similarity(emb, q) AS cos FROM e CROSS JOIN qv
+           |         WHERE vec_id <> 7 ORDER BY cos DESC, vec_id LIMIT 30),
+           |semg AS (SELECT min(cos) AS lo, max(cos) AS hi FROM sem0),
+           |sem AS (SELECT vec_id AS doc_id,
+           |          CASE WHEN hi = lo THEN 1.0e0 ELSE (cos - lo) / (hi - lo) END AS sem_norm
+           |        FROM sem0 CROSS JOIN semg)
+           |SELECT doc_id, lex_norm, sem_norm,
+           |  0.75e0 * coalesce(lex_norm, 0e0) + 0.25e0 * coalesce(sem_norm, 0e0) AS fused
+           |FROM lex FULL OUTER JOIN sem USING (doc_id)
+           |ORDER BY fused DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_percolate_dsl" ->
+      raw"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+           |             string_split_regex(lower(text), '\s+') AS toks FROM documents)
+           |SELECT doc_id, 'pq1' AS query_id FROM d
+           |WHERE len(list_filter(toks, x -> x = 'hash')) > 0 AND n_chars >= 200
+           |UNION ALL
+           |SELECT doc_id, 'pq2' FROM d
+           |WHERE lang = 'en' AND (len(list_filter(toks, x -> x = 'join')) > 0
+           |                       OR len(list_filter(toks, x -> x = 'vector')) > 0)
+           |UNION ALL
+           |SELECT doc_id, 'pq3' FROM d
+           |WHERE len(list_filter(toks, x -> x = 'scan')) > 0 AND source <> 'src13'""".stripMargin,
 
     "q_numeric_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,

@@ -130,4 +130,25 @@ object BoolDsl {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** ES percolate over STORED BOOL TREES (the registered-query side of
+    * `_percolate` with real query DSL, not just conjunctive term
+    * lists — the upgrade over [[TextOps.percolate]]): every stored
+    * tree compiles to a predicate, and ONE corpus pass evaluates all
+    * of them per row (an array of (query_id, hit) structs filtered to
+    * the hits — narrow codegen'd column work, no join, no per-query
+    * scan). Emits (doc_id, query_id) per match; stored queries are
+    * plan-side metadata, exactly how ES holds them in the percolator
+    * index. */
+  def percolateDsl(docs: DataFrame, queries: Seq[(String, Query)]): DataFrame = {
+    require(queries.nonEmpty)
+    val entries = queries.map { case (id, q) =>
+      val (pred, _) = compile(q)
+      struct(lit(id).as("query_id"), pred.as("hit"))
+    }
+    docs
+      .select(col("doc_id"),
+        explode(filter(array(entries: _*), s => s.getField("hit"))).as("m"))
+      .select(col("doc_id"), col("m.query_id").as("query_id"))
+  }
 }

@@ -872,6 +872,98 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES 8 combined_fields query: BM25 over a virtual field whose term
+    * frequencies and length are the WEIGHTED SUMS of the per-field
+    * values (tf_c = Σ w_f·tf_f, dl_c = Σ w_f·len_f) with one shared
+    * IDF from the combined df — the principled multi-field ranking
+    * (BM25F) that multi_match's per-field best-of cannot express.
+    * Fields here are the title window (first `titleLen` tokens) and
+    * the disjoint body remainder. Weights must be integral so the
+    * combined counts stay exact longs — sums are then
+    * partial-aggregation-order independent, and the only doubles are
+    * the fixed-order BM25 formula (ln on the rational domain
+    * bit-matches DuckDB — the text_bm25 precedent). Same plan shape as
+    * [[bm25Search]]: one tokenize pass, a 1-row broadcast stats frame,
+    * bounded TakeOrdered. */
+  def combinedFieldsSearch(docs: DataFrame, terms: Seq[String], titleLen: Int,
+      wTitle: Long, wBody: Long, kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && titleLen > 0 && wTitle > 0 && wBody > 0)
+    val toks = split(lower(col("text")), "\\s+")
+    val withFields = docs.select(col("doc_id"),
+      slice(toks, 1, titleLen).as("tt"),
+      slice(toks, titleLen + 1, Int.MaxValue - titleLen).as("bt"))
+    def tfIn(f: String, t: String) =
+      size(filter(col(f), x => x === lit(t))).cast("long")
+    val perDoc = withFields.select(col("doc_id") +:
+        (lit(wTitle) * size(col("tt")) + lit(wBody) * size(col("bt")))
+          .cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          (lit(wTitle) * tfIn("tt", t) + lit(wBody) * tfIn("bt", t))
+            .cast("long").as(s"tf$i") }: _*)
+      .persist()
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks") +: terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
+    }.reduce(_ + _)
+    val out = perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), col("dl"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(kTop)
+      .localCheckpoint()
+    perDoc.unpersist(blocking = false)
+    out
+  }
+
+  /** ES 8.16 `linear` retriever: weighted fusion of the BM25 lexical
+    * top-n and the embedding-kNN semantic top-n after per-retriever
+    * MIN-MAX NORMALIZATION (each page's scores rescaled to [0,1] over
+    * that page; a doc absent from a page contributes 0 — the ES
+    * contract). The normalization gauges are 1-row aggregates over
+    * driver-bounded pages, so like [[rrfHybrid]] everything below the
+    * corpus passes touches ≤ n rows. A degenerate page (max = min)
+    * normalizes to 1.0. Weights should be exactly-representable binary
+    * fractions so the fused sum replays bit-identically. */
+  def linearRetriever(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      queryVecId: Long, n: Int, kTop: Int,
+      wLex: Double, wSem: Double): DataFrame = {
+    import graft.functions.GraftFunctions
+    def minmax(df: DataFrame, scoreCol: String, outCol: String): DataFrame = {
+      val gauge = df.agg(min(col(scoreCol)).as("__lo"), max(col(scoreCol)).as("__hi"))
+      df.crossJoin(broadcast(gauge))
+        .withColumn(outCol,
+          when(col("__hi") === col("__lo"), lit(1.0))
+            .otherwise((col(scoreCol) - col("__lo")) / (col("__hi") - col("__lo"))))
+        .drop("__lo", "__hi")
+    }
+    val lex = minmax(bm25Search(docs, terms, n).select("doc_id", "score"),
+      "score", "lex_norm").select("doc_id", "lex_norm")
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val semPage = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(n)
+    val sem = minmax(semPage, "cos", "sem_norm").select("doc_id", "sem_norm")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("fused",
+        lit(wLex) * coalesce(col("lex_norm"), lit(0.0)) +
+          lit(wSem) * coalesce(col("sem_norm"), lit(0.0)))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(kTop)
+      .select("doc_id", "lex_norm", "sem_norm", "fused")
+  }
+
   /** ES span_first query: docs where `term` occurs within the first
     * `end` token positions ("in the opening words" — title-ish matching
     * without a separate title field). Scored by the count of qualifying

@@ -336,4 +336,116 @@ class EsExtrasSpec extends SparkSpec {
     val loose = TextOps.spanFirst(docs, "hash", 100, 10).collect().map(_.getLong(0)).toSet
     assert(loose == Set(1L, 2L, 3L), "the end bound must bind")
   }
+
+  test("combinedFieldsSearch: BM25F over weighted counts matches a naive replay, weights bind") {
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("merge", "query", "scan")
+    val got = TextOps.combinedFieldsSearch(docs, terms, 8, 2L, 1L, 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // naive: weighted tf/dl per doc, shared-IDF BM25 in term order
+    // limit -1 keeps trailing empties, matching Spark's split()
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+", -1))
+    val perDoc = raw.map { case (id, toks) =>
+      val (tt, bt) = toks.splitAt(8)
+      val dl = 2L * tt.length + bt.length
+      val tfs = terms.map(t => 2L * tt.count(_ == t) + bt.count(_ == t))
+      (id, dl, tfs)
+    }
+    val nDocs = perDoc.length.toLong
+    val totalToks = perDoc.map(_._2).sum
+    val avgdl = totalToks.toDouble / nDocs
+    val dfs = terms.indices.map(i => perDoc.count(_._3(i) > 0).toLong)
+    def score(dl: Long, tfs: Seq[Long]): Double =
+      terms.indices.map { i =>
+        val tf = tfs(i); val df = dfs(i)
+        val idf = math.log(1 + (nDocs - df + 0.5) / (df + 0.5))
+        idf * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))
+      }.sum
+    val naive = perDoc.filter(_._3.exists(_ > 0))
+      .map { case (id, dl, tfs) => (id, dl, score(dl, tfs)) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(15)
+    assert(got.toSeq == naive.toSeq)
+    // the title weight binds: (1,1) weights = plain BM25, different scores
+    val flat = TextOps.combinedFieldsSearch(docs, terms, 8, 1L, 1L, 15).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.exists { case (id, _, s) => flat.get(id).forall(_ != s) },
+      "weighted scores must differ from the unweighted field merge")
+  }
+
+  test("linearRetriever: min-max normalized fusion replays and reorders both views") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val terms = Seq("dup", "query", "scan")
+    val got = TextOps.linearRetriever(docs, emb, terms, 7L, 30, 15, 0.75, 0.25)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // replay from the two pages (the operator's own bounded inputs)
+    val lexPage = TextOps.bm25Search(docs, terms, 30).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+    val qv = emb.filter(col("vec_id") === 7L).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val semPage = emb.filter(col("vec_id") =!= 7L).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        v.indices.foreach { i => dot += qv(i) * v(i); na += qv(i) * qv(i); nb += v(i) * v(i) }
+        r.getLong(0) -> dot / (math.sqrt(na) * math.sqrt(nb))
+      }.sortBy { case (id, c) => (-c, id) }.take(30)
+    def norm(page: Seq[(Long, Double)]): Map[Long, Double] = {
+      val lo = page.map(_._2).min; val hi = page.map(_._2).max
+      page.map { case (id, s) =>
+        id -> (if (hi == lo) 1.0 else (s - lo) / (hi - lo)) }.toMap
+    }
+    val lexN = norm(lexPage.toSeq); val semN = norm(semPage.toSeq)
+    val naive = (lexN.keySet ++ semN.keySet).toSeq
+      .map(id => id -> (0.75 * lexN.getOrElse(id, 0.0) + 0.25 * semN.getOrElse(id, 0.0)))
+      .sortBy { case (id, s) => (-s, id) }.take(15)
+    assert(got.toSeq == naive)
+    // the weights bind: a sem-heavy fusion ranks differently than the
+    // wired lex-heavy one (at sf0.001 the 0.75 lex weight legitimately
+    // dominates the page, so compare two weightings, not views)
+    val semHeavy = TextOps.linearRetriever(docs, emb, terms, 7L, 30, 15, 0.25, 0.75)
+      .collect().map(_.getLong(0)).toSeq
+    assert(semHeavy != got.map(_._1).toSeq, "weights must bind")
+    // and both views contribute: some fused doc carries both norms
+    val both = TextOps.linearRetriever(docs, emb, terms, 7L, 30, 15, 0.75, 0.25)
+      .collect().count(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(both > 0, "no doc scored in both views — fusion is vacuous")
+  }
+
+  test("percolateDsl: stored bool trees replay per-doc, minimum_should_match binds") {
+    val docs = Tables.documents(spark, sfDir)
+    import graft.text.BoolDsl._
+    val trees = Seq(
+      "pq1" -> Bool(must = Seq(MatchQ("hash")),
+        filter = Seq(RangeQ("n_chars", gte = Some(200)))),
+      "pq2" -> Bool(should = Seq(MatchQ("join"), MatchQ("vector")),
+        filter = Seq(TermQ("lang", "en")), minimumShouldMatch = 1),
+      "pq3" -> Bool(must = Seq(MatchQ("scan")),
+        mustNot = Seq(TermQ("source", "src13"))))
+    val got = percolateDsl(docs, trees).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val rows = docs.select("doc_id", "text", "lang", "source", "n_chars").collect()
+    def tf(text: String, t: String) =
+      text.toLowerCase.split("\\s+").count(_ == t)
+    val naive = rows.flatMap { r =>
+      val (id, tx, lang, src, nc) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+      Seq(
+        Option.when(tf(tx, "hash") > 0 && nc >= 200)(id -> "pq1"),
+        Option.when(lang == "en" && (tf(tx, "join") > 0 || tf(tx, "vector") > 0))(id -> "pq2"),
+        Option.when(tf(tx, "scan") > 0 && src != "src13")(id -> "pq3")).flatten
+    }.toSet
+    assert(got == naive)
+    // each stored query matches some but not all docs
+    Seq("pq1", "pq2", "pq3").foreach { q =>
+      val n = got.count(_._2 == q)
+      assert(n > 0 && n < rows.length, s"$q matched $n")
+    }
+    // dropping the explicit msm widens pq2 to every lang=en doc
+    val loose = percolateDsl(docs, Seq(
+      "pq2" -> Bool(should = Seq(MatchQ("join"), MatchQ("vector")),
+        filter = Seq(TermQ("lang", "en"))))).count()
+    assert(loose > got.count(_._2 == "pq2"), "minimum_should_match must bind")
+  }
 }
