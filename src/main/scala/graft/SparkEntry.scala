@@ -1148,6 +1148,12 @@ object SparkEntry {
       pipeline.Pipeline.releaseManifestV3(injectPii(Tables.documents(s, dir)),
         Tables.embeddings(s, dir), Seq("src0", "src1"), 4, 0.2)),
 
+    // v4 = v3 + the shard step: the released corpus dealt into 4
+    // size-balanced training shards, per-shard release manifest
+    "pipe_release_manifest_v4" -> ((s, dir) =>
+      pipeline.Pipeline.releaseManifestV4(injectPii(Tables.documents(s, dir)),
+        Tables.embeddings(s, dir), Seq("src0", "src1"), 4, 0.2, 4)),
+
     "pipe_weighted_mix" -> ((s, dir) => {
       val up = Seq("src0", "src1", "src2", "src3", "src4")
       val keep = Seq("src5", "src6", "src7", "src8", "src9")
@@ -2563,72 +2569,9 @@ object SparkEntry {
            |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g')) AS redacted_md5
            |FROM clean""".stripMargin,
 
-    "pipe_release_manifest_v3" ->
-      raw"""WITH RECURSIVE p AS (SELECT doc_id, source,
-           |  text || CASE WHEN doc_id % 7 = 0
-           |               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
-           |               ELSE '' END
-           |       || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today' ELSE '' END
-           |       || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END AS text
-           |  FROM documents),
-           |corpus AS (SELECT * FROM p WHERE source NOT IN ('src0', 'src1')),
-           |fp AS (SELECT doc_id, source, text,
-           |         md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS f
-           |       FROM corpus),
-           |keep AS (SELECT doc_id, source, text FROM fp
-           |         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
-           |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM keep),
-           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM tk),
-           |pr AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
-           |       WHERE len(a.sh) > 0 AND len(b2.sh) > 0
-           |         AND CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
-           |             / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) >= 0.8),
-           |bi AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
-           |reach(id, r) AS (SELECT DISTINCT s, s FROM bi
-           |  UNION SELECT bi.s, reach.r FROM bi JOIN reach ON bi.d = reach.id),
-           |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-           |keep2 AS (SELECT keep.* FROM keep LEFT JOIN lbl ON keep.doc_id = lbl.id
-           |          WHERE lbl.cluster IS NULL OR lbl.cluster = keep.doc_id),
-           |ke AS (SELECT k.doc_id, CAST(e.embedding AS DOUBLE[]) AS emb
-           |       FROM keep2 k JOIN embeddings e ON e.vec_id = k.doc_id),
-           |sp AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id FROM ke a JOIN ke b2 ON a.doc_id < b2.doc_id
-           |       WHERE list_cosine_similarity(a.emb, b2.emb) >= 0.45),
-           |sbi AS (SELECT a_id AS s, b_id AS d FROM sp UNION SELECT b_id, a_id FROM sp),
-           |sreach(id, r) AS (SELECT DISTINCT s, s FROM sbi
-           |  UNION SELECT sbi.s, sreach.r FROM sbi JOIN sreach ON sbi.d = sreach.id),
-           |slbl AS (SELECT id, min(r) AS cluster FROM sreach GROUP BY id),
-           |keep3 AS (SELECT keep2.* FROM keep2 LEFT JOIN slbl ON keep2.doc_id = slbl.id
-           |          WHERE slbl.cluster IS NULL OR slbl.cluster = keep2.doc_id),
-           |q AS (SELECT doc_id, source, text,
-           |        CAST(length(text) AS BIGINT) AS n_chars,
-           |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
-           |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS stop_hits,
-           |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct_hits
-           |      FROM keep3),
-           |scored AS (SELECT doc_id, source, text, n_tokens,
-           |        least(1.0, n_tokens / 100.0) * (1.0 - CAST(punct_hits AS DOUBLE) / n_chars)
-           |          * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)) AS quality_score
-           |      FROM q),
-           |flt AS (SELECT * FROM scored WHERE quality_score >= 0.2),
-           |w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM p),
-           |raw AS (SELECT doc_id, source,
-           |        unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
-           |                              i -> array_to_string(words[i:i+3], ' '))) AS gram
-           |        FROM w),
-           |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
-           |b AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
-           |bad AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram)
-           |        WHERE source NOT IN ('src0', 'src1')),
-           |clean AS (SELECT * FROM flt WHERE doc_id NOT IN (SELECT doc_id FROM bad))
-           |SELECT doc_id, source, n_tokens AS n_tok, quality_score,
-           |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
-           |     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
-           |     + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_redacted,
-           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-           |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
-           |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g')) AS redacted_md5
-           |FROM clean""".stripMargin,
+    "pipe_release_manifest_v3" -> manifestV3Sql,
+
+    "pipe_release_manifest_v4" -> manifestV4Sql,
 
     "q_salted_join" ->
       """SELECT event_id, user_id, c_name, value
@@ -3191,6 +3134,93 @@ object SparkEntry {
 
     "q_variable_width_histogram" -> variableWidthSql
   )
+
+  /** pipe_release_manifest_v3 oracle — the full CTE-chain replay of
+    * the fingerprint -> MinHash-LSH -> semantic release chain (shared
+    * by the v4 wrapper below).  */
+  private val manifestV3Sql: String =
+    raw"""WITH RECURSIVE p AS (SELECT doc_id, source,
+           |  text || CASE WHEN doc_id % 7 = 0
+           |               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |               ELSE '' END
+           |       || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 today' ELSE '' END
+           |       || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END AS text
+           |  FROM documents),
+           |corpus AS (SELECT * FROM p WHERE source NOT IN ('src0', 'src1')),
+           |fp AS (SELECT doc_id, source, text,
+           |         md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS f
+           |       FROM corpus),
+           |keep AS (SELECT doc_id, source, text FROM fp
+           |         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
+           |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM keep),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM tk),
+           |pr AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+           |       WHERE len(a.sh) > 0 AND len(b2.sh) > 0
+           |         AND CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+           |             / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) >= 0.8),
+           |bi AS (SELECT a_id AS s, b_id AS d FROM pr UNION SELECT b_id, a_id FROM pr),
+           |reach(id, r) AS (SELECT DISTINCT s, s FROM bi
+           |  UNION SELECT bi.s, reach.r FROM bi JOIN reach ON bi.d = reach.id),
+           |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |keep2 AS (SELECT keep.* FROM keep LEFT JOIN lbl ON keep.doc_id = lbl.id
+           |          WHERE lbl.cluster IS NULL OR lbl.cluster = keep.doc_id),
+           |ke AS (SELECT k.doc_id, CAST(e.embedding AS DOUBLE[]) AS emb
+           |       FROM keep2 k JOIN embeddings e ON e.vec_id = k.doc_id),
+           |sp AS (SELECT a.doc_id AS a_id, b2.doc_id AS b_id FROM ke a JOIN ke b2 ON a.doc_id < b2.doc_id
+           |       WHERE list_cosine_similarity(a.emb, b2.emb) >= 0.45),
+           |sbi AS (SELECT a_id AS s, b_id AS d FROM sp UNION SELECT b_id, a_id FROM sp),
+           |sreach(id, r) AS (SELECT DISTINCT s, s FROM sbi
+           |  UNION SELECT sbi.s, sreach.r FROM sbi JOIN sreach ON sbi.d = sreach.id),
+           |slbl AS (SELECT id, min(r) AS cluster FROM sreach GROUP BY id),
+           |keep3 AS (SELECT keep2.* FROM keep2 LEFT JOIN slbl ON keep2.doc_id = slbl.id
+           |          WHERE slbl.cluster IS NULL OR slbl.cluster = keep2.doc_id),
+           |q AS (SELECT doc_id, source, text,
+           |        CAST(length(text) AS BIGINT) AS n_chars,
+           |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+           |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS stop_hits,
+           |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct_hits
+           |      FROM keep3),
+           |scored AS (SELECT doc_id, source, text, n_tokens,
+           |        least(1.0, n_tokens / 100.0) * (1.0 - CAST(punct_hits AS DOUBLE) / n_chars)
+           |          * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)) AS quality_score
+           |      FROM q),
+           |flt AS (SELECT * FROM scored WHERE quality_score >= 0.2),
+           |w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM p),
+           |raw AS (SELECT doc_id, source,
+           |        unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+           |                              i -> array_to_string(words[i:i+3], ' '))) AS gram
+           |        FROM w),
+           |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
+           |b AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+           |bad AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram)
+           |        WHERE source NOT IN ('src0', 'src1')),
+           |clean AS (SELECT * FROM flt WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+           |SELECT doc_id, source, n_tokens AS n_tok, quality_score,
+           |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+           |     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+           |     + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_redacted,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+           |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+           |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g')) AS redacted_md5
+           |FROM clean""".stripMargin
+
+  /** v4 = the v3 manifest dealt round-robin into 4 shards by
+    * (n_tok desc, doc_id) rank — the shardManifest rule applied to
+    * the released corpus; oracle wraps the v3 chain verbatim so the
+    * two cannot drift. */
+  private val manifestV4Sql: String =
+    // plain concatenation, NOT stripMargin: the embedded v3 chain has
+    // lines beginning with the SQL || operator, which stripMargin
+    // would truncate
+    "WITH m AS (" + manifestV3Sql + "),\n" +
+      "r AS (SELECT doc_id, n_tok, n_redacted,\n" +
+      "        (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 4 AS shard\n" +
+      "      FROM m)\n" +
+      "SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,\n" +
+      "       CAST(sum(n_redacted) AS BIGINT) AS sum_redacted,\n" +
+      "       min(doc_id) AS min_doc, max(doc_id) AS max_doc\n" +
+      "FROM r GROUP BY shard"
 
   /** q_variable_width_histogram oracle, GENERATED from the same
     * fraction list the Spark operator uses (nBuckets = 6): edges are

@@ -267,6 +267,58 @@ object Pipeline {
       md5(redacted).as("redacted_md5"))
   }
 
+  /** v3 + the SHARD step — the complete release: the v3 manifest's
+    * kept docs dealt into `nShards` size-balanced training shards by
+    * the [[shardManifest]] round-robin rule ((n_tok desc, doc_id) rank
+    * modulo nShards — deterministic, within one max-doc of the mean
+    * load), emitting the per-shard release manifest (doc count, token
+    * and redaction sums, id range). This is the last artifact a
+    * release writes: "which shard holds what, and how much was
+    * scrubbed". Global rank via the same two-phase offset pattern —
+    * the manifest is release-sized, but the pattern keeps even a
+    * billion-doc release off a single reducer. */
+  def releaseManifestV4(docs: DataFrame, emb: DataFrame,
+      benchmarkSources: Seq[String], n: Int, minQuality: Double,
+      nShards: Int, tau: Double = 0.8, cosTau: Double = 0.45): DataFrame = {
+    require(nShards > 0)
+    val m = releaseManifestV3(docs, emb, benchmarkSources, n, minQuality, tau, cosTau)
+      .select(col("doc_id"), col("n_tok"), col("n_redacted"))
+    val spark = m.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = m
+      .repartitionByRange(nParts, col("n_tok").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_tok").desc, col("doc_id"))
+    val rdd = sorted.rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partCounts = rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = partCounts.scanLeft(0L)(_ + _)
+      val dealt = rdd.mapPartitionsWithIndex { (i, it) =>
+        var rank = offsets(i)
+        it.map { case (id, t, nr) =>
+          rank += 1
+          org.apache.spark.sql.Row(id, t, nr, (rank - 1) % nShards)
+        }
+      }
+      val lt = org.apache.spark.sql.types.LongType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", lt, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tok", lt, nullable = false),
+        org.apache.spark.sql.types.StructField("n_redacted", lt, nullable = false),
+        org.apache.spark.sql.types.StructField("shard", lt, nullable = false)))
+      val out = spark.createDataFrame(dealt, schema)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("n_redacted")).as("sum_redacted"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+      out.localCheckpoint()
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** The APPLY step of substring-level dedup: remove every token
     * covered by a [[graft.dedup.Dedup.substringDedup]] span (repeated
     * ≥k-token runs, global-first occurrence kept corpus-wide) and emit

@@ -143,6 +143,31 @@ class PipelineSpec extends SparkSpec {
       "the semantic stage must fire: >=1 high-cosine pair among string-stage keepers")
   }
 
+  test("releaseManifestV4: shard deal preserves the v3 manifest and balances the load") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val v3 = Pipeline.releaseManifestV3(docs, emb, Seq("src0", "src1"), 4, 0.2)
+      .select("doc_id", "n_tok", "n_redacted").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val v4 = Pipeline.releaseManifestV4(docs, emb, Seq("src0", "src1"), 4, 0.2, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(v4.keySet == Set(0L, 1L, 2L, 3L))
+    // conservation: every v3 doc lands in exactly one shard
+    assert(v4.values.map(_._1).sum == v3.length.toLong)
+    assert(v4.values.map(_._2).sum == v3.map(_._2).sum)
+    assert(v4.values.map(_._3).sum == v3.map(_._3).sum)
+    // the round-robin deal replays: rank by (n_tok desc, doc_id) mod 4
+    val naive = v3.sortBy { case (id, t, _) => (-t, id) }.zipWithIndex
+      .groupBy(_._2 % 4)
+      .map { case (sh, rs) => sh.toLong ->
+        ((rs.length.toLong, rs.map(_._1._2).sum, rs.map(_._1._3).sum)) }
+    assert(v4 == naive)
+    // balance: shard token loads within one max-doc of each other
+    val loads = v4.values.map(_._2)
+    assert(loads.max - loads.min <= v3.map(_._2).max)
+  }
+
   test("v3 semantic candidates lose nothing vs all-pairs cosine (oracle precondition)") {
     // the driver oracle replays v3's semantic pair set as ALL-PAIRS
     // exact cosine >= 0.45 over the string-stage keepers; that replay
