@@ -67,6 +67,18 @@ object SparkEntry {
     }
   }
 
+  /** Maintained suggester-vocab index root for a data dir (memoized
+    * like the dedup/ANN indexes — ingest-time work): the documents
+    * table ingested as 3 disjoint batches through the additive
+    * TermsIndex merge. */
+  private def termsIndexRoot(s: SparkSession, dir: String): String =
+    indexRoot("terms", dir) { r =>
+      val docs = Tables.documents(s, dir)
+      (0 until 3).foreach(b =>
+        text.TermsIndex.updateWithBatch(
+          docs.filter(col("doc_id") % 3 === b), b.toLong, r))
+    }
+
   /** Two-phase river scan (reference facet-then-scan): tiny watermark
     * aggregates over the simulated sink (= the first half of the key
     * space — the "already-imported" snapshot, deterministic so the
@@ -789,6 +801,23 @@ object SparkEntry {
     // span_first: "hash" within the first 12 tokens
     "text_span_first" -> ((s, dir) =>
       text.TextOps.spanFirst(Tables.documents(s, dir), "hash", 12, 25)),
+
+    // completion suggester served FROM the maintained vocab index
+    // (TermsIndex — the ES index-time FST shape): corpus ingested as 3
+    // disjoint batches, additive merges; query reads only the vocab
+    // table. Shares text_completion_suggest's oracle — merged counts
+    // == from-scratch counts (TermsIndexSpec pins it).
+    "text_completion_suggest_indexed" -> ((s, dir) => {
+      val root = termsIndexRoot(s, dir)
+      text.TermsIndex.completionSuggestIndexed(s, root, "s", 5)
+    }),
+
+    // term suggester ("did you mean") from the same maintained vocab —
+    // shares text_suggest's oracle
+    "text_suggest_indexed" -> ((s, dir) => {
+      val root = termsIndexRoot(s, dir)
+      text.TermsIndex.termSuggestIndexed(s, root, "bath", 2, 5)
+    }),
 
     // combined_fields (BM25F): title window (8 tokens) ^2 + body ^1
     // merged into one virtual field with shared IDF
@@ -1897,13 +1926,8 @@ object SparkEntry {
         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
 
-    "text_suggest" ->
-      raw"""WITH v AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
-           |           FROM documents),
-           |tf AS (SELECT term, count(*) AS freq FROM v WHERE term <> '' GROUP BY term)
-           |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
-           |FROM tf WHERE levenshtein(term, 'bath') <= 2
-           |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin,
+    "text_suggest" -> termSuggestSql,
+    "text_suggest_indexed" -> termSuggestSql,
 
     "text_terms_set" ->
       raw"""SELECT doc_id, n_matched FROM (
@@ -2038,13 +2062,8 @@ object SparkEntry {
            |FROM lex FULL OUTER JOIN sem USING (doc_id)
            |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
 
-    "text_completion_suggest" ->
-      raw"""SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs FROM (
-           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-           |  FROM documents)
-           |WHERE term LIKE 's%'
-           |GROUP BY term
-           |ORDER BY n_occ DESC, n_docs DESC, term LIMIT 5""".stripMargin,
+    "text_completion_suggest" -> completionSuggestSql,
+    "text_completion_suggest_indexed" -> completionSuggestSql,
 
     "text_phrase_suggest" ->
       raw"""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
@@ -3134,6 +3153,25 @@ object SparkEntry {
 
     "q_variable_width_histogram" -> variableWidthSql
   )
+
+  /** Shared by the corpus-pass and maintained-index forms — merged
+    * additive counts equal from-scratch counts, so one oracle drives
+    * both (the dedup_incremental_indexed convention). */
+  private val completionSuggestSql: String =
+    raw"""SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs FROM (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+         |  FROM documents)
+         |WHERE term LIKE 's%'
+         |GROUP BY term
+         |ORDER BY n_occ DESC, n_docs DESC, term LIMIT 5""".stripMargin
+
+  private val termSuggestSql: String =
+    raw"""WITH v AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+         |           FROM documents),
+         |tf AS (SELECT term, count(*) AS freq FROM v WHERE term <> '' GROUP BY term)
+         |SELECT term, freq, CAST(levenshtein(term, 'bath') AS BIGINT) AS dist
+         |FROM tf WHERE levenshtein(term, 'bath') <= 2
+         |ORDER BY dist, freq DESC, term LIMIT 5""".stripMargin
 
   /** pipe_release_manifest_v3 oracle — the full CTE-chain replay of
     * the fingerprint -> MinHash-LSH -> semantic release chain (shared
