@@ -802,6 +802,12 @@ object SparkEntry {
     "text_span_first" -> ((s, dir) =>
       text.TextOps.spanFirst(Tables.documents(s, dir), "hash", 12, 25)),
 
+    // _rank_eval: precision@5/@10, recall@20, MRR of the BM25 page
+    // against the all-terms judgment set
+    "q_rank_eval" -> ((s, dir) =>
+      text.TextOps.rankEval(Tables.documents(s, dir),
+        Seq("dup", "query", "scan"), 20)),
+
     // completion suggester served FROM the maintained vocab index
     // (TermsIndex — the ES index-time FST shape): corpus ingested as 3
     // disjoint batches, additive merges; query reads only the vocab
@@ -1118,6 +1124,19 @@ object SparkEntry {
 
     "mm_binary_meta" -> ((s, dir) =>
       multimodal.Multimodal.binaryMeta(Tables.documents(s, dir))),
+
+    // payload-level exact dedup: same-bytes uploads grouped by content
+    // checksum, keeper + wasted-bytes accounting. The synthetic corpus
+    // has no byte-identical payloads, so the wiring injects
+    // deterministic re-uploads (every 20th doc again under id+10000 —
+    // the dedup_containment inject-then-detect discipline) so the
+    // detector demonstrably fires; both engines build the same frame.
+    "mm_payload_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val reuploads = docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      multimodal.Multimodal.payloadDedup(docs.unionByName(reuploads))
+    }),
 
     "mm_feature_stub" -> ((s, dir) =>
       // exploded to one scalar row per dimension so the result is
@@ -2953,6 +2972,52 @@ object SparkEntry {
         |       upper(substring(hex(encode(text)), 1, 8)) AS magic_hex,
         |       md5(text) AS md5_hex
         |FROM documents""".stripMargin,
+
+    "mm_payload_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT md5_hex, count(*) AS n_copies, min(doc_id) AS keeper_id,
+        |       min(n_bytes) AS n_bytes,
+        |       (count(*) - 1) * min(n_bytes) AS wasted_bytes
+        |FROM (SELECT doc_id, md5(text) AS md5_hex,
+        |             octet_length(encode(text)) AS n_bytes
+        |      FROM corpus)
+        |GROUP BY md5_hex HAVING count(*) > 1""".stripMargin,
+
+    "q_rank_eval" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+           |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+           |      FROM d),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |bm AS (SELECT doc_id,
+           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+           |  ORDER BY score DESC, doc_id LIMIT 20),
+           |pg AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+           |j AS (SELECT doc_id, (tf0 > 0 AND tf1 > 0 AND tf2 > 0) AS rel FROM p),
+           |t AS (SELECT CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant FROM j),
+           |m AS (SELECT
+           |        CAST(sum(CASE WHEN rel AND rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits5,
+           |        CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+           |        CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hitsN,
+           |        min(CASE WHEN rel THEN rank END) AS first_rel
+           |      FROM pg JOIN j USING (doc_id))
+           |SELECT n_relevant,
+           |       CAST(hits5 AS DOUBLE) / 5 AS precision_at_5,
+           |       CAST(hits10 AS DOUBLE) / 10 AS precision_at_10,
+           |       CAST(hitsN AS DOUBLE) / n_relevant AS recall_at_20,
+           |       coalesce(1.0e0 / first_rel, 0e0) AS mrr
+           |FROM m CROSS JOIN t""".stripMargin,
 
     // ----- river core -----
 

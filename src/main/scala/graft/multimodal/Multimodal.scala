@@ -33,6 +33,26 @@ object Multimodal {
       md5(payload).as("md5_hex"))
   }
 
+  /** Exact payload-level dedup — the "same image uploaded twice"
+    * detector a multimodal corpus runs before any decode: group by
+    * content checksum, keep the smallest id, report the bytes a
+    * release saves by deduplicating. One hash agg on the md5 key
+    * (map-side combinable — payloads themselves never shuffle, only
+    * their 16-byte digests); the real-deployment variant swaps md5
+    * for a perceptual hash and this plan shape is unchanged. */
+  def payloadDedup(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs
+      .select(col("doc_id"), md5(payload).as("md5_hex"),
+        octet_length(payload).cast("long").as("n_bytes"))
+      .groupBy("md5_hex")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_id"),
+        min(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") > 1)
+      .withColumn("wasted_bytes", (col("n_copies") - 1) * col("n_bytes"))
+  }
+
   /** STUB DECODER — a real deployment decodes media bytes here (PIL/
     * ffmpeg-style libs are absent in this container). Deterministic
     * fake with a decoder-like access pattern: mean byte value over

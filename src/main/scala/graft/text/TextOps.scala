@@ -964,6 +964,44 @@ object TextOps {
       .select("doc_id", "lex_norm", "sem_norm", "fused")
   }
 
+  /** ES _rank_eval API: search-quality metrics for a ranking against a
+    * judgment set — precision@5/@10, recall@n, and MRR, the eval loop a
+    * relevance-tuning pipeline runs after every change. The ranking is
+    * the BM25 top-n page; the judgment set is deterministic and
+    * data-derived (docs containing ALL query terms — a replayable
+    * relevance proxy), so every metric is an exact rational of integer
+    * counts (no ties to break: the page ranks are already unique).
+    * Scale shape: the page is driver-bounded (n rows), the judgment
+    * flag is a narrow per-row predicate, the corpus-wide relevant
+    * count is one 1-row aggregate — nothing beyond the BM25 pass
+    * touches data scale. */
+  def rankEval(docs: DataFrame, terms: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && n >= 10)
+    val toks = split(lower(col("text")), "\\s+")
+    val relevant = terms.map(t =>
+      size(filter(toks, x => x === lit(t))) > 0).reduce(_ && _)
+    val judged = docs.select(col("doc_id"), relevant.as("rel"))
+    val page = bm25Search(docs, terms, n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .join(judged, "doc_id")
+    val totals = judged.agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_relevant"))
+    page
+      .agg(
+        sum(when(col("rel") && col("rank") <= 5, 1L).otherwise(0L)).as("hits5"),
+        sum(when(col("rel") && col("rank") <= 10, 1L).otherwise(0L)).as("hits10"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("hitsN"),
+        min(when(col("rel"), col("rank"))).as("first_rel"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("n_relevant"),
+        (col("hits5").cast("double") / 5).as("precision_at_5"),
+        (col("hits10").cast("double") / 10).as("precision_at_10"),
+        (col("hitsN").cast("double") / col("n_relevant")).as(s"recall_at_$n"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
+  }
+
   /** ES span_first query: docs where `term` occurs within the first
     * `end` token positions ("in the opening words" — title-ish matching
     * without a separate title field). Scored by the count of qualifying

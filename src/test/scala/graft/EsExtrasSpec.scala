@@ -413,6 +413,47 @@ class EsExtrasSpec extends SparkSpec {
     assert(both > 0, "no doc scored in both views — fusion is vacuous")
   }
 
+  test("rankEval: metrics replay from the page and the judgment set") {
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("dup", "query", "scan")
+    val row = TextOps.rankEval(docs, terms, 20).head()
+    // replay: page from the same bm25 operator, judgments from collect
+    val page = TextOps.bm25Search(docs, terms, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    val rel = docs.select("doc_id", "text").collect()
+      .filter { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+")
+        terms.forall(q => t.contains(q))
+      }.map(_.getLong(0)).toSet
+    val ranks = page.zipWithIndex.map { case (id, i) => (id, i + 1) }
+    val hits5 = ranks.count { case (id, rk) => rel(id) && rk <= 5 }
+    val hits10 = ranks.count { case (id, rk) => rel(id) && rk <= 10 }
+    val hitsN = ranks.count { case (id, _) => rel(id) }
+    val firstRel = ranks.collectFirst { case (id, rk) if rel(id) => rk }
+    assert(row.getLong(0) == rel.size.toLong)
+    assert(row.getDouble(1) == hits5.toDouble / 5)
+    assert(row.getDouble(2) == hits10.toDouble / 10)
+    assert(row.getDouble(3) == hitsN.toDouble / rel.size)
+    assert(row.getDouble(4) == firstRel.map(1.0 / _).getOrElse(0.0))
+    assert(rel.nonEmpty && row.getDouble(4) > 0,
+      "the judgment set and the MRR must be non-vacuous")
+  }
+
+  test("payloadDedup: byte-identical payloads group under one keeper") {
+    val docs = docsDf(
+      1L -> "same bytes here",
+      2L -> "unique content",
+      9L -> "same bytes here", // duplicate of 1
+      4L -> "also unique")
+    val got = multimodal.Multimodal.payloadDedup(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L, "2 copies, keeper = min id")
+    assert(r.getLong(3) == "same bytes here".getBytes("UTF-8").length.toLong)
+    assert(r.getLong(4) == r.getLong(3), "wasted = (copies-1) × size")
+  }
+
   test("percolateDsl: stored bool trees replay per-doc, minimum_should_match binds") {
     val docs = Tables.documents(spark, sfDir)
     import graft.text.BoolDsl._
