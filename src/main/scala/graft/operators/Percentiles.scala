@@ -198,10 +198,19 @@ object Percentiles {
     * same id tie-break) — identical output to the double-windowed exact
     * form; the per-group medians broadcast between the passes. */
   def madDist(events: DataFrame, buckets: Int = 4096): DataFrame = {
+    // The medians frame is group-count-sized but its LINEAGE is the
+    // whole multi-pass rank-select; the second rank-select references
+    // its input ≥3 times (pass-1 stats, histogram, located-bucket
+    // re-scan), so without truncation the first select's plan subtree
+    // replicates multiplicatively (measured: 308 exchanges in the
+    // physical plan vs ~40 after). localCheckpoint materializes the
+    // few rows once and makes every reference a leaf — bit-identical
+    // output, same oracle.
     val med = rankSelect(
       events.select(col("event_type"), col("value"), col("event_id")),
       "event_type", "value", "event_id", Seq(0.5), buckets)
       .select(col("event_type"), col("value").as("median_value"))
+      .localCheckpoint()
     val dev = events.join(broadcast(med), "event_type")
       .select(col("event_type"),
         abs(col("value") - col("median_value")).as("dev"), col("event_id"))
