@@ -339,6 +339,25 @@ object SparkEntry {
     "q_change_point" -> ((s, dir) =>
       operators.Analytics.changePoint(Tables.events(s, dir))),
 
+    // ip_prefix: /12 subnet rollup of the derived IPv4 space
+    "q_ip_prefix" -> ((s, dir) =>
+      operators.Analytics.ipPrefixFacet(Tables.events(s, dir), 12)),
+
+    // bucket_script: per-day purchase/click value ratio (conversion
+    // shape), zero-denominator buckets skipped per ES gap policy
+    "q_bucket_script" -> ((s, dir) =>
+      operators.Analytics.bucketScript(Tables.events(s, dir))),
+
+    // rank_feature (saturation): boost·x/(x+pivot) popularity scoring
+    "q_rank_feature" -> ((s, dir) =>
+      operators.Analytics.rankFeature(Tables.events(s, dir), 50.0, 2.0, 20)),
+
+    // join-field parent agg: child buckets → parent metrics, each
+    // parent once per bucket
+    "q_parent_agg" -> ((s, dir) =>
+      operators.Analytics.parentAgg(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+
     // distance_feature: proximity-to-origin rational decay on ts
     // (origin mid-range, pivot = 1 day)
     "q_distance_feature" -> ((s, dir) =>
@@ -1488,6 +1507,43 @@ object SparkEntry {
         |SELECT day_idx AS split_after_day, c_n AS n_left, n_right,
         |       mean_left, mean_right, abs(mean_right - mean_left) AS shift
         |FROM cand ORDER BY shift DESC, day_idx LIMIT 1""".stripMargin,
+
+    "q_ip_prefix" ->
+      s"""WITH u AS (SELECT ${operators.Analytics.ipU32Sql} AS u32, user_id FROM events),
+        |p AS (SELECT u32 - (u32 % 1048576) AS prefix_u32, user_id FROM u)
+        |SELECT CAST(prefix_u32 // 16777216 % 256 AS VARCHAR) || '.' ||
+        |       CAST(prefix_u32 // 65536 % 256 AS VARCHAR) || '.' ||
+        |       CAST(prefix_u32 // 256 % 256 AS VARCHAR) || '.' ||
+        |       CAST(prefix_u32 % 256 AS VARCHAR) || '/12' AS subnet,
+        |       prefix_u32, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM p GROUP BY prefix_u32""".stripMargin,
+
+    "q_bucket_script" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(value AS DECIMAL(12,2)) END) AS purchase_sum,
+        |         sum(CASE WHEN event_type = 'click'
+        |                  THEN CAST(value AS DECIMAL(12,2)) END) AS click_sum
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, CAST(purchase_sum AS DOUBLE) AS purchase_sum,
+        |       CAST(click_sum AS DOUBLE) AS click_sum,
+        |       CAST(purchase_sum AS DOUBLE) / CAST(click_sum AS DOUBLE) AS ratio
+        |FROM day
+        |WHERE click_sum IS NOT NULL AND click_sum > 0
+        |  AND purchase_sum IS NOT NULL""".stripMargin,
+
+    "q_rank_feature" ->
+      """SELECT event_id, value, 2.0e0 * value / (value + 50.0e0) AS score
+        |FROM events ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
+
+    "q_parent_agg" ->
+      """SELECT l_returnflag, count(*) AS n_parents,
+        |       CAST(sum(tp) AS DOUBLE) AS sum_parent_total
+        |FROM (SELECT DISTINCT l_returnflag, o_orderkey,
+        |             CAST(o_totalprice AS DECIMAL(12,2)) AS tp
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY 1""".stripMargin,
 
     "q_distance_feature" ->
       """SELECT event_id, epoch_us(ts) AS ts_us,

@@ -608,6 +608,86 @@ object Analytics {
   val ipU32Sql: String =
     "(10 * 16777216 + (user_id * 7 % 256) * 65536 + (user_id * 13 % 256) * 256 + user_id % 256)"
 
+  /** ES ip_prefix aggregation (8.1+): buckets by the network prefix of
+    * the ip field at `prefixLength` bits — the subnet rollup ip_range
+    * cannot express without enumerating every subnet. Same
+    * deterministic u32 ip derivation as [[ipRangeFacet]]; the prefix is
+    * exact integer arithmetic (u32 − u32 mod 2^(32−len), division-free
+    * in both engines), one map-side-combinable hash agg, dotted subnet
+    * echoed per ES. */
+  def ipPrefixFacet(events: DataFrame, prefixLength: Int): DataFrame = {
+    require(prefixLength >= 1 && prefixLength <= 32)
+    val uid = col("user_id")
+    val u32 = lit(10L * 16777216L) + (uid * 7 % 256) * 65536L +
+      (uid * 13 % 256) * 256L + uid % 256
+    val block = 1L << (32 - prefixLength)
+    val pfx = col("__u32") - (col("__u32") % block)
+    events.select(u32.as("__u32"), col("user_id"))
+      .select(pfx.as("prefix_u32"), col("user_id"))
+      .groupBy("prefix_u32")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .select(
+        concat(
+          (col("prefix_u32") / 16777216L).cast("long") % 256, lit("."),
+          (col("prefix_u32") / 65536L).cast("long") % 256, lit("."),
+          (col("prefix_u32") / 256L).cast("long") % 256, lit("."),
+          col("prefix_u32") % 256, lit("/"), lit(prefixLength)).as("subnet"),
+        col("prefix_u32"), col("n"), col("n_users"))
+  }
+
+  /** ES bucket_script pipeline agg: per-bucket arithmetic over sibling
+    * metrics — here the purchase/click value ratio per day (the
+    * conversion-rate shape). Both metrics come from ONE conditional-agg
+    * histogram pass (exact decimal sums); the script is one double
+    * division per bucket row. Buckets with a zero denominator are
+    * dropped, matching ES's skip gap policy. */
+  def bucketScript(events: DataFrame): DataFrame = {
+    events
+      .select(Det.dayIdx("ts").as("day_idx"), col("event_type"),
+        dec2(col("value")).as("v"))
+      .groupBy("day_idx")
+      .agg(
+        sum(when(col("event_type") === "purchase", col("v"))).as("purchase_sum"),
+        sum(when(col("event_type") === "click", col("v"))).as("click_sum"))
+      .filter(col("click_sum").isNotNull && col("click_sum") > 0 &&
+        col("purchase_sum").isNotNull)
+      .select(col("day_idx"),
+        col("purchase_sum").cast("double").as("purchase_sum"),
+        col("click_sum").cast("double").as("click_sum"),
+        (col("purchase_sum").cast("double") / col("click_sum").cast("double"))
+          .as("ratio"))
+  }
+
+  /** ES rank_feature query, `saturation` function: score = boost ·
+    * x/(x + pivot) over a numeric feature — the "boost by popularity"
+    * primitive. Pure rational arithmetic (no log/sigmoid libm), so the
+    * ranking is oracle-exact; narrow scan + bounded TakeOrdered. */
+  def rankFeature(events: DataFrame, pivot: Double, boost: Double,
+      k: Int): DataFrame = {
+    require(pivot > 0)
+    events
+      .select(col("event_id"), col("value"),
+        (lit(boost) * col("value") / (col("value") + lit(pivot))).as("score"))
+      .orderBy(col("score").desc, col("event_id"))
+      .limit(k)
+  }
+
+  /** ES join-field `parent` aggregation (dual of [[childrenAgg]]): from
+    * the CHILD context, bucket by a child field and aggregate the
+    * PARENT docs — each parent counted ONCE per bucket however many of
+    * its children land there (the ES parent-agg dedup rule, made
+    * explicit as a distinct (bucket, parent) projection before the
+    * aggregation — one extra hash shuffle on the pair key, which is
+    * how ES's global ordinals pay for the same dedup). */
+  def parentAgg(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_returnflag"), col("l_orderkey").as("o_orderkey"))
+      .join(orders.select(col("o_orderkey"), col("o_totalprice")), Seq("o_orderkey"))
+      .select(col("l_returnflag"), col("o_orderkey"), dec2(col("o_totalprice")).as("tp"))
+      .distinct()
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_parents"),
+        sum(col("tp")).cast("double").as("sum_parent_total"))
+
   /** ES percentiles_bucket pipeline agg (round 12): exact k = ceil(p·n)
     * order statistics of the WHOLE date-histogram bucket-sum set — the
     * one-shot sibling of [[movingPercentiles]]. One sort of the

@@ -413,6 +413,70 @@ class EsExtrasSpec extends SparkSpec {
     assert(both > 0, "no doc scored in both views — fusion is vacuous")
   }
 
+  test("ipPrefixFacet: /12 subnets partition the derived IP space and nest inside /8") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.ipPrefixFacet(ev, 12).collect()
+      .map(r => r.getLong(1) -> ((r.getString(0), r.getLong(2), r.getLong(3)))).toMap
+    // replay the derivation
+    val rows = ev.select("user_id").collect().map(_.getLong(0))
+    def u32(uid: Long) =
+      10L * 16777216L + (uid * 7 % 256) * 65536L + (uid * 13 % 256) * 256L + uid % 256
+    val naive = rows.map(u32).groupBy(u => u - (u % 1048576L))
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (p, us) => assert(got(p)._2 == us.length.toLong, s"prefix $p") }
+    // every subnet is inside 10.0.0.0/8 and dotted form ends in /12
+    got.values.foreach { case (subnet, _, _) =>
+      assert(subnet.startsWith("10.") && subnet.endsWith("/12"), subnet)
+    }
+    // the prefix is coarser than the raw ip (fewer buckets than distinct ips)
+    assert(got.size < rows.map(u32).distinct.length)
+  }
+
+  test("bucketScript: per-day ratio replays and the gap policy drops zero denominators") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.bucketScript(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val rows = ev.select(unix_micros(col("ts")), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val naive = rows.groupBy(_._1).flatMap { case (d, rs) =>
+      val p = rs.filter(_._2 == "purchase").map(_._3)
+      val c = rs.filter(_._2 == "click").map(_._3)
+      if (p.nonEmpty && c.nonEmpty && c.sum > 0)
+        Some(d -> ((p.sum.toDouble, c.sum.toDouble, p.sum.toDouble / c.sum.toDouble)))
+      else None
+    }
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  test("rankFeature: saturation scores replay exactly and saturate below boost") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.rankFeature(ev, 50.0, 2.0, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val naive = ev.select("event_id", "value").collect()
+      .map(r => (r.getLong(0), 2.0 * r.getDouble(1) / (r.getDouble(1) + 50.0)))
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(got.toSeq == naive.toSeq)
+    assert(got.forall(_._2 < 2.0), "saturation never reaches the boost asymptote")
+  }
+
+  test("parentAgg: each parent counted once per bucket") {
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val got = Analytics.parentAgg(orders, lineitem).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = lineitem.select("l_returnflag", "l_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    val naive = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got == naive)
+    // the dedup binds: raw child rows exceed the distinct parent count
+    val rawCounts = lineitem.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(naive.exists { case (k, n) => rawCounts(k) > n },
+      "some parent must have multiple children in a bucket")
+  }
+
   test("rankEval: metrics replay from the page and the judgment set") {
     val docs = Tables.documents(spark, sfDir)
     val terms = Seq("dup", "query", "scan")
