@@ -857,6 +857,14 @@ object SparkEntry {
         Tables.embeddings(s, dir), Seq("dup", "query", "scan"),
         7L, 30, 15, 0.75, 0.25)),
 
+    // query_string: the Kibana q= mini-language parsed onto the
+    // BoolDsl AST — one scan, pushable keyword/range conjuncts
+    "q_query_string" -> ((s, dir) =>
+      text.BoolDsl.search(Tables.documents(s, dir),
+        text.QueryString.parse(
+          "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150"),
+        20)),
+
     // percolate with stored BOOL TREES: three registered queries with
     // filter/should/must_not context evaluated in one corpus pass
     "text_percolate_dsl" -> ((s, dir) =>
@@ -1658,6 +1666,22 @@ object SparkEntry {
            |  0.75e0 * coalesce(lex_norm, 0e0) + 0.25e0 * coalesce(sem_norm, 0e0) AS fused
            |FROM lex FULL OUTER JOIN sem USING (doc_id)
            |ORDER BY fused DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_query_string" ->
+      raw"""WITH t AS (SELECT doc_id, source, n_chars,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'hash')) AS BIGINT) AS tf_hash,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) AS BIGINT) AS tf_join,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'vector')) AS BIGINT) AS tf_vec
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(tf_hash AS DOUBLE) * 1.0e0
+           |    + (CASE WHEN tf_join > 0 THEN CAST(tf_join AS DOUBLE) * 1.0e0 ELSE 0e0 END
+           |       + CASE WHEN tf_vec > 0 THEN CAST(tf_vec AS DOUBLE) * 1.0e0 ELSE 0e0 END) * 1.0e0
+           |    + 0.0e0 + 1.0e0 AS score
+           |FROM t
+           |WHERE tf_hash > 0 AND (tf_join > 0 OR tf_vec > 0)
+           |  AND NOT source = 'src13' AND n_chars >= 150
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_percolate_dsl" ->
       raw"""WITH d AS (SELECT doc_id, lang, source, n_chars,

@@ -154,4 +154,48 @@ class BoolDslSpec extends SparkSpec {
     assert(plan.contains("LessThanOrEqual(n_chars,450)"), plan)
     assert(plan.contains("In(source"), plan)
   }
+
+  test("QueryString: the wired q= compiles to the expected bool tree") {
+    import graft.text.QueryString
+    val got = QueryString.parse(
+      "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150")
+    val want = Bool(must = Seq(
+      MatchQ("hash"),
+      Bool(should = Seq(MatchQ("join"), MatchQ("vector")), minimumShouldMatch = 1),
+      Bool(mustNot = Seq(TermQ("source", "src13"))),
+      RangeQ("n_chars", gte = Some(150.0))))
+    assert(got == want)
+  }
+
+  test("QueryString: precedence, default operator, negation, prefix and strict ranges") {
+    import graft.text.QueryString._
+    // AND binds tighter than OR
+    assert(parse("a AND b OR c") ==
+      Bool(should = Seq(Bool(must = Seq(MatchQ("a"), MatchQ("b"))), MatchQ("c")),
+        minimumShouldMatch = 1))
+    // bare juxtaposition = the ES default operator OR
+    assert(parse("a b") ==
+      Bool(should = Seq(MatchQ("a"), MatchQ("b")), minimumShouldMatch = 1))
+    // NOT spellings agree
+    assert(parse("NOT lang:de") == parse("-lang:de"))
+    // prefix and strict-range atoms (integral fields: >149 ≡ >=150)
+    assert(parse("source:src1*") == PrefixQ("source", "src1"))
+    assert(parse("n_chars:>149") == RangeQ("n_chars", gte = Some(150.0)))
+    assert(parse("n_chars:<151") == RangeQ("n_chars", lte = Some(150.0)))
+    // range atoms reject non-numeric fields rather than mis-typing
+    intercept[IllegalArgumentException](parse("lang:>=150"))
+    intercept[IllegalArgumentException](parse("a AND (b"))
+  }
+
+  test("QueryString: parsed search equals the hand-built tree's search") {
+    import graft.text.QueryString
+    val q = "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150"
+    val parsed = BoolDsl.search(docs, QueryString.parse(q), 20).collect().toSeq.map(_.toSeq)
+    val hand = BoolDsl.search(docs, Bool(must = Seq(
+      MatchQ("hash"),
+      Bool(should = Seq(MatchQ("join"), MatchQ("vector")), minimumShouldMatch = 1),
+      Bool(mustNot = Seq(TermQ("source", "src13"))),
+      RangeQ("n_chars", gte = Some(150.0)))), 20).collect().toSeq.map(_.toSeq)
+    assert(parsed == hand && parsed.nonEmpty)
+  }
 }
