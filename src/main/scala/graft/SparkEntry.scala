@@ -352,6 +352,22 @@ object SparkEntry {
     "q_rank_feature" -> ((s, dir) =>
       operators.Analytics.rankFeature(Tables.events(s, dir), 50.0, 2.0, 20)),
 
+    // extended_stats_bucket: second-moment sibling stats over the day
+    // histogram's bucket values
+    "q_extended_stats_bucket" -> ((s, dir) =>
+      operators.Analytics.extendedStatsBucket(Tables.events(s, dir))),
+
+    // bucket_correlation: exact Pearson r between the purchase and
+    // click day-series (insert_zeros gap policy)
+    "q_bucket_correlation" -> ((s, dir) =>
+      operators.Analytics.bucketCorrelation(Tables.events(s, dir))),
+
+    // intervals (ordered, max_gaps=6): hash → join → scan with ≤ 6
+    // interior gaps, triple-count scored
+    "text_intervals" -> ((s, dir) =>
+      text.TextOps.intervalsQuery(Tables.documents(s, dir),
+        "hash", "join", "scan", 6, 25)),
+
     // join-field parent agg: child buckets → parent metrics, each
     // parent once per bucket
     "q_parent_agg" -> ((s, dir) =>
@@ -1544,6 +1560,64 @@ object SparkEntry {
     "q_rank_feature" ->
       """SELECT event_id, value, 2.0e0 * value / (value + 50.0e0) AS score
         |FROM events ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
+
+    "q_extended_stats_bucket" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n_buckets,
+        |        CAST(min(dsum) AS DOUBLE) AS min_bucket,
+        |        CAST(max(dsum) AS DOUBLE) AS max_bucket,
+        |        sum(dsum) AS s1,
+        |        sum(CAST(dsum AS DECIMAL(38,4)) * CAST(dsum AS DECIMAL(38,4))) AS s2
+        |      FROM day)
+        |SELECT n_buckets, min_bucket, max_bucket,
+        |       CAST(s1 AS DOUBLE) AS sum_buckets,
+        |       CAST(s1 AS DOUBLE) / n_buckets AS avg_bucket,
+        |       CAST(s2 AS DOUBLE) AS sum_of_squares,
+        |       CAST(s2 AS DOUBLE) / n_buckets
+        |         - (CAST(s1 AS DOUBLE) / n_buckets) * (CAST(s1 AS DOUBLE) / n_buckets) AS variance,
+        |       sqrt(CAST(s2 AS DOUBLE) / n_buckets
+        |         - (CAST(s1 AS DOUBLE) / n_buckets) * (CAST(s1 AS DOUBLE) / n_buckets)) AS std_deviation
+        |FROM a""".stripMargin,
+
+    "q_bucket_correlation" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         coalesce(sum(CASE WHEN event_type = 'purchase'
+        |                           THEN CAST(value AS DECIMAL(12,2)) END),
+        |                  CAST(0.0 AS DECIMAL(12,2))) AS x,
+        |         coalesce(sum(CASE WHEN event_type = 'click'
+        |                           THEN CAST(value AS DECIMAL(12,2)) END),
+        |                  CAST(0.0 AS DECIMAL(12,2))) AS y
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(CAST(x AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4))) AS sxy,
+        |        sum(CAST(x AS DECIMAL(38,4)) * CAST(x AS DECIMAL(38,4))) AS sxx,
+        |        sum(CAST(y AS DECIMAL(38,4)) * CAST(y AS DECIMAL(38,4))) AS syy
+        |      FROM day)
+        |SELECT n,
+        |       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS correlation
+        |FROM a""".stripMargin,
+
+    "text_intervals" ->
+      raw"""WITH tk AS (SELECT doc_id,
+           |    unnest(string_split_regex(lower(text), '\s+')) AS t,
+           |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+           |  FROM documents),
+           |p1 AS (SELECT doc_id, i FROM tk WHERE t = 'hash'),
+           |p2 AS (SELECT doc_id, i FROM tk WHERE t = 'join'),
+           |p3 AS (SELECT doc_id, i FROM tk WHERE t = 'scan')
+           |SELECT p1.doc_id, count(*) AS n_intervals
+           |FROM p1 JOIN p3 ON p1.doc_id = p3.doc_id
+           |WHERE p3.i > p1.i + 1 AND p3.i - p1.i - 2 <= 6
+           |  AND EXISTS (SELECT 1 FROM p2 WHERE p2.doc_id = p1.doc_id
+           |              AND p2.i > p1.i AND p2.i < p3.i)
+           |GROUP BY p1.doc_id
+           |ORDER BY n_intervals DESC, p1.doc_id LIMIT 25""".stripMargin,
 
     "q_parent_agg" ->
       """SELECT l_returnflag, count(*) AS n_parents,

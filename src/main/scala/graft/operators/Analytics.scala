@@ -608,6 +608,67 @@ object Analytics {
   val ipU32Sql: String =
     "(10 * 16777216 + (user_id * 7 % 256) * 65536 + (user_id * 13 % 256) * 256 + user_id % 256)"
 
+  /** ES extended_stats_bucket sibling-pipeline agg: the extended-stats
+    * set (count/min/max/sum/avg/sum_of_squares/variance/std_deviation)
+    * OVER the date-histogram bucket values — [[statsBucket]] widened
+    * with the second moment, on the [[extendedStats]] exact-decimal
+    * discipline (squares at DECIMAL(38,4), fixed-order double
+    * derivation — merge-order independent). One aggregation of the
+    * bounded bucket set. */
+  def extendedStatsBucket(events: DataFrame): DataFrame = {
+    val d4 = DecimalType(38, 4)
+    dayBuckets(events)
+      .agg(count(lit(1)).as("n_buckets"),
+        min(col("dsum")).cast("double").as("min_bucket"),
+        max(col("dsum")).cast("double").as("max_bucket"),
+        sum(col("dsum")).as("s1"),
+        sum(col("dsum").cast(d4) * col("dsum").cast(d4)).as("s2"))
+      .select(col("n_buckets"), col("min_bucket"), col("max_bucket"),
+        col("s1").cast("double").as("sum_buckets"),
+        (col("s1").cast("double") / col("n_buckets")).as("avg_bucket"),
+        col("s2").cast("double").as("sum_of_squares"),
+        (col("s2").cast("double") / col("n_buckets") -
+          (col("s1").cast("double") / col("n_buckets")) *
+            (col("s1").cast("double") / col("n_buckets"))).as("variance"))
+      .withColumn("std_deviation", sqrt(col("variance")))
+  }
+
+  /** ES bucket_correlation pipeline agg (8.x, the `count_correlation`
+    * shape made exact): Pearson r between two day-bucket metric series
+    * — purchase value sums vs click value sums, days where a type is
+    * absent contributing 0 (aligned series, the ES gap_policy:
+    * insert_zeros). Power sums on the exact DECIMAL domain over the
+    * BOUNDED bucket set (one conditional-agg histogram pass + one 1-row
+    * aggregation), then the fixed-order double formula — the
+    * matrixStats merge-order-independence discipline, so both engines
+    * produce the identical bits. */
+  def bucketCorrelation(events: DataFrame): DataFrame = {
+    val d4 = DecimalType(38, 4)
+    val day = events
+      .select(Det.dayIdx("ts").as("day_idx"), col("event_type"),
+        dec2(col("value")).as("v"))
+      .groupBy("day_idx")
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase", col("v"))),
+          dec2(lit(0.0))).as("x"),
+        coalesce(sum(when(col("event_type") === "click", col("v"))),
+          dec2(lit(0.0))).as("y"))
+    day
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d4) * col("y").cast(d4)).as("sxy"),
+        sum(col("x").cast(d4) * col("x").cast(d4)).as("sxx"),
+        sum(col("y").cast(d4) * col("y").cast(d4)).as("syy"))
+      .select(col("n"),
+        ((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("correlation"))
+  }
+
   /** ES ip_prefix aggregation (8.1+): buckets by the network prefix of
     * the ip field at `prefixLength` bits — the subnet rollup ip_range
     * cannot express without enumerating every subnet. Same

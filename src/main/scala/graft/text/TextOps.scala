@@ -1002,6 +1002,37 @@ object TextOps {
         coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
   }
 
+  /** ES intervals query (`match` rule, ordered=true, max_gaps): docs
+    * where `t1`, `t2`, `t3` occur IN ORDER with at most `maxGaps`
+    * non-matching positions inside the whole interval (ES's gap
+    * definition: span length minus the 3 matched slots — k − i − 2 ≤
+    * maxGaps with i<j<k), scored by the count of qualifying ordered
+    * triples. The three-term generalization of [[phraseMatchSlop]]'s
+    * pair machinery: positions from one transform-with-index pass,
+    * the triple count a nested array fold — narrow codegen'd column
+    * work, no explode/join below the top-k. */
+  def intervalsQuery(docs: DataFrame, t1: String, t2: String, t3: String,
+      maxGaps: Int, k: Int): DataFrame = {
+    require(Set(t1, t2, t3).size == 3, "interval terms must be distinct")
+    require(maxGaps >= 0)
+    val toks = split(lower(col("text")), "\\s+")
+    def positions(term: String) =
+      filter(transform(toks, (t, i) => when(t === term, i + 1).otherwise(-1)),
+        p => p > 0)
+    docs
+      .select(col("doc_id"), positions(t1).as("p1"), positions(t2).as("p2"),
+        positions(t3).as("p3"))
+      .select(col("doc_id"),
+        aggregate(col("p1"), lit(0L), (acc, i) =>
+          acc + aggregate(col("p3"), lit(0L), (acc3, kk) =>
+            acc3 + when(kk > i + 1 && kk - i - 2 <= maxGaps &&
+              exists(col("p2"), j => j > i && j < kk), 1L).otherwise(0L)))
+          .as("n_intervals"))
+      .filter(col("n_intervals") > 0)
+      .orderBy(col("n_intervals").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES span_first query: docs where `term` occurs within the first
     * `end` token positions ("in the opening words" — title-ish matching
     * without a separate title field). Scored by the count of qualifying

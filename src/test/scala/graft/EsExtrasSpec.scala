@@ -477,6 +477,62 @@ class EsExtrasSpec extends SparkSpec {
       "some parent must have multiple children in a bucket")
   }
 
+  test("extendedStatsBucket: second moments replay from the bucket values") {
+    val ev = Tables.events(spark, sfDir)
+    val row = Analytics.extendedStatsBucket(ev).head()
+    val sums = ev.select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L,
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (_, rs) => rs.map(_._2).sum }.toSeq
+    val n = sums.length
+    val s1 = sums.sum.toDouble
+    val s2 = sums.map(s => (s * s).setScale(4)).sum.toDouble
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getDouble(3) == s1 && row.getDouble(5) == s2)
+    val variance = s2 / n - (s1 / n) * (s1 / n)
+    assert(row.getDouble(6) == variance)
+    assert(row.getDouble(7) == math.sqrt(variance))
+  }
+
+  test("bucketCorrelation: exact-power-sum Pearson replays and is a valid r") {
+    val ev = Tables.events(spark, sfDir)
+    val row = Analytics.bucketCorrelation(ev).head()
+    val series = ev.select(unix_micros(col("ts")), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (_, rs) =>
+        (rs.filter(_._2 == "purchase").map(_._3).sum,
+          rs.filter(_._2 == "click").map(_._3).sum)
+      }.toSeq
+    val n = series.length
+    def d(b: BigDecimal) = b.toDouble
+    val sx = d(series.map(_._1).sum); val sy = d(series.map(_._2).sum)
+    val sxy = d(series.map { case (x, y) => (x * y).setScale(4) }.sum)
+    val sxx = d(series.map { case (x, _) => (x * x).setScale(4) }.sum)
+    val syy = d(series.map { case (_, y) => (y * y).setScale(4) }.sum)
+    val r = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getDouble(1) == r)
+    assert(math.abs(r) <= 1.0)
+  }
+
+  test("intervalsQuery: ordered triples within max_gaps, the gap bound binds") {
+    val docs = docsDf(
+      1L -> "hash join scan end",          // gaps 0 → matches
+      2L -> "hash x x join scan",          // span 5, gaps 2
+      3L -> "scan join hash",              // wrong order → no match
+      4L -> "hash scan join",              // no t2 between t1 and t3
+      5L -> "hash a b c d e f join scan")  // gaps 6 — at the bound
+    val got = TextOps.intervalsQuery(docs, "hash", "join", "scan", 6, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    val tight = TextOps.intervalsQuery(docs, "hash", "join", "scan", 1, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == Set(1L), "max_gaps must bind")
+  }
+
   test("rankEval: metrics replay from the page and the judgment set") {
     val docs = Tables.documents(spark, sfDir)
     val terms = Seq("dup", "query", "scan")
