@@ -368,6 +368,16 @@ object SparkEntry {
       text.TextOps.intervalsQuery(Tables.documents(s, dir),
         "hash", "join", "scan", 6, 25)),
 
+    // terms lookup: docs sharing tokens with doc 42 (set membership,
+    // not TF scoring — the more_like_this contrast)
+    "text_terms_lookup" -> ((s, dir) =>
+      text.TextOps.termsLookup(Tables.documents(s, dir), 42L, 25)),
+
+    // TSDB time_series agg: per (user band, day) count/sum/last-value
+    // series points in one struct-max hash agg
+    "q_time_series" -> ((s, dir) =>
+      operators.Analytics.timeSeriesAgg(Tables.events(s, dir), 10)),
+
     // join-field parent agg: child buckets → parent metrics, each
     // parent once per bucket
     "q_parent_agg" -> ((s, dir) =>
@@ -1602,6 +1612,31 @@ object SparkEntry {
         |       sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS correlation
         |FROM a""".stripMargin,
+
+    "text_terms_lookup" ->
+      raw"""WITH lk AS (SELECT list_distinct(list_filter(
+           |         string_split_regex(lower(text), '\s+'), x -> x <> '')) AS lt
+           |       FROM documents WHERE doc_id = 42)
+           |SELECT doc_id, n_shared FROM (
+           |  SELECT d.doc_id,
+           |    CAST(len(list_intersect(list_distinct(list_filter(
+           |      string_split_regex(lower(d.text), '\s+'), x -> x <> '')), lk.lt)) AS BIGINT) AS n_shared
+           |  FROM documents d CROSS JOIN lk WHERE d.doc_id <> 42) t
+           |WHERE n_shared > 0
+           |ORDER BY n_shared DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_time_series" ->
+      """SELECT dim, day_idx, n, sum_value, ts_us AS last_ts_us,
+        |       event_id AS last_event_id, value AS last_value FROM (
+        |  SELECT user_id % 10 AS dim, epoch_us(ts) // 86400000000 AS day_idx,
+        |         epoch_us(ts) AS ts_us, event_id, value,
+        |         count(*) OVER w AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_value,
+        |         row_number() OVER (PARTITION BY user_id % 10, epoch_us(ts) // 86400000000
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id % 10, epoch_us(ts) // 86400000000)) t
+        |WHERE rn = 1""".stripMargin,
 
     "text_intervals" ->
       raw"""WITH tk AS (SELECT doc_id,

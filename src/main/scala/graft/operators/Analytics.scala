@@ -1219,6 +1219,28 @@ object Analytics {
       .select(col("event_type"), col("m.ts_us").as("ts_us"),
         col("m.event_id").as("event_id"), col("m.value").as("latest_value"))
 
+  /** ES 8.7 TSDB `time_series` aggregation: per (dimension, time
+    * bucket) series points — doc count, exact value sum, and the
+    * LAST value in the bucket (the TSDB downsampling record shape).
+    * Dimension = user band, bucket = UTC day. The last-value is the
+    * [[topMetrics]] lexicographic struct-max (unique (ts_us, event_id)
+    * makes the argmax deterministic), so the whole agg is ONE
+    * map-side-combinable hash aggregation — no window, no sort, the
+    * same shape a TSDB rollup job wants at petabyte scale. */
+  def timeSeriesAgg(events: DataFrame, dimMod: Int): DataFrame = {
+    require(dimMod > 1)
+    events
+      .groupBy((col("user_id") % dimMod).as("dim"),
+        Det.dayIdx("ts").as("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"),
+        max(struct(unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))).as("m"))
+      .select(col("dim"), col("day_idx"), col("n"), col("sum_value"),
+        col("m.ts_us").as("last_ts_us"), col("m.event_id").as("last_event_id"),
+        col("m.value").as("last_value"))
+  }
+
   /** ES field collapse + inner_hits: search results collapsed to one
     * group per `user_id`, groups ordered by their best hit (value desc,
     * the collapse-field sort ES applies), top `nGroups` groups kept,

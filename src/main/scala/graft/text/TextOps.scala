@@ -1002,6 +1002,30 @@ object TextOps {
         coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
   }
 
+  /** ES terms lookup: a `terms` filter whose value list is fetched from
+    * ANOTHER DOCUMENT's field at query time ("docs sharing a tag with
+    * doc X" — the follower/related-items filter, distinct from
+    * more_like_this's TF-weighted/df-bounded scoring: lookup is plain
+    * set membership over the lookup doc's terms). The lookup doc's
+    * distinct token set rides a 1-row broadcast frame (never a driver
+    * collect), each candidate's score is one array_intersect against
+    * it, and the lookup doc itself is excluded per ES. */
+  def termsLookup(docs: DataFrame, lookupDocId: Long, k: Int): DataFrame = {
+    val tokens = array_distinct(filter(split(lower(col("text")), "\\s+"),
+      t => t =!= ""))
+    val lookup = docs.filter(col("doc_id") === lookupDocId)
+      .select(tokens.as("lookup_terms"))
+    docs
+      .filter(col("doc_id") =!= lookupDocId)
+      .crossJoin(broadcast(lookup))
+      .select(col("doc_id"),
+        size(array_intersect(tokens, col("lookup_terms"))).cast("long")
+          .as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .orderBy(col("n_shared").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES intervals query (`match` rule, ordered=true, max_gaps): docs
     * where `t1`, `t2`, `t3` occur IN ORDER with at most `maxGaps`
     * non-matching positions inside the whole interval (ES's gap

@@ -533,6 +533,41 @@ class EsExtrasSpec extends SparkSpec {
     assert(tight == Set(1L), "max_gaps must bind")
   }
 
+  test("termsLookup: set-membership sharing with the lookup doc, lookup excluded") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.termsLookup(docs, 42L, 1000000).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+      .toMap
+    val lookup = all(42L)
+    val naive = (all - 42L).view
+      .mapValues(ts => ts.intersect(lookup).size.toLong)
+      .filter(_._2 > 0).toMap
+    assert(got == naive)
+    assert(!got.contains(42L), "the lookup doc is excluded per ES")
+    // set membership, not TF: a doc repeating a shared term scores by
+    // DISTINCT overlap (already enforced by the naive equality above)
+  }
+
+  test("timeSeriesAgg: struct-max last values equal the windowed argmax per series bucket") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.timeSeriesAgg(ev, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val rows = ev.select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0) % 10, r.getLong(1) / 86400000000L,
+        r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val naive = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      val last = rs.maxBy(r => (r._3, r._4))
+      k -> ((rs.length.toLong, last._3, last._4, last._5))
+    }
+    assert(got == naive)
+    assert(got.size > rows.map(_._1).distinct.length,
+      "buckets must split series across days, not collapse to one row per dim")
+  }
+
   test("rankEval: metrics replay from the page and the judgment set") {
     val docs = Tables.documents(spark, sfDir)
     val terms = Seq("dup", "query", "scan")
