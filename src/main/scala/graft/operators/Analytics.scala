@@ -653,19 +653,23 @@ object Analytics {
           dec2(lit(0.0))).as("x"),
         coalesce(sum(when(col("event_type") === "click", col("v"))),
           dec2(lit(0.0))).as("y"))
+    val num = col("n") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = sqrt((col("n") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) *
+      (col("n") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")))
     day
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x").cast(d4) * col("y").cast(d4)).as("sxy"),
         sum(col("x").cast(d4) * col("x").cast(d4)).as("sxx"),
         sum(col("y").cast(d4) * col("y").cast(d4)).as("syy"))
+      // a zero-variance series has no defined correlation: emit NaN
+      // explicitly (ANSI mode would otherwise raise DIVIDE_BY_ZERO
+      // on the double division — found by the edge-case suite)
       .select(col("n"),
-        ((col("n") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-          sqrt((col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-            (col("n") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))))
+        when(den === 0.0, lit(Double.NaN)).otherwise(num / den)
           .as("correlation"))
   }
 
@@ -1457,8 +1461,11 @@ object Analytics {
         "__g", "value", "event_id", fracs)
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1).map(_._2) // one edge per fraction, p-ascending
+    // reduceOption: an EMPTY input yields zero edges (rank-select over
+    // nothing), and the operator must then produce an empty result,
+    // not crash building the cluster expression
     val cluster = edges.map(e => when(lit(e) < col("value"), 1).otherwise(0))
-      .reduce(_ + _)
+      .reduceOption(_ + _).getOrElse(lit(0))
     events
       .select(col("value"), cluster.cast("long").as("cluster"))
       .groupBy("cluster")

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Analytics
+import graft.text.TextOps
+
+/** Degenerate-input behavior of the round-12 operators: empty frames
+  * and single-row frames must yield empty/degenerate RESULTS, not plan
+  * or runtime crashes — an engine library gets handed empty partitions
+  * and filtered-to-nothing inputs constantly at 100 TB. */
+class EdgeCasesSpec extends SparkSpec {
+
+  private lazy val emptyEvents: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private lazy val emptyDocs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  test("empty events: aggregation operators return empty or degenerate frames") {
+    assert(Analytics.changePoint(emptyEvents).count() == 0)
+    assert(Analytics.missingAgg(emptyEvents, 5, 7).count() == 0)
+    assert(Analytics.termsPartition(emptyEvents, 4, 2, 10).count() == 0)
+    assert(Analytics.counterRate(emptyEvents, 10).count() == 0)
+    assert(Analytics.distanceFeature(emptyEvents, 0L, 1L, 1.0, 10).count() == 0)
+    assert(Analytics.runtimeFields(emptyEvents).count() == 0)
+    assert(Analytics.randomSamplerAgg(emptyEvents, "200").count() == 0)
+    assert(Analytics.bucketScript(emptyEvents).count() == 0)
+    assert(Analytics.ipPrefixFacet(emptyEvents, 12).count() == 0)
+    assert(Analytics.rankFeature(emptyEvents, 50.0, 2.0, 10).count() == 0)
+    assert(Analytics.timeSeriesAgg(emptyEvents, 10).count() == 0)
+    assert(Analytics.extendedStatsBucket(emptyEvents).count() == 1) // 1-row stats of 0 buckets
+    assert(Analytics.variableWidthHistogram(emptyEvents, 6).count() == 0)
+  }
+
+  test("empty events: globalAgg emits the single all-zero gauge row") {
+    val r = Analytics.globalAgg(emptyEvents,
+      col("event_type") === "purchase").head()
+    assert(r.getLong(0) == 0L && r.getLong(2) == 0L)
+  }
+
+  test("empty docs: text/search operators return empty frames") {
+    assert(TextOps.boostingQuery(emptyDocs, Seq("a"), "b", 0.3, 10).count() == 0)
+    assert(TextOps.pinnedQuery(emptyDocs, Seq(1L), Seq("a"), 10).count() == 0)
+    assert(TextOps.matchPhrasePrefix(emptyDocs, "a", "b", 10).count() == 0)
+    assert(TextOps.spanFirst(emptyDocs, "a", 5, 10).count() == 0)
+    assert(TextOps.intervalsQuery(emptyDocs, "a", "b", "c", 2, 10).count() == 0)
+    assert(TextOps.frequentItemSets(emptyDocs, 5, 1L, 10).count() == 0)
+    assert(TextOps.combinedFieldsSearch(emptyDocs, Seq("a"), 8, 2L, 1L, 10).count() == 0)
+    assert(graft.multimodal.Multimodal.payloadDedup(emptyDocs).count() == 0)
+  }
+
+  test("termsLookup: a missing lookup doc yields no matches, not a crash") {
+    val docs = Tables.documents(spark, sfDir)
+    assert(TextOps.termsLookup(docs, -999L, 10).count() == 0)
+  }
+
+  test("counterRate: single-sample series (span 0) are dropped") {
+    import spark.implicits._
+    val one = Seq((1L, 1000L, 10L, "click", 5.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    assert(Analytics.counterRate(one, 10).count() == 0)
+  }
+
+  test("bucketCorrelation: a zero-variance series yields NaN, not a crash") {
+    import spark.implicits._
+    // only clicks → purchase series all zero → zero variance → r = NaN
+    val ev = (0 until 10).map(i =>
+        (i.toLong, i.toLong * 86400000000L, i.toLong, "click", 1.0 + i, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val r = Analytics.bucketCorrelation(ev).head()
+    assert(r.getLong(0) == 10L && r.getDouble(1).isNaN)
+  }
+}
