@@ -765,8 +765,13 @@ object Analytics {
     val arr = dayBuckets(events)
       .agg(sort_array(collect_list(col("dsum"))).as("__arr"))
     val pCols = fractions.map { p =>
-      element_at(col("__arr"), ceil(lit(p) * size(col("__arr"))).cast("int"))
-        .cast("double").as(s"p${(p * 100).round}")
+      // an empty bucket set has no order statistics: NULL, not an
+      // element_at(0) ANSI error (the movingPercentiles sibling needs
+      // no guard — its window always contains the current row)
+      when(size(col("__arr")) === 0, lit(null).cast("double"))
+        .otherwise(element_at(col("__arr"),
+          ceil(lit(p) * size(col("__arr"))).cast("int")).cast("double"))
+        .as(s"p${(p * 100).round}")
     }
     arr.select(Seq(size(col("__arr")).cast("long").as("n_buckets")) ++ pCols: _*)
   }

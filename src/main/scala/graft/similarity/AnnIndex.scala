@@ -99,10 +99,26 @@ object AnnIndex {
 
   /** The cluster-bucketed corpus across every ingested batch. Filters
     * on cent_id prune to the probed list directories (spec-checked via
-    * the scan's partition count). */
+    * the scan's partition count). An index built over an EMPTY corpus
+    * holds partition markers but no data files — schema inference then
+    * fails, so that case degrades to an explicit empty frame with the
+    * index schema (probes of an empty index return no neighbors, they
+    * don't crash). */
   def assignments(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(assignDir(root))
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    try
+      spark.read.parquet(assignDir(root))
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)),
+            StructField("cent_id", IntegerType))))
+    }
 
   /** Structured Streaming maintenance: first batch trains the
     * centroids, every batch (including the first) appends its

@@ -260,6 +260,11 @@ object HBaseSimStats {
         reader.getFooter.getBlocks.asScala.toList.map(b => (b, toUs))
       } finally reader.close()
     }
+    // zero row groups (empty table): decline the pushdown — Spark then
+    // computes the aggregate itself over zero rows, producing the
+    // correct NULL max/min and 0 count (footer stats cannot represent
+    // "no rows" in this non-nullable result shape)
+    if (blocks.isEmpty) return None
     locally {
       val rowCount = blocks.map(_._1.getRowCount).sum
       def minMax(src: String, isMax: Boolean): Option[Any] = {

@@ -62,6 +62,32 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.multimodal.Multimodal.payloadDedup(emptyDocs).count() == 0)
   }
 
+  test("empty-corpus sweep fixes: footer watermark, percentiles_bucket, empty ANN index") {
+    // a fully-empty testdata dir (the reference's first-import world)
+    val dir = java.nio.file.Files.createTempDirectory("sf-empty").toString
+    Seq("events", "documents", "embeddings").foreach { t =>
+      Tables.load(spark, sfDir, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // footer-stats watermark over zero row groups: pushdown declines,
+    // Spark computes NULL max / 0 count (was: empty.reduceLeft crash)
+    val wm = spark.read.format("hbasesim")
+      .option("path", s"$dir/events.parquet").load()
+      .agg(max(col("ts_us")).as("max_ts_us"), count(lit(1)).as("n")).head()
+    assert(wm.isNullAt(0) && wm.getLong(1) == 0L)
+    // percentiles over zero buckets: NULLs, not element_at(0) (ANSI)
+    val pb = Analytics.percentilesBucket(
+      spark.read.parquet(s"$dir/events.parquet"), Seq(0.5, 0.9)).head()
+    assert(pb.getLong(0) == 0L && pb.isNullAt(1) && pb.isNullAt(2))
+    // an ANN index over an empty corpus: probes return nothing, no
+    // schema-inference crash on the data-less partition directories
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("ann-empty").toString
+    similarity.AnnIndex.trainCentroids(emb, 0L, root)
+    similarity.AnnIndex.appendBatch(emb, 0L, root)
+    assert(similarity.AnnIndex.assignments(spark, root).count() == 0)
+  }
+
   test("termsLookup: a missing lookup doc yields no matches, not a crash") {
     val docs = Tables.documents(spark, sfDir)
     assert(TextOps.termsLookup(docs, -999L, 10).count() == 0)
