@@ -37,6 +37,28 @@ object SparkEntry {
     (0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
     (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
 
+  /** Shared intervals-AST trees (r13) — ONE definition compiled to both
+    * the Spark Column program and the generated DuckDB oracle
+    * ([[text.IntervalsAst]]), so the two engines cannot drift.
+    * `intervalsAstTree` is the ES docs' canonical compose —
+    * all_of(ordered) inside any_of — plus an unordered multi-term match
+    * exercising union gap coverage; `intervalsNestedTree` binds the
+    * other way (any_of INSIDE all_of(ordered) with an outer gap cap). */
+  private val intervalsAstTree: text.IntervalsAst.Node = {
+    import text.IntervalsAst._
+    IAnyOf(Seq(
+      IAllOf(Seq(IMatch(Seq("hash")), IMatch(Seq("join"))),
+        ordered = true, maxGaps = 2),
+      IMatch(Seq("merge", "sort", "scan"), ordered = false, maxGaps = 3)))
+  }
+  private val intervalsNestedTree: text.IntervalsAst.Node = {
+    import text.IntervalsAst._
+    IAllOf(Seq(
+      IAnyOf(Seq(IMatch(Seq("hash")), IMatch(Seq("merge")))),
+      IMatch(Seq("join", "scan"), ordered = true, maxGaps = 4)),
+      ordered = true, maxGaps = 6)
+  }
+
   /** q_ip_range shared edges (10.64/10.128/10.192 quarter boundaries)
     * — one definition feeds the Spark facet and the generated oracle. */
   private val ipEdges: Seq[Long] =
@@ -367,6 +389,19 @@ object SparkEntry {
     "text_intervals" -> ((s, dir) =>
       text.TextOps.intervalsQuery(Tables.documents(s, dir),
         "hash", "join", "scan", 6, 25)),
+
+    // intervals combinator AST (r13): all_of(ordered) inside any_of +
+    // unordered multi-term match — minimal-interval algebra, oracle
+    // generated from the SAME tree
+    "text_intervals_ast" -> ((s, dir) =>
+      text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
+        intervalsAstTree, 25)),
+
+    // any_of nested INSIDE all_of(ordered) with an outer gap cap —
+    // the combinator-binds direction the flat form can't express
+    "text_intervals_nested" -> ((s, dir) =>
+      text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
+        intervalsNestedTree, 25)),
 
     // terms lookup: docs sharing tokens with doc 42 (set membership,
     // not TF scoring — the more_like_this contrast)
@@ -1538,7 +1573,8 @@ object SparkEntry {
         |         CAST(t_sum - c_sum AS DOUBLE) / (t_n - c_n) AS mean_right,
         |         t_n - c_n AS n_right
         |  FROM cum WHERE day_idx < last_day)
-        |SELECT day_idx AS split_after_day, c_n AS n_left, n_right,
+        |SELECT day_idx AS split_after_day,
+        |       CAST(c_n AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
         |       mean_left, mean_right, abs(mean_right - mean_left) AS shift
         |FROM cand ORDER BY shift DESC, day_idx LIMIT 1""".stripMargin,
 
@@ -1653,6 +1689,9 @@ object SparkEntry {
            |              AND p2.i > p1.i AND p2.i < p3.i)
            |GROUP BY p1.doc_id
            |ORDER BY n_intervals DESC, p1.doc_id LIMIT 25""".stripMargin,
+
+    "text_intervals_ast" -> text.IntervalsAst.oracleSql(intervalsAstTree, 25),
+    "text_intervals_nested" -> text.IntervalsAst.oracleSql(intervalsNestedTree, 25),
 
     "q_parent_agg" ->
       """SELECT l_returnflag, count(*) AS n_parents,
@@ -2575,7 +2614,7 @@ object SparkEntry {
            |    generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
            |  FROM documents),
            |pa AS (SELECT doc_id, i FROM tk WHERE t = 'hash'),
-           |pb AS (SELECT doc_id, i FROM tk WHERE t LIKE 'j%' AND t <> 'hash')
+           |pb AS (SELECT doc_id, i FROM tk WHERE t LIKE 'j%')
            |SELECT pa.doc_id, count(*) AS n_matches
            |FROM pa JOIN pb ON pa.doc_id = pb.doc_id
            |WHERE pb.i = pa.i + 1
@@ -3204,7 +3243,8 @@ object SparkEntry {
            |SELECT n_relevant,
            |       CAST(hits5 AS DOUBLE) / 5 AS precision_at_5,
            |       CAST(hits10 AS DOUBLE) / 10 AS precision_at_10,
-           |       CAST(hitsN AS DOUBLE) / n_relevant AS recall_at_20,
+           |       CASE WHEN n_relevant = 0 THEN NULL
+           |            ELSE CAST(hitsN AS DOUBLE) / n_relevant END AS recall_at_20,
            |       coalesce(1.0e0 / first_rel, 0e0) AS mrr
            |FROM m CROSS JOIN t""".stripMargin,
 

@@ -1,0 +1,244 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ES intervals query — the combinator AST (`match` / `all_of` /
+  * `any_of` with per-clause `ordered` + `max_gaps`).
+  *
+  * [[TextOps.intervalsQuery]] covers the flat 3-term ordered `match`
+  * rule; real Kibana queries COMPOSE — the ES docs' canonical example
+  * nests `all_of(ordered)` inside `any_of`. This is the composition
+  * layer, built the way [[BoolDsl]] built bool queries: a small sealed
+  * AST compiled recursively to ONE narrow per-row Column program — and,
+  * from the SAME tree, to an equivalent DuckDB list-lambda expression
+  * ([[oracleSql]]), so the Spark query and its oracle cannot drift.
+  *
+  * Semantics follow Lucene's minimal-interval algebra (the engine under
+  * ES intervals):
+  *
+  *  - `match(t)` yields a width-1 interval at each position of `t` in
+  *    the lowercased whitespace token stream (positions 1-based).
+  *  - `match(t1..tn, ordered, max_gaps)` desugars to
+  *    `all_of(match(t1)..match(tn), ordered, max_gaps)` — the ES rule.
+  *  - `all_of(children, ordered, max_gaps)` takes one interval from
+  *    each child; `ordered` requires them strictly in sequence
+  *    (prev.end < next.start, which also forbids overlap — Lucene's
+  *    ORDERED); unordered allows any arrangement including overlap
+  *    (Lucene's UNORDERED). The combined interval spans min-start to
+  *    max-end; its gap count is span length minus the number of
+  *    DISTINCT positions covered by the components (union semantics,
+  *    so unordered overlaps aren't double-counted), and combos with
+  *    more than `max_gaps` gaps drop (`max_gaps < 0` = unlimited, the
+  *    ES default).
+  *  - `any_of(children)` unions the children's interval sets.
+  *  - After every combinator the interval set is MINIMIZED — dedup +
+  *    drop any interval that strictly contains another — which is
+  *    exactly Lucene's minimal-interval guarantee (e.g. tokens
+  *    `a x a b` give ordered `a..b` intervals (1,4) and (3,4); only
+  *    (3,4) survives).
+  *
+  * Intervals are encoded as one BIGINT `s * 100000 + e` (token
+  * positions < 100000) on BOTH engines: integer lists are the one
+  * array shape whose distinct/compare behavior is identical in Spark
+  * and DuckDB 1.0 (`list_distinct` on struct lists is unimplemented
+  * there), and the encoding keeps the whole program inside codegen'd
+  * higher-order array functions.
+  *
+  * Scale shape: the compiled tree is ONE projection over the corpus —
+  * no join, no explode, no shuffle below the bounded TakeOrdered
+  * top-k. Per-doc cost is the product of component term frequencies
+  * inside each `all_of` (bounded small for real queries); corpus cost
+  * is linear. Reference context: the river feeds ES where such queries
+  * run per-shard (HBaseRiver.java:104 ships docs to the ES bulk API);
+  * here the query itself is the distributed scan.
+  */
+object IntervalsAst {
+
+  /** Positions are 1-based and < Enc; an interval [s,e] is s*Enc+e. */
+  private val Enc = 100000L
+
+  sealed trait Node
+  /** ES intervals `match` rule. Repeated terms are allowed (ES matches
+    * `hash hash`-style repeated-term phrases — the r12 ADVICE class). */
+  final case class IMatch(terms: Seq[String], ordered: Boolean = false,
+      maxGaps: Int = -1) extends Node
+  /** ES intervals `all_of` combinator. */
+  final case class IAllOf(children: Seq[Node], ordered: Boolean = false,
+      maxGaps: Int = -1) extends Node
+  /** ES intervals `any_of` combinator. */
+  final case class IAnyOf(children: Seq[Node]) extends Node
+
+  // ---- Spark compiler --------------------------------------------------
+
+  private def sOf(v: Column): Column = ((v - (v % Enc)) / Enc).cast("long")
+  private def eOf(v: Column): Column = v % Enc
+
+  private def comboValid(cm: Column, n: Int, ordered: Boolean, maxGaps: Int): Column = {
+    val comps = (1 to n).map(i => element_at(cm, i))
+    val orderedOk =
+      if (!ordered || n == 1) lit(true)
+      else comps.sliding(2).map { case Seq(a, b) => eOf(a) < sOf(b) }
+        .reduce(_ && _)
+    val gapsOk =
+      if (maxGaps < 0) lit(true)
+      else {
+        val s = comps.map(sOf).reduce(least(_, _))
+        val e = comps.map(eOf).reduce(greatest(_, _))
+        val covered = size(comps.map(c => sequence(sOf(c), eOf(c)))
+          .reduce(array_union(_, _))).cast("long")
+        e - s + lit(1L) - covered <= lit(maxGaps.toLong)
+      }
+    orderedOk && gapsOk
+  }
+
+  /** Compile `node` post-order into a chain of intermediate columns —
+    * one per AST node — instead of one giant nested expression.
+    * Duplicated-subtree references (the minimize step reads its
+    * distinct'd input twice; every combinator reads its children) stay
+    * cheap attribute references, which keeps the analyzer linear in
+    * tree size (a single-expression compile of a 3-level tree blows
+    * past the analyzer's resolution iteration cap) and lets Catalyst's
+    * CollapseProject decide what to inline. Returns (df-with-columns,
+    * root interval-column name). */
+  private final class Planner(start: DataFrame) {
+    var df: DataFrame = start
+    private var ctr = 0
+    def emit(c: Column): String = {
+      val n = s"__iv_$ctr"; ctr += 1
+      df = df.withColumn(n, c); n
+    }
+    /** Dedup + drop intervals strictly containing another (Lucene
+      * minimality); the distinct'd set is its own emitted column so
+      * the a-vs-b scan reads one attribute, not two expression copies. */
+    def minimize(xs: Column): String = {
+      val d = col(emit(array_distinct(xs)))
+      emit(filter(d, a => !exists(d, b =>
+        sOf(b) >= sOf(a) && eOf(b) <= eOf(a) &&
+          (sOf(b) > sOf(a) || eOf(b) < eOf(a)))))
+    }
+    def go(node: Node): String = node match {
+      case IMatch(Seq(t), _, _) =>
+        emit(transform(
+          filter(transform(col("__toks"), (tok, i) => when(tok === t, i + 1).otherwise(-1)),
+            p => p > 0),
+          p => p.cast("long") * Enc + p.cast("long")))
+      case IMatch(ts, ordered, g) =>
+        require(ts.nonEmpty, "match needs at least one term")
+        go(IAllOf(ts.map(t => IMatch(Seq(t))), ordered, g))
+      case IAllOf(cs, ordered, g) =>
+        require(cs.nonEmpty, "all_of needs at least one child")
+        val children = cs.map(c => col(go(c)))
+        // combos: array<array<bigint>>, one element per child, child order
+        val init = transform(children.head, x => array(x))
+        val combos = children.tail.foldLeft(init)((acc, ch) =>
+          flatten(transform(acc, cm => transform(ch, x => concat(cm, array(x))))))
+        val n = cs.length
+        val valid = col(emit(filter(col(emit(combos)), cm => comboValid(cm, n, ordered, g))))
+        val combined = transform(valid, cm => {
+          val comps = (1 to n).map(i => element_at(cm, i))
+          comps.map(sOf).reduce(least(_, _)) * Enc +
+            comps.map(eOf).reduce(greatest(_, _))
+        })
+        minimize(combined)
+      case IAnyOf(cs) =>
+        require(cs.nonEmpty, "any_of needs at least one child")
+        minimize(cs.map(c => col(go(c))).reduce(concat(_, _)))
+    }
+  }
+
+  /** Docs scored by their count of minimal intervals for `node`;
+    * `first_start` is the earliest surviving interval's start
+    * position. One corpus scan — the compiled tree is a chain of
+    * narrow array projections — bounded top-k. */
+  def intervalsAstQuery(docs: DataFrame, node: Node, k: Int): DataFrame = {
+    val p = new Planner(docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("__toks")))
+    val root = p.go(node)
+    p.df
+      .select(col("doc_id"),
+        size(col(root)).cast("long").as("n_intervals"),
+        array_min(transform(col(root), v => sOf(v))).as("first_start"))
+      .filter(col("n_intervals") > 0)
+      .orderBy(col("n_intervals").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // ---- DuckDB oracle compiler (same tree, same algebra) ----------------
+
+  private def sqlQuote(t: String): String = t.replace("'", "''")
+
+  /** Compile `node` to a DuckDB list-lambda expression over `toks`
+    * (a VARCHAR[] column name). Lambda variables are numbered fresh
+    * per sub-expression so nesting can't shadow. */
+  def compileSql(node: Node, toks: String): String = {
+    var k = 0
+    def fresh(): Int = { k += 1; k }
+    def minimizeSql(xs: String): String = {
+      val (a, b) = (s"a${fresh()}", s"b${fresh()}")
+      val d = s"list_distinct($xs)"
+      s"list_filter($d, $a -> NOT len(list_filter($d, $b -> " +
+        s"$b // $Enc >= $a // $Enc AND $b % $Enc <= $a % $Enc AND " +
+        s"($b // $Enc > $a // $Enc OR $b % $Enc < $a % $Enc))) > 0)"
+    }
+    def go(n: Node): String = n match {
+      case IMatch(Seq(t), _, _) =>
+        val (tv, iv, pv) = (s"t${fresh()}", s"i${fresh()}", s"p${fresh()}")
+        s"list_transform(list_filter(list_transform($toks, ($tv, $iv) -> " +
+          s"CASE WHEN $tv = '${sqlQuote(t)}' THEN $iv ELSE -1 END), " +
+          s"$pv -> $pv > 0), $pv -> $pv * $Enc + $pv)"
+      case IMatch(ts, ordered, g) =>
+        go(IAllOf(ts.map(t => IMatch(Seq(t))), ordered, g))
+      case IAllOf(cs, ordered, g) =>
+        val children = cs.map(go)
+        val x0 = s"x${fresh()}"
+        val init = s"list_transform(${children.head}, $x0 -> [$x0])"
+        val combos = children.tail.foldLeft(init) { (acc, ch) =>
+          val (cv, xv) = (s"cm${fresh()}", s"x${fresh()}")
+          s"flatten(list_transform($acc, $cv -> " +
+            s"list_transform($ch, $xv -> list_concat($cv, [$xv]))))"
+        }
+        val nC = cs.length
+        val cv = s"cm${fresh()}"
+        def comp(i: Int) = s"$cv[$i]"
+        val orderedOk =
+          if (!ordered || nC == 1) "TRUE"
+          else (1 until nC).map(i =>
+            s"${comp(i)} % $Enc < ${comp(i + 1)} // $Enc").mkString(" AND ")
+        val gapsOk =
+          if (g < 0) "TRUE"
+          else {
+            val ss = (1 to nC).map(i => s"${comp(i)} // $Enc")
+            val es = (1 to nC).map(i => s"${comp(i)} % $Enc")
+            val s = if (nC == 1) ss.head else s"least(${ss.mkString(", ")})"
+            val e = if (nC == 1) es.head else s"greatest(${es.mkString(", ")})"
+            val ranges = (1 to nC).map(i =>
+              s"range(${comp(i)} // $Enc, ${comp(i)} % $Enc + 1)")
+            val union = ranges.reduce((a, b) => s"list_concat($a, $b)")
+            s"$e - $s + 1 - len(list_distinct($union)) <= $g"
+          }
+        val valid = s"list_filter($combos, $cv -> $orderedOk AND $gapsOk)"
+        val cv2 = s"cm${fresh()}"
+        val ss2 = (1 to nC).map(i => s"$cv2[$i] // $Enc")
+        val es2 = (1 to nC).map(i => s"$cv2[$i] % $Enc")
+        val s2 = if (nC == 1) ss2.head else s"least(${ss2.mkString(", ")})"
+        val e2 = if (nC == 1) es2.head else s"greatest(${es2.mkString(", ")})"
+        minimizeSql(s"list_transform($valid, $cv2 -> ($s2) * $Enc + ($e2))")
+      case IAnyOf(cs) =>
+        minimizeSql(cs.map(go).reduce((a, b) => s"list_concat($a, $b)"))
+    }
+    go(node)
+  }
+
+  /** Full DuckDB oracle for [[intervalsAstQuery]] on `documents`. */
+  def oracleSql(node: Node, k: Int): String = {
+    val expr = compileSql(node, "toks")
+    raw"""WITH tk AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+         |iv AS (SELECT doc_id, $expr AS iv FROM tk)
+         |SELECT doc_id, CAST(len(iv) AS BIGINT) AS n_intervals,
+         |       CAST(list_min(list_transform(iv, v0 -> v0 // $Enc)) AS BIGINT) AS first_start
+         |FROM iv WHERE len(iv) > 0
+         |ORDER BY n_intervals DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

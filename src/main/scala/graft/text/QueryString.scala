@@ -14,8 +14,11 @@ package graft.text
   *    numeric fields are integral, documented)
   *  - `AND` / `OR` / `NOT` with standard precedence (NOT > AND > OR),
   *    parentheses; bare juxtaposition = the default operator OR with
-  *    minimum_should_match=1 (the ES query_string default)
-  *  - leading `-` = NOT (the simple_query_string spelling)
+  *    minimum_should_match=1 (the ES query_string default). Pure
+  *    negative clauses at the OR level apply conjunctively (`a NOT b`
+  *    ≡ `a AND NOT b`) — Lucene's BooleanQuery has no OR-NOT
+  *  - leading `-` = NOT (the simple_query_string spelling), including
+  *    `-(...)` group negation; a bare dash is rejected
   *
   * Out of scope (documented, not silently wrong): quoted phrases,
   * fuzziness suffixes, boosts (`^2`), wildcards mid-token, and regex
@@ -43,6 +46,17 @@ object QueryString {
     spaced.split("\\s+").filter(_.nonEmpty).toList
   }
 
+  /** A clause that is nothing but negation (`NOT x` / `-x`). In a
+    * Lucene BooleanQuery a NOT clause is always conjunctive — there is
+    * no OR-NOT — so at the OR level these apply as must_not over the
+    * whole level, never as a should option ('a NOT b' ≡ a AND NOT b,
+    * the ES/Lucene query_string reading; r12 ADVICE). */
+  private def isPureNegative(q: Query): Boolean = q match {
+    case b: Bool => b.must.isEmpty && b.should.isEmpty && b.filter.isEmpty &&
+      b.mustNot.nonEmpty
+    case _ => false
+  }
+
   // OR level: a OR b, and bare juxtaposition (the ES default operator)
   private def parseOr(toks: List[String]): (Query, List[String]) = {
     val (first, rest0) = parseAnd(toks)
@@ -59,9 +73,15 @@ object QueryString {
         parts = nxt :: parts; rest = r
       case _ => continue = false
     }
-    val q =
-      if (parts.size == 1) parts.head
-      else Bool(should = parts.reverse, minimumShouldMatch = 1)
+    val (negs, pos) = parts.reverse.partition(isPureNegative)
+    val nots = negs.collect { case b: Bool => b.mustNot }.flatten
+    val q = (pos, nots) match {
+      case (Seq(one), Nil) => one
+      case (Nil, ns)       => Bool(mustNot = ns) // all-negative level
+      case (Seq(one), ns)  => Bool(must = Seq(one), mustNot = ns)
+      case (ps, ns) =>
+        Bool(should = ps, mustNot = ns, minimumShouldMatch = 1)
+    }
     (q, rest)
   }
 
@@ -87,6 +107,11 @@ object QueryString {
     case tok :: tail if tok.startsWith("-") && tok.length > 1 =>
       val (inner, rest) = parseUnary(tok.drop(1) :: tail)
       (Bool(mustNot = Seq(inner)), rest)
+    case "-" :: "(" :: tail => // tokenizer spaces '(' so '-(x)' lands here
+      val (inner, rest) = parseUnary("(" :: tail)
+      (Bool(mustNot = Seq(inner)), rest)
+    case "-" :: _ =>
+      throw new IllegalArgumentException("bare '-' must negate a term or group")
     case "(" :: tail =>
       val (inner, rest) = parseOr(tail)
       rest match {

@@ -851,7 +851,10 @@ object TextOps {
     * matches "hash join" and "hash joins"). Scored by qualifying
     * adjacent position pairs, the [[phraseMatchSlop]] position
     * machinery with a prefix predicate on the second slot; all narrow
-    * array arithmetic, no explode/join below the top-k. */
+    * array arithmetic, no explode/join below the top-k. The second
+    * slot may equal `term` itself (ES matches repeated-term phrases
+    * like "hash hash" when the prefix covers the term — adjacency
+    * i+1 already prevents a position matching itself; r12 ADVICE). */
   def matchPhrasePrefix(docs: DataFrame, term: String, prefix: String,
       k: Int): DataFrame = {
     require(term.nonEmpty && prefix.nonEmpty)
@@ -862,7 +865,7 @@ object TextOps {
     docs
       .select(col("doc_id"),
         positions(_ === term).as("p1"),
-        positions(t => t.startsWith(prefix) && t =!= term).as("p2"))
+        positions(t => t.startsWith(prefix)).as("p2"))
       .select(col("doc_id"),
         aggregate(col("p1"), lit(0L), (acc, i) =>
           acc + size(filter(col("p2"), j => j === i + 1)).cast("long"))
@@ -998,7 +1001,11 @@ object TextOps {
         col("n_relevant"),
         (col("hits5").cast("double") / 5).as("precision_at_5"),
         (col("hits10").cast("double") / 10).as("precision_at_10"),
-        (col("hitsN").cast("double") / col("n_relevant")).as(s"recall_at_$n"),
+        // n_relevant = 0 would raise DIVIDE_BY_ZERO under ANSI mode
+        // (Spark 4 default) — null recall instead, like bucketCorrelation
+        when(col("n_relevant") === 0, lit(null).cast("double"))
+          .otherwise(col("hitsN").cast("double") / col("n_relevant"))
+          .as(s"recall_at_$n"),
         coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
   }
 

@@ -187,6 +187,28 @@ class BoolDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("a AND (b"))
   }
 
+  test("QueryString: pure-negative clauses at the OR level are conjunctive " +
+      "(Lucene has no OR-NOT — the r12 ADVICE class)") {
+    import graft.text.QueryString._
+    // 'a NOT b' ≡ a AND NOT b, never should(a, mustNot(b))
+    assert(parse("a NOT b") ==
+      Bool(must = Seq(MatchQ("a")), mustNot = Seq(MatchQ("b"))))
+    assert(parse("a -lang:de") ==
+      Bool(must = Seq(MatchQ("a")), mustNot = Seq(TermQ("lang", "de"))))
+    // with 2+ positives the negatives still bind to the whole level
+    assert(parse("a b NOT c") ==
+      Bool(should = Seq(MatchQ("a"), MatchQ("b")),
+        mustNot = Seq(MatchQ("c")), minimumShouldMatch = 1))
+    // all-negative level
+    assert(parse("NOT a NOT b") ==
+      Bool(mustNot = Seq(MatchQ("a"), MatchQ("b"))))
+    // '-(group)' negates the group; a dangling dash is rejected
+    assert(parse("-(a OR b)") ==
+      Bool(mustNot = Seq(Bool(should = Seq(MatchQ("a"), MatchQ("b")),
+        minimumShouldMatch = 1))))
+    intercept[IllegalArgumentException](parse("a - "))
+  }
+
   test("QueryString: parsed search equals the hand-built tree's search") {
     import graft.text.QueryString
     val q = "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150"

@@ -160,6 +160,17 @@ class EsExtrasSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
   }
 
+  test("matchPhrasePrefix: prefix covering the term matches repeated-term " +
+      "phrases (hash h* on 'hash hash' — the r12 ADVICE class)") {
+    val docs = docsDf(
+      1L -> "hash hash x",       // repeated term, adjacent → match
+      2L -> "hash x hash",       // not adjacent
+      3L -> "hash hashing here") // prefix token ≠ term, still a match
+    val got = TextOps.matchPhrasePrefix(docs, "hash", "h", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("frequentItemSets: pair supports match a naive recompute over the corpus") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextOps.frequentItemSets(docs, 20, 5L, 25).collect()
@@ -593,6 +604,10 @@ class EsExtrasSpec extends SparkSpec {
     assert(row.getDouble(4) == firstRel.map(1.0 / _).getOrElse(0.0))
     assert(rel.nonEmpty && row.getDouble(4) > 0,
       "the judgment set and the MRR must be non-vacuous")
+    // degenerate judgment set: a term no document carries → n_relevant 0
+    // must yield null recall (not an ANSI DIVIDE_BY_ZERO crash) and 0 MRR
+    val zero = TextOps.rankEval(docs, Seq("dup", "query", "zzznothere"), 20).head()
+    assert(zero.getLong(0) == 0L && zero.isNullAt(3) && zero.getDouble(4) == 0.0)
   }
 
   test("payloadDedup: byte-identical payloads group under one keeper") {

@@ -84,6 +84,32 @@ def schema_diff(spark_t: pa.Table, oracle_t: pa.Table):
     return None
 
 
+def type_parity_warn(spark_t: pa.Table, oracle_t: pa.Table):
+    """Driver-hash type-parity probe (the r12 q_change_point class).
+
+    The driver's VALUE hash renders integers and decimals differently
+    (9671 vs 9671.0-class) even though its schema check canonicalizes
+    numerics — so a Spark int64 column vs a DuckDB HUGEINT/decimal128
+    oracle column (e.g. an un-cast `sum(BIGINT) OVER ...`) passes the
+    schema compare and the value compare here but FAILS the driver hash.
+    Flag the asymmetry as a WARNING: Spark integer vs oracle
+    decimal/float (or the mirror). decimal-vs-double on columns where
+    BOTH sides are non-integer is demonstrably tolerated by the driver
+    (q_percentile_facet et al. hash-green) and is not flagged."""
+    a = {f.name: f.type for f in spark_t.schema}
+    b = {f.name: f.type for f in oracle_t.schema}
+    warns = []
+    for n in sorted(set(a) & set(b)):
+        sa, ob = a[n], b[n]
+        s_int = pa.types.is_integer(sa)
+        o_int = pa.types.is_integer(ob)
+        o_nonint = pa.types.is_decimal(ob) or pa.types.is_floating(ob)
+        s_nonint = pa.types.is_decimal(sa) or pa.types.is_floating(sa)
+        if (s_int and o_nonint) or (o_int and s_nonint):
+            warns.append(f"{n} spark={sa} oracle={ob}")
+    return warns
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize for stable sorting/compare
@@ -135,6 +161,21 @@ def selftest():
     assert v is None, f"expected value-compare blindness, got {v!r}"
     print("selftest ok: schema-strict compare catches tz-aware-vs-naive; "
           "value compare alone is blind (as in r11)")
+    # r12 q_change_point class: spark int64 vs oracle decimal128 — the
+    # numeric canonicalization makes schema_diff + value compare blind,
+    # so the parity probe MUST flag it ...
+    ints = pa.table({"n": pa.array([9671, 12], type=pa.int64())})
+    decs = pa.table({"n": pa.array([9671, 12], type=pa.int64()).cast(pa.decimal128(38, 0))})
+    assert schema_diff(ints, decs) is None, "expected schema canonicalization blindness"
+    assert compare("selftest2", to_pandas_num(ints), to_pandas_num(decs)) is None
+    w = type_parity_warn(ints, decs)
+    assert w == ["n spark=int64 oracle=decimal128(38, 0)"], f"parity probe missed: {w!r}"
+    # ... and stay silent where both sides are non-integer (tolerated class)
+    dbl = pa.table({"x": pa.array([1.5], type=pa.float64())})
+    dec2 = pa.table({"x": pa.array([1.5], type=pa.float64()).cast(pa.decimal128(12, 2))})
+    assert type_parity_warn(dbl, dec2) == [], "probe over-flags decimal-vs-double"
+    print("selftest ok: type-parity probe flags int-vs-decimal128, "
+          "silent on decimal-vs-double (r12 q_change_point class)")
 
 
 def main():
@@ -147,7 +188,7 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_warn = 0
     rows_only = []
     for name in sorted(glob.glob(f"{out}/*/")):
         qname = name.rstrip("/").split("/")[-1]
@@ -173,11 +214,18 @@ def main():
             print(f"FAIL {qname}: {diff}")
             n_bad += 1
         else:
-            print(f"ok   {qname} ({len(spark_df)} rows)")
+            warns = type_parity_warn(spark_t, oracle_t)
+            if warns:
+                print(f"ok   {qname} ({len(spark_df)} rows)  "
+                      f"** TYPE-PARITY WARN (driver hash may fail): {'; '.join(warns)} **")
+                n_warn += 1
+            else:
+                print(f"ok   {qname} ({len(spark_df)} rows)")
             n_ok += 1
     for qname, n in rows_only:
         print(f"rows {qname} ({n} rows, no oracle)" + ("  ** EMPTY **" if n == 0 else ""))
-    print(f"== {n_ok} ok, {n_bad} fail, {len(rows_only)} rows-only ==")
+    print(f"== {n_ok} ok, {n_bad} fail, {len(rows_only)} rows-only, "
+          f"{n_warn} type-parity warn ==")
     sys.exit(1 if n_bad else 0)
 
 
