@@ -109,26 +109,36 @@ object River {
     * Determinism: range partitions are ordered and the order key must be
     * unique (callers pass a tie-break column), so offset + local rank IS
     * the global rank regardless of where the sampled range boundaries
-    * land. The counts and the numbering share ONE RDD lineage
-    * (`zipWithIndex`, whose internals are exactly the per-partition-count
-    * → exclusive-scan design, with the shuffle stage reused across the
-    * two jobs) — two separate DataFrame actions would re-sample range
-    * boundaries with fresh seeds and the offsets could go stale. This is
-    * the one sanctioned imperative-per-partition RDD hop in the library;
-    * everything around it stays declarative. */
+    * land. The range-partitioned frame is `localCheckpoint`ed (eager,
+    * one materialization) before the counts action — two separate
+    * DataFrame actions on the un-pinned plan would re-sample range
+    * boundaries with fresh seeds and the offsets could go stale.
+    * (Earlier rounds used `rdd.zipWithIndex` for the same one-lineage
+    * guarantee; that route leaves Tungsten for a per-row Row-conversion
+    * round trip AND recomputes the shuffle+sort for the second action —
+    * measured ~2× slower with GC-sensitive swings, r13 SCALING.md.) */
   def assignBatches(df: DataFrame, orderCols: Seq[Column], batchSize: Int): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = df.withColumn("__ord", struct(orderCols: _*))
       .repartitionByRange(nParts, col("__ord"))
-      .sortWithinPartitions(col("__ord"))
-      .drop("__ord")
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "batch_id", org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i / batchSize) }
-    spark.createDataFrame(indexed, schema)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition counts → driver exclusive scan: ≤ nParts longs of
+    // METADATA, the Pipeline.scala two-phase offset pattern
+    val counts = sorted.groupBy(col("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = counts.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += counts(p); p -> o
+    }.toMap
+    val offMap = typedLit(if (offsets.isEmpty) Map(0 -> 0L) else offsets)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__ord"))
+    sorted
+      .withColumn("batch_id",
+        floor((element_at(offMap, col("__pid")) + row_number().over(w) - 1)
+          / batchSize).cast("long"))
+      .drop("__ord", "__pid")
   }
 
   /** Scale-out batch assignment: batches are local to a partition
