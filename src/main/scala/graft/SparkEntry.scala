@@ -59,6 +59,23 @@ object SparkEntry {
       ordered = true, maxGaps = 6)
   }
 
+  /** Shared percolator stored-query set — ONE definition feeds the
+    * exhaustive form, the r13 term-index-prefiltered form, and (via
+    * the shared oracle SQL) the correctness gate for both. */
+  private val percolatorQueries: Seq[(String, text.BoolDsl.Query)] = Seq(
+    "pq1" -> text.BoolDsl.Bool(
+      must = Seq(text.BoolDsl.MatchQ("hash")),
+      filter = Seq(text.BoolDsl.RangeQ("n_chars", gte = Some(200)))),
+    // explicit minimum_should_match=1: with a filter present the
+    // ES default is 0 and the should clauses would not constrain
+    "pq2" -> text.BoolDsl.Bool(
+      should = Seq(text.BoolDsl.MatchQ("join"), text.BoolDsl.MatchQ("vector")),
+      filter = Seq(text.BoolDsl.TermQ("lang", "en")),
+      minimumShouldMatch = 1),
+    "pq3" -> text.BoolDsl.Bool(
+      must = Seq(text.BoolDsl.MatchQ("scan")),
+      mustNot = Seq(text.BoolDsl.TermQ("source", "src13"))))
+
   /** q_ip_range shared edges (10.64/10.128/10.192 quarter boundaries)
     * — one definition feeds the Spark facet and the generated oracle. */
   private val ipEdges: Seq[Long] =
@@ -670,6 +687,14 @@ object SparkEntry {
       operators.Geo.polygonFacet(
         operators.Geo.withCoords(Tables.events(s, dir)), geoPolygon)),
 
+    // ES geo_shape query (r13): synthetic envelopes classified
+    // within / intersects / disjoint vs the shared concave polygon —
+    // exact SAT edge tests + ray-cast corners, oracle generated from
+    // the same vertex list
+    "q_geo_shape" -> ((s, dir) =>
+      operators.Geo.geoShapeFacet(
+        operators.Geo.withCoords(Tables.events(s, dir)), geoPolygon)),
+
     // ES geotile_grid at zoom 3 (8×8 web-mercator tiles), top 20 by
     // doc count — the libm exception with the exhaustive margin proof
     // (GeoSpec; see Geo.geotileGrid)
@@ -929,19 +954,13 @@ object SparkEntry {
     // percolate with stored BOOL TREES: three registered queries with
     // filter/should/must_not context evaluated in one corpus pass
     "text_percolate_dsl" -> ((s, dir) =>
-      text.BoolDsl.percolateDsl(Tables.documents(s, dir), Seq(
-        "pq1" -> text.BoolDsl.Bool(
-          must = Seq(text.BoolDsl.MatchQ("hash")),
-          filter = Seq(text.BoolDsl.RangeQ("n_chars", gte = Some(200)))),
-        // explicit minimum_should_match=1: with a filter present the
-        // ES default is 0 and the should clauses would not constrain
-        "pq2" -> text.BoolDsl.Bool(
-          should = Seq(text.BoolDsl.MatchQ("join"), text.BoolDsl.MatchQ("vector")),
-          filter = Seq(text.BoolDsl.TermQ("lang", "en")),
-          minimumShouldMatch = 1),
-        "pq3" -> text.BoolDsl.Bool(
-          must = Seq(text.BoolDsl.MatchQ("scan")),
-          mustNot = Seq(text.BoolDsl.TermQ("source", "src13")))))),
+      text.BoolDsl.percolateDsl(Tables.documents(s, dir), percolatorQueries)),
+
+    // the 10⁵-registered-queries scale form (r13): term-index
+    // prefilter → candidate pairs → per-pair single-tree eval; same
+    // stored set, same oracle, spec-pinned equal to the exhaustive form
+    "text_percolate_dsl_indexed" -> ((s, dir) =>
+      text.BoolDsl.percolateDslIndexed(Tables.documents(s, dir), percolatorQueries)),
 
     // ES bool tree composing five leaf types + a nested bool: must
     // (match 'hash' AND (join OR vector, scored)), should (lang=en
@@ -1334,6 +1353,22 @@ object SparkEntry {
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  // shared by the exhaustive percolator AND its r13 term-index-
+  // prefiltered twin — the stored set is one definition, the answer
+  // contract identical, so one oracle verifies both plans
+  private val percolateDslSql =
+    raw"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+         |             string_split_regex(lower(text), '\s+') AS toks FROM documents)
+         |SELECT doc_id, 'pq1' AS query_id FROM d
+         |WHERE len(list_filter(toks, x -> x = 'hash')) > 0 AND n_chars >= 200
+         |UNION ALL
+         |SELECT doc_id, 'pq2' FROM d
+         |WHERE lang = 'en' AND (len(list_filter(toks, x -> x = 'join')) > 0
+         |                       OR len(list_filter(toks, x -> x = 'vector')) > 0)
+         |UNION ALL
+         |SELECT doc_id, 'pq3' FROM d
+         |WHERE len(list_filter(toks, x -> x = 'scan')) > 0 AND source <> 'src13'""".stripMargin
 
   // shared by the exact window forms AND their _dist rank-select twins:
   // the discrete ceil(p·n) percentile contract is engine-shape-agnostic,
@@ -1831,18 +1866,9 @@ object SparkEntry {
            |  AND NOT source = 'src13' AND n_chars >= 150
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
-    "text_percolate_dsl" ->
-      raw"""WITH d AS (SELECT doc_id, lang, source, n_chars,
-           |             string_split_regex(lower(text), '\s+') AS toks FROM documents)
-           |SELECT doc_id, 'pq1' AS query_id FROM d
-           |WHERE len(list_filter(toks, x -> x = 'hash')) > 0 AND n_chars >= 200
-           |UNION ALL
-           |SELECT doc_id, 'pq2' FROM d
-           |WHERE lang = 'en' AND (len(list_filter(toks, x -> x = 'join')) > 0
-           |                       OR len(list_filter(toks, x -> x = 'vector')) > 0)
-           |UNION ALL
-           |SELECT doc_id, 'pq3' FROM d
-           |WHERE len(list_filter(toks, x -> x = 'scan')) > 0 AND source <> 'src13'""".stripMargin,
+    "text_percolate_dsl" -> percolateDslSql,
+    // the indexed twin answers the SAME question — one oracle drives both
+    "text_percolate_dsl_indexed" -> percolateDslSql,
 
     "q_numeric_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,
@@ -2253,6 +2279,16 @@ object SparkEntry {
          |FROM pts
          |WHERE ${operators.Geo.pointInPolygonSql(geoPolygon)}
          |GROUP BY event_type""".stripMargin,
+
+    "q_geo_shape" ->
+      s"""WITH pts AS (SELECT event_type, value, user_id, event_id,
+         |                    ${operators.Geo.coordsSql} FROM events),
+         |env AS (SELECT event_type, value, ${operators.Geo.envelopeSql} FROM pts)
+         |SELECT ${operators.Geo.envelopeRelationSql(geoPolygon)} AS relation,
+         |       event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM env
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_geotile_grid" ->
       s"""WITH pts AS (SELECT ${operators.Geo.coordsSql} FROM events),

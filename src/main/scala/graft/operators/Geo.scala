@@ -297,4 +297,142 @@ object Geo {
       .agg(count(lit(1)).as("n"),
         Det.moneyAvg(col("lat")).as("centroid_lat"),
         Det.moneyAvg(col("lon")).as("centroid_lon"))
+
+  // ---- geo_shape relations (r13) ---------------------------------------
+
+  /** Deterministic synthetic ENVELOPE per event (the ES geo_shape
+    * `envelope` type): the point grows into an axis-aligned box with
+    * half-sizes 0.5–4.25° in steps of 0.25° (quarters are exact binary
+    * doubles, so min/max arithmetic is bit-identical across engines).
+    * Primes decorrelate the two half-sizes from the coordinate
+    * derivation in [[withCoords]]. */
+  def withEnvelope(pts: DataFrame): DataFrame = {
+    val halfLat = (col("user_id") * 13L % 16L + 2L).cast("double") * lit(0.25)
+    val halfLon = (col("event_id") * 29L % 16L + 2L).cast("double") * lit(0.25)
+    pts
+      .withColumn("lat_min", col("lat") - halfLat)
+      .withColumn("lat_max", col("lat") + halfLat)
+      .withColumn("lon_min", col("lon") - halfLon)
+      .withColumn("lon_max", col("lon") + halfLon)
+  }
+
+  /** The identical envelope derivation as DuckDB SQL (textually
+    * adjacent, same constants — the [[coordsSql]] discipline). */
+  val envelopeSql: String =
+    "lat - CAST(user_id * 13 % 16 + 2 AS DOUBLE) * 0.25 AS lat_min, " +
+      "lat + CAST(user_id * 13 % 16 + 2 AS DOUBLE) * 0.25 AS lat_max, " +
+      "lon - CAST(event_id * 29 % 16 + 2 AS DOUBLE) * 0.25 AS lon_min, " +
+      "lon + CAST(event_id * 29 % 16 + 2 AS DOUBLE) * 0.25 AS lon_max"
+
+  /** Does polygon edge (p1,p2) intersect the envelope rectangle?
+    * Exact separating-axis test for a segment vs an AABB —
+    * transcendental-free AND division-free (unlike the ray cast, no
+    * masked 0/0 corners at all): the only separating axes are the two
+    * rect axes (segment-bbox overlap, endpoint constants folded
+    * scala-side) and the segment's own normal (all four rect corners
+    * strictly on one side of the segment's line, sign via cross
+    * product). Boundary touches count as intersecting (DE-9IM
+    * `intersects` includes boundary contact). */
+  private def edgeIntersectsRect(y1: Double, x1: Double, y2: Double, x2: Double): Column = {
+    val bboxOverlap =
+      lit(math.max(y1, y2)) >= col("lat_min") && lit(math.min(y1, y2)) <= col("lat_max") &&
+        lit(math.max(x1, x2)) >= col("lon_min") && lit(math.min(x1, x2)) <= col("lon_max")
+    def cross(cy: Column, cx: Column): Column =
+      lit(x2 - x1) * (cy - lit(y1)) - lit(y2 - y1) * (cx - lit(x1))
+    val corners = Seq(
+      (col("lat_min"), col("lon_min")), (col("lat_min"), col("lon_max")),
+      (col("lat_max"), col("lon_min")), (col("lat_max"), col("lon_max")))
+    val allPos = corners.map { case (cy, cx) => cross(cy, cx) > 0 }.reduce(_ && _)
+    val allNeg = corners.map { case (cy, cx) => cross(cy, cx) < 0 }.reduce(_ && _)
+    bboxOverlap && !(allPos || allNeg)
+  }
+
+  /** ES geo_shape relation of each row's envelope vs a query polygon
+    * (planar, no holes): 'within' (envelope entirely inside), else
+    * 'intersects' (any common point incl. boundary touch), else
+    * 'disjoint'. Built from three exact primitives:
+    *
+    *  - corner-in-polygon: the [[pointInPolygon]] even-odd ray cast on
+    *    all four envelope corners (boundary semantics raycast-decided,
+    *    identically on both engines — the geo_polygon convention);
+    *  - polygon-vertex-in-envelope: four range compares per vertex;
+    *  - edge-vs-rect: [[edgeIntersectsRect]] per polygon edge.
+    *
+    * within  = all corners in P  AND no edge of P cuts the envelope
+    * (corners-inside alone is NOT enough for a CONCAVE polygon — an
+    * edge at a notch can cut through; spec-pinned);
+    * intersects = any corner in P OR any vertex of P in the envelope
+    * OR any edge cut (covers envelope⊂P, P⊂envelope, and crossings).
+    * One flat codegen'd expression, O(vertices) per row, no join. */
+  def envelopeRelation(poly: Seq[(Double, Double)]): Column = {
+    require(poly.length >= 3, "polygon needs >= 3 vertices")
+    val edges = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      (y1, x1, y2, x2)
+    }
+    val anyEdgeCut = edges.map { case (y1, x1, y2, x2) =>
+      edgeIntersectsRect(y1, x1, y2, x2) }.reduce(_ || _)
+    val cornerIn = Seq(
+      (col("lat_min"), col("lon_min")), (col("lat_min"), col("lon_max")),
+      (col("lat_max"), col("lon_min")), (col("lat_max"), col("lon_max")))
+      .map { case (cy, cx) => pointInPolygon(cy, cx, poly) }
+    val anyVertexIn = poly.map { case (vy, vx) =>
+      lit(vy) >= col("lat_min") && lit(vy) <= col("lat_max") &&
+        lit(vx) >= col("lon_min") && lit(vx) <= col("lon_max") }.reduce(_ || _)
+    val within = cornerIn.reduce(_ && _) && !anyEdgeCut
+    val intersects = cornerIn.reduce(_ || _) || anyVertexIn || anyEdgeCut
+    when(within, lit("within"))
+      .when(intersects, lit("intersects"))
+      .otherwise(lit("disjoint"))
+  }
+
+  /** The identical relation classifier as DuckDB SQL over columns
+    * lat_min/lat_max/lon_min/lon_max (generated from the same vertex
+    * list so the engines cannot drift). */
+  def envelopeRelationSql(poly: Seq[(Double, Double)]): String = {
+    val edges = poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.length)
+      (y1, x1, y2, x2)
+    }
+    def edgeCut(y1: Double, x1: Double, y2: Double, x2: Double): String = {
+      val bbox = s"(${math.max(y1, y2)} >= lat_min AND ${math.min(y1, y2)} <= lat_max " +
+        s"AND ${math.max(x1, x2)} >= lon_min AND ${math.min(x1, x2)} <= lon_max)"
+      def cross(cy: String, cx: String) =
+        s"((${x2 - x1}) * ($cy - ($y1)) - (${y2 - y1}) * ($cx - ($x1)))"
+      val corners = Seq(("lat_min", "lon_min"), ("lat_min", "lon_max"),
+        ("lat_max", "lon_min"), ("lat_max", "lon_max"))
+      val allPos = corners.map { case (cy, cx) => s"${cross(cy, cx)} > 0" }.mkString(" AND ")
+      val allNeg = corners.map { case (cy, cx) => s"${cross(cy, cx)} < 0" }.mkString(" AND ")
+      s"($bbox AND NOT (($allPos) OR ($allNeg)))"
+    }
+    val anyEdgeCut = edges.map { case (y1, x1, y2, x2) => edgeCut(y1, x1, y2, x2) }
+      .mkString("(", " OR ", ")")
+    // pointInPolygonSql is written over columns lat/lon; re-target it
+    // at each envelope corner via string substitution on the column
+    // names (the generated text only contains lat/lon as identifiers)
+    def cornerIn(cy: String, cx: String): String =
+      pointInPolygonSql(poly).replace("lat", cy).replace("lon", cx)
+    val corners = Seq(("lat_min", "lon_min"), ("lat_min", "lon_max"),
+      ("lat_max", "lon_min"), ("lat_max", "lon_max"))
+    val allCornersIn = corners.map { case (cy, cx) => s"(${cornerIn(cy, cx)})" }.mkString(" AND ")
+    val anyCornerIn = corners.map { case (cy, cx) => s"(${cornerIn(cy, cx)})" }.mkString(" OR ")
+    val anyVertexIn = poly.map { case (vy, vx) =>
+      s"($vy >= lat_min AND $vy <= lat_max AND $vx >= lon_min AND $vx <= lon_max)"
+    }.mkString("(", " OR ", ")")
+    s"(CASE WHEN ($allCornersIn) AND NOT $anyEdgeCut THEN 'within' " +
+      s"WHEN ($anyCornerIn) OR $anyVertexIn OR $anyEdgeCut THEN 'intersects' " +
+      "ELSE 'disjoint' END)"
+  }
+
+  /** ES geo_shape query surfaced as a relation facet: count + exact
+    * value sum per (relation, event_type) — all three relations
+    * graded by one query. A filter form is `.filter(relation === …)`,
+    * which Catalyst folds into the same scan. */
+  def geoShapeFacet(pts: DataFrame, poly: Seq[(Double, Double)]): DataFrame =
+    withEnvelope(pts)
+      .withColumn("relation", envelopeRelation(poly))
+      .groupBy("relation", "event_type")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
 }

@@ -17,19 +17,26 @@ import graft.functions.GraftFunctions
   * (HBaseParser.run:50 — poll, import the delta, repeat):
   *
   *  - `centroids/v=<batchId>`: the trained centroid matrix, one row per
-  *    list (cent_id = matrix row index). Trained ONCE on the first
-  *    ingest batch (deterministic seeds + fixed Lloyd rounds) and then
-  *    FROZEN — later batches assign against it. Centroid drift is
-  *    handled by periodic re-train writing a new version (the df-table
-  *    versioned-snapshot commit semantics), not by per-batch mutation;
-  *    assignment partitions record which centroid version they used.
-  *  - `assignments/ingest=<batchId>/cent_id=<list>/`: the
+  *    list (cent_id = matrix row index). Trained on the first ingest
+  *    batch (deterministic seeds + fixed Lloyd rounds) and FROZEN;
+  *    centroid drift is handled by PERIODIC RE-TRAIN writing a new
+  *    version (r13 — `maintain(retrainEvery = n)` or an explicit
+  *    [[trainCentroids]] with a fresh batchId), never by per-batch
+  *    mutation. Old versions stay on disk: their assignments remain
+  *    valid and queryable.
+  *  - `assignments/cv=<version>/ingest=<batchId>/cent_id=<list>/`: the
   *    cluster-bucketed corpus — (vec_id, embedding) under a PHYSICAL
-  *    cent_id partition directory. Append-only per ingest batch, and
+  *    cent_id partition directory, recorded UNDER THE CENTROID VERSION
+  *    that assigned it (`cv=`). Append-only per ingest batch, and
   *    partitioned by list id so a query that probes `nprobe` lists
   *    reads ONLY those directories (parquet partition pruning — the
   *    actual IVF win: nprobe/nCentroids of the corpus touched, not a
-  *    post-scan filter).
+  *    post-scan filter). Probing is PER VERSION: a query selects its
+  *    probe lists against each version's own centroids and prunes to
+  *    that version's matching cent_id directories — probing old
+  *    partitions with new centroids would silently break the IVF
+  *    invariant (a vector assigned to list 3 under v0 may belong to
+  *    list 7 under v1, and the probe would miss it).
   *
   * Exactly-once under foreachBatch retries: re-training with an
   * existing centroid version is a no-op; a replayed assignment batch
@@ -71,43 +78,53 @@ object AnnIndex {
     }
   }
 
-  /** The maintained centroid matrix (newest complete version), in
-    * cent_id = row-index order. nCentroids × dim doubles — metadata
-    * scale, the one sanctioned driver-side collect here. */
+  /** A specific committed centroid version, in cent_id = row-index
+    * order. nCentroids × dim doubles — metadata scale, the one
+    * sanctioned driver-side collect here. */
+  def readCentroidsV(spark: SparkSession, root: String, version: Long): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"${centsDir(root)}/v=$version")
+      .orderBy("cent_id").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  /** The maintained centroid matrix (newest complete version). */
   def readCentroids(spark: SparkSession, root: String): Seq[(Int, Seq[Double])] = {
     val vs = centroidVersions(spark, root)
     require(vs.nonEmpty, s"no centroid snapshot under $root — train first")
-    spark.read.parquet(s"${centsDir(root)}/v=${vs.last}")
-      .orderBy("cent_id").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    readCentroidsV(spark, root, vs.last)
   }
 
-  /** Assign one ingest batch of (vec_id, embedding) against the frozen
-    * centroids and append it to the cluster-bucketed corpus — its own
-    * ingest partition, physically sub-partitioned by cent_id. A
-    * replayed batch id overwrites its own partition (idempotent). */
+  /** Assign one ingest batch of (vec_id, embedding) against the NEWEST
+    * frozen centroids and append it to the cluster-bucketed corpus —
+    * its own ingest partition under that centroid version's `cv=`
+    * directory, physically sub-partitioned by cent_id. A replayed
+    * batch id overwrites its own partition (idempotent: the newest
+    * version at replay time is the same version that first wrote it,
+    * because retrain-then-append runs in one foreachBatch body). */
   def appendBatch(batchEmb: DataFrame, batchId: Long, root: String): Unit = {
     val spark = batchEmb.sparkSession
+    val v = centroidVersions(spark, root).last
     val assign = Ann.centroidAssigner(spark,
-      Ann.centMatrix(readCentroids(spark, root)))
+      Ann.centMatrix(readCentroidsV(spark, root, v)))
     batchEmb.select(col("vec_id"),
         col("embedding"),
         assign(col("embedding"), 1).getItem(0).as("cent_id"))
       .write.partitionBy("cent_id").mode("overwrite")
-      .parquet(s"${assignDir(root)}/ingest=$batchId")
+      .parquet(s"${assignDir(root)}/cv=$v/ingest=$batchId")
   }
 
-  /** The cluster-bucketed corpus across every ingested batch. Filters
-    * on cent_id prune to the probed list directories (spec-checked via
-    * the scan's partition count). An index built over an EMPTY corpus
-    * holds partition markers but no data files — schema inference then
+  /** The cluster-bucketed corpus across every ingested batch, with the
+    * `cv` centroid-version partition column. Filters on (cv, cent_id)
+    * prune to the probed list directories (spec-checked via the scan's
+    * partition count). An index built over an EMPTY corpus holds
+    * partition markers but no data files — schema inference then
     * fails, so that case degrades to an explicit empty frame with the
     * index schema (probes of an empty index return no neighbors, they
     * don't crash). */
   def assignments(spark: SparkSession, root: String): DataFrame =
     try
       spark.read.parquet(assignDir(root))
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          col("cv").cast("long").as("cv"))
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
@@ -117,18 +134,30 @@ object AnnIndex {
           StructType(Seq(
             StructField("vec_id", LongType),
             StructField("embedding", ArrayType(FloatType)),
-            StructField("cent_id", IntegerType))))
+            StructField("cent_id", IntegerType),
+            StructField("cv", LongType))))
     }
 
   /** Structured Streaming maintenance: first batch trains the
     * centroids, every batch (including the first) appends its
-    * assignments — the river's poll loop with the IVF index as sink. */
+    * assignments — the river's poll loop with the IVF index as sink.
+    * `retrainEvery > 0` re-trains on every n-th batch (batchId % n == 0,
+    * trained on that batch's vectors), committing a NEW centroid
+    * version; subsequent batches assign against it while the old
+    * versions' assignments stay queryable under their own `cv=`
+    * partitions (the drift path the versioned-snapshot design
+    * promises; `AnnIndexSpec` pins it). Replay stays exactly-once:
+    * trainCentroids with an existing version id is a no-op and the
+    * retrain-then-append order is deterministic per batch id. */
   def maintain(embStream: DataFrame, root: String, checkpoint: String,
-      nCentroids: Int = 16, lloydRounds: Int = 3): StreamingQuery =
+      nCentroids: Int = 16, lloydRounds: Int = 3,
+      retrainEvery: Int = 0): StreamingQuery =
     embStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        if (centroidVersions(batch.sparkSession, root).isEmpty)
+        val needTrain = centroidVersions(batch.sparkSession, root).isEmpty ||
+          (retrainEvery > 0 && id > 0 && id % retrainEvery == 0)
+        if (needTrain)
           trainCentroids(batch.toDF(), id, root, nCentroids, lloydRounds)
         appendBatch(batch.toDF(), id, root)
       }
@@ -158,27 +187,41 @@ object AnnIndex {
     * Subset-of-exact + recall spec in `AnnIndexSpec`. */
   def incrementalEmbeddingNearDup(spark: SparkSession, root: String,
       newEmb: DataFrame, tau: Double, nprobe: Int = 2): DataFrame = {
-    val assign = Ann.centroidAssigner(spark,
-      Ann.centMatrix(readCentroids(spark, root)))
-    val delta = newEmb.select(col("vec_id"), col("embedding"),
+    val versions = centroidVersions(spark, root)
+    require(versions.nonEmpty, s"no centroid snapshot under $root — train first")
+    val all = assignments(spark, root)
+    // per centroid version: probe the delta against THAT version's
+    // centroids and prune to its own cv= partitions (versions is
+    // metadata — a handful of snapshots, not data scale)
+    val vsOld = versions.map { v =>
+      val assign = Ann.centroidAssigner(spark,
+        Ann.centMatrix(readCentroidsV(spark, root, v)))
+      val delta = newEmb.select(col("vec_id"), col("embedding"),
         explode(assign(col("embedding"), nprobe)).as("cent_id"))
+      val probed = delta.select("cent_id").distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by nCentroids
+      val corpus = all
+        .filter(col("cv") === v && col("cent_id").isin(probed.map(Int.box): _*))
+      delta
+        .select(col("cent_id"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .join(corpus.select(col("cent_id"), col("vec_id").as("o_id"),
+          col("embedding").as("o_emb")), Seq("cent_id"))
+        .filter(col("n_id") =!= col("o_id")) // disjointness guard
+        .withColumn("cos_sim", GraftFunctions.cosineSim(col("n_emb"), col("o_emb")))
+        .filter(col("cos_sim") >= tau)
+        .select(least(col("n_id"), col("o_id")).as("a_id"),
+          greatest(col("n_id"), col("o_id")).as("b_id"), col("cos_sim"))
+    }.reduce(_.unionByName(_))
+    // delta-vs-delta self pairs: any single assigner works (both sides
+    // use the same lists) — use the newest
+    val assignNew = Ann.centroidAssigner(spark,
+      Ann.centMatrix(readCentroidsV(spark, root, versions.last)))
+    val deltaNew = newEmb.select(col("vec_id"), col("embedding"),
+        explode(assignNew(col("embedding"), nprobe)).as("cent_id"))
       .persist()
-    val probed = delta.select("cent_id").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by nCentroids
-    val corpus = assignments(spark, root)
-      .filter(col("cent_id").isin(probed.map(Int.box): _*))
-    val vsOld = delta
-      .select(col("cent_id"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-      .join(corpus.select(col("cent_id"), col("vec_id").as("o_id"),
-        col("embedding").as("o_emb")), Seq("cent_id"))
-      .filter(col("n_id") =!= col("o_id")) // disjointness guard
-      .withColumn("cos_sim", GraftFunctions.cosineSim(col("n_emb"), col("o_emb")))
-      .filter(col("cos_sim") >= tau)
-      .select(least(col("n_id"), col("o_id")).as("a_id"),
-        greatest(col("n_id"), col("o_id")).as("b_id"), col("cos_sim"))
-    val vsNew = delta
+    val vsNew = deltaNew
       .select(col("cent_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      .join(delta.select(col("cent_id"), col("vec_id").as("b_id"),
+      .join(deltaNew.select(col("cent_id"), col("vec_id").as("b_id"),
         col("embedding").as("b_emb")), Seq("cent_id"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos_sim", GraftFunctions.cosineSim(col("a_emb"), col("b_emb")))
@@ -189,22 +232,33 @@ object AnnIndex {
 
   def ivfTopKIndexed(spark: SparkSession, root: String, emb: DataFrame,
       nQueries: Int, k: Int, nprobe: Int = 4): DataFrame = {
-    val assign = Ann.centroidAssigner(spark,
-      Ann.centMatrix(readCentroids(spark, root)))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(assign(col("embedding"), nprobe)).as("cent_id"))
-    val probed = queries.select("cent_id").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded: ≤ nQueries × nprobe
-    val cand = assignments(spark, root)
-      .filter(col("cent_id").isin(probed.map(Int.box): _*))
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-        col("cent_id"))
-    val sim = broadcast(queries).join(cand, Seq("cent_id"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+    val versions = centroidVersions(spark, root)
+    require(versions.nonEmpty, s"no centroid snapshot under $root — train first")
+    val all = assignments(spark, root)
+    // per version: probe with that version's centroids, prune to its
+    // cv= partitions — candidates from every era of the index
+    val sim = versions.map { v =>
+      val assign = Ann.centroidAssigner(spark,
+        Ann.centMatrix(readCentroidsV(spark, root, v)))
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(assign(col("embedding"), nprobe)).as("cent_id"))
+      val probed = queries.select("cent_id").distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ nQueries × nprobe
+      val cand = all
+        .filter(col("cv") === v && col("cent_id").isin(probed.map(Int.box): _*))
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+          col("cent_id"))
+      broadcast(queries).join(cand, Seq("cent_id"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+        .select("query_id", "cand_id", "cos_sim")
+    }.reduce(_.unionByName(_))
+    // a vector can be a candidate under several versions/lists — one
+    // vote per (query, candidate) before ranking
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
-    sim.withColumn("rank", row_number().over(w))
+    sim.dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "cand_id", "cos_sim")
   }

@@ -151,4 +151,83 @@ object BoolDsl {
         explode(filter(array(entries: _*), s => s.getField("hit"))).as("m"))
       .select(col("doc_id"), col("m.query_id").as("query_id"))
   }
+
+  /** Percolator term extraction (the ES percolator's candidate-query
+    * mechanism): a SOUND over-approximation — `Some(terms)` guarantees
+    * any doc matching the query contains at least one of `terms` in
+    * its text token stream; `None` means no such guarantee exists and
+    * the query must be evaluated against every doc.
+    *
+    *  - a text `match` leaf requires its own term;
+    *  - a bool with must/filter clauses inherits ANY one extractable
+    *    conjunct's set (every must clause must match, so one suffices);
+    *  - failing that, if ≥1 should clause is required (explicit
+    *    minimum_should_match ≥ 1, or the no-must/filter default) and
+    *    EVERY should clause is extractable, the union of their sets is
+    *    required;
+    *  - keyword/range/exists leaves and pure-negative bools extract
+    *    nothing (they constrain fields the token index doesn't cover).
+    */
+  def extractTerms(q: Query): Option[Seq[String]] = q match {
+    case MatchQ(t, _, "text") => Some(Seq(t))
+    case b: Bool =>
+      val conj = (b.must ++ b.filter).iterator.map(extractTerms)
+        .collectFirst { case Some(s) => s }
+      conj.orElse {
+        val msmEff =
+          if (b.minimumShouldMatch > 0) b.minimumShouldMatch
+          else if (b.must.isEmpty && b.filter.isEmpty && b.should.nonEmpty) 1
+          else 0
+        if (msmEff >= 1 && b.should.nonEmpty) {
+          val ex = b.should.map(extractTerms)
+          if (ex.forall(_.isDefined)) Some(ex.flatMap(_.get).distinct) else None
+        } else None
+      }
+    case _ => None
+  }
+
+  /** Candidate (doc_id, query_id) pairs from the term-index prefilter:
+    * extractable queries invert to a (term → query_id) table that
+    * broadcast-joins the doc token stream; unextractable queries pair
+    * with every doc. Guaranteed ⊇ the true match set (spec-pinned). */
+  def percolatorCandidates(docs: DataFrame, queries: Seq[(String, Query)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ex = queries.map { case (id, q) => id -> extractTerms(q) }
+    val termRows = ex.collect { case (id, Some(ts)) => ts.map(t => (t, id)) }.flatten
+    val alwaysIds = ex.collect { case (id, None) => id }
+    val byTerm =
+      if (termRows.isEmpty)
+        docs.select(col("doc_id"), lit("").as("query_id")).limit(0)
+      else docs
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+        .join(broadcast(termRows.toDF("term", "query_id")), "term")
+        .select(col("doc_id"), col("query_id")).distinct()
+    if (alwaysIds.isEmpty) byTerm
+    else byTerm.union(
+      docs.select(col("doc_id")).crossJoin(broadcast(alwaysIds.toDF("query_id"))))
+  }
+
+  /** [[percolateDsl]]'s scale form (the ES percolator design at 10⁵
+    * registered queries): the exhaustive form evaluates EVERY stored
+    * tree against every row — exactly right at 10³ queries, linear in
+    * Q·corpus beyond that. Here the term-index prefilter cuts the work
+    * to the candidate pairs (docs sharing ≥1 extracted term with the
+    * query), and only the candidate's OWN tree is evaluated per pair —
+    * a lazily-short-circuiting id-keyed CASE chain, so per-pair cost is
+    * an id scan plus one predicate, not Q predicates. Same output as
+    * the exhaustive form (spec-pinned equal); prefilter completeness
+    * (candidates ⊇ matches) is structurally guaranteed by
+    * [[extractTerms]]'s soundness and spec-pinned too. */
+  def percolateDslIndexed(docs: DataFrame, queries: Seq[(String, Query)]): DataFrame = {
+    require(queries.nonEmpty)
+    val chain = queries.foldLeft(lit(false)) { case (acc, (id, q)) =>
+      when(col("query_id") === id, compile(q)._1).otherwise(acc)
+    }
+    percolatorCandidates(docs, queries)
+      .join(docs, "doc_id")
+      .filter(chain)
+      .select(col("doc_id"), col("query_id"))
+  }
 }

@@ -121,6 +121,76 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.exists { case (a, b) => newIds(a) ^ newIds(b) }, "no new-old pair")
   }
 
+  test("periodic re-train (r13): new version commits, old assignments stay " +
+      "queryable under their cv=, indexed == per-version recompute") {
+    val root = tmp("ann-idx")
+    val eraA = emb.filter(col("vec_id") % 2 === 0)
+    val eraB = emb.filter(col("vec_id") % 2 === 1)
+    // era 0 trains v0 and ingests under cv=0; drift re-train on era B's
+    // (different) vectors commits v1, era B ingests under cv=1
+    AnnIndex.trainCentroids(eraA, 0L, root)
+    AnnIndex.appendBatch(eraA, 0L, root)
+    AnnIndex.trainCentroids(eraB, 1L, root)
+    AnnIndex.appendBatch(eraB, 1L, root)
+    assert(AnnIndex.centroidVersions(spark, root) == Seq(0L, 1L))
+    val c0 = AnnIndex.readCentroidsV(spark, root, 0L)
+    val c1 = AnnIndex.readCentroidsV(spark, root, 1L)
+    assert(c0 != c1, "drift fixture must produce different centroid versions")
+    // old assignments untouched and queryable under their own version
+    val asn = AnnIndex.assignments(spark, root)
+    assert(asn.filter(col("cv") === 0L).count() == eraA.count())
+    assert(asn.filter(col("cv") === 1L).count() == eraB.count())
+    // indexed probe == index-free recompute that mirrors the
+    // per-version contract (each era assigned + probed by ITS centroids)
+    val got = AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def eraCands(v: Long, corpusEra: DataFrame) = {
+      val mat = Ann.centMatrix(AnnIndex.readCentroidsV(spark, root, v))
+      val corpus = corpusEra.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"),
+        GraftFunctions.topCentroids(col("embedding"), mat, 1).getItem(0).as("cent_id"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(GraftFunctions.topCentroids(col("embedding"), mat, 4)).as("cent_id"))
+      broadcast(queries).join(corpus, Seq("cent_id"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+        .select("query_id", "cand_id", "cos_sim")
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    val expect = eraCands(0L, eraA).unionByName(eraCands(1L, eraB))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("cand_id")))).toSet
+    assert(got == expect && got.nonEmpty)
+    // neighbors must come from BOTH eras (old data still served)
+    val cands = got.map(_._3)
+    assert(cands.exists(_ % 2 == 0) && cands.exists(_ % 2 == 1),
+      "re-trained index must still serve pre-retrain assignments")
+  }
+
+  test("streaming maintenance with retrainEvery commits a second version") {
+    val root = tmp("ann-idx")
+    val src = tmp("ann-idx-src")
+    (0L until 3L).foreach { b =>
+      emb.filter(col("vec_id") % 3 === b).select("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val stream = spark.readStream
+      .schema(emb.select("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = AnnIndex.maintain(stream, root, tmp("ann-idx-ckpt"), retrainEvery = 2)
+    q.awaitTermination()
+    // batches 0,1,2: v0 from first batch, v2 from the periodic retrain
+    assert(AnnIndex.centroidVersions(spark, root) == Seq(0L, 2L))
+    // every vector is indexed exactly once across the cv= partitions
+    val asn = AnnIndex.assignments(spark, root)
+    assert(asn.count() == emb.count())
+    assert(asn.select("vec_id").distinct().count() == emb.count())
+    assert(asn.filter(col("cv") === 2L).count() > 0, "retrain era must ingest")
+  }
+
   test("probe reads only the probed cent_id partitions") {
     val root = tmp("ann-idx")
     buildIndex(root)

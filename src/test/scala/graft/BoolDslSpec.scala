@@ -209,6 +209,37 @@ class BoolDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("a - "))
   }
 
+  test("percolateDslIndexed: prefilter complete (candidates ⊇ matches), " +
+      "output equals the exhaustive form, unextractable queries still served") {
+    val qs = Seq(
+      "pq1" -> Bool(must = Seq(MatchQ("hash")),
+        filter = Seq(RangeQ("n_chars", gte = Some(200)))),
+      "pq2" -> Bool(should = Seq(MatchQ("join"), MatchQ("vector")),
+        filter = Seq(TermQ("lang", "en")), minimumShouldMatch = 1),
+      "pq3" -> Bool(must = Seq(MatchQ("scan")),
+        mustNot = Seq(TermQ("source", "src13"))),
+      // pure keyword filter: nothing to extract → always-candidate path
+      "pq4" -> Bool(filter = Seq(TermQ("lang", "de"))))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exhaustive = pairs(BoolDsl.percolateDsl(docs, qs))
+    val indexed = pairs(BoolDsl.percolateDslIndexed(docs, qs))
+    val cands = pairs(BoolDsl.percolatorCandidates(docs, qs))
+    assert(exhaustive.subsetOf(cands), "prefilter must never drop a match")
+    assert(indexed == exhaustive, "indexed form must equal the exhaustive form")
+    assert(Seq("pq1", "pq2", "pq3", "pq4").forall(id => exhaustive.exists(_._2 == id)),
+      "every stored query (incl. the unextractable one) must match somewhere")
+    // extraction rules pinned: conjunct set, should-union, unextractable
+    assert(BoolDsl.extractTerms(qs(0)._2) == Some(Seq("hash")))
+    assert(BoolDsl.extractTerms(qs(1)._2) == Some(Seq("join", "vector")))
+    assert(BoolDsl.extractTerms(qs(2)._2) == Some(Seq("scan")))
+    assert(BoolDsl.extractTerms(qs(3)._2).isEmpty)
+    // and the prefilter genuinely prunes vs all-pairs (minus the
+    // always-candidate query's full column)
+    val allPairs = docs.count() * qs.size
+    assert(cands.size < allPairs, s"prefilter must prune: $cands vs $allPairs")
+  }
+
   test("QueryString: parsed search equals the hand-built tree's search") {
     import graft.text.QueryString
     val q = "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150"

@@ -216,4 +216,51 @@ class GeoSpec extends SparkSpec {
     // every cell id is 2 chars of the base32 alphabet
     assert(grid.filter(!col("gh").rlike("^[0-9b-hjkmnp-z]{2}$")).count() == 0)
   }
+
+  test("geo_shape envelope relations: containment, crossing, touching, " +
+      "concave-notch cut, polygon-inside-envelope") {
+    import spark.implicits._
+    // unit square polygon (0,0)-(10,10) in (lat, lon), plus the shared
+    // concave hexagon for the notch case
+    val square = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
+    def rel(poly: Seq[(Double, Double)],
+        boxes: (Long, Double, Double, Double, Double)*): Map[Long, String] =
+      boxes.toSeq
+        .toDF("event_id", "lat_min", "lat_max", "lon_min", "lon_max")
+        .withColumn("relation", Geo.envelopeRelation(poly))
+        .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val got = rel(square,
+      (1L, 2.0, 8.0, 2.0, 8.0),       // strictly inside → within
+      (2L, -5.0, 5.0, 2.0, 8.0),      // crosses the bottom edge
+      (3L, -5.0, -1.0, 2.0, 8.0),     // fully outside → disjoint
+      (4L, -5.0, 0.0, 2.0, 8.0),      // touches the bottom edge exactly
+      (5L, -5.0, 15.0, -5.0, 15.0),   // polygon entirely inside envelope
+      (6L, 10.0, 12.0, 10.0, 12.0))   // corner-touch at (10,10)
+    assert(got(1L) == "within")
+    assert(got(2L) == "intersects")
+    assert(got(3L) == "disjoint")
+    assert(got(4L) == "intersects", "edge touch counts as intersecting")
+    assert(got(5L) == "intersects", "containment of the polygon is intersects, not within")
+    assert(got(6L) == "intersects", "corner touch counts as intersecting")
+    // concave notch: above the shared hexagon's (5,5) notch vertex the
+    // edges (40,-10)→(5,5) and (5,5)→(10,60) carve a wedge out of the
+    // interior; envelope lat∈[6,9] × lon∈[0,50] has ALL FOUR corners
+    // inside the polygon (self-validated below), contains no polygon
+    // vertex, yet both notch edges cut through it — corners-inside
+    // alone would misreport 'within'
+    val hex = Seq((0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
+      (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
+    val corners = Seq((6.0, 0.0), (6.0, 50.0), (9.0, 0.0), (9.0, 50.0))
+      .toDF("lat", "lon")
+      .withColumn("in", Geo.pointInPolygon(col("lat"), col("lon"), hex))
+      .collect().map(_.getBoolean(2))
+    assert(corners.forall(identity), "fixture invariant: all 4 corners inside")
+    val notch = rel(hex, (7L, 6.0, 9.0, 0.0, 50.0))
+    assert(notch(7L) == "intersects", "notch-spanning envelope is NOT within")
+    // and the classified facet over real events covers all three classes
+    val facet = Geo.geoShapeFacet(
+      Geo.withCoords(Tables.events(spark, sfDir)), hex)
+      .collect().map(_.getString(0)).toSet
+    assert(facet == Set("within", "intersects", "disjoint"))
+  }
 }
