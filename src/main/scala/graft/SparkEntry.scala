@@ -407,6 +407,19 @@ object SparkEntry {
       text.TextOps.intervalsQuery(Tables.documents(s, dir),
         "hash", "join", "scan", 6, 25)),
 
+    // ES match_bool_prefix (r13): type-ahead bool form — full terms as
+    // should matches + the in-flight token as an any-position prefix
+    "text_match_bool_prefix" -> ((s, dir) =>
+      text.TextOps.matchBoolPrefix(Tables.documents(s, dir),
+        Seq("dup", "query"), "sc", 25)),
+
+    // ES rescore (r13): BM25 top-30 window re-ranked by phrase
+    // proximity of the query's own terms (query scan adjacency),
+    // combined 1.0×first + 2.0×phrase_tf
+    "q_rescore" -> ((s, dir) =>
+      text.TextOps.rescoreSearch(Tables.documents(s, dir),
+        Seq("dup", "query", "scan"), "query", "scan", 30, 10)),
+
     // intervals combinator AST (r13): all_of(ordered) inside any_of +
     // unordered multi-term match — minimal-interval algebra, oracle
     // generated from the SAME tree
@@ -1727,6 +1740,46 @@ object SparkEntry {
 
     "text_intervals_ast" -> text.IntervalsAst.oracleSql(intervalsAstTree, 25),
     "text_intervals_nested" -> text.IntervalsAst.oracleSql(intervalsNestedTree, 25),
+
+    "text_match_bool_prefix" ->
+      raw"""WITH d AS (SELECT doc_id,
+           |    string_split_regex(lower(text), '\s+') AS toks FROM documents)
+           |SELECT doc_id,
+           |       CAST(len(list_filter(toks, x -> x = 'dup'))
+           |          + len(list_filter(toks, x -> x = 'query'))
+           |          + len(list_filter(toks, x -> x LIKE 'sc%')) AS BIGINT) AS score
+           |FROM d
+           |WHERE len(list_filter(toks, x -> x = 'dup'))
+           |    + len(list_filter(toks, x -> x = 'query'))
+           |    + len(list_filter(toks, x -> x LIKE 'sc%')) > 0
+           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_rescore" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+           |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+           |      FROM d),
+           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |bm AS (SELECT doc_id,
+           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS first_score
+           |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+           |  ORDER BY first_score DESC, doc_id LIMIT 30),
+           |tk AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM d),
+           |ph AS (SELECT pa.doc_id, count(*) AS n
+           |       FROM tk pa JOIN tk pb ON pa.doc_id = pb.doc_id AND pb.i = pa.i + 1
+           |       WHERE pa.t = 'query' AND pb.t = 'scan' GROUP BY pa.doc_id)
+           |SELECT bm.doc_id, first_score,
+           |       CAST(coalesce(ph.n, 0) AS BIGINT) AS phrase_tf,
+           |       first_score * 1.0e0 + CAST(coalesce(ph.n, 0) AS DOUBLE) * 2.0e0 AS score
+           |FROM bm LEFT JOIN ph ON bm.doc_id = ph.doc_id
+           |ORDER BY score DESC, bm.doc_id LIMIT 10""".stripMargin,
 
     "q_parent_agg" ->
       """SELECT l_returnflag, count(*) AS n_parents,

@@ -255,6 +255,59 @@ object TextOps {
     out
   }
 
+  /** ES match_bool_prefix (round 13): the type-ahead bool form —
+    * every full term a `match` should-clause, the LAST (still being
+    * typed) token a prefix over any token position; scored by the sum
+    * of term tfs plus the prefix hit count, any clause suffices
+    * (minimum_should_match=1, the no-must default). One narrow
+    * token-array scan, bounded TakeOrdered — the match_phrase_prefix
+    * scan shape without the adjacency constraint. */
+  def matchBoolPrefix(docs: DataFrame, terms: Seq[String], prefix: String,
+      k: Int): DataFrame = {
+    require(terms.nonEmpty && prefix.nonEmpty)
+    val toks = split(lower(col("text")), "\\s+")
+    val score = (terms.map(t => size(filter(toks, x => x === lit(t)))) :+
+      size(filter(toks, x => x.startsWith(prefix))))
+      .map(_.cast("long")).reduce(_ + _)
+    docs.select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** ES rescore (round 13): two-phase ranking — the first pass takes
+    * the top `window` docs by BM25 over `terms`, the second re-scores
+    * ONLY that window with a phrase-proximity query (adjacent
+    * (t1, t2) pair count — the canonical ES rescore example) and
+    * combines `query_weight × first + rescore_weight × phrase_tf`.
+    * The window is a bounded page (broadcast side of the re-join), so
+    * the expensive second scorer touches `window` rows, never the
+    * corpus — exactly the cost model ES rescoring exists for. Doubles
+    * stay deterministic: BM25's ln on the rational domain bit-matches
+    * DuckDB (the text_bm25 precedent) and the combine is two
+    * fixed-order multiply-adds. */
+  def rescoreSearch(docs: DataFrame, terms: Seq[String], t1: String, t2: String,
+      window: Int, k: Int, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 2.0): DataFrame = {
+    require(window >= k && k > 0)
+    val page = bm25Search(docs, terms, window)
+      .select(col("doc_id"), col("score").as("first_score"))
+    val toks = split(lower(col("text")), "\\s+")
+    def positions(term: String) =
+      filter(transform(toks, (t, i) => when(t === term, i + 1).otherwise(-1)),
+        p => p > 0)
+    val second = docs.select(col("doc_id"),
+      aggregate(positions(t1), lit(0L), (acc, i) =>
+        acc + size(filter(positions(t2), j => j === i + 1)).cast("long"))
+        .as("phrase_tf"))
+    broadcast(page).join(second, "doc_id")
+      .select(col("doc_id"), col("first_score"), col("phrase_tf"),
+        (col("first_score") * lit(queryWeight) +
+          col("phrase_tf").cast("double") * lit(rescoreWeight)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** ES terms_set query: docs where at least `minShouldMatch` DISTINCT
     * terms of the set occur — the "N of these M terms" middle ground
     * between `terms` (any) and `bool.must` (all). One narrow scan, the

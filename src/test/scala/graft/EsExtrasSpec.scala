@@ -171,6 +171,36 @@ class EsExtrasSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("matchBoolPrefix: term and prefix clauses, any suffices, scores add") {
+    val docs = docsDf(
+      1L -> "dup dup scan",  // tf(dup)=2 + one sc-prefix token = 3
+      2L -> "query here",    // one term hit
+      3L -> "scatter scan",  // two prefix hits, no full term
+      4L -> "nothing else")  // no clause → absent
+    val got = TextOps.matchBoolPrefix(docs, Seq("dup", "query"), "sc", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("rescoreSearch: only the first-pass window is rescored; combine " +
+      "reorders within it, never admits from outside") {
+    val docs = docsDf(
+      1L -> "a a a a",                // top first-pass, no phrase
+      2L -> "a b c",                  // in window, phrase hit
+      3L -> "b c b c b c",            // no query term → never in the page
+      4L -> "a b c b c b c b c x")    // query term but below window=2 (longer dl)
+    val got = TextOps.rescoreSearch(docs, Seq("a"), "b", "c",
+      window = 2, k = 2, queryWeight = 1.0, rescoreWeight = 100.0).collect()
+    // window = top-2 by bm25 = docs 1,2; weight 100 lifts doc 2 above 1;
+    // docs 3 (no term) and 4 (outside window) must not appear even though
+    // their phrase scores are the highest in the corpus
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    val d2 = got.find(_.getLong(0) == 2L).get
+    assert(d2.getAs[Long]("phrase_tf") == 1L)
+    assert(d2.getAs[Double]("score") ==
+      d2.getAs[Double]("first_score") * 1.0 + 100.0)
+  }
+
   test("frequentItemSets: pair supports match a naive recompute over the corpus") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextOps.frequentItemSets(docs, 20, 5L, 25).collect()
