@@ -74,7 +74,19 @@ object IntervalsAst {
   private def sOf(v: Column): Column = ((v - (v % Enc)) / Enc).cast("long")
   private def eOf(v: Column): Column = v % Enc
 
-  private def comboValid(cm: Column, n: Int, ordered: Boolean, maxGaps: Int): Column = {
+  /** Is every interval this node yields statically width-1 (a single
+    * token position)? True for single-term matches — the compiler uses
+    * it to skip the per-combo `sequence`/`array_union` coverage
+    * allocation in the gap check (the hot path for desugared
+    * multi-term matches: ordered width-1 chains cover exactly n
+    * positions; unordered ones cover the distinct starts). */
+  private def width1(node: Node): Boolean = node match {
+    case IMatch(Seq(_), _, _) => true
+    case _ => false
+  }
+
+  private def comboValid(cm: Column, n: Int, ordered: Boolean, maxGaps: Int,
+      allWidth1: Boolean): Column = {
     val comps = (1 to n).map(i => element_at(cm, i))
     val orderedOk =
       if (!ordered || n == 1) lit(true)
@@ -85,8 +97,12 @@ object IntervalsAst {
       else {
         val s = comps.map(sOf).reduce(least(_, _))
         val e = comps.map(eOf).reduce(greatest(_, _))
-        val covered = size(comps.map(c => sequence(sOf(c), eOf(c)))
-          .reduce(array_union(_, _))).cast("long")
+        val covered =
+          if (allWidth1 && (ordered || n == 1)) lit(n.toLong)
+          else if (allWidth1)
+            size(array_distinct(array(comps.map(sOf): _*))).cast("long")
+          else size(comps.map(c => sequence(sOf(c), eOf(c)))
+            .reduce(array_union(_, _))).cast("long")
         e - s + lit(1L) - covered <= lit(maxGaps.toLong)
       }
     orderedOk && gapsOk
@@ -134,7 +150,9 @@ object IntervalsAst {
         val combos = children.tail.foldLeft(init)((acc, ch) =>
           flatten(transform(acc, cm => transform(ch, x => concat(cm, array(x))))))
         val n = cs.length
-        val valid = col(emit(filter(col(emit(combos)), cm => comboValid(cm, n, ordered, g))))
+        val w1 = cs.forall(width1)
+        val valid = col(emit(filter(col(emit(combos)),
+          cm => comboValid(cm, n, ordered, g, w1))))
         val combined = transform(valid, cm => {
           val comps = (1 to n).map(i => element_at(cm, i))
           comps.map(sOf).reduce(least(_, _)) * Enc +

@@ -62,6 +62,29 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.multimodal.Multimodal.payloadDedup(emptyDocs).count() == 0)
   }
 
+  test("empty inputs: the round-13 operators degrade, never crash") {
+    import graft.text.BoolDsl
+    // match_bool_prefix / rescore over an empty corpus
+    assert(TextOps.matchBoolPrefix(emptyDocs, Seq("a"), "b", 10).count() == 0)
+    assert(TextOps.rescoreSearch(emptyDocs, Seq("a"), "b", "c", 5, 5).count() == 0)
+    // indexed percolator: empty corpus, and a query set where NOTHING
+    // is extractable (all-always-candidates path over zero docs)
+    val qs = Seq(
+      "p1" -> BoolDsl.Bool(must = Seq(BoolDsl.MatchQ("a"))),
+      "p2" -> BoolDsl.Bool(filter = Seq(BoolDsl.TermQ("lang", "de"))))
+    assert(BoolDsl.percolateDslIndexed(emptyDocs, qs).count() == 0)
+    assert(BoolDsl.percolatorCandidates(emptyDocs,
+      Seq("p2" -> BoolDsl.Bool(filter = Seq(BoolDsl.TermQ("lang", "de"))))).count() == 0)
+    // geo_shape facet over empty events
+    val hex = Seq((0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
+      (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
+    assert(graft.operators.Geo.geoShapeFacet(
+      graft.operators.Geo.withCoords(emptyEvents), hex).count() == 0)
+    // two-phase batching over empty events (offset map degenerate)
+    assert(graft.river.River.assignBatches(emptyEvents,
+      Seq(col("event_id")), 100).count() == 0)
+  }
+
   test("empty-corpus sweep fixes: footer watermark, percentiles_bucket, empty ANN index") {
     // a fully-empty testdata dir (the reference's first-import world)
     val dir = java.nio.file.Files.createTempDirectory("sf-empty").toString
