@@ -407,6 +407,21 @@ object SparkEntry {
       text.TextOps.intervalsQuery(Tables.documents(s, dir),
         "hash", "join", "scan", 6, 25)),
 
+    // ES cumulative_sum pipeline agg (r13): running totals over the
+    // day histogram — bounded bucket window
+    "q_cumulative_sum" -> ((s, dir) =>
+      operators.Analytics.cumulativeSum(Tables.events(s, dir))),
+
+    // ES derivative pipeline agg (r13): first difference + per-day
+    // rate, null first bucket (the ES contract)
+    "q_derivative" -> ((s, dir) =>
+      operators.Analytics.derivative(Tables.events(s, dir))),
+
+    // ES terms-agg shard approximation contract (r13): per-shard top
+    // shardSize, merged counts + doc_count_error_upper_bound
+    "q_terms_shard_error" -> ((s, dir) =>
+      text.TextOps.termsShardError(Tables.documents(s, dir), 3, 10, 25)),
+
     // ES match_bool_prefix (r13): type-ahead bool form — full terms as
     // should matches + the in-flight token as an any-position prefix
     "text_match_bool_prefix" -> ((s, dir) =>
@@ -1740,6 +1755,49 @@ object SparkEntry {
 
     "text_intervals_ast" -> text.IntervalsAst.oracleSql(intervalsAstTree, 25),
     "text_intervals_nested" -> text.IntervalsAst.oracleSql(intervalsNestedTree, 25),
+
+    "q_cumulative_sum" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value,
+        |       CAST(sum(dsum) OVER (ORDER BY day_idx) AS DOUBLE) AS cum_sum,
+        |       CAST(sum(n) OVER (ORDER BY day_idx) AS BIGINT) AS cum_n
+        |FROM day""".stripMargin,
+
+    "q_derivative" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1)
+        |SELECT day_idx, n, CAST(dsum AS DOUBLE) AS sum_value,
+        |       CAST(dsum - lag(dsum) OVER w AS DOUBLE) AS deriv,
+        |       CAST(dsum - lag(dsum) OVER w AS DOUBLE)
+        |         / CAST(day_idx - lag(day_idx) OVER w AS DOUBLE) AS deriv_per_day
+        |FROM day WINDOW w AS (ORDER BY day_idx)""".stripMargin,
+
+    "q_terms_shard_error" ->
+      raw"""WITH tk AS (SELECT CAST(doc_id % 3 AS INTEGER) AS shard,
+           |    unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+           |ps AS (SELECT shard, term, count(*) AS cnt FROM tk
+           |       WHERE term <> '' GROUP BY 1, 2),
+           |rk AS (SELECT shard, term, cnt,
+           |         row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, term) AS rk
+           |       FROM ps),
+           |tails AS (SELECT shard,
+           |            CASE WHEN max(rk) > 10
+           |                 THEN min(CASE WHEN rk <= 10 THEN cnt END)
+           |                 ELSE 0 END AS tail
+           |          FROM rk GROUP BY shard),
+           |tt AS (SELECT sum(tail) AS total_tail FROM tails),
+           |ret AS (SELECT r.term, r.cnt, t.tail
+           |        FROM rk r JOIN tails t ON r.shard = t.shard WHERE r.rk <= 10)
+           |SELECT term, CAST(sum(cnt) AS BIGINT) AS doc_count,
+           |       CAST(total_tail - sum(tail) AS BIGINT) AS error_bound
+           |FROM ret CROSS JOIN tt
+           |GROUP BY term, total_tail
+           |ORDER BY doc_count DESC, term LIMIT 25""".stripMargin,
 
     "text_match_bool_prefix" ->
       raw"""WITH d AS (SELECT doc_id,

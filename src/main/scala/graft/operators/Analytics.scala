@@ -529,6 +529,40 @@ object Analytics {
         col("serial_diff"))
   }
 
+  /** ES cumulative_sum pipeline agg (round 13): running totals of the
+    * date-histogram metric. The window runs over BUCKETS (≤366 rows),
+    * so the unpartitioned frame is a bounded post-agg step; the
+    * cumulative sums stay on the exact DECIMAL/BIGINT domains and cast
+    * once per row (the Det discipline — and cum_n must cast to BIGINT
+    * in the oracle: DuckDB widens window sum(BIGINT) to HUGEINT, the
+    * q_change_point class). */
+  def cumulativeSum(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    dayBuckets(events)
+      .select(col("day_idx"), col("n"),
+        col("dsum").cast("double").as("sum_value"),
+        sum(col("dsum")).over(w).cast("double").as("cum_sum"),
+        sum(col("n")).over(w).as("cum_n"))
+  }
+
+  /** ES derivative pipeline agg (round 13): first difference of the
+    * date-histogram metric, plus the gap-normalized per-day rate (the
+    * `unit` option). ES emits no value for the first bucket — null
+    * here, same contract. The difference is exact decimal; the rate
+    * divides DOUBLES (decimal/decimal division would round differently
+    * across engines). Bounded bucket window, nothing at data scale. */
+  def derivative(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("day_idx")
+    dayBuckets(events)
+      .withColumn("prev_sum", lag(col("dsum"), 1).over(w))
+      .withColumn("prev_day", lag(col("day_idx"), 1).over(w))
+      .select(col("day_idx"), col("n"),
+        col("dsum").cast("double").as("sum_value"),
+        (col("dsum") - col("prev_sum")).cast("double").as("deriv"),
+        ((col("dsum") - col("prev_sum")).cast("double") /
+          (col("day_idx") - col("prev_day")).cast("double")).as("deriv_per_day"))
+  }
+
   /** ES moving_fn pipeline agg: arbitrary sliding-window functions over
     * the date-histogram bucket values — here max / min / window size,
     * the complement of q_pipeline_aggs' moving sum/avg. The window runs

@@ -255,6 +255,53 @@ object TextOps {
     out
   }
 
+  /** ES terms aggregation SHARD APPROXIMATION CONTRACT (round 13):
+    * the distributed-correctness surface of `terms` — each shard
+    * returns only its local top `shardSize` terms, the coordinator
+    * sums what was returned, and every bucket carries
+    * `doc_count_error_upper_bound` = Σ over the shards that did NOT
+    * return the term of that shard's smallest returned count (a shard
+    * that returned ALL its terms contributes zero — it was
+    * exhaustive). This is the actual ES terms-agg answer shape at
+    * scale: approximate counts with a sound per-bucket error bound
+    * (true_count ∈ [doc_count, doc_count + error_bound] — the
+    * invariant `EsExtrasSpec` pins against a full recompute).
+    *
+    * Shards here are a deterministic hash band (doc_id % nShards) so
+    * the oracle can replay them; on a real cluster they are the
+    * physical partitions. Plan shape: one map-side-combinable
+    * (shard, term) count, per-shard rank windows over vocabulary-sized
+    * groups, and a candidate set bounded by nShards × shardSize —
+    * nothing data-scale past the first aggregation. */
+  def termsShardError(docs: DataFrame, nShards: Int, shardSize: Int,
+      k: Int): DataFrame = {
+    require(nShards > 0 && shardSize > 0 && k > 0)
+    val tok = docs.select((col("doc_id") % nShards).cast("int").as("shard"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val perShard = tok.groupBy("shard", "term").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("cnt").desc, col("term"))
+    val ranked = perShard.withColumn("rk", row_number().over(w))
+    // per-shard worst-case tail: the k-th (smallest returned) count if
+    // the shard was truncated, 0 if it returned everything
+    val shardTail = ranked.groupBy("shard").agg(
+        max(col("rk")).as("n_terms"),
+        min(when(col("rk") <= shardSize, col("cnt"))).as("kth"))
+      .select(col("shard"),
+        when(col("n_terms") > shardSize, col("kth")).otherwise(lit(0L)).as("tail"))
+    val totalTail = shardTail.agg(sum(col("tail")).as("total_tail"))
+    ranked.filter(col("rk") <= shardSize)
+      .join(shardTail, "shard")
+      .groupBy("term")
+      .agg(sum(col("cnt")).as("doc_count"), sum(col("tail")).as("covered_tail"))
+      .crossJoin(broadcast(totalTail))
+      .select(col("term"), col("doc_count"),
+        (col("total_tail") - col("covered_tail")).as("error_bound"))
+      .orderBy(col("doc_count").desc, col("term"))
+      .limit(k)
+  }
+
   /** ES match_bool_prefix (round 13): the type-ahead bool form —
     * every full term a `match` should-clause, the LAST (still being
     * typed) token a prefix over any token position; scored by the sum

@@ -341,6 +341,57 @@ class EsAggsSpec extends SparkSpec {
     }
   }
 
+  test("cumulativeSum / derivative replay the day histogram exactly") {
+    val ev = Tables.events(spark, sfDir)
+    val byDay = ev.select(unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0) / 86400000000L, money(r.getDouble(1))))
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum))
+      .toSeq.sortBy(_._1)
+    val cs = Analytics.cumulativeSum(ev).orderBy("day_idx").collect()
+    assert(cs.length == byDay.length)
+    var accS = BigDecimal(0); var accN = 0L
+    cs.zip(byDay).foreach { case (r, (d, (n, s))) =>
+      accS += s; accN += n
+      assert(r.getLong(0) == d && r.getLong(1) == n)
+      assert(r.getDouble(3) == accS.toDouble, s"cum_sum at day $d")
+      assert(r.getLong(4) == accN, s"cum_n at day $d")
+    }
+    val dv = Analytics.derivative(ev).orderBy("day_idx").collect()
+    assert(dv.head.isNullAt(3) && dv.head.isNullAt(4),
+      "ES emits no derivative for the first bucket")
+    dv.zipWithIndex.drop(1).foreach { case (r, i) =>
+      val want = (byDay(i)._2._2 - byDay(i - 1)._2._2).toDouble
+      val gap = (byDay(i)._1 - byDay(i - 1)._1).toDouble
+      assert(r.getDouble(3) == want)
+      assert(r.getDouble(4) == want / gap)
+    }
+  }
+
+  test("termsShardError: merged counts are lower bounds with a sound " +
+      "error bound; exhaustive shards are exact with zero error") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = docs.select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextOps.termsShardError(docs, 3, 10, 25).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, dc, eb) =>
+      assert(dc <= exact(t), s"$t: merged $dc must not exceed true ${exact(t)}")
+      assert(exact(t) <= dc + eb,
+        s"$t: true ${exact(t)} must be within $dc + $eb (the ES upper-bound contract)")
+    }
+    // the bound must be non-vacuous on this corpus: some term under-counts
+    assert(got.exists { case (t, dc, _) => dc < exact(t) },
+      "fixture must actually truncate somewhere")
+    // shardSize >= vocabulary → every shard exhaustive → exact, zero error
+    val full = TextOps.termsShardError(docs, 3, 100000, 25).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    full.foreach { case (t, dc, eb) =>
+      assert(dc == exact(t) && eb == 0L, s"$t exhaustive must be exact")
+    }
+  }
+
   test("cumulativeCardinality equals per-bucket distinct recomputation") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.select(col("user_id"), unix_micros(col("ts"))).collect()
