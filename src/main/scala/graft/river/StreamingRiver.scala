@@ -301,4 +301,34 @@ object StreamingRiver {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Streaming percolation (round 13) — the canonical ES percolator
+    * deployment: registered alert queries stand, DOCUMENTS stream past
+    * them, each arriving doc emits its matching (doc_id, query_id)
+    * pairs. `BoolDsl.percolateDsl` is a stateless narrow transform
+    * (per-row predicate array, no aggregation, no join), so it
+    * composes with Structured Streaming directly — no state store, no
+    * watermark, every micro-batch independent; at scale this is the
+    * shape that lets one doc stream fan past 10⁵ registered alerts
+    * with per-batch latency. Spec pins streamed output == the batch
+    * percolator on the same corpus. */
+  def streamingPercolate(docStream: DataFrame,
+      queries: Seq[(String, graft.text.BoolDsl.Query)]): DataFrame =
+    graft.text.BoolDsl.percolateDsl(docStream, queries)
+
+  /** Run the streaming percolator over a bounded doc stream into an
+    * in-memory sink and return every emitted match. */
+  def runPercolateToMemory(spark: SparkSession, docStream: DataFrame,
+      queries: Seq[(String, graft.text.BoolDsl.Query)],
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = streamingPercolate(docStream, queries).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

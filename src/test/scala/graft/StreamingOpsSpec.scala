@@ -27,6 +27,30 @@ class StreamingOpsSpec extends SparkSpec {
       "every distinct key must survive the dedup")
   }
 
+  test("streaming percolation emits exactly the batch percolator's matches") {
+    import graft.text.BoolDsl
+    import graft.text.BoolDsl._
+    val docs = Tables.documents(spark, sfDir)
+    val src = tmp("perc-src")
+    // three files → three micro-batches
+    (0 until 3).foreach(b =>
+      docs.filter(col("doc_id") % 3 === b)
+        .write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val queries = Seq(
+      "alert1" -> Bool(must = Seq(MatchQ("hash")),
+        filter = Seq(RangeQ("n_chars", gte = Some(200)))),
+      "alert2" -> Bool(should = Seq(MatchQ("join"), MatchQ("vector")),
+        filter = Seq(TermQ("lang", "en")), minimumShouldMatch = 1))
+    val got = StreamingRiver.runPercolateToMemory(
+      spark, stream, queries, "perc_stream", tmp("perc-ckpt"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = BoolDsl.percolateDsl(docs, queries)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == batch && got.nonEmpty,
+      "streamed matches must equal the batch percolator exactly")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = Tables.events(spark, sfDir).cache()
     val src = tmp("ij-src")
