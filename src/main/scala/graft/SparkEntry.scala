@@ -422,6 +422,11 @@ object SparkEntry {
     "q_terms_shard_error" -> ((s, dir) =>
       text.TextOps.termsShardError(Tables.documents(s, dir), 3, 10, 25)),
 
+    // ES bucket_count_ks_test (r13): two-sided KS statistic of the day
+    // histogram's doc counts vs uniform
+    "q_bucket_ks_test" -> ((s, dir) =>
+      operators.Analytics.bucketCountKsTest(Tables.events(s, dir))),
+
     // ES match_bool_prefix (r13): type-ahead bool form — full terms as
     // should matches + the in-flight token as an any-position prefix
     "text_match_bool_prefix" -> ((s, dir) =>
@@ -1755,6 +1760,19 @@ object SparkEntry {
 
     "text_intervals_ast" -> text.IntervalsAst.oracleSql(intervalsAstTree, 25),
     "text_intervals_nested" -> text.IntervalsAst.oracleSql(intervalsNestedTree, 25),
+
+    "q_bucket_ks_test" ->
+      """WITH day AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT day_idx, n, sum(n) OVER (ORDER BY day_idx) AS cum_n,
+        |        row_number() OVER (ORDER BY day_idx) AS rk FROM day),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |             CAST(sum(n) AS BIGINT) AS total FROM b)
+        |SELECT n_buckets, total,
+        |       max(abs(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE)
+        |             - CAST(rk AS DOUBLE) / CAST(n_buckets AS DOUBLE))) AS d_stat
+        |FROM b CROSS JOIN t GROUP BY 1, 2""".stripMargin,
 
     "q_cumulative_sum" ->
       """WITH day AS (

@@ -563,6 +563,30 @@ object Analytics {
           (col("day_idx") - col("prev_day")).cast("double")).as("deriv_per_day"))
   }
 
+  /** ES bucket_count_ks_test pipeline agg (round 13, the ML-module
+    * sibling of bucket_correlation): two-sided Kolmogorov–Smirnov
+    * statistic of the day-histogram doc counts against the uniform
+    * distribution — "are events spread evenly over the buckets?".
+    * D = max over ordered buckets of |empirical CDF − uniform CDF|,
+    * computed on exact integer/rational domains (one double division
+    * per bucket, fixed order) over the bounded bucket frame; nothing
+    * at data scale past the parent histogram. */
+  def bucketCountKsTest(events: DataFrame): DataFrame = {
+    val wCum = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    val buckets = dayBuckets(events)
+      .select(col("day_idx"), col("n"),
+        sum(col("n")).over(wCum).as("cum_n"),
+        row_number().over(Window.orderBy("day_idx")).as("rk"))
+    val totals = buckets.agg(
+      count(lit(1)).as("n_buckets"), sum(col("n")).as("total"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("n_buckets"), col("total"),
+        abs(col("cum_n").cast("double") / col("total").cast("double") -
+          col("rk").cast("double") / col("n_buckets").cast("double")).as("dev"))
+      .groupBy("n_buckets", "total")
+      .agg(max(col("dev")).as("d_stat"))
+  }
+
   /** ES moving_fn pipeline agg: arbitrary sliding-window functions over
     * the date-histogram bucket values — here max / min / window size,
     * the complement of q_pipeline_aggs' moving sum/avg. The window runs

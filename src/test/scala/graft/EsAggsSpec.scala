@@ -392,6 +392,25 @@ class EsAggsSpec extends SparkSpec {
     }
   }
 
+  test("bucketCountKsTest equals a naive KS recompute") {
+    val ev = Tables.events(spark, sfDir)
+    val counts = ev.select(unix_micros(col("ts"))).collect()
+      .map(_.getLong(0) / 86400000000L)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1).map(_._2)
+    val total = counts.sum
+    val nb = counts.length
+    var cum = 0L
+    val dStat = counts.zipWithIndex.map { case (n, i) =>
+      cum += n
+      math.abs(cum.toDouble / total.toDouble - (i + 1).toDouble / nb.toDouble)
+    }.max
+    val row = Analytics.bucketCountKsTest(ev).head()
+    assert(row.getLong(0) == nb.toLong && row.getLong(1) == total)
+    assert(row.getDouble(2) == dStat)
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 1.0)
+  }
+
   test("cumulativeCardinality equals per-bucket distinct recomputation") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.select(col("user_id"), unix_micros(col("ts"))).collect()
