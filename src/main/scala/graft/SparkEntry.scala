@@ -1029,6 +1029,11 @@ object SparkEntry {
     "text_significant_terms" -> ((s, dir) =>
       text.TextOps.significantTerms(Tables.documents(s, dir), 5L, 20)),
 
+    // chi_square significance heuristic (r13): same contingency, the
+    // pluggable-heuristic scorer ES offers beside the default
+    "text_significant_chi2" -> ((s, dir) =>
+      text.TextOps.significantTermsChi2(Tables.documents(s, dir), 5L, 20)),
+
     "text_significant_text" -> ((s, dir) =>
       text.TextOps.significantText(Tables.documents(s, dir), "hash", 5L, 20)),
 
@@ -2857,6 +2862,28 @@ object SparkEntry {
            |FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
            |WHERE a >= 5
            |ORDER BY lift DESC, source, term LIMIT 20""".stripMargin,
+
+    "text_significant_chi2" ->
+      raw"""WITH tok AS (SELECT source, term FROM (
+           |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |        FROM documents) WHERE term <> ''),
+           |ast AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
+           |bt AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
+           |cs AS (SELECT source, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT count(*) AS d FROM tok),
+           |ct AS (SELECT source, term, a, b,
+           |         CAST(a AS DOUBLE) * CAST(d - b - c + a AS DOUBLE)
+           |           - CAST(c - a AS DOUBLE) * CAST(b - a AS DOUBLE) AS x,
+           |         (CAST(a + (c - a) AS DOUBLE) * CAST(a + (b - a) AS DOUBLE))
+           |           * (CAST((c - a) + (d - b - c + a) AS DOUBLE)
+           |              * CAST((b - a) + (d - b - c + a) AS DOUBLE)) AS denom,
+           |         CAST(d AS DOUBLE) AS dd
+           |       FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
+           |       WHERE a >= 5)
+           |SELECT source, term, a AS n_in_source, b AS n_in_corpus,
+           |       CASE WHEN denom = 0 THEN NULL ELSE dd * (x * x) / denom END AS chi2
+           |FROM ct
+           |ORDER BY chi2 DESC, source, term LIMIT 20""".stripMargin,
 
     "text_significant_text" ->
       raw"""WITH t AS (SELECT doc_id, term FROM (

@@ -475,6 +475,52 @@ object TextOps {
     out
   }
 
+  /** ES significant_terms with the `chi_square` significance heuristic
+    * (round 13 — the pluggable-heuristic side of [[significantTerms]],
+    * whose score is ES's default-like lift): the standard 2×2
+    * contingency chi², χ² = N·(AD−BC)² / ((A+B)(A+C)(B+D)(C+D)) with
+    * A = in-source occurrences, B = other in-source tokens, C = the
+    * term elsewhere, D = everything else. All factors cast to double
+    * BEFORE multiplying (the 4-way integer product overflows long at
+    * warehouse counts) in a fixed parenthesization the oracle mirrors
+    * token-for-token; the square is x·x, not pow(x,2) (libm pow is not
+    * guaranteed exactly x² everywhere). A degenerate margin (single
+    * source / term-is-everything) nulls the score rather than raising
+    * ANSI DIVIDE_BY_ZERO. Same plan shape as significantTerms. */
+  def significantTermsChi2(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val bySrcTerm = tok.groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val byTerm = tok.groupBy("term").agg(count(lit(1)).as("b"))
+    val bySrc = tok.groupBy("source").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("d"))
+    def d(c: Column) = c.cast("double")
+    val bigA = col("a")
+    val bigB = col("c") - col("a")
+    val bigC = col("b") - col("a")
+    val bigD = col("d") - col("b") - col("c") + col("a")
+    val x = d(bigA) * d(bigD) - d(bigB) * d(bigC)
+    val denom = (d(bigA + bigB) * d(bigA + bigC)) *
+      (d(bigB + bigD) * d(bigC + bigD))
+    val out = bySrcTerm
+      .join(byTerm, "term")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .filter(col("a") >= minCount)
+      .withColumn("chi2",
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(d(col("d")) * (x * x) / denom))
+      .select(col("source"), col("term"), col("a").as("n_in_source"),
+        col("b").as("n_in_corpus"), col("chi2"))
+      .orderBy(col("chi2").desc, col("source"), col("term"))
+      .limit(k)
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
+  }
+
   /** ES significant_text: terms over-represented in the HITS of a query
     * (the free-text twin of [[significantTerms]] — the foreground is
     * "documents matching `queryTerm`", not a keyed field). Lift is the

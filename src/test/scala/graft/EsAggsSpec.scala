@@ -411,6 +411,33 @@ class EsAggsSpec extends SparkSpec {
     assert(row.getDouble(2) > 0.0 && row.getDouble(2) < 1.0)
   }
 
+  test("significantTermsChi2 equals a naive contingency recompute") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val aM = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bM = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cM = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val d = toks.length.toLong
+    val naive = aM.collect { case ((src, t), a) if a >= 5 =>
+      val b = bM(t); val c = cM(src)
+      val bigB = c - a; val bigC = b - a; val bigD = d - b - c + a
+      val x = a.toDouble * bigD.toDouble - bigB.toDouble * bigC.toDouble
+      val denom = ((a + bigB).toDouble * (a + bigC).toDouble) *
+        ((bigB + bigD).toDouble * (bigC + bigD).toDouble)
+      ((src, t), if (denom == 0) Double.NaN else d.toDouble * (x * x) / denom)
+    }
+    val got = TextOps.significantTermsChi2(docs, 5L, 20).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (k, chi2) => assert(chi2 == naive(k), s"$k") }
+    // and the returned page is the true top-20 by the naive scores
+    val wantTop = naive.toSeq.sortBy { case ((s, t), v) => (-v, s, t) }
+      .take(20).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+  }
+
   test("cumulativeCardinality equals per-bucket distinct recomputation") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.select(col("user_id"), unix_micros(col("ts"))).collect()
