@@ -262,5 +262,13 @@ class GeoSpec extends SparkSpec {
       Geo.withCoords(Tables.events(spark, sfDir)), hex)
       .collect().map(_.getString(0)).toSet
     assert(facet == Set("within", "intersects", "disjoint"))
+    // generated-oracle hygiene: the corner ray-casts are re-targeted from
+    // the point columns onto the envelope columns by identifier
+    // substitution — no bare lat/lon reference may survive
+    val sql = Geo.envelopeRelationSql(hex)
+    assert(!sql.matches("(?s).*\\blat\\b.*"), "bare lat leaked into the oracle")
+    assert(!sql.matches("(?s).*\\blon\\b.*"), "bare lon leaked into the oracle")
+    Seq("lat_min", "lat_max", "lon_min", "lon_max", "within", "disjoint")
+      .foreach(tkn => assert(sql.contains(tkn), s"oracle SQL missing $tkn"))
   }
 }
