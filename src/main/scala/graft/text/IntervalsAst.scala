@@ -117,51 +117,80 @@ object IntervalsAst {
     * past the analyzer's resolution iteration cap) and lets Catalyst's
     * CollapseProject decide what to inline. Returns (df-with-columns,
     * root interval-column name). */
-  private final class Planner(start: DataFrame) {
+  private def collectTerms(node: Node): Seq[String] = node match {
+    case IMatch(ts, _, _) => ts
+    case IAllOf(cs, _, _) => cs.flatMap(collectTerms)
+    case IAnyOf(cs) => cs.flatMap(collectTerms)
+  }
+
+  private final class Planner(start: DataFrame, tree: Node) {
     var df: DataFrame = start
     private var ctr = 0
-    def emit(c: Column): String = {
+    /** Emit a new intermediate column and DROP the listed consumed
+      * columns in the same projection. Chained projections carry every
+      * surviving column's payload row-by-row through the interpreted
+      * HOF pipeline, so fat intermediates (token arrays, combo arrays)
+      * must die at their single consumer — measured ~2× on the wired
+      * trees (SCALING.md r13). */
+    private var leafCols: Set[String] = Set.empty
+    def emit(c: Column, consumed: Seq[String] = Nil): String = {
       val n = s"__iv_$ctr"; ctr += 1
-      df = df.withColumn(n, c); n
+      df = df.withColumn(n, c).drop(consumed.filterNot(leafCols): _*)
+      n
     }
-    /** Dedup + drop intervals strictly containing another (Lucene
-      * minimality); the distinct'd set is its own emitted column so
-      * the a-vs-b scan reads one attribute, not two expression copies. */
-    def minimize(xs: Column): String = {
-      val d = col(emit(array_distinct(xs)))
-      emit(filter(d, a => !exists(d, b =>
-        sOf(b) >= sOf(a) && eOf(b) <= eOf(a) &&
-          (sOf(b) > sOf(a) || eOf(b) < eOf(a)))))
-    }
-    def go(node: Node): String = node match {
-      case IMatch(Seq(t), _, _) =>
-        emit(transform(
+    /** Leaf positions are computed ONCE PER DISTINCT TERM up front
+      * (clauses repeating a term share the column), after which the
+      * token array — the fattest per-row payload — is dropped before
+      * any combinator stage runs. Leaf columns are small (a few
+      * positions) and may be shared, so they are never dropped. */
+    private val termCols: Map[String, String] =
+      collectTerms(tree).distinct.map { t =>
+        t -> emit(transform(
           filter(transform(col("__toks"), (tok, i) => when(tok === t, i + 1).otherwise(-1)),
             p => p > 0),
           p => p.cast("long") * Enc + p.cast("long")))
+      }.toMap
+    leafCols = termCols.values.toSet
+    df = df.drop("__toks")
+
+    /** Dedup + drop intervals strictly containing another (Lucene
+      * minimality); the distinct'd set is its own emitted column so
+      * the a-vs-b scan reads one attribute, not two expression copies. */
+    def minimize(xs: Column, consumed: Seq[String]): String = {
+      val dN = emit(array_distinct(xs), consumed)
+      val d = col(dN)
+      emit(filter(d, a => !exists(d, b =>
+        sOf(b) >= sOf(a) && eOf(b) <= eOf(a) &&
+          (sOf(b) > sOf(a) || eOf(b) < eOf(a)))), Seq(dN))
+    }
+    def go(node: Node): String = node match {
+      case IMatch(Seq(t), _, _) => termCols(t)
       case IMatch(ts, ordered, g) =>
         require(ts.nonEmpty, "match needs at least one term")
         go(IAllOf(ts.map(t => IMatch(Seq(t))), ordered, g))
       case IAllOf(cs, ordered, g) =>
         require(cs.nonEmpty, "all_of needs at least one child")
-        val children = cs.map(c => col(go(c)))
+        val childNames = cs.map(go)
+        val children = childNames.map(col)
         // combos: array<array<bigint>>, one element per child, child order
         val init = transform(children.head, x => array(x))
         val combos = children.tail.foldLeft(init)((acc, ch) =>
           flatten(transform(acc, cm => transform(ch, x => concat(cm, array(x))))))
         val n = cs.length
         val w1 = cs.forall(width1)
-        val valid = col(emit(filter(col(emit(combos)),
-          cm => comboValid(cm, n, ordered, g, w1))))
-        val combined = transform(valid, cm => {
+        val combosN = emit(combos, childNames)
+        val validN = emit(filter(col(combosN),
+          cm => comboValid(cm, n, ordered, g, w1)), Seq(combosN))
+        val combined = transform(col(validN), cm => {
           val comps = (1 to n).map(i => element_at(cm, i))
           comps.map(sOf).reduce(least(_, _)) * Enc +
             comps.map(eOf).reduce(greatest(_, _))
         })
-        minimize(combined)
+        minimize(combined, Seq(validN))
       case IAnyOf(cs) =>
         require(cs.nonEmpty, "any_of needs at least one child")
-        minimize(cs.map(c => col(go(c))).reduce(concat(_, _)))
+        val childNames = cs.map(go)
+        minimize(childNames.map(col).reduce(concat(_, _)), childNames)
     }
   }
 
@@ -170,16 +199,35 @@ object IntervalsAst {
     * position. One corpus scan — the compiled tree is a chain of
     * narrow array projections — bounded top-k. */
   def intervalsAstQuery(docs: DataFrame, node: Node, k: Int): DataFrame = {
-    val p = new Planner(docs.select(col("doc_id"),
-      split(lower(col("text")), "\\s+").as("__toks")))
+    // the combo+minimize algebra is COMPUTE-heavy per doc (interpreted
+    // higher-order functions, O(freq-product + minimal-set²) per
+    // matching row); a small single-file input would pin all of it to
+    // one scan task. Spread the narrow (doc_id, toks) rows first when
+    // the source has fewer partitions than the session default — at
+    // warehouse scale inputs are already multi-file and this branch
+    // never fires, so no gratuitous shuffle lands in the 100 TB plan.
+    val defaultPar = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (docs.rdd.getNumPartitions >= defaultPar) docs
+      else docs.repartition(defaultPar)
+    val p = new Planner(spread.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("__toks")), node)
     val root = p.go(node)
+    // the zero-hit filter sits ABOVE the top-k: predicate pushdown
+    // cannot cross a limit, whereas below it the optimizer inlines the
+    // WHOLE interval algebra into a scan-level Filter predicate —
+    // recomputing everything per row, single-threaded under the
+    // pre-repartition scan (caught in the r13 plan audit; ~2× the
+    // query). Equivalent output: zero rows rank strictly last under
+    // n_intervals DESC, so page-then-drop-zeros == filter-then-page.
     p.df
       .select(col("doc_id"),
         size(col(root)).cast("long").as("n_intervals"),
         array_min(transform(col(root), v => sOf(v))).as("first_start"))
-      .filter(col("n_intervals") > 0)
       .orderBy(col("n_intervals").desc, col("doc_id"))
       .limit(k)
+      .filter(col("n_intervals") > 0)
   }
 
   // ---- DuckDB oracle compiler (same tree, same algebra) ----------------
