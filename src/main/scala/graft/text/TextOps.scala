@@ -601,9 +601,9 @@ object TextOps {
       .select(col("doc_id"),
         size(filter(toks, t => t.rlike("^(" + pattern + ")$"))).cast("long")
           .as("n_matches"))
-      .filter(col("n_matches") > 0)
       .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
+      .filter(col("n_matches") > 0)
   }
 
   /** ES fuzzy query: docs with ≥1 token within Levenshtein `maxDist` of
@@ -619,6 +619,10 @@ object TextOps {
       .select(col("doc_id"),
         size(filter(dists, d => d <= maxDist)).cast("long").as("n_matches"),
         array_min(filter(dists, d => d <= maxDist)).cast("long").as("min_dist"))
+      // the filter must stay BELOW the sort here: the page is ordered by
+      // min_dist ASC, where non-matching rows are NULL (sorted first) —
+      // the above-the-limit form is only valid when the filtered count
+      // is itself the primary DESC sort key
       .filter(col("n_matches") > 0)
       .orderBy(col("min_dist"), col("n_matches").desc, col("doc_id"))
       .limit(k)
@@ -671,9 +675,9 @@ object TextOps {
         aggregate(col("p1"), lit(0L), (acc, i) =>
           acc + size(filter(col("p2"), j => qualifies(i, j))).cast("long"))
           .as("n_matches"))
-      .filter(col("n_matches") > 0)
       .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
+      .filter(col("n_matches") > 0)
   }
 
   /** ES highlight: matching docs with a snippet window of ±`radius`
@@ -1016,9 +1020,9 @@ object TextOps {
         aggregate(col("p1"), lit(0L), (acc, i) =>
           acc + size(filter(col("p2"), j => j === i + 1)).cast("long"))
           .as("n_matches"))
-      .filter(col("n_matches") > 0)
       .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
+      .filter(col("n_matches") > 0)
   }
 
   /** ES 8 combined_fields query: BM25 over a virtual field whose term
@@ -1205,9 +1209,9 @@ object TextOps {
             acc3 + when(kk > i + 1 && kk - i - 2 <= maxGaps &&
               exists(col("p2"), j => j > i && j < kk), 1L).otherwise(0L)))
           .as("n_intervals"))
-      .filter(col("n_intervals") > 0)
       .orderBy(col("n_intervals").desc, col("doc_id"))
       .limit(k)
+      .filter(col("n_intervals") > 0)
   }
 
   /** ES span_first query: docs where `term` occurs within the first
@@ -1227,9 +1231,9 @@ object TextOps {
       .select(col("doc_id"),
         size(col("p")).cast("long").as("n_within"),
         array_min(col("p")).cast("long").as("first_pos"))
-      .filter(col("n_within") > 0)
       .orderBy(col("n_within").desc, col("doc_id"))
       .limit(k)
+      .filter(col("n_within") > 0)
   }
 
   /** ES frequent_item_sets aggregation (8.4+), restricted to pair sets
