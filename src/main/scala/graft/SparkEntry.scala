@@ -58,6 +58,13 @@ object SparkEntry {
       IMatch(Seq("join", "scan"), ordered = true, maxGaps = 4)),
       ordered = true, maxGaps = 6)
   }
+  /** ES intervals `prefix` rule composed under all_of(ordered) — the
+    * docs' "term, then a completion of the next word" pattern. */
+  private val intervalsPrefixTree: text.IntervalsAst.Node = {
+    import text.IntervalsAst._
+    IAllOf(Seq(IMatch(Seq("hash")), IPrefix("jo")),
+      ordered = true, maxGaps = 2)
+  }
 
   /** Shared percolator stored-query set — ONE definition feeds the
     * exhaustive form, the r13 term-index-prefiltered form, and (via
@@ -452,6 +459,11 @@ object SparkEntry {
     "text_intervals_nested" -> ((s, dir) =>
       text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
         intervalsNestedTree, 25)),
+
+    // intervals `prefix` rule under all_of(ordered) (r13)
+    "text_intervals_prefix" -> ((s, dir) =>
+      text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
+        intervalsPrefixTree, 25)),
 
     // terms lookup: docs sharing tokens with doc 42 (set membership,
     // not TF scoring — the more_like_this contrast)
@@ -1765,6 +1777,7 @@ object SparkEntry {
 
     "text_intervals_ast" -> text.IntervalsAst.oracleSql(intervalsAstTree, 25),
     "text_intervals_nested" -> text.IntervalsAst.oracleSql(intervalsNestedTree, 25),
+    "text_intervals_prefix" -> text.IntervalsAst.oracleSql(intervalsPrefixTree, 25),
 
     "q_bucket_ks_test" ->
       """WITH day AS (

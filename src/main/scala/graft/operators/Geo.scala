@@ -358,9 +358,12 @@ object Geo {
     *  - polygon-vertex-in-envelope: four range compares per vertex;
     *  - edge-vs-rect: [[edgeIntersectsRect]] per polygon edge.
     *
-    * within  = all corners in P  AND no edge of P cuts the envelope
+    * within   = all corners in P AND no edge of P cuts the envelope
     * (corners-inside alone is NOT enough for a CONCAVE polygon — an
     * edge at a notch can cut through; spec-pinned);
+    * contains = every vertex of P inside the envelope (the rectangle
+    * is convex, so vertex containment implies edge containment — the
+    * ES CONTAINS relation, r13);
     * intersects = any corner in P OR any vertex of P in the envelope
     * OR any edge cut (covers envelope⊂P, P⊂envelope, and crossings).
     * One flat codegen'd expression, O(vertices) per row, no join. */
@@ -377,12 +380,15 @@ object Geo {
       (col("lat_min"), col("lon_min")), (col("lat_min"), col("lon_max")),
       (col("lat_max"), col("lon_min")), (col("lat_max"), col("lon_max")))
       .map { case (cy, cx) => pointInPolygon(cy, cx, poly) }
-    val anyVertexIn = poly.map { case (vy, vx) =>
+    val vertexIn = poly.map { case (vy, vx) =>
       lit(vy) >= col("lat_min") && lit(vy) <= col("lat_max") &&
-        lit(vx) >= col("lon_min") && lit(vx) <= col("lon_max") }.reduce(_ || _)
+        lit(vx) >= col("lon_min") && lit(vx) <= col("lon_max") }
+    val anyVertexIn = vertexIn.reduce(_ || _)
     val within = cornerIn.reduce(_ && _) && !anyEdgeCut
+    val contains = vertexIn.reduce(_ && _)
     val intersects = cornerIn.reduce(_ || _) || anyVertexIn || anyEdgeCut
     when(within, lit("within"))
+      .when(contains, lit("contains"))
       .when(intersects, lit("intersects"))
       .otherwise(lit("disjoint"))
   }
@@ -418,10 +424,12 @@ object Geo {
       ("lat_max", "lon_min"), ("lat_max", "lon_max"))
     val allCornersIn = corners.map { case (cy, cx) => s"(${cornerIn(cy, cx)})" }.mkString(" AND ")
     val anyCornerIn = corners.map { case (cy, cx) => s"(${cornerIn(cy, cx)})" }.mkString(" OR ")
-    val anyVertexIn = poly.map { case (vy, vx) =>
-      s"($vy >= lat_min AND $vy <= lat_max AND $vx >= lon_min AND $vx <= lon_max)"
-    }.mkString("(", " OR ", ")")
+    val vertexIn = poly.map { case (vy, vx) =>
+      s"($vy >= lat_min AND $vy <= lat_max AND $vx >= lon_min AND $vx <= lon_max)" }
+    val anyVertexIn = vertexIn.mkString("(", " OR ", ")")
+    val allVerticesIn = vertexIn.mkString("(", " AND ", ")")
     s"(CASE WHEN ($allCornersIn) AND NOT $anyEdgeCut THEN 'within' " +
+      s"WHEN $allVerticesIn THEN 'contains' " +
       s"WHEN ($anyCornerIn) OR $anyVertexIn OR $anyEdgeCut THEN 'intersects' " +
       "ELSE 'disjoint' END)"
   }

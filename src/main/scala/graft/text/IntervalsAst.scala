@@ -63,6 +63,11 @@ object IntervalsAst {
     * `hash hash`-style repeated-term phrases — the r12 ADVICE class). */
   final case class IMatch(terms: Seq[String], ordered: Boolean = false,
       maxGaps: Int = -1) extends Node
+  /** ES intervals `prefix` rule (r13): a width-1 interval at every
+    * token starting with `prefix` — composes under the combinators
+    * like any other source (the ES docs pair it with all_of for
+    * "term then completion" patterns). */
+  final case class IPrefix(prefix: String) extends Node
   /** ES intervals `all_of` combinator. */
   final case class IAllOf(children: Seq[Node], ordered: Boolean = false,
       maxGaps: Int = -1) extends Node
@@ -82,6 +87,7 @@ object IntervalsAst {
     * positions; unordered ones cover the distinct starts). */
   private def width1(node: Node): Boolean = node match {
     case IMatch(Seq(_), _, _) => true
+    case IPrefix(_) => true
     case _ => false
   }
 
@@ -119,8 +125,16 @@ object IntervalsAst {
     * root interval-column name). */
   private def collectTerms(node: Node): Seq[String] = node match {
     case IMatch(ts, _, _) => ts
+    case IPrefix(_) => Nil
     case IAllOf(cs, _, _) => cs.flatMap(collectTerms)
     case IAnyOf(cs) => cs.flatMap(collectTerms)
+  }
+
+  private def collectPrefixes(node: Node): Seq[String] = node match {
+    case IMatch(_, _, _) => Nil
+    case IPrefix(pfx) => Seq(pfx)
+    case IAllOf(cs, _, _) => cs.flatMap(collectPrefixes)
+    case IAnyOf(cs) => cs.flatMap(collectPrefixes)
   }
 
   private final class Planner(start: DataFrame, tree: Node) {
@@ -143,14 +157,17 @@ object IntervalsAst {
       * token array — the fattest per-row payload — is dropped before
       * any combinator stage runs. Leaf columns are small (a few
       * positions) and may be shared, so they are never dropped. */
+    private def positionsOf(pred: Column => Column): Column =
+      transform(
+        filter(transform(col("__toks"), (tok, i) => when(pred(tok), i + 1).otherwise(-1)),
+          p => p > 0),
+        p => p.cast("long") * Enc + p.cast("long"))
     private val termCols: Map[String, String] =
-      collectTerms(tree).distinct.map { t =>
-        t -> emit(transform(
-          filter(transform(col("__toks"), (tok, i) => when(tok === t, i + 1).otherwise(-1)),
-            p => p > 0),
-          p => p.cast("long") * Enc + p.cast("long")))
-      }.toMap
-    leafCols = termCols.values.toSet
+      collectTerms(tree).distinct.map(t => t -> emit(positionsOf(_ === t))).toMap
+    private val prefixCols: Map[String, String] =
+      collectPrefixes(tree).distinct.map(pfx =>
+        pfx -> emit(positionsOf(_.startsWith(pfx)))).toMap
+    leafCols = termCols.values.toSet ++ prefixCols.values.toSet
     df = df.drop("__toks")
 
     /** Dedup + drop intervals strictly containing another (Lucene
@@ -165,6 +182,7 @@ object IntervalsAst {
     }
     def go(node: Node): String = node match {
       case IMatch(Seq(t), _, _) => termCols(t)
+      case IPrefix(pfx) => prefixCols(pfx)
       case IMatch(ts, ordered, g) =>
         require(ts.nonEmpty, "match needs at least one term")
         go(IAllOf(ts.map(t => IMatch(Seq(t))), ordered, g))
@@ -255,6 +273,13 @@ object IntervalsAst {
           s"$pv -> $pv > 0), $pv -> $pv * $Enc + $pv)"
       case IMatch(ts, ordered, g) =>
         go(IAllOf(ts.map(t => IMatch(Seq(t))), ordered, g))
+      case IPrefix(pfx) =>
+        // substr compare, not LIKE — a prefix containing %/_ must not
+        // become a pattern metacharacter
+        val (tv, iv, pv) = (s"t${fresh()}", s"i${fresh()}", s"p${fresh()}")
+        s"list_transform(list_filter(list_transform($toks, ($tv, $iv) -> " +
+          s"CASE WHEN substr($tv, 1, ${pfx.length}) = '${sqlQuote(pfx)}' THEN $iv ELSE -1 END), " +
+          s"$pv -> $pv > 0), $pv -> $pv * $Enc + $pv)"
       case IAllOf(cs, ordered, g) =>
         val children = cs.map(go)
         val x0 = s"x${fresh()}"

@@ -240,7 +240,7 @@ class GeoSpec extends SparkSpec {
     assert(got(2L) == "intersects")
     assert(got(3L) == "disjoint")
     assert(got(4L) == "intersects", "edge touch counts as intersecting")
-    assert(got(5L) == "intersects", "containment of the polygon is intersects, not within")
+    assert(got(5L) == "contains", "envelope holding the whole polygon is the ES CONTAINS relation")
     assert(got(6L) == "intersects", "corner touch counts as intersecting")
     // concave notch: above the shared hexagon's (5,5) notch vertex the
     // edges (40,-10)→(5,5) and (5,5)→(10,60) carve a wedge out of the

@@ -114,6 +114,21 @@ class IntervalsAstSpec extends SparkSpec {
     assert(run(n, 1L -> "a b c") === Seq((1L, 1L, 1L)))
   }
 
+  test("prefix rule: width-1 intervals at prefixed tokens, composes " +
+      "under all_of(ordered) — the term-then-completion pattern") {
+    assert(run(IPrefix("jo"), 1L -> "join jolt x", 2L -> "nojoin")
+      === Seq((1L, 2L, 1L)))
+    val n = IAllOf(Seq(IMatch(Seq("hash")), IPrefix("jo")),
+      ordered = true, maxGaps = 0)
+    // 'hash join' matches; 'hash x join' gap 1 fails; 'join hash' order
+    val r = run(n, 1L -> "hash join", 2L -> "hash x join", 3L -> "join hash")
+    assert(r === Seq((1L, 1L, 1L)))
+    // repeated leaf sharing: prefix of the term itself works
+    assert(run(IAllOf(Seq(IMatch(Seq("jolt")), IPrefix("jo")),
+      ordered = true, maxGaps = 0), 1L -> "jolt jostle")
+      === Seq((1L, 1L, 1L)))
+  }
+
   test("empty corpus and no-match docs are silent, not crashes") {
     assert(run(IMatch(Seq("zzz")), 1L -> "a b c") === Seq.empty)
     val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
