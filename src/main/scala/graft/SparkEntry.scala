@@ -83,6 +83,15 @@ object SparkEntry {
       must = Seq(text.BoolDsl.MatchQ("scan")),
       mustNot = Seq(text.BoolDsl.TermQ("source", "src13"))))
 
+  /** Small shared triangle for q_geo_shape_small (r13): 0.5°-scale so
+    * synthetic envelopes (0.5–4.25° half-sizes, ≥1° across) can CONTAIN
+    * it — the relation the big hexagon can never exercise through the
+    * hash gate (and dually, no envelope fits WITHIN a sub-envelope
+    * shape — the two wirings split the four relations between them).
+    * Vertices exactly representable (quarters). */
+  private val geoTriangleSmall: Seq[(Double, Double)] = Seq(
+    (10.0, 20.0), (10.5, 20.25), (10.25, 20.5))
+
   /** q_ip_range shared edges (10.64/10.128/10.192 quarter boundaries)
     * — one definition feeds the Spark facet and the generated oracle. */
   private val ipEdges: Seq[Long] =
@@ -739,6 +748,12 @@ object SparkEntry {
     "q_geo_shape" -> ((s, dir) =>
       operators.Geo.geoShapeFacet(
         operators.Geo.withCoords(Tables.events(s, dir)), geoPolygon)),
+
+    // the small-polygon twin: envelopes can CONTAIN the query shape,
+    // so all four ES relations flow through the hash gate
+    "q_geo_shape_small" -> ((s, dir) =>
+      operators.Geo.geoShapeFacet(
+        operators.Geo.withCoords(Tables.events(s, dir)), geoTriangleSmall)),
 
     // ES geotile_grid at zoom 3 (8×8 web-mercator tiles), top 20 by
     // doc count — the libm exception with the exhaustive margin proof
@@ -2432,6 +2447,16 @@ object SparkEntry {
          |                    ${operators.Geo.coordsSql} FROM events),
          |env AS (SELECT event_type, value, ${operators.Geo.envelopeSql} FROM pts)
          |SELECT ${operators.Geo.envelopeRelationSql(geoPolygon)} AS relation,
+         |       event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM env
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_geo_shape_small" ->
+      s"""WITH pts AS (SELECT event_type, value, user_id, event_id,
+         |                    ${operators.Geo.coordsSql} FROM events),
+         |env AS (SELECT event_type, value, ${operators.Geo.envelopeSql} FROM pts)
+         |SELECT ${operators.Geo.envelopeRelationSql(geoTriangleSmall)} AS relation,
          |       event_type, count(*) AS n,
          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM env
