@@ -65,6 +65,13 @@ object SparkEntry {
     IAllOf(Seq(IMatch(Seq("hash")), IPrefix("jo")),
       ordered = true, maxGaps = 2)
   }
+  /** ES intervals `filter` — merge..sort spans that do NOT contain a
+    * 'batch' (the docs' not_containing example shape). */
+  private val intervalsFilterTree: text.IntervalsAst.Node = {
+    import text.IntervalsAst._
+    IFilter(IMatch(Seq("merge", "sort"), ordered = false, maxGaps = 4),
+      "not_containing", IMatch(Seq("batch")))
+  }
 
   /** Shared percolator stored-query set — ONE definition feeds the
     * exhaustive form, the r13 term-index-prefiltered form, and (via
@@ -473,6 +480,11 @@ object SparkEntry {
     "text_intervals_prefix" -> ((s, dir) =>
       text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
         intervalsPrefixTree, 25)),
+
+    // intervals `filter` combinator (r13): not_containing
+    "text_intervals_filter" -> ((s, dir) =>
+      text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
+        intervalsFilterTree, 25)),
 
     // terms lookup: docs sharing tokens with doc 42 (set membership,
     // not TF scoring — the more_like_this contrast)
@@ -1793,6 +1805,7 @@ object SparkEntry {
     "text_intervals_ast" -> text.IntervalsAst.oracleSql(intervalsAstTree, 25),
     "text_intervals_nested" -> text.IntervalsAst.oracleSql(intervalsNestedTree, 25),
     "text_intervals_prefix" -> text.IntervalsAst.oracleSql(intervalsPrefixTree, 25),
+    "text_intervals_filter" -> text.IntervalsAst.oracleSql(intervalsFilterTree, 25),
 
     "q_bucket_ks_test" ->
       """WITH day AS (

@@ -73,6 +73,18 @@ object IntervalsAst {
       maxGaps: Int = -1) extends Node
   /** ES intervals `any_of` combinator. */
   final case class IAnyOf(children: Seq[Node]) extends Node
+  /** ES intervals `filter` (r13): keep `source` intervals by their
+    * positional relation to the `reference` source's intervals. Modes
+    * (the ES set): `containing` / `not_containing` (source interval
+    * holds ≥1 / no reference interval), `contained_by` /
+    * `not_contained_by` (source sits inside ≥1 / no reference
+    * interval), `overlapping` / `not_overlapping` (shares ≥1 / no
+    * position). The survivors are a subset of an already-minimal set —
+    * an antichain's subset is an antichain, so no re-minimize. */
+  final case class IFilter(source: Node, mode: String, reference: Node) extends Node
+
+  private val FilterModes = Set("containing", "not_containing",
+    "contained_by", "not_contained_by", "overlapping", "not_overlapping")
 
   // ---- Spark compiler --------------------------------------------------
 
@@ -88,6 +100,7 @@ object IntervalsAst {
   private def width1(node: Node): Boolean = node match {
     case IMatch(Seq(_), _, _) => true
     case IPrefix(_) => true
+    case IFilter(src, _, _) => width1(src) // survivors come from source
     case _ => false
   }
 
@@ -128,6 +141,7 @@ object IntervalsAst {
     case IPrefix(_) => Nil
     case IAllOf(cs, _, _) => cs.flatMap(collectTerms)
     case IAnyOf(cs) => cs.flatMap(collectTerms)
+    case IFilter(src, _, ref) => collectTerms(src) ++ collectTerms(ref)
   }
 
   private def collectPrefixes(node: Node): Seq[String] = node match {
@@ -135,7 +149,17 @@ object IntervalsAst {
     case IPrefix(pfx) => Seq(pfx)
     case IAllOf(cs, _, _) => cs.flatMap(collectPrefixes)
     case IAnyOf(cs) => cs.flatMap(collectPrefixes)
+    case IFilter(src, _, ref) => collectPrefixes(src) ++ collectPrefixes(ref)
   }
+
+  /** The pairwise relation predicate for [[IFilter]]: does source
+    * interval `a` stand in `mode`'s base relation to reference `b`? */
+  private def relPred(mode: String, a: Column, b: Column): Column =
+    mode.stripPrefix("not_") match {
+      case "containing"   => sOf(a) <= sOf(b) && eOf(b) <= eOf(a)
+      case "contained_by" => sOf(b) <= sOf(a) && eOf(a) <= eOf(b)
+      case "overlapping"  => sOf(a) <= eOf(b) && sOf(b) <= eOf(a)
+    }
 
   private final class Planner(start: DataFrame, tree: Node) {
     var df: DataFrame = start
@@ -209,6 +233,14 @@ object IntervalsAst {
         require(cs.nonEmpty, "any_of needs at least one child")
         val childNames = cs.map(go)
         minimize(childNames.map(col).reduce(concat(_, _)), childNames)
+      case IFilter(src, mode, ref) =>
+        require(FilterModes(mode), s"unknown intervals filter mode: $mode")
+        val srcN = go(src)
+        val refN = go(ref)
+        val hit = (a: Column) => exists(col(refN), b => relPred(mode, a, b))
+        val keep = (a: Column) =>
+          if (mode.startsWith("not_")) !hit(a) else hit(a)
+        emit(filter(col(srcN), keep), Seq(srcN, refN))
     }
   }
 
@@ -317,6 +349,21 @@ object IntervalsAst {
         minimizeSql(s"list_transform($valid, $cv2 -> ($s2) * $Enc + ($e2))")
       case IAnyOf(cs) =>
         minimizeSql(cs.map(go).reduce((a, b) => s"list_concat($a, $b)"))
+      case IFilter(src, mode, ref) =>
+        require(FilterModes(mode), s"unknown intervals filter mode: $mode")
+        val (srcSql, refSql) = (go(src), go(ref))
+        val (av, bv) = (s"a${fresh()}", s"b${fresh()}")
+        val rel = mode.stripPrefix("not_") match {
+          case "containing" =>
+            s"$av // $Enc <= $bv // $Enc AND $bv % $Enc <= $av % $Enc"
+          case "contained_by" =>
+            s"$bv // $Enc <= $av // $Enc AND $av % $Enc <= $bv % $Enc"
+          case "overlapping" =>
+            s"$av // $Enc <= $bv % $Enc AND $bv // $Enc <= $av % $Enc"
+        }
+        val cmp = if (mode.startsWith("not_")) "= 0" else "> 0"
+        s"list_filter($srcSql, $av -> " +
+          s"len(list_filter($refSql, $bv -> $rel)) $cmp)"
     }
     go(node)
   }

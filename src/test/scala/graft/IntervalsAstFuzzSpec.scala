@@ -44,6 +44,16 @@ class IntervalsAstFuzzSpec extends SparkSpec {
       naiveMinimize(valid.map(cm => (cm.map(_._1).min, cm.map(_._2).max)).toSet)
     case IAnyOf(cs) =>
       naiveMinimize(cs.flatMap(c => naiveEval(c, toks)).toSet)
+    case IFilter(src, mode, ref) =>
+      val s0 = naiveEval(src, toks); val r0 = naiveEval(ref, toks)
+      def rel(a: (Int, Int), b: (Int, Int)) = mode.stripPrefix("not_") match {
+        case "containing"   => a._1 <= b._1 && b._2 <= a._2
+        case "contained_by" => b._1 <= a._1 && a._2 <= b._2
+        case "overlapping"  => a._1 <= b._2 && b._1 <= a._2
+      }
+      s0.filter(a =>
+        if (mode.startsWith("not_")) !r0.exists(b => rel(a, b))
+        else r0.exists(b => rel(a, b)))
   }
 
   // ---- generators ------------------------------------------------------
@@ -67,7 +77,12 @@ class IntervalsAstFuzzSpec extends SparkSpec {
       } yield IAllOf(cs, o, g)),
       1 -> (for {
         n <- Gen.choose(2, 3); cs <- Gen.listOfN(n, tree(depth - 1))
-      } yield IAnyOf(cs)))
+      } yield IAnyOf(cs)),
+      1 -> (for {
+        src <- tree(depth - 1); ref <- tree(depth - 1)
+        m <- Gen.oneOf("containing", "not_containing", "contained_by",
+          "not_contained_by", "overlapping", "not_overlapping")
+      } yield IFilter(src, m, ref)))
 
   private val docGen: Gen[Seq[String]] =
     Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("zz"))))

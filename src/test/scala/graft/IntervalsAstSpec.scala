@@ -129,6 +129,32 @@ class IntervalsAstSpec extends SparkSpec {
       === Seq((1L, 1L, 1L)))
   }
 
+  test("filter combinator: containing / contained_by / overlapping and " +
+      "their negations relate source intervals to the reference's") {
+    // not_containing: 'a..b' spans holding an x are rejected
+    val nc = IFilter(IMatch(Seq("a", "b"), ordered = true, maxGaps = 3),
+      "not_containing", IMatch(Seq("x")))
+    assert(run(nc, 1L -> "a b", 2L -> "a x b") === Seq((1L, 1L, 1L)))
+    // containing keeps only the spans that DO hold the reference
+    val c = IFilter(IMatch(Seq("a", "b"), ordered = true, maxGaps = 3),
+      "containing", IMatch(Seq("x")))
+    assert(run(c, 1L -> "a b", 2L -> "a x b") === Seq((2L, 1L, 1L)))
+    // contained_by: a 'c' inside an ordered a..b span
+    val cb = IFilter(IMatch(Seq("c")), "contained_by",
+      IMatch(Seq("a", "b"), ordered = true, maxGaps = 3))
+    assert(run(cb, 1L -> "a c b", 2L -> "c a b") === Seq((1L, 1L, 2L)))
+    // overlapping / not_overlapping on shared positions
+    val ov = IFilter(IMatch(Seq("a")), "overlapping", IMatch(Seq("a")))
+    assert(run(ov, 1L -> "a b") === Seq((1L, 1L, 1L)))
+    val nov = IFilter(IMatch(Seq("a", "b"), ordered = true, maxGaps = 0),
+      "not_overlapping", IMatch(Seq("b")))
+    assert(run(nov, 1L -> "a b") === Seq.empty,
+      "the a..b span overlaps its own b position")
+    // unknown mode rejected
+    intercept[IllegalArgumentException](
+      run(IFilter(IMatch(Seq("a")), "bogus", IMatch(Seq("b"))), 1L -> "a"))
+  }
+
   test("empty corpus and no-match docs are silent, not crashes") {
     assert(run(IMatch(Seq("zzz")), 1L -> "a b c") === Seq.empty)
     val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
