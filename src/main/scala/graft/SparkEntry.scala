@@ -1073,6 +1073,10 @@ object SparkEntry {
     "text_significant_chi2" -> ((s, dir) =>
       text.TextOps.significantTermsChi2(Tables.documents(s, dir), 5L, 20)),
 
+    // mutual_information heuristic (r13) — the trio's third scorer
+    "text_significant_mi" -> ((s, dir) =>
+      text.TextOps.significantTermsMi(Tables.documents(s, dir), 5L, 20)),
+
     "text_significant_text" -> ((s, dir) =>
       text.TextOps.significantText(Tables.documents(s, dir), "hash", 5L, 20)),
 
@@ -2935,6 +2939,26 @@ object SparkEntry {
            |       CASE WHEN denom = 0 THEN NULL ELSE dd * (x * x) / denom END AS chi2
            |FROM ct
            |ORDER BY chi2 DESC, source, term LIMIT 20""".stripMargin,
+
+    "text_significant_mi" ->
+      raw"""WITH tok AS (SELECT source, term FROM (
+           |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |        FROM documents) WHERE term <> ''),
+           |ast AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
+           |bt AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
+           |cs AS (SELECT source, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT count(*) AS d FROM tok),
+           |ct AS (SELECT source, term, a, b, c, d
+           |       FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
+           |       WHERE a >= 5)
+           |SELECT source, term, a AS n_in_source, b AS n_in_corpus,
+           |    (CASE WHEN a = 0 THEN 0.0 ELSE (CAST(a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(c AS DOUBLE) * CAST(b AS DOUBLE))) / ln(2.0)) END)
+           |  + (CASE WHEN c - a = 0 THEN 0.0 ELSE (CAST(c - a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(c - a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(c AS DOUBLE) * CAST(d - b AS DOUBLE))) / ln(2.0)) END)
+           |  + (CASE WHEN b - a = 0 THEN 0.0 ELSE (CAST(b - a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(b - a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(d - c AS DOUBLE) * CAST(b AS DOUBLE))) / ln(2.0)) END)
+           |  + (CASE WHEN d - b - c + a = 0 THEN 0.0 ELSE (CAST(d - b - c + a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(d - b - c + a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(d - c AS DOUBLE) * CAST(d - b AS DOUBLE))) / ln(2.0)) END)
+           |  AS mi
+           |FROM ct
+           |ORDER BY mi DESC, source, term LIMIT 20""".stripMargin,
 
     "text_significant_text" ->
       raw"""WITH t AS (SELECT doc_id, term FROM (

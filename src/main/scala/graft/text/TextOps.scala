@@ -521,6 +521,54 @@ object TextOps {
     out
   }
 
+  /** ES significant_terms with the `mutual_information` heuristic
+    * (round 13 — completing the default-lift / chi_square / MI trio):
+    * MI = Σ over the four contingency cells of
+    * (n_xy/N)·log₂(n_xy·N / (n_x·n_y)), empty cells contributing 0.
+    * log₂ is spelled ln(x)/ln(2) EXPLICITLY on both engines — their
+    * libm `ln` bit-matches on the rational domain (the text_bm25
+    * precedent) whereas a built-in log2 may not be the same
+    * composition. Factors cast to double before multiplying (the
+    * chi_square overflow discipline), fixed parenthesization mirrored
+    * token-for-token in the oracle. */
+  def significantTermsMi(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val bySrcTerm = tok.groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val byTerm = tok.groupBy("term").agg(count(lit(1)).as("b"))
+    val bySrc = tok.groupBy("source").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("d"))
+    def d(c: Column) = c.cast("double")
+    val n = col("d")
+    // cells (count, row marginal, col marginal):
+    //   in-source∧term (a; c, b), in-source∧¬term (c−a; c, d−b),
+    //   other∧term (b−a; d−c, b), other∧¬term (d−b−c+a; d−c, d−b)
+    val cells = Seq(
+      (col("a"), col("c"), col("b")),
+      (col("c") - col("a"), col("c"), n - col("b")),
+      (col("b") - col("a"), n - col("c"), col("b")),
+      (n - col("b") - col("c") + col("a"), n - col("c"), n - col("b")))
+    val mi = cells.map { case (nxy, nx, ny) =>
+      when(nxy === 0, lit(0.0)).otherwise(
+        (d(nxy) / d(n)) * (log((d(nxy) * d(n)) / (d(nx) * d(ny))) / log(lit(2.0))))
+    }.reduce(_ + _)
+    val out = bySrcTerm
+      .join(byTerm, "term")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .filter(col("a") >= minCount)
+      .withColumn("mi", mi)
+      .select(col("source"), col("term"), col("a").as("n_in_source"),
+        col("b").as("n_in_corpus"), col("mi"))
+      .orderBy(col("mi").desc, col("source"), col("term"))
+      .limit(k)
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
+  }
+
   /** ES significant_text: terms over-represented in the HITS of a query
     * (the free-text twin of [[significantTerms]] — the foreground is
     * "documents matching `queryTerm`", not a keyed field). Lift is the

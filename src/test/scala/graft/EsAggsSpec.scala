@@ -438,6 +438,34 @@ class EsAggsSpec extends SparkSpec {
     assert(got.map(_._1).toSet == wantTop)
   }
 
+  test("significantTermsMi equals a naive mutual-information recompute") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val aM = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bM = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cM = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val dd = toks.length.toLong
+    def cell(nxy: Long, nx: Long, ny: Long): Double =
+      if (nxy == 0) 0.0
+      else (nxy.toDouble / dd.toDouble) *
+        (math.log((nxy.toDouble * dd.toDouble) / (nx.toDouble * ny.toDouble)) / math.log(2.0))
+    val naive = aM.collect { case ((src, t), a) if a >= 5 =>
+      val b = bM(t); val c = cM(src)
+      ((src, t),
+        cell(a, c, b) + cell(c - a, c, dd - b) +
+          cell(b - a, dd - c, b) + cell(dd - b - c + a, dd - c, dd - b))
+    }
+    val got = TextOps.significantTermsMi(docs, 5L, 20).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (k, mi) => assert(mi == naive(k), s"$k") }
+    val wantTop = naive.toSeq.sortBy { case ((s, t), v) => (-v, s, t) }
+      .take(20).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+  }
+
   test("cumulativeCardinality equals per-bucket distinct recomputation") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.select(col("user_id"), unix_micros(col("ts"))).collect()
