@@ -1077,6 +1077,10 @@ object SparkEntry {
     "text_significant_mi" -> ((s, dir) =>
       text.TextOps.significantTermsMi(Tables.documents(s, dir), 5L, 20)),
 
+    // JLH (r13) — ES's DEFAULT significance heuristic, transcendental-free
+    "text_significant_jlh" -> ((s, dir) =>
+      text.TextOps.significantTermsJlh(Tables.documents(s, dir), 5L, 20)),
+
     "text_significant_text" -> ((s, dir) =>
       text.TextOps.significantText(Tables.documents(s, dir), "hash", 5L, 20)),
 
@@ -2959,6 +2963,24 @@ object SparkEntry {
            |  AS mi
            |FROM ct
            |ORDER BY mi DESC, source, term LIMIT 20""".stripMargin,
+
+    "text_significant_jlh" ->
+      raw"""WITH tok AS (SELECT source, term FROM (
+           |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+           |        FROM documents) WHERE term <> ''),
+           |ast AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
+           |bt AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
+           |cs AS (SELECT source, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT count(*) AS d FROM tok),
+           |p AS (SELECT source, term, a, b,
+           |        CAST(a AS DOUBLE) / CAST(c AS DOUBLE) AS pfg,
+           |        CAST(b AS DOUBLE) / CAST(d AS DOUBLE) AS pbg
+           |      FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
+           |      WHERE a >= 5)
+           |SELECT source, term, a AS n_in_source, b AS n_in_corpus,
+           |       CASE WHEN pfg > pbg THEN (pfg - pbg) * (pfg / pbg) ELSE 0.0 END AS jlh
+           |FROM p
+           |ORDER BY jlh DESC, source, term LIMIT 20""".stripMargin,
 
     "text_significant_text" ->
       raw"""WITH t AS (SELECT doc_id, term FROM (

@@ -569,6 +569,43 @@ object TextOps {
     out
   }
 
+  /** ES significant_terms with the JLH heuristic (round 13 — ES's
+    * DEFAULT significance scorer): with foreground probability
+    * p_fg = a/c and background p_bg = b/d, score =
+    * (p_fg − p_bg) · (p_fg / p_bg) when the term is over-represented,
+    * 0 otherwise — the absolute-change × relative-change product that
+    * balances rare-but-exclusive against common-but-lifted terms.
+    * Pure rational double arithmetic (two divisions, one subtract, one
+    * multiply, fixed order) — no transcendentals at all, so oracle
+    * parity is exact by construction. b = 0 cannot occur (a ≥ minCount
+    * implies b ≥ a). */
+  def significantTermsJlh(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val bySrcTerm = tok.groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val byTerm = tok.groupBy("term").agg(count(lit(1)).as("b"))
+    val bySrc = tok.groupBy("source").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("d"))
+    val pFg = col("a").cast("double") / col("c").cast("double")
+    val pBg = col("b").cast("double") / col("d").cast("double")
+    val out = bySrcTerm
+      .join(byTerm, "term")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .filter(col("a") >= minCount)
+      .withColumn("jlh",
+        when(pFg > pBg, (pFg - pBg) * (pFg / pBg)).otherwise(lit(0.0)))
+      .select(col("source"), col("term"), col("a").as("n_in_source"),
+        col("b").as("n_in_corpus"), col("jlh"))
+      .orderBy(col("jlh").desc, col("source"), col("term"))
+      .limit(k)
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
+  }
+
   /** ES significant_text: terms over-represented in the HITS of a query
     * (the free-text twin of [[significantTerms]] — the foreground is
     * "documents matching `queryTerm`", not a keyed field). Lift is the

@@ -466,6 +466,30 @@ class EsAggsSpec extends SparkSpec {
     assert(got.map(_._1).toSet == wantTop)
   }
 
+  test("significantTermsJlh equals a naive recompute (ES default heuristic)") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val aM = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bM = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cM = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val dd = toks.length.toLong
+    val naive = aM.collect { case ((src, t), a) if a >= 5 =>
+      val pFg = a.toDouble / cM(src).toDouble
+      val pBg = bM(t).toDouble / dd.toDouble
+      ((src, t), if (pFg > pBg) (pFg - pBg) * (pFg / pBg) else 0.0)
+    }
+    val got = TextOps.significantTermsJlh(docs, 5L, 20).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(v == naive(k), s"$k") }
+    val wantTop = naive.toSeq.sortBy { case ((s, t), v) => (-v, s, t) }
+      .take(20).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+    assert(got.exists(_._2 > 0.0), "the page must carry real JLH signal")
+  }
+
   test("cumulativeCardinality equals per-bucket distinct recomputation") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.select(col("user_id"), unix_micros(col("ts"))).collect()
