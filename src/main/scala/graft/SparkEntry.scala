@@ -1081,6 +1081,12 @@ object SparkEntry {
     "text_significant_jlh" -> ((s, dir) =>
       text.TextOps.significantTermsJlh(Tables.documents(s, dir), 5L, 20)),
 
+    // fuzzy completion (r13): typed 'bach' still completes to batch
+    // AND hash — the ES completion suggester's typo tolerance
+    "text_completion_fuzzy" -> ((s, dir) =>
+      text.TextOps.completionSuggestFuzzy(Tables.documents(s, dir),
+        "bach", 2, 15)),
+
     "text_significant_text" -> ((s, dir) =>
       text.TextOps.significantText(Tables.documents(s, dir), "hash", 5L, 20)),
 
@@ -2981,6 +2987,16 @@ object SparkEntry {
            |       CASE WHEN pfg > pbg THEN (pfg - pbg) * (pfg / pbg) ELSE 0.0 END AS jlh
            |FROM p
            |ORDER BY jlh DESC, source, term LIMIT 20""".stripMargin,
+
+    "text_completion_fuzzy" ->
+      raw"""WITH tk AS (SELECT doc_id,
+           |    unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
+           |SELECT term, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+           |       CAST(max(CASE WHEN substr(term, 1, 4) = 'bach' THEN 1 ELSE 0 END) AS BIGINT) AS exact
+           |FROM tk
+           |WHERE term <> '' AND levenshtein(substr(term, 1, 4), 'bach') <= 2
+           |GROUP BY term
+           |ORDER BY exact DESC, n_occ DESC, n_docs DESC, term LIMIT 15""".stripMargin,
 
     "text_significant_text" ->
       raw"""WITH t AS (SELECT doc_id, term FROM (

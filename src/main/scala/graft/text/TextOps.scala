@@ -892,6 +892,32 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES completion suggester with FUZZINESS (round 13): suggestions
+    * whose own prefix of the typed length is within `fuzziness` edits
+    * of what the user typed — the typo tolerance the real completion
+    * suggester ships ("serach" still finds "search"). Exact matches
+    * rank before fuzzy ones (the ES contract), then by occurrence
+    * count. The edit distance runs on the LENGTH-BOUNDED prefix pair
+    * (never whole terms), so per-token cost is O(|prefix|²) regardless
+    * of term length; everything else is the plain suggester's
+    * map-side-combinable agg + bounded TakeOrdered. */
+  def completionSuggestFuzzy(docs: DataFrame, prefix: String, fuzziness: Int,
+      k: Int): DataFrame = {
+    require(prefix.nonEmpty && fuzziness >= 0)
+    val p = prefix.toLowerCase
+    val termPrefix = substring(col("term"), 1, p.length)
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "" &&
+        levenshtein(termPrefix, lit(p)) <= fuzziness)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
+        max(when(termPrefix === p, 1L).otherwise(0L)).as("exact"))
+      .select(col("term"), col("n_occ"), col("n_docs"), col("exact"))
+      .orderBy(col("exact").desc, col("n_occ").desc, col("n_docs").desc, col("term"))
+      .limit(k)
+  }
+
   /** Confusion matrix of predicted vs ground-truth language — the
     * eval loop a pipeline runs after changing the classifier. Single
     * pass + one tiny agg; no join (the truth label rides along). */

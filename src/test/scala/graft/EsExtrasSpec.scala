@@ -201,6 +201,25 @@ class EsExtrasSpec extends SparkSpec {
       d2.getAs[Double]("first_score") * 1.0 + 100.0)
   }
 
+  test("completionSuggestFuzzy: typo-tolerant completion, exact before fuzzy") {
+    val docs = docsDf(
+      1L -> "join join jolt",
+      2L -> "jion here",          // the literal typo also indexes
+      3L -> "joint venture join")
+    // typed 'jion', fuzziness 2: join (dist 2), jion (0, exact), joint
+    // (prefix 'join' dist 2), jolt (dist 3 → out)
+    val got = TextOps.completionSuggestFuzzy(docs, "jion", 2, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.head == ("jion", 1L, 1L), "exact prefix match ranks first")
+    val terms = got.map(_._1).toSet
+    assert(terms == Set("jion", "join", "joint"))
+    assert(!terms.contains("jolt"))
+    // fuzziness 0 degrades to the plain completion suggester's contract
+    val strict = TextOps.completionSuggestFuzzy(docs, "join", 0, 10).collect()
+      .map(_.getString(0)).toSet
+    assert(strict == Set("join", "joint"))
+  }
+
   test("frequentItemSets: pair supports match a naive recompute over the corpus") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextOps.frequentItemSets(docs, 20, 5L, 25).collect()
