@@ -302,6 +302,39 @@ object StreamingRiver {
     spark.table(queryName)
   }
 
+  /** Trending terms (round 13) — the streaming "what is being written
+    * about RIGHT NOW" surface ES dashboards build from date_histogram +
+    * terms: tumbling-window term counts over a timestamped doc stream,
+    * watermarked so state ages out. Tokenization is a stateless narrow
+    * explode; the windowed count is the only stateful op — partial
+    * aggregation per micro-batch, state keyed (window, term). Ranking
+    * happens on the BOUNDED per-window result at read time (top-k of a
+    * window's vocabulary), not in the stateful operator. */
+  def trendingTerms(docStream: DataFrame, windowLen: String,
+      watermark: String): DataFrame =
+    docStream
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(window(col("ts"), windowLen), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("term"), col("n"))
+
+  /** Run trending terms over a bounded stream into an in-memory sink
+    * (complete mode) and return every (window, term, n) row. */
+  def runTrendingToMemory(spark: SparkSession, docStream: DataFrame,
+      windowLen: String, queryName: String, checkpointDir: String): DataFrame = {
+    val q = trendingTerms(docStream, windowLen, "10 seconds").writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming percolation (round 13) — the canonical ES percolator
     * deployment: registered alert queries stand, DOCUMENTS stream past
     * them, each arriving doc emits its matching (doc_id, query_id)

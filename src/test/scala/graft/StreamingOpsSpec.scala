@@ -51,6 +51,29 @@ class StreamingOpsSpec extends SparkSpec {
       "streamed matches must equal the batch percolator exactly")
   }
 
+  test("trending terms: streamed windowed counts equal the batch recompute") {
+    val docs = Tables.documents(spark, sfDir)
+    // deterministic synthetic timestamps: one doc per minute
+    val stamped = docs.withColumn("ts",
+      timestamp_micros(col("doc_id") * 60L * 1000000L))
+    val src = tmp("trend-src")
+    (0 until 3).foreach(b =>
+      stamped.filter(col("doc_id") % 3 === b).write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(stamped.schema).parquet(src)
+    val got = StreamingRiver.runTrendingToMemory(
+      spark, stream, "10 minutes", "trend_stream", tmp("trend-ckpt"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    val batch = stamped
+      .select(col("ts"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(window(col("ts"), "10 minutes"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("term"), col("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch && got.nonEmpty)
+    assert(got.keys.map(_._1).toSet.size > 1, "must produce multiple windows")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = Tables.events(spark, sfDir).cache()
     val src = tmp("ij-src")
