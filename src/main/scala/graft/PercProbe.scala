@@ -54,10 +54,18 @@ object PercProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // warm both plans once (untimed) at the smallest N so the first
+    // timed row excludes JIT/plan-compile noise (r13 ADVICE: the
+    // comment claimed this without the run existing)
+    locally {
+      val warmQs = mkQueries(ns.min)
+      BoolDsl.percolateDsl(docs, warmQs).count()
+      BoolDsl.percolateDslIndexed(docs, warmQs).count()
+    }
+
     println(f"${"N"}%6s ${"exhaustive(s)"}%14s ${"indexed(s)"}%12s matches")
     ns.foreach { n =>
       val qs = mkQueries(n)
-      // warm both plans once at the smallest N to exclude JIT
       val (tEx, nEx) = time(BoolDsl.percolateDsl(docs, qs).count())
       val (tIx, nIx) = time(BoolDsl.percolateDslIndexed(docs, qs).count())
       require(nEx == nIx, s"form disagreement at N=$n: $nEx vs $nIx")

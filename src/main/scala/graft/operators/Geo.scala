@@ -82,14 +82,20 @@ object Geo {
     crossings % 2 === 1
   }
 
-  /** The identical ray-casting test as DuckDB SQL over columns lat/lon
-    * (generated from the same vertex list so the engines cannot drift). */
-  def pointInPolygonSql(poly: Seq[(Double, Double)]): String = {
+  /** The identical ray-casting test as DuckDB SQL over the named
+    * lat/lon columns (generated from the same vertex list so the
+    * engines cannot drift). The column names are parameters — not
+    * post-hoc string substitution — so callers like
+    * [[envelopeRelationSql]] can retarget the test at envelope
+    * corners without any risk of corrupting other identifiers
+    * (r13 ADVICE). */
+  def pointInPolygonSql(poly: Seq[(Double, Double)], latCol: String = "lat",
+      lonCol: String = "lon"): String = {
     val terms = poly.indices.map { i =>
       val (y1, x1) = poly(i)
       val (y2, x2) = poly((i + 1) % poly.length)
-      s"(CASE WHEN (($y1 > lat) <> ($y2 > lat)) AND " +
-        s"(lon < ($x2 - $x1) * (lat - $y1) / ($y2 - $y1) + $x1) THEN 1 ELSE 0 END)"
+      s"(CASE WHEN (($y1 > $latCol) <> ($y2 > $latCol)) AND " +
+        s"($lonCol < ($x2 - $x1) * ($latCol - $y1) / ($y2 - $y1) + $x1) THEN 1 ELSE 0 END)"
     }.mkString(" + ")
     s"(($terms) % 2 = 1)"
   }
@@ -415,11 +421,8 @@ object Geo {
     }
     val anyEdgeCut = edges.map { case (y1, x1, y2, x2) => edgeCut(y1, x1, y2, x2) }
       .mkString("(", " OR ", ")")
-    // pointInPolygonSql is written over columns lat/lon; re-target it
-    // at each envelope corner via string substitution on the column
-    // names (the generated text only contains lat/lon as identifiers)
     def cornerIn(cy: String, cx: String): String =
-      pointInPolygonSql(poly).replace("lat", cy).replace("lon", cx)
+      pointInPolygonSql(poly, latCol = cy, lonCol = cx)
     val corners = Seq(("lat_min", "lon_min"), ("lat_min", "lon_max"),
       ("lat_max", "lon_min"), ("lat_max", "lon_max"))
     val allCornersIn = corners.map { case (cy, cx) => s"(${cornerIn(cy, cx)})" }.mkString(" AND ")

@@ -261,8 +261,18 @@ object IntervalsAst {
     val spread =
       if (docs.rdd.getNumPartitions >= defaultPar) docs
       else docs.repartition(defaultPar)
+    // positions are encoded s*Enc+e, so a doc with >= Enc tokens would
+    // silently corrupt intervals IDENTICALLY on both engines — the
+    // oracle cannot catch it. Fail loudly instead (r13 ADVICE): the
+    // guard is one size() compare per row, and real corpora stay far
+    // under 100k whitespace tokens per document.
+    val toks0 = split(lower(col("text")), "\\s+")
+    val guarded = when(size(toks0) < lit(Enc), toks0)
+      .otherwise(raise_error(concat(
+        lit("intervals: doc "), col("doc_id").cast("string"),
+        lit(s" has >= $Enc tokens; the s*$Enc+e interval encoding would corrupt"))))
     val p = new Planner(spread.select(col("doc_id"),
-      split(lower(col("text")), "\\s+").as("__toks")), node)
+      guarded.as("__toks")), node)
     val root = p.go(node)
     // the zero-hit filter sits ABOVE the top-k: predicate pushdown
     // cannot cross a limit, whereas below it the optimizer inlines the

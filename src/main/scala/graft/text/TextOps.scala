@@ -309,9 +309,14 @@ object TextOps {
     * (minimum_should_match=1, the no-must default). One narrow
     * token-array scan, bounded TakeOrdered — the match_phrase_prefix
     * scan shape without the adjacency constraint. */
-  def matchBoolPrefix(docs: DataFrame, terms: Seq[String], prefix: String,
+  def matchBoolPrefix(docs: DataFrame, terms0: Seq[String], prefix0: String,
       k: Int): DataFrame = {
-    require(terms.nonEmpty && prefix.nonEmpty)
+    require(terms0.nonEmpty && prefix0.nonEmpty)
+    // arguments are lowercased at entry to match the lowercased token
+    // stream (the completionSuggestFuzzy convention) — a mixed-case
+    // caller input must not silently match nothing (r13 ADVICE)
+    val terms = terms0.map(_.toLowerCase)
+    val prefix = prefix0.toLowerCase
     val toks = split(lower(col("text")), "\\s+")
     val score = (terms.map(t => size(filter(toks, x => x === lit(t)))) :+
       size(filter(toks, x => x.startsWith(prefix))))
@@ -327,12 +332,17 @@ object TextOps {
     * ONLY that window with a phrase-proximity query (adjacent
     * (t1, t2) pair count — the canonical ES rescore example) and
     * combines `query_weight × first + rescore_weight × phrase_tf`.
-    * The window is a bounded page (broadcast side of the re-join), so
-    * the expensive second scorer touches `window` rows, never the
-    * corpus — exactly the cost model ES rescoring exists for. Doubles
-    * stay deterministic: BM25's ln on the rational domain bit-matches
-    * DuckDB (the text_bm25 precedent) and the combine is two
-    * fixed-order multiply-adds. */
+    * The window is a bounded page; the second scorer runs only on the
+    * rows that survive a broadcast semi-join against the page's
+    * doc_ids, so only `window` rows pay the phrase projection — the
+    * cost model ES rescoring exists for (r13 ADVICE aligned the code
+    * with this doc: previously the phrase_tf projection ran corpus-
+    * wide before the join filtered it). Both position lists are
+    * materialized once as columns; the pair count reads them as
+    * attribute references, never re-tokenizing inside the aggregate
+    * lambda. Doubles stay deterministic: BM25's ln on the rational
+    * domain bit-matches DuckDB (the text_bm25 precedent) and the
+    * combine is two fixed-order multiply-adds. */
   def rescoreSearch(docs: DataFrame, terms: Seq[String], t1: String, t2: String,
       window: Int, k: Int, queryWeight: Double = 1.0,
       rescoreWeight: Double = 2.0): DataFrame = {
@@ -343,10 +353,14 @@ object TextOps {
     def positions(term: String) =
       filter(transform(toks, (t, i) => when(t === term, i + 1).otherwise(-1)),
         p => p > 0)
-    val second = docs.select(col("doc_id"),
-      aggregate(positions(t1), lit(0L), (acc, i) =>
-        acc + size(filter(positions(t2), j => j === i + 1)).cast("long"))
-        .as("phrase_tf"))
+    val second = docs
+      .join(broadcast(page.select("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("__p1", positions(t1))
+      .withColumn("__p2", positions(t2))
+      .select(col("doc_id"),
+        aggregate(col("__p1"), lit(0L), (acc, i) =>
+          acc + size(filter(col("__p2"), j => j === i + 1)).cast("long"))
+          .as("phrase_tf"))
     broadcast(page).join(second, "doc_id")
       .select(col("doc_id"), col("first_score"), col("phrase_tf"),
         (col("first_score") * lit(queryWeight) +
