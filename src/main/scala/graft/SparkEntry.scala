@@ -711,6 +711,13 @@ object SparkEntry {
       operators.Analytics.decayFunctionScore(Tables.events(s, dir),
         50.0, 40.0, 0.1, 0.5, 20)),
 
+    // gauss decay (r14): exp()-based — the second transcendental
+    // exception; output is the floor-margin-proved score grid (see
+    // Analytics.gaussDecayScore + the exhaustive EsAggsSpec proof)
+    "q_decay_gauss" -> ((s, dir) =>
+      operators.Analytics.gaussDecayScore(Tables.events(s, dir),
+        50.0, 80.0, 0.5, 20)),
+
     // ----- geo surface (SURVEY §2, round 11): deterministic lat/lon
     // derived from user_id/event_id (Geo.withCoords — exact modulo +
     // one double division, IEEE-identical in DuckDB) -----
@@ -2406,6 +2413,10 @@ object SparkEntry {
         |  greatest((80e0 - greatest(abs(value - 50e0) - 0.1e0, 0e0)) / 80e0, 0e0) AS decay_score
         |FROM events
         |ORDER BY decay_score DESC, event_id LIMIT 20""".stripMargin,
+
+    // generated from the same constants as the Spark side
+    "q_decay_gauss" ->
+      operators.Analytics.gaussDecaySql(50.0, 80.0, 0.5, 20),
 
     // geo: coordinate derivation + geohash bit math generated from the
     // SAME Scala parameters as the Spark side (Geo.coordsSql /

@@ -1396,6 +1396,55 @@ object Analytics {
       .limit(k)
   }
 
+  /** ES function_score GAUSS decay — the second documented
+    * transcendental exception after geotile's Mercator ln (r14;
+    * everything else in the engine is transcendental-free by design).
+    * score = exp(−d²/(2σ²)) with d = |value − origin| and
+    * 2σ² = scale²/ln(1/decay) precomputed ONCE in Scala and embedded
+    * as the same double literal in both engines' programs — at query
+    * time only `exp` is libm.
+    *
+    * Hash-greenness follows the geotile floor-margin discipline: the
+    * raw score never leaves the engine; the output is
+    * `floor(score × M)` (BIGINT) with M = 773,856,391 — a non-round
+    * multiplier chosen by exhaustive search over the ENTIRE finite
+    * synthetic value domain (v = k/100, k ∈ [0, 100000]) so every
+    * domain point's scaled score sits ≥ ~400× the worst cross-libm
+    * exp drift bound (≈1e-15 relative: ≤2 ulp exp gap + one multiply
+    * rounding) away from the nearest floor boundary. A round 1e9 grid
+    * would NOT work: decay = 0.5 puts d = n·scale at score 2^(−n²),
+    * ulps from a decimal boundary (measured: margin 1.6e-9 at
+    * d = 240). The one exact-integral domain point is v = origin,
+    * where exp(0) = 1 is an IEEE-mandated special value every libm
+    * returns exactly — integral results floor identically with no
+    * margin needed (the geotile lat = 0 precedent). The margin proof
+    * is re-run exhaustively in EsAggsSpec. */
+  val GaussGridM = 773856391.0
+  def gaussDecayScore(events: DataFrame, origin: Double, scale: Double,
+      decay: Double, k: Int): DataFrame = {
+    require(scale > 0 && decay > 0 && decay < 1)
+    val twoSigmaSq = scale * scale / math.log(1 / decay)
+    val d = abs(col("value") - lit(origin))
+    events
+      .select(col("event_id"), col("value"),
+        floor(exp(-(d * d) / lit(twoSigmaSq)) * lit(GaussGridM))
+          .as("score_grid"))
+      .orderBy(col("score_grid").desc, col("event_id"))
+      .limit(k)
+  }
+
+  /** The DuckDB twin of [[gaussDecayScore]], generated from the same
+    * constants (shortest-roundtrip double literals parse to the
+    * identical IEEE value in DuckDB). */
+  def gaussDecaySql(origin: Double, scale: Double, decay: Double,
+      k: Int): String = {
+    val twoSigmaSq = scale * scale / math.log(1 / decay)
+    s"""SELECT event_id, value,
+       |  CAST(floor(exp(-((abs(value - ${origin}e0)) * (abs(value - ${origin}e0))) / ${twoSigmaSq}e0) * $GaussGridM) AS BIGINT) AS score_grid
+       |FROM events
+       |ORDER BY score_grid DESC, event_id LIMIT $k""".stripMargin
+  }
+
   /** ES missing aggregation: the bucket of documents that DON'T carry a
     * field, beside the present-value terms buckets (the ES pattern of a
     * `terms` agg plus a sibling `missing` agg on the same field). The

@@ -914,6 +914,54 @@ class EsAggsSpec extends SparkSpec {
       "plateau and slope must both appear in the page")
   }
 
+  test("gaussDecayScore: exhaustive floor-margin proof + naive recompute") {
+    // The synthetic value domain is FINITE: v = k/100 for k in
+    // [0, 100000] (2-decimal money doubles; every SF draws from this
+    // grid — sf0.1 max is 560.21). Enumerate ALL of it and measure
+    // each scaled score's distance to the nearest floor boundary,
+    // normalized by the cross-libm drift bound (~1e-15 relative:
+    // <= 2 ulp exp() gap between Java Math.exp and DuckDB's libm,
+    // plus one multiply rounding). The grid multiplier M = 773856391
+    // was chosen by exhaustive search to maximize exactly this
+    // worst-case ratio (measured 411x at selection time); the spec
+    // re-proves >= 100x so a changed constant cannot silently ship
+    // with an unsafe margin. The ONE exact-integral point is
+    // v = origin (k = 5000): exp(0) = 1 is an IEEE-mandated special
+    // value every libm returns exactly, so both engines floor the
+    // integral M identically — the geotile lat = 0 precedent.
+    val (origin, scale, decay) = (50.0, 80.0, 0.5)
+    val twoSigmaSq = scale * scale / math.log(1 / decay)
+    val m = Analytics.GaussGridM
+    var minRatio = Double.MaxValue
+    val exactKs = scala.collection.mutable.ArrayBuffer[Int]()
+    for (k <- 0 to 100000) {
+      val d = math.abs(k / 100.0 - origin)
+      val sm = math.exp(-(d * d) / twoSigmaSq) * m
+      val f = sm - math.floor(sm)
+      val margin = math.min(f, 1 - f)
+      if (margin == 0.0) exactKs += k
+      else minRatio = math.min(minRatio, margin / (1e-15 * sm))
+    }
+    assert(exactKs.toSeq == Seq(5000), s"unexpected exact-edge inputs: $exactKs")
+    assert(minRatio > 100, s"floor margin only ${minRatio}x the drift bound")
+
+    // naive recompute of the wired query (same Java libm — this pins
+    // the plan/ordering; the cross-engine value pin is the margin
+    // proof above + the driver's DuckDB hash compare)
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.gaussDecayScore(ev, origin, scale, decay, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val local = ev.select("event_id", "value").collect()
+      .map { r =>
+        val v = r.getDouble(1)
+        val d = math.abs(v - origin)
+        (r.getLong(0), v, math.floor(math.exp(-(d * d) / twoSigmaSq) * m).toLong)
+      }
+    val expected = local.sortBy(x => (-x._3, x._1)).take(20).toSeq
+    assert(got.toSeq == expected)
+    assert(got.map(_._3).distinct.size > 1, "page must show the decay slope")
+  }
+
   test("rrfHybrid fuses lexical and semantic ranks, promoting dual-view docs") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
