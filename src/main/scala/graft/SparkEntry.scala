@@ -982,6 +982,11 @@ object SparkEntry {
     "text_frequent_pairs" -> ((s, dir) =>
       text.TextOps.frequentItemSets(Tables.documents(s, dir), 20, 5L, 25)),
 
+    // size-3 item sets (r14): same vocab bound, C(20,3) worst-case
+    // per-doc expansion
+    "text_frequent_triples" -> ((s, dir) =>
+      text.TextOps.frequentTriples(Tables.documents(s, dir), 20, 5L, 25)),
+
     // span_first: "hash" within the first 12 tokens
     "text_span_first" -> ((s, dir) =>
       text.TextOps.spanFirst(Tables.documents(s, dir), "hash", 12, 25)),
@@ -2879,6 +2884,20 @@ object SparkEntry {
            |GROUP BY 1, 2
            |HAVING count(*) >= 5
            |ORDER BY support DESC, term1, term2 LIMIT 25""".stripMargin,
+
+    "text_frequent_triples" ->
+      raw"""WITH dt AS (SELECT DISTINCT doc_id, t FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+           |    FROM documents) u WHERE t <> ''),
+           |vocab AS (SELECT t FROM dt GROUP BY t
+           |          ORDER BY count(*) DESC, t LIMIT 20),
+           |kept AS (SELECT doc_id, t FROM dt WHERE t IN (SELECT t FROM vocab))
+           |SELECT a.t AS term1, b.t AS term2, c.t AS term3, count(*) AS support
+           |FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+           |            JOIN kept c ON b.doc_id = c.doc_id AND b.t < c.t
+           |GROUP BY 1, 2, 3
+           |HAVING count(*) >= 5
+           |ORDER BY support DESC, term1, term2, term3 LIMIT 25""".stripMargin,
 
     "q_bool_dsl" ->
       raw"""WITH t AS (SELECT doc_id, lang, source, n_chars,

@@ -1401,4 +1401,41 @@ object TextOps {
       .orderBy(col("support").desc, col("term1"), col("term2"))
       .limit(k)
   }
+
+  /** ES frequent_item_sets at size 3 (r14) — [[frequentItemSets]]'
+    * vocab-bounded per-doc expansion generalized to triples. Same two
+    * passes; pass 2 expands each doc's sorted kept-term array into its
+    * C(v,3) ordered triples via three nested array transforms (the
+    * slice starts chain the outer 0-based indices: b ranges over
+    * positions after a, c over positions after b), so the blow-up is
+    * bounded by C(vocabK,3) per doc and usually far less (v = the
+    * doc's DISTINCT kept terms). Still no corpus self-join — one hash
+    * agg counts every triple. */
+  def frequentTriples(docs: DataFrame, vocabK: Int, minSupport: Long,
+      k: Int): DataFrame = {
+    require(vocabK > 2 && minSupport >= 1)
+    val tokens = array_distinct(filter(split(lower(col("text")), "\\s+"),
+      t => t =!= ""))
+    val vocab = docs
+      .select(explode(tokens).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(vocabK)
+      .select("term")
+    val vocabArr = typedlit(vocab.collect().map(_.getString(0)).toSeq.sorted)
+    docs
+      .select(sort_array(filter(tokens, t => array_contains(vocabArr, t)))
+        .as("kept"))
+      .select(explode(flatten(transform(col("kept"), (a, i) =>
+        flatten(transform(slice(col("kept"), i + 2, lit(vocabK)), (b, j) =>
+          transform(slice(col("kept"), i + j + 3, lit(vocabK)),
+            c => struct(a.as("t1"), b.as("t2"), c.as("t3"))))))))
+        .as("triple"))
+      .groupBy(col("triple.t1").as("term1"), col("triple.t2").as("term2"),
+        col("triple.t3").as("term3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("term1"), col("term2"), col("term3"))
+      .limit(k)
+  }
 }

@@ -240,6 +240,38 @@ class EsExtrasSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("frequentTriples: supports match a naive recompute; threshold binds") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.frequentTriples(docs, 20, 5L, 25).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val docTerms = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSet)
+    val df = docTerms.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val vocab = df.toSeq.sortBy { case (t, n) => (-n, t) }.take(20).map(_._1).toSet
+    val support = docTerms.toSeq
+      .flatMap { case (_, ts) =>
+        ts.intersect(vocab).toSeq.sorted.combinations(3)
+          .map { case Seq(a, b, c) => (a, b, c) }
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = support.filter(_._2 >= 5L).toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(25).toMap
+    assert(got == top)
+    assert(got.nonEmpty)
+
+    // the support threshold must BIND on a crafted corpus: the rare
+    // triple sits below minSupport while the common one survives
+    import spark.implicits._
+    val crafted = (
+      (1 to 5).map(i => (i.toLong, "aa bb cc")) ++
+        Seq((6L, "aa bb dd"))
+      ).toDF("doc_id", "text")
+    val out = TextOps.frequentTriples(crafted, 4, 5L, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("aa", "bb", "cc")),
+      s"threshold must keep only the 5-doc triple, got $out")
+  }
+
   test("rangeSearch: exactly the cosine >= tau neighborhood of each query") {
     val emb = Tables.embeddings(spark, sfDir)
     val got = similarity.Ann.rangeSearch(emb, 10, 0.3).collect()
