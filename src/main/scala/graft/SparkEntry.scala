@@ -72,6 +72,24 @@ object SparkEntry {
     IFilter(IMatch(Seq("merge", "sort"), ordered = false, maxGaps = 4),
       "not_containing", IMatch(Seq("batch")))
   }
+  /** ES intervals `fuzzy` rule (r14) under all_of(ordered) — an exact
+    * term followed closely by a typo-tolerant one (the
+    * completion-fuzzy 'jion' probe as an intervals source). */
+  private val intervalsFuzzyTree: text.IntervalsAst.Node = {
+    import text.IntervalsAst._
+    IAllOf(Seq(IMatch(Seq("merge")), IFuzzy("jion", 2)),
+      ordered = true, maxGaps = 3)
+  }
+  /** ES intervals `wildcard` rule (r14) composed both ways: a
+    * wildcard-led ordered pair unioned with a bare wildcard source
+    * (LIKE spelling, the text_wildcard_search convention). */
+  private val intervalsWildcardTree: text.IntervalsAst.Node = {
+    import text.IntervalsAst._
+    IAnyOf(Seq(
+      IAllOf(Seq(IWildcard("s_a%"), IMatch(Seq("join"))),
+        ordered = true, maxGaps = 2),
+      IWildcard("vec%")))
+  }
 
   /** Shared percolator stored-query set — ONE definition feeds the
     * exhaustive form, the r13 term-index-prefiltered form, and (via
@@ -485,6 +503,16 @@ object SparkEntry {
     "text_intervals_filter" -> ((s, dir) =>
       text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
         intervalsFilterTree, 25)),
+
+    // intervals `fuzzy` leaf rule (r14)
+    "text_intervals_fuzzy" -> ((s, dir) =>
+      text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
+        intervalsFuzzyTree, 25)),
+
+    // intervals `wildcard` leaf rule (r14)
+    "text_intervals_wildcard" -> ((s, dir) =>
+      text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
+        intervalsWildcardTree, 25)),
 
     // terms lookup: docs sharing tokens with doc 42 (set membership,
     // not TF scoring — the more_like_this contrast)
@@ -1832,6 +1860,8 @@ object SparkEntry {
     "text_intervals_nested" -> text.IntervalsAst.oracleSql(intervalsNestedTree, 25),
     "text_intervals_prefix" -> text.IntervalsAst.oracleSql(intervalsPrefixTree, 25),
     "text_intervals_filter" -> text.IntervalsAst.oracleSql(intervalsFilterTree, 25),
+    "text_intervals_fuzzy" -> text.IntervalsAst.oracleSql(intervalsFuzzyTree, 25),
+    "text_intervals_wildcard" -> text.IntervalsAst.oracleSql(intervalsWildcardTree, 25),
 
     "q_bucket_ks_test" ->
       """WITH day AS (

@@ -68,6 +68,17 @@ object IntervalsAst {
     * like any other source (the ES docs pair it with all_of for
     * "term then completion" patterns). */
   final case class IPrefix(prefix: String) extends Node
+  /** ES intervals `fuzzy` rule (r14): a width-1 interval at every
+    * token within `maxEdits` Levenshtein edits of `term` — the
+    * text_completion_fuzzy edit-distance machinery as an intervals
+    * source (`levenshtein` is a codegen'd builtin on BOTH engines,
+    * SparkEntry's q_completion_fuzzy precedent). */
+  final case class IFuzzy(term: String, maxEdits: Int = 1) extends Node
+  /** ES intervals `wildcard` rule (r14): a width-1 interval at every
+    * token matching `pattern`, in SQL LIKE spelling (`_`/`%` — the
+    * text_wildcard_search convention, identical LIKE semantics in
+    * Spark and DuckDB). */
+  final case class IWildcard(pattern: String) extends Node
   /** ES intervals `all_of` combinator. */
   final case class IAllOf(children: Seq[Node], ordered: Boolean = false,
       maxGaps: Int = -1) extends Node
@@ -100,6 +111,8 @@ object IntervalsAst {
   private def width1(node: Node): Boolean = node match {
     case IMatch(Seq(_), _, _) => true
     case IPrefix(_) => true
+    case IFuzzy(_, _) => true
+    case IWildcard(_) => true
     case IFilter(src, _, _) => width1(src) // survivors come from source
     case _ => false
   }
@@ -138,18 +151,34 @@ object IntervalsAst {
     * root interval-column name). */
   private def collectTerms(node: Node): Seq[String] = node match {
     case IMatch(ts, _, _) => ts
-    case IPrefix(_) => Nil
+    case IPrefix(_) | IFuzzy(_, _) | IWildcard(_) => Nil
     case IAllOf(cs, _, _) => cs.flatMap(collectTerms)
     case IAnyOf(cs) => cs.flatMap(collectTerms)
     case IFilter(src, _, ref) => collectTerms(src) ++ collectTerms(ref)
   }
 
   private def collectPrefixes(node: Node): Seq[String] = node match {
-    case IMatch(_, _, _) => Nil
+    case IMatch(_, _, _) | IFuzzy(_, _) | IWildcard(_) => Nil
     case IPrefix(pfx) => Seq(pfx)
     case IAllOf(cs, _, _) => cs.flatMap(collectPrefixes)
     case IAnyOf(cs) => cs.flatMap(collectPrefixes)
     case IFilter(src, _, ref) => collectPrefixes(src) ++ collectPrefixes(ref)
+  }
+
+  private def collectFuzzies(node: Node): Seq[(String, Int)] = node match {
+    case IMatch(_, _, _) | IPrefix(_) | IWildcard(_) => Nil
+    case IFuzzy(t, f) => Seq((t, f))
+    case IAllOf(cs, _, _) => cs.flatMap(collectFuzzies)
+    case IAnyOf(cs) => cs.flatMap(collectFuzzies)
+    case IFilter(src, _, ref) => collectFuzzies(src) ++ collectFuzzies(ref)
+  }
+
+  private def collectWildcards(node: Node): Seq[String] = node match {
+    case IMatch(_, _, _) | IPrefix(_) | IFuzzy(_, _) => Nil
+    case IWildcard(p) => Seq(p)
+    case IAllOf(cs, _, _) => cs.flatMap(collectWildcards)
+    case IAnyOf(cs) => cs.flatMap(collectWildcards)
+    case IFilter(src, _, ref) => collectWildcards(src) ++ collectWildcards(ref)
   }
 
   /** The pairwise relation predicate for [[IFilter]]: does source
@@ -191,7 +220,14 @@ object IntervalsAst {
     private val prefixCols: Map[String, String] =
       collectPrefixes(tree).distinct.map(pfx =>
         pfx -> emit(positionsOf(_.startsWith(pfx)))).toMap
-    leafCols = termCols.values.toSet ++ prefixCols.values.toSet
+    private val fuzzyCols: Map[(String, Int), String] =
+      collectFuzzies(tree).distinct.map { case (t, f) =>
+        (t, f) -> emit(positionsOf(tok => levenshtein(tok, lit(t)) <= f)) }.toMap
+    private val wildcardCols: Map[String, String] =
+      collectWildcards(tree).distinct.map(p =>
+        p -> emit(positionsOf(_.like(p)))).toMap
+    leafCols = termCols.values.toSet ++ prefixCols.values.toSet ++
+      fuzzyCols.values.toSet ++ wildcardCols.values.toSet
     df = df.drop("__toks")
 
     /** Dedup + drop intervals strictly containing another (Lucene
@@ -207,6 +243,8 @@ object IntervalsAst {
     def go(node: Node): String = node match {
       case IMatch(Seq(t), _, _) => termCols(t)
       case IPrefix(pfx) => prefixCols(pfx)
+      case IFuzzy(t, f) => fuzzyCols((t, f))
+      case IWildcard(p) => wildcardCols(p)
       case IMatch(ts, ordered, g) =>
         require(ts.nonEmpty, "match needs at least one term")
         go(IAllOf(ts.map(t => IMatch(Seq(t))), ordered, g))
@@ -321,6 +359,18 @@ object IntervalsAst {
         val (tv, iv, pv) = (s"t${fresh()}", s"i${fresh()}", s"p${fresh()}")
         s"list_transform(list_filter(list_transform($toks, ($tv, $iv) -> " +
           s"CASE WHEN substr($tv, 1, ${pfx.length}) = '${sqlQuote(pfx)}' THEN $iv ELSE -1 END), " +
+          s"$pv -> $pv > 0), $pv -> $pv * $Enc + $pv)"
+      case IFuzzy(t, f) =>
+        val (tv, iv, pv) = (s"t${fresh()}", s"i${fresh()}", s"p${fresh()}")
+        s"list_transform(list_filter(list_transform($toks, ($tv, $iv) -> " +
+          s"CASE WHEN levenshtein($tv, '${sqlQuote(t)}') <= $f THEN $iv ELSE -1 END), " +
+          s"$pv -> $pv > 0), $pv -> $pv * $Enc + $pv)"
+      case IWildcard(p) =>
+        // pattern is already in LIKE spelling — identical semantics on
+        // both engines over the lowercased token stream
+        val (tv, iv, pv) = (s"t${fresh()}", s"i${fresh()}", s"p${fresh()}")
+        s"list_transform(list_filter(list_transform($toks, ($tv, $iv) -> " +
+          s"CASE WHEN $tv LIKE '${sqlQuote(p)}' THEN $iv ELSE -1 END), " +
           s"$pv -> $pv > 0), $pv -> $pv * $Enc + $pv)"
       case IAllOf(cs, ordered, g) =>
         val children = cs.map(go)

@@ -18,6 +18,15 @@ class IntervalsAstFuzzSpec extends SparkSpec {
 
   // ---- naive reference -------------------------------------------------
 
+  private def naiveLevenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   private def naiveMinimize(xs: Set[(Int, Int)]): Set[(Int, Int)] =
     xs.filterNot(a => xs.exists(b =>
       b != a && b._1 >= a._1 && b._2 <= a._2))
@@ -29,6 +38,18 @@ class IntervalsAstFuzzSpec extends SparkSpec {
       naiveEval(IAllOf(ts.map(t => IMatch(Seq(t))), o, g), toks)
     case IPrefix(p) =>
       toks.zipWithIndex.collect { case (tok, i) if tok.startsWith(p) => (i + 1, i + 1) }.toSet
+    case IFuzzy(t, f) =>
+      toks.zipWithIndex.collect {
+        case (tok, i) if naiveLevenshtein(tok, t) <= f => (i + 1, i + 1) }.toSet
+    case IWildcard(p) =>
+      // LIKE -> regex: quote everything, then % -> .*, _ -> .
+      val rx = p.map {
+        case '%' => ".*"
+        case '_' => "."
+        case c => java.util.regex.Pattern.quote(c.toString)
+      }.mkString
+      toks.zipWithIndex.collect {
+        case (tok, i) if tok.matches(rx) => (i + 1, i + 1) }.toSet
     case IAllOf(cs, ordered, g) =>
       val childSets = cs.map(c => naiveEval(c, toks).toSeq)
       val combos = childSets.foldLeft(Seq(Seq.empty[(Int, Int)]))((acc, ch) =>
@@ -62,6 +83,10 @@ class IntervalsAstFuzzSpec extends SparkSpec {
   private val leaf: Gen[Node] = Gen.oneOf(
     Gen.oneOf(vocab).map(t => IMatch(Seq(t))),
     Gen.oneOf("a", "b", "c").map(IPrefix(_)),
+    for {
+      t <- Gen.oneOf(vocab :+ "ba"); f <- Gen.oneOf(0, 1, 2)
+    } yield IFuzzy(t, f),
+    Gen.oneOf("a%", "_b", "%c%", "a_", "zz").map(IWildcard(_)),
     for {
       n <- Gen.choose(2, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab))
       o <- Gen.oneOf(true, false); g <- Gen.oneOf(-1, 0, 1, 3)
