@@ -979,6 +979,19 @@ object SparkEntry {
         Seq("hash", "join", "vector"), 15)
     }),
 
+    // multi_match most_fields (r14): per-field BM25 summed with
+    // boosts (title window ^2, body ^1) — evidence stacks across
+    // fields, unlike best_fields' max
+    "q_multi_match_most_fields" -> ((s, dir) =>
+      text.TextOps.multiMatchFields(Tables.documents(s, dir),
+        Seq("merge", "query", "scan"), 8, "most_fields", 2.0, 1.0, 15)),
+
+    // multi_match cross_fields (r14): per-term blended df across
+    // fields (BlendedTermQuery max-df), best field per term
+    "q_multi_match_cross_fields" -> ((s, dir) =>
+      text.TextOps.multiMatchFields(Tables.documents(s, dir),
+        Seq("merge", "query", "scan"), 8, "cross_fields", 1.0, 1.0, 15)),
+
     // dis_max with tie_breaker=0.3 (between best_fields and
     // most_fields): title = first 8 tokens ^2, body ^1
     "q_dis_max" -> ((s, dir) => {
@@ -2046,6 +2059,15 @@ object SparkEntry {
            |  FROM p CROSS JOIN st
            |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0) t
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // generated from the same constants as the Spark side (TextOps
+    // dual-compile)
+    "q_multi_match_most_fields" ->
+      text.TextOps.multiMatchOracleSql(Seq("merge", "query", "scan"), 8,
+        "most_fields", 2.0, 1.0, 15),
+    "q_multi_match_cross_fields" ->
+      text.TextOps.multiMatchOracleSql(Seq("merge", "query", "scan"), 8,
+        "cross_fields", 1.0, 1.0, 15),
 
     "q_retriever_linear" ->
       raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -417,6 +417,173 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES multi_match `most_fields` + `cross_fields` types (r14) — the
+    * two remaining high-traffic modes beside [[multiMatch]]'s
+    * best_fields. Fields are the title window (first `titleLen`
+    * tokens) and the disjoint body remainder, each with its OWN BM25
+    * statistics (df, length, avgdl) — unlike [[combinedFieldsSearch]],
+    * which merges them into one weighted virtual field.
+    *
+    *  - `most_fields`: per-field BM25 scores SUMMED with per-field
+    *    boosts — "the same text analyzed different ways"; a doc
+    *    matching in several fields stacks its evidence.
+    *  - `cross_fields`: per TERM, the document frequency is BLENDED
+    *    across fields (Lucene BlendedTermQuery: max of the per-field
+    *    dfs), each field's TF part is scored with that shared blended
+    *    IDF, and the term contributes the BEST field's score (the
+    *    dismax-per-term "any field may hold this word" semantics) —
+    *    so a rare-in-title term isn't double-IDF'd just because it's
+    *    common in bodies.
+    *
+    * Determinism: exact long tf/df/length counts, a 1-row broadcast
+    * stats frame, and one fixed-order double expression — with the
+    * idf computed by [[graft.util.DetLn]], the dual-compiled libm-free
+    * logarithm, because Spark's `log` (StrictMath/fdlibm) and
+    * DuckDB's `ln` (host libm) provably disagree by one ulp on some
+    * of these idf arguments (measured at sf0.001, r14) — the first
+    * operator family where the bm25 "ln bit-matches" luck ran out.
+    * The oracle is GENERATED from the same constants by
+    * [[multiMatchOracleSql]]. One tokenize pass, bounded TakeOrdered —
+    * nothing shuffles the corpus; the idf ladder runs on the 1-row
+    * stats frame only. */
+  def multiMatchFields(docs: DataFrame, terms: Seq[String], titleLen: Int,
+      mode: String, boostTitle: Double, boostBody: Double, kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && titleLen > 0)
+    require(mode == "most_fields" || mode == "cross_fields", s"bad mode $mode")
+    val toks = split(lower(col("text")), "\\s+")
+    val withFields = docs.select(col("doc_id"),
+      slice(toks, 1, titleLen).as("tt"),
+      slice(toks, titleLen + 1, Int.MaxValue - titleLen).as("bt"))
+    def tfIn(f: String, t: String) =
+      size(filter(col(f), x => x === lit(t))).cast("long")
+    val perDoc = withFields.select(col("doc_id") +:
+        size(col("tt")).cast("long").as("dlt") +:
+        size(col("bt")).cast("long").as("dlb") +:
+        (terms.zipWithIndex.map { case (t, i) => tfIn("tt", t).as(s"tft$i") } ++
+         terms.zipWithIndex.map { case (t, i) => tfIn("bt", t).as(s"tfb$i") }): _*)
+      .persist()
+    val stats0 = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dlt")).as("tot_t") +: sum(col("dlb")).as("tot_b") +:
+        (terms.indices.map(i =>
+          sum(when(col(s"tft$i") > 0, 1L).otherwise(0L)).as(s"dft$i")) ++
+         terms.indices.map(i =>
+          sum(when(col(s"tfb$i") > 0, 1L).otherwise(0L)).as(s"dfb$i"))): _*)
+    // idf via the dual-compiled libm-free ln, on the 1-row stats frame
+    def idfArg(dfCol: Column) = lit(1) +
+      (col("n_docs") - dfCol + lit(0.5)) / (dfCol + lit(0.5))
+    val idfKeys: Seq[(String, Column)] = mode match {
+      case "most_fields" =>
+        terms.indices.map(i => s"idf_t$i" -> idfArg(col(s"dft$i"))) ++
+          terms.indices.map(i => s"idf_b$i" -> idfArg(col(s"dfb$i")))
+      case "cross_fields" =>
+        terms.indices.map(i =>
+          s"idf_x$i" -> idfArg(greatest(col(s"dft$i"), col(s"dfb$i"))))
+    }
+    val stats = idfKeys.foldLeft(stats0) { case (df0, (name, arg)) =>
+      graft.util.DetLn.withLn(df0.withColumn(s"__arg_$name", arg),
+        s"__arg_$name", name).drop(s"__arg_$name")
+    }
+    val avgT = col("tot_t").cast("double") / col("n_docs")
+    val avgB = col("tot_b").cast("double") / col("n_docs")
+    // association mirrors the generated SQL's left-assoc `idf * num
+    // / denom` — (idf·num)/denom, the bm25Search order; grouping the
+    // division first drifts by one rounding (caught by the oracle)
+    def scoreTerm(idfCol: Column, tf: Column, dl: Column, avg: Column) =
+      idfCol * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * (dl / avg)))
+    val score = mode match {
+      case "most_fields" =>
+        val sT = terms.indices.map(i => scoreTerm(col(s"idf_t$i"),
+          col(s"tft$i"), col("dlt"), avgT)).reduce(_ + _)
+        val sB = terms.indices.map(i => scoreTerm(col(s"idf_b$i"),
+          col(s"tfb$i"), col("dlb"), avgB)).reduce(_ + _)
+        lit(boostTitle) * sT + lit(boostBody) * sB
+      case "cross_fields" =>
+        terms.indices.map { i =>
+          greatest(
+            scoreTerm(col(s"idf_x$i"), col(s"tft$i"), col("dlt"), avgT),
+            scoreTerm(col(s"idf_x$i"), col(s"tfb$i"), col("dlb"), avgB))
+        }.reduce(_ + _)
+    }
+    val anyHit = terms.indices
+      .map(i => col(s"tft$i") > 0 || col(s"tfb$i") > 0).reduce(_ || _)
+    val out = perDoc.crossJoin(broadcast(stats))
+      .filter(anyHit)
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(kTop)
+      .localCheckpoint()
+    perDoc.unpersist(blocking = false)
+    out
+  }
+
+  /** The DuckDB twin of [[multiMatchFields]], generated from the same
+    * constants so the engines cannot drift (term order, fold order,
+    * and every literal mirror the Column program). */
+  def multiMatchOracleSql(terms: Seq[String], titleLen: Int, mode: String,
+      boostTitle: Double, boostBody: Double, kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    require(mode == "most_fields" || mode == "cross_fields", s"bad mode $mode")
+    def q(t: String) = t.replace("'", "''")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"        CAST(len(list_filter(toks[1:$titleLen], x -> x = '${q(t)}')) AS BIGINT) AS tft$i,\n" +
+      s"        CAST(len(list_filter(toks[${titleLen + 1}:], x -> x = '${q(t)}')) AS BIGINT) AS tfb$i"
+    }.mkString(",\n")
+    val dfCols = terms.indices.map(i =>
+      s"        sum(CASE WHEN tft$i > 0 THEN 1 ELSE 0 END) AS dft$i,\n" +
+      s"        sum(CASE WHEN tfb$i > 0 THEN 1 ELSE 0 END) AS dfb$i").mkString(",\n")
+    // idf via DetLn's generated libm-free program, as lateral-alias
+    // select items chained onto the stats row (mirrors the Spark
+    // side's withLn on the 1-row stats frame)
+    def idfArg(df: String) = s"(1 + (n_docs - $df + 0.5e0) / ($df + 0.5e0))"
+    val idfKeys: Seq[(String, String)] = mode match {
+      case "most_fields" =>
+        terms.indices.map(i => s"idf_t$i" -> idfArg(s"dft$i")) ++
+          terms.indices.map(i => s"idf_b$i" -> idfArg(s"dfb$i"))
+      case "cross_fields" =>
+        terms.indices.map(i => s"idf_x$i" -> idfArg(s"greatest(dft$i, dfb$i)"))
+    }
+    val idfItems = idfKeys.flatMap { case (name, arg) =>
+      graft.util.DetLn.sqlItems(arg, name) }
+      .map { case (n2, e2) => s"        $e2 AS $n2" }.mkString(",\n")
+    def tfPart(tf: String, dl: String, tot: String) =
+      s"($tf * (${k1}e0 + 1)) / ($tf + ${k1}e0 * ((1 - ${b}e0) + ${b}e0 * ($dl / (CAST($tot AS DOUBLE) / n_docs))))"
+    val score = mode match {
+      case "most_fields" =>
+        val sT = terms.indices.map(i =>
+          s"idf_t$i * ${tfPart(s"tft$i", "dlt", "tot_t")}").mkString("\n      + ")
+        val sB = terms.indices.map(i =>
+          s"idf_b$i * ${tfPart(s"tfb$i", "dlb", "tot_b")}").mkString("\n      + ")
+        s"${boostTitle}e0 * ($sT)\n      + ${boostBody}e0 * ($sB)"
+      case "cross_fields" =>
+        terms.indices.map { i =>
+          s"greatest(idf_x$i * ${tfPart(s"tft$i", "dlt", "tot_t")},\n" +
+          s"         idf_x$i * ${tfPart(s"tfb$i", "dlb", "tot_b")})"
+        }.mkString("\n      + ")
+    }
+    val anyHit = terms.indices.map(i => s"tft$i > 0 OR tfb$i > 0").mkString(" OR ")
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+         |p AS (SELECT doc_id,
+         |        CAST(len(toks[1:$titleLen]) AS BIGINT) AS dlt,
+         |        CAST(len(toks[${titleLen + 1}:]) AS BIGINT) AS dlb,
+         |$tfCols
+         |      FROM d),
+         |st0 AS (SELECT count(*) AS n_docs, sum(dlt) AS tot_t, sum(dlb) AS tot_b,
+         |$dfCols
+         |      FROM p),
+         |st AS (SELECT *,
+         |$idfItems
+         |      FROM st0)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |      $score AS score
+         |  FROM p CROSS JOIN st
+         |  WHERE $anyHit) t
+         |ORDER BY score DESC, doc_id LIMIT $kTop""".stripMargin
+  }
+
   /** Reciprocal-rank fusion of a BM25 lexical ranking and an
     * embedding-kNN semantic ranking — ES 8.8+ hybrid search (`rrf`
     * retriever). Each ranking contributes 1/(kRrf + rank) for the docs
