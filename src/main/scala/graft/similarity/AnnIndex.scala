@@ -120,23 +120,41 @@ object AnnIndex {
     * fails, so that case degrades to an explicit empty frame with the
     * index schema (probes of an empty index return no neighbors, they
     * don't crash). */
-  def assignments(spark: SparkSession, root: String): DataFrame =
-    try
-      spark.read.parquet(assignDir(root))
+  /** Ingest partitions whose write COMMITTED (`_SUCCESS` present) —
+    * the DedupIndex snapshot discipline applied to reads (r14): a
+    * reader racing `maintain()` mid-retrain must see each ingest
+    * partition entirely or not at all, never a half-written parquet
+    * directory. Metadata-scale listing (versions × batches dirs). */
+  private def committedIngests(spark: SparkSession, root: String): Seq[Path] = {
+    val base = new Path(assignDir(root))
+    val fs = hadoopFs(spark, assignDir(root))
+    if (!fs.exists(base)) Seq.empty
+    else for {
+      cv <- fs.listStatus(base).toSeq
+      if cv.isDirectory && cv.getPath.getName.startsWith("cv=")
+      ing <- fs.listStatus(cv.getPath).toSeq
+      if ing.isDirectory && ing.getPath.getName.startsWith("ingest=")
+      if fs.exists(new Path(ing.getPath, "_SUCCESS"))
+    } yield ing.getPath
+  }
+
+  def assignments(spark: SparkSession, root: String): DataFrame = {
+    val committed = committedIngests(spark, root)
+    if (committed.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("cent_id", IntegerType),
+          StructField("cv", LongType))))
+    } else
+      spark.read.option("basePath", assignDir(root))
+        .parquet(committed.map(_.toString): _*)
         .select(col("vec_id"), col("embedding"), col("cent_id"),
           col("cv").cast("long").as("cv"))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("vec_id", LongType),
-            StructField("embedding", ArrayType(FloatType)),
-            StructField("cent_id", IntegerType),
-            StructField("cv", LongType))))
-    }
+  }
 
   /** Structured Streaming maintenance: first batch trains the
     * centroids, every batch (including the first) appends its

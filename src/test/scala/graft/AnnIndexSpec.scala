@@ -191,6 +191,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(asn.filter(col("cv") === 2L).count() > 0, "retrain era must ingest")
   }
 
+  test("probe during retrain: either era's complete answer, never a torn mix") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp("ann-idx")
+    val eraA = emb.filter(col("vec_id") % 2 === 0)
+    val eraB = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.trainCentroids(eraA, 0L, root)
+    AnnIndex.appendBatch(eraA, 0L, root)
+    def probe(): Set[(Long, Int, Long)] =
+      AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val preRetrain = probe()
+    assert(preRetrain.nonEmpty)
+
+    // mid-retrain window 1: the new centroid version is committed but
+    // its ingest hasn't started — the reader must serve the OLD era's
+    // complete answer (cv=1 contributes zero candidates), not crash or
+    // mix eras
+    AnnIndex.trainCentroids(eraB, 1L, root)
+    assert(probe() == preRetrain,
+      "centroids-committed / ingest-absent window must serve the old era")
+
+    // mid-retrain window 2: the ingest partition is on disk but its
+    // write has not committed (no _SUCCESS — the state a reader racing
+    // appendBatch can observe). It must be INVISIBLE: old era's
+    // complete answer again, never a torn half-read
+    AnnIndex.appendBatch(eraB, 1L, root)
+    val marker = new Path(s"$root/assignments/cv=1/ingest=1/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false), "test setup: marker must exist")
+    assert(probe() == preRetrain, "uncommitted ingest must be invisible")
+
+    // the commit lands → the full two-era answer, with the new era's
+    // vectors now served
+    fs.create(marker).close()
+    val after = probe()
+    val asn = AnnIndex.assignments(spark, root)
+    assert(asn.count() == emb.count(), "both eras visible after commit")
+    assert(after.map(_._3).exists(_ % 2 == 1), "new era must be served")
+    assert(after == probe(), "committed reads are deterministic")
+  }
+
   test("probe reads only the probed cent_id partitions") {
     val root = tmp("ann-idx")
     buildIndex(root)
