@@ -22,7 +22,11 @@ import graft.text.BoolDsl._
 object PercProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val ns = (if (args.nonEmpty) args.toSeq else Seq("10", "50", "200", "800")).map(_.toInt)
+    // default ceiling 10⁴ (r14): confirms the indexed form's
+    // query-count scaling stays sub-linear well past the ≈100
+    // crossover measured in r13
+    val ns = (if (args.nonEmpty) args.toSeq
+      else Seq("10", "50", "200", "800", "3000", "10000")).map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,22 +58,34 @@ object PercProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    // warm both plans once (untimed) at the smallest N so the first
-    // timed row excludes JIT/plan-compile noise (r13 ADVICE: the
+    // warm all three plans once (untimed) at the smallest N so the
+    // first timed row excludes JIT/plan-compile noise (r13 ADVICE: the
     // comment claimed this without the run existing)
     locally {
       val warmQs = mkQueries(ns.min)
       BoolDsl.percolateDsl(docs, warmQs).count()
       BoolDsl.percolateDslIndexed(docs, warmQs).count()
+      BoolDsl.percolateDslIndexedAtScale(docs, warmQs).count()
     }
 
-    println(f"${"N"}%6s ${"exhaustive(s)"}%14s ${"indexed(s)"}%12s matches")
+    // the exhaustive and CASE-chain forms die in the analyzer
+    // (Column→Expression recursion stack overflow) between 800 and
+    // 3000 stored queries — measured r14; only the at-scale
+    // interpreter form runs past the cliff
+    val chainCeiling = 800
+
+    println(f"${"N"}%6s ${"exhaustive(s)"}%14s ${"indexed(s)"}%12s ${"atscale(s)"}%12s matches")
     ns.foreach { n =>
       val qs = mkQueries(n)
-      val (tEx, nEx) = time(BoolDsl.percolateDsl(docs, qs).count())
-      val (tIx, nIx) = time(BoolDsl.percolateDslIndexed(docs, qs).count())
-      require(nEx == nIx, s"form disagreement at N=$n: $nEx vs $nIx")
-      println(f"$n%6d $tEx%14.2f $tIx%12.2f $nEx")
+      val (tAt, nAt) = time(BoolDsl.percolateDslIndexedAtScale(docs, qs).count())
+      if (n <= chainCeiling) {
+        val (tEx, nEx) = time(BoolDsl.percolateDsl(docs, qs).count())
+        val (tIx, nIx) = time(BoolDsl.percolateDslIndexed(docs, qs).count())
+        require(nEx == nIx && nEx == nAt,
+          s"form disagreement at N=$n: $nEx vs $nIx vs $nAt")
+        println(f"$n%6d $tEx%14.2f $tIx%12.2f $tAt%12.2f $nEx")
+      } else
+        println(f"$n%6d ${"-"}%14s ${"-"}%12s $tAt%12.2f $nAt")
     }
     spark.stop()
   }

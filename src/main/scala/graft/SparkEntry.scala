@@ -1087,6 +1087,13 @@ object SparkEntry {
     "text_percolate_dsl_indexed" -> ((s, dir) =>
       text.BoolDsl.percolateDslIndexed(Tables.documents(s, dir), percolatorQueries)),
 
+    // the 10⁴-plus registered-query scale path (r14): same candidates,
+    // per-pair evaluation by the plan-size-constant PercolatorEval
+    // kernel instead of the Q-deep CASE chain (which the analyzer
+    // kills between 800 and 3000 stored queries — PercProbe)
+    "text_percolate_dsl_atscale" -> ((s, dir) =>
+      text.BoolDsl.percolateDslIndexedAtScale(Tables.documents(s, dir), percolatorQueries)),
+
     // ES bool tree composing five leaf types + a nested bool: must
     // (match 'hash' AND (join OR vector, scored)), should (lang=en
     // boost), must_not (source=src13 — load-bearing: src13 is INSIDE
@@ -2122,6 +2129,7 @@ object SparkEntry {
     "text_percolate_dsl" -> percolateDslSql,
     // the indexed twin answers the SAME question — one oracle drives both
     "text_percolate_dsl_indexed" -> percolateDslSql,
+    "text_percolate_dsl_atscale" -> percolateDslSql,
 
     "q_numeric_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n,

@@ -230,4 +230,26 @@ object BoolDsl {
       .filter(chain)
       .select(col("doc_id"), col("query_id"))
   }
+
+  /** [[percolateDslIndexed]] past the CASE-chain cliff (r14): the
+    * id-keyed `when` chain's plan depth grows with Q and the analyzer
+    * stack-overflows between 800 and 3000 stored queries (PercProbe);
+    * below the cliff each pair still pays an O(Q) id scan. Here the
+    * same candidate pairs are evaluated by [[PercolatorEval]] — one
+    * plan-size-constant expression carrying the query forest as a
+    * JVM hash map, O(tree) per pair. Output equal to the exhaustive
+    * and chain forms (spec-pinned; PercProbe asserts it per run). */
+  def percolateDslIndexedAtScale(docs: DataFrame,
+      queries: Seq[(String, Query)]): DataFrame = {
+    require(queries.nonEmpty)
+    import org.apache.spark.sql.graftglue.Glue
+    val (strFs, numFs) = PercolatorEval.referencedFields(queries)
+    val kids = (col("query_id") +: split(lower(col("text")), "\\s+") +:
+      (strFs.map(col) ++ numFs.map(f => col(f).cast("double"))))
+      .map(Glue.expression)
+    percolatorCandidates(docs, queries)
+      .join(docs, "doc_id")
+      .filter(Glue.column(PercolatorEval(kids, queries.toArray, strFs, numFs)))
+      .select(col("doc_id"), col("query_id"))
+  }
 }

@@ -240,6 +240,30 @@ class BoolDslSpec extends SparkSpec {
     assert(cands.size < allPairs, s"prefilter must prune: $cands vs $allPairs")
   }
 
+  test("percolateDslIndexedAtScale equals both other forms on every leaf kind") {
+    val qs = Seq(
+      "pq1" -> Bool(must = Seq(MatchQ("hash")),
+        filter = Seq(RangeQ("n_chars", gte = Some(200)))),
+      "pq2" -> Bool(should = Seq(MatchQ("join"), MatchQ("vector")),
+        filter = Seq(TermQ("lang", "en")), minimumShouldMatch = 1),
+      "pq3" -> Bool(must = Seq(MatchQ("scan")),
+        mustNot = Seq(TermQ("source", "src13"))),
+      "pq4" -> Bool(filter = Seq(TermQ("lang", "de"))),
+      "pq5" -> Bool(must = Seq(MatchQ("merge")),
+        filter = Seq(TermsQ("source", Seq("src1", "src2", "src3")),
+          PrefixQ("lang", "e"), ExistsQ("n_chars"),
+          RangeQ("n_chars", gte = Some(100), lte = Some(400)))))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exhaustive = pairs(BoolDsl.percolateDsl(docs, qs))
+    val atScale = pairs(BoolDsl.percolateDslIndexedAtScale(docs, qs))
+    assert(atScale == exhaustive,
+      s"missing=${(exhaustive -- atScale).take(3)} extra=${(atScale -- exhaustive).take(3)}")
+    assert(atScale == pairs(BoolDsl.percolateDslIndexed(docs, qs)))
+    assert(Seq("pq1", "pq2", "pq3", "pq4", "pq5").forall(id =>
+      atScale.exists(_._2 == id)), "every stored query must match somewhere")
+  }
+
   test("QueryString: parsed search equals the hand-built tree's search") {
     import graft.text.QueryString
     val q = "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150"
