@@ -140,7 +140,7 @@ object AnnIndex {
 
   def assignments(spark: SparkSession, root: String): DataFrame = {
     val committed = committedIngests(spark, root)
-    if (committed.isEmpty) {
+    def emptyFrame = {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -149,11 +149,22 @@ object AnnIndex {
           StructField("embedding", ArrayType(FloatType)),
           StructField("cent_id", IntegerType),
           StructField("cv", LongType))))
-    } else
-      spark.read.option("basePath", assignDir(root))
-        .parquet(committed.map(_.toString): _*)
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          col("cv").cast("long").as("cv"))
+    }
+    if (committed.isEmpty) emptyFrame
+    else
+      try
+        spark.read.option("basePath", assignDir(root))
+          .parquet(committed.map(_.toString): _*)
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            col("cv").cast("long").as("cv"))
+      catch {
+        // an EMPTY corpus commits ingest markers with zero data files
+        // (partitionBy of an empty frame) — schema inference then
+        // fails; degrade to the explicit empty frame (probes of an
+        // empty index return no neighbors, they don't crash)
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => emptyFrame
+      }
   }
 
   /** Structured Streaming maintenance: first batch trains the
