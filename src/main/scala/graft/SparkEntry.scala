@@ -1505,6 +1505,18 @@ object SparkEntry {
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
+  /** DetLn-generated idf columns for the bm25-family oracles (r14):
+    * idf0..idf{n−1} from df0..df{n−1}, spliced into an `st` CTE over
+    * the raw stats — the SAME libm-free program the Spark side runs
+    * (graft.util.DetLn), so the ln-scoring family no longer depends
+    * on fdlibm-vs-glibc agreeing input by input. */
+  private def bm25IdfNest(n: Int): String =
+    util.DetLn.nestSql("st0", (0 until n).flatMap { i =>
+      util.DetLn.sqlItems(
+        s"(1 + (n_docs - df$i + 0.5e0) / (df$i + 0.5e0))", s"idf$i")
+    })
+  private lazy val bm25IdfNest3: String = bm25IdfNest(3)
+
   // shared by the exhaustive percolator AND its r13 term-index-
   // prefiltered twin — the stored set is one definition, the answer
   // contract identical, so one oracle verifies both plans
@@ -1959,14 +1971,15 @@ object SparkEntry {
            |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
            |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
            |      FROM d),
-           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
            |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
            |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
            |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |st AS (SELECT * FROM ${bm25IdfNest3}),
            |bm AS (SELECT doc_id,
-           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS first_score
+           |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS first_score
            |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
            |  ORDER BY first_score DESC, doc_id LIMIT 30),
            |tk AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM d),
@@ -2053,16 +2066,17 @@ object SparkEntry {
            |        CAST(2 * len(list_filter(toks[1:8], x -> x = 'scan'))
            |             + len(list_filter(toks[9:], x -> x = 'scan')) AS BIGINT) AS tf2
            |      FROM d),
-           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
            |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
            |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
            |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-           |      FROM p)
+           |      FROM p),
+           |st AS (SELECT * FROM ${bm25IdfNest3})
            |SELECT doc_id, dl, score FROM (
            |  SELECT doc_id, dl,
-           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
            |  FROM p CROSS JOIN st
            |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0) t
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
@@ -2083,14 +2097,15 @@ object SparkEntry {
            |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
            |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
            |      FROM d),
-           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
            |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
            |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
            |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |st AS (SELECT * FROM ${bm25IdfNest3}),
            |bm AS (SELECT doc_id,
-           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
            |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
            |  ORDER BY score DESC, doc_id LIMIT 30),
            |lexg AS (SELECT min(score) AS lo, max(score) AS hi FROM bm),
@@ -2599,14 +2614,15 @@ object SparkEntry {
            |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
            |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
            |      FROM d),
-           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
            |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
            |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
            |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |st AS (SELECT * FROM ${bm25IdfNest3}),
            |bm AS (SELECT doc_id,
-           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
            |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
            |  ORDER BY score DESC, doc_id LIMIT 30),
            |lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM bm),
@@ -2990,16 +3006,17 @@ object SparkEntry {
            |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
            |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
            |      FROM d),
-           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
            |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
            |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
            |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-           |      FROM p)
+           |      FROM p),
+           |st AS (SELECT * FROM ${bm25IdfNest3})
            |SELECT doc_id, dl, score FROM (
            |  SELECT doc_id, dl,
-           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
            |  FROM p CROSS JOIN st
            |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0) t
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
@@ -3040,25 +3057,10 @@ object SparkEntry {
            |FROM ct
            |ORDER BY chi2 DESC, source, term LIMIT 20""".stripMargin,
 
+    // generated from the same cell definitions + DetLn program as the
+    // Spark side (r14 dual-compile)
     "text_significant_mi" ->
-      raw"""WITH tok AS (SELECT source, term FROM (
-           |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
-           |        FROM documents) WHERE term <> ''),
-           |ast AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
-           |bt AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
-           |cs AS (SELECT source, count(*) AS c FROM tok GROUP BY 1),
-           |tot AS (SELECT count(*) AS d FROM tok),
-           |ct AS (SELECT source, term, a, b, c, d
-           |       FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
-           |       WHERE a >= 5)
-           |SELECT source, term, a AS n_in_source, b AS n_in_corpus,
-           |    (CASE WHEN a = 0 THEN 0.0 ELSE (CAST(a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(c AS DOUBLE) * CAST(b AS DOUBLE))) / ln(2.0)) END)
-           |  + (CASE WHEN c - a = 0 THEN 0.0 ELSE (CAST(c - a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(c - a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(c AS DOUBLE) * CAST(d - b AS DOUBLE))) / ln(2.0)) END)
-           |  + (CASE WHEN b - a = 0 THEN 0.0 ELSE (CAST(b - a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(b - a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(d - c AS DOUBLE) * CAST(b AS DOUBLE))) / ln(2.0)) END)
-           |  + (CASE WHEN d - b - c + a = 0 THEN 0.0 ELSE (CAST(d - b - c + a AS DOUBLE) / CAST(d AS DOUBLE)) * (ln((CAST(d - b - c + a AS DOUBLE) * CAST(d AS DOUBLE)) / (CAST(d - c AS DOUBLE) * CAST(d - b AS DOUBLE))) / ln(2.0)) END)
-           |  AS mi
-           |FROM ct
-           |ORDER BY mi DESC, source, term LIMIT 20""".stripMargin,
+      text.TextOps.significantMiOracleSql(5, 20),
 
     "text_significant_jlh" ->
       raw"""WITH tok AS (SELECT source, term FROM (
@@ -3616,14 +3618,15 @@ object SparkEntry {
            |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
            |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
            |      FROM d),
-           |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
            |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
            |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
            |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+           |st AS (SELECT * FROM ${bm25IdfNest3}),
            |bm AS (SELECT doc_id,
-           |    ln(1 + (n_docs - df0 + 0.5e0) / (df0 + 0.5e0)) * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df1 + 0.5e0) / (df1 + 0.5e0)) * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + ln(1 + (n_docs - df2 + 0.5e0) / (df2 + 0.5e0)) * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+           |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+           |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
            |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
            |  ORDER BY score DESC, doc_id LIMIT 20),
            |pg AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),

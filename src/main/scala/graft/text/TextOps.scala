@@ -231,15 +231,24 @@ object TextOps {
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i") }: _*)
       .persist()
-    val stats = perDoc.agg(
+    val stats0 = perDoc.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_toks") +: terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    // idf via DetLn on the 1-row stats frame (r14): Spark's log() is
+    // StrictMath/fdlibm, DuckDB's ln the host libm — they differ by
+    // one ulp on real idf inputs, so the whole ln-scoring family runs
+    // on the dual-compiled libm-free program now (the multi_match
+    // migration applied back to its ancestors)
+    val stats = terms.indices.foldLeft(stats0) { (df0, i) =>
+      graft.util.DetLn.withLn(
+        df0.withColumn(s"__arg_idf$i", lit(1) +
+          (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))),
+        s"__arg_idf$i", s"idf$i").drop(s"__arg_idf$i")
+    }
     val avgdl = col("total_toks").cast("double") / col("n_docs")
     val score = terms.indices.map { i =>
-      val idf = log(lit(1) +
-        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
-      idf * (col(s"tf$i") * lit(k1 + 1)) /
+      col(s"idf$i") * (col(s"tf$i") * lit(k1 + 1)) /
         (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
     }.reduce(_ + _)
     // eager materialization of the bounded page so the tf intermediate
@@ -545,9 +554,11 @@ object TextOps {
       case "cross_fields" =>
         terms.indices.map(i => s"idf_x$i" -> idfArg(s"greatest(dft$i, dfb$i)"))
     }
-    val idfItems = idfKeys.flatMap { case (name, arg) =>
-      graft.util.DetLn.sqlItems(arg, name) }
-      .map { case (n2, e2) => s"        $e2 AS $n2" }.mkString(",\n")
+    // nested one-item-per-level subqueries, NOT lateral aliases in
+    // one SELECT — DuckDB binds lateral aliases by substitution and
+    // the ladder compounds exponentially (56 s → 40 ms, DetLn.nestSql)
+    val idfNest = graft.util.DetLn.nestSql("st0",
+      idfKeys.flatMap { case (name, arg) => graft.util.DetLn.sqlItems(arg, name) })
     def tfPart(tf: String, dl: String, tot: String) =
       s"($tf * (${k1}e0 + 1)) / ($tf + ${k1}e0 * ((1 - ${b}e0) + ${b}e0 * ($dl / (CAST($tot AS DOUBLE) / n_docs))))"
     val score = mode match {
@@ -573,9 +584,7 @@ object TextOps {
          |st0 AS (SELECT count(*) AS n_docs, sum(dlt) AS tot_t, sum(dlb) AS tot_b,
          |$dfCols
          |      FROM p),
-         |st AS (SELECT *,
-         |$idfItems
-         |      FROM st0)
+         |st AS (SELECT * FROM $idfNest)
          |SELECT doc_id, score FROM (
          |  SELECT doc_id,
          |      $score AS score
@@ -706,12 +715,17 @@ object TextOps {
     * (round 13 — completing the default-lift / chi_square / MI trio):
     * MI = Σ over the four contingency cells of
     * (n_xy/N)·log₂(n_xy·N / (n_x·n_y)), empty cells contributing 0.
-    * log₂ is spelled ln(x)/ln(2) EXPLICITLY on both engines — their
-    * libm `ln` bit-matches on the rational domain (the text_bm25
-    * precedent) whereas a built-in log2 may not be the same
-    * composition. Factors cast to double before multiplying (the
-    * chi_square overflow discipline), fixed parenthesization mirrored
-    * token-for-token in the oracle. */
+    *
+    * r14: log₂ is (DetLn(n_xy·N) − DetLn(n_x·n_y)) / Ln2 — the
+    * dual-compiled libm-free ln, split numerator-minus-denominator so
+    * both arguments stay ≥ 1 (DetLn's domain; the products are exact
+    * doubles, ≤ token-count² < 2^53). The split changes the value at
+    * the ~1e-13 level IDENTICALLY on both engines (the oracle is
+    * generated from the same program by [[significantMiOracleSql]]);
+    * the previous libm form survived on fdlibm-vs-glibc input luck,
+    * the class the multi_match probe disproved. Cells are ranked on a
+    * bounded (sources × vocab) aggregated frame, so the DetLn column
+    * chains are per-row-cheap attribute references. */
   def significantTermsMi(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
     val tok = docs.select(col("source"),
         explode(split(lower(col("text")), "\\s+")).as("term"))
@@ -731,15 +745,29 @@ object TextOps {
       (col("c") - col("a"), col("c"), n - col("b")),
       (col("b") - col("a"), n - col("c"), col("b")),
       (n - col("b") - col("c") + col("a"), n - col("c"), n - col("b")))
-    val mi = cells.map { case (nxy, nx, ny) =>
-      when(nxy === 0, lit(0.0)).otherwise(
-        (d(nxy) / d(n)) * (log((d(nxy) * d(n)) / (d(nx) * d(ny))) / log(lit(2.0))))
-    }.reduce(_ + _)
-    val out = bySrcTerm
+    val base = bySrcTerm
       .join(byTerm, "term")
       .join(broadcast(bySrc), "source")
       .crossJoin(broadcast(total))
       .filter(col("a") >= minCount)
+    // DetLn chains for each cell's numerator/denominator products
+    // (a zero cell's numerator ln is garbage-but-unused: the mi term
+    // is `when`-guarded to 0, same as the libm form's guard)
+    val withLns = cells.zipWithIndex.foldLeft(base) {
+      case (fr, ((nxy, nx, ny), j)) =>
+        val f1 = graft.util.DetLn.withLn(
+          fr.withColumn(s"__argn$j", d(nxy) * d(n)), s"__argn$j", s"__lnn$j")
+          .drop(s"__argn$j")
+        graft.util.DetLn.withLn(
+          f1.withColumn(s"__argd$j", d(nx) * d(ny)), s"__argd$j", s"__lnd$j")
+          .drop(s"__argd$j")
+    }
+    val mi = cells.zipWithIndex.map { case ((nxy, _, _), j) =>
+      when(nxy === 0, lit(0.0)).otherwise(
+        (d(nxy) / d(n)) *
+          ((col(s"__lnn$j") - col(s"__lnd$j")) / lit(graft.util.DetLn.Ln2)))
+    }.reduce(_ + _)
+    val out = withLns
       .withColumn("mi", mi)
       .select(col("source"), col("term"), col("a").as("n_in_source"),
         col("b").as("n_in_corpus"), col("mi"))
@@ -748,6 +776,43 @@ object TextOps {
       .localCheckpoint()
     tok.unpersist(blocking = false)
     out
+  }
+
+  /** The DuckDB twin of [[significantTermsMi]] — generated from the
+    * same cell definitions and the same DetLn program. */
+  def significantMiOracleSql(minCount: Long, k: Int): String = {
+    import graft.util.DetLn
+    // (nxy, nx, ny) cell expressions over the ct columns a/b/c/d —
+    // textual mirrors of the Column cells above
+    val cells = Seq(
+      ("a", "c", "b"),
+      ("c - a", "c", "d - b"),
+      ("b - a", "d - c", "b"),
+      ("d - b - c + a", "d - c", "d - b"))
+    val items = cells.zipWithIndex.flatMap { case ((nxy, nx, ny), j) =>
+      DetLn.sqlItems(s"CAST($nxy AS DOUBLE) * CAST(d AS DOUBLE)", s"__lnn$j") ++
+        DetLn.sqlItems(s"CAST($nx AS DOUBLE) * CAST($ny AS DOUBLE)", s"__lnd$j")
+    }
+    val nest = DetLn.nestSql("ct", items)
+    val mi = cells.zipWithIndex.map { case ((nxy, _, _), j) =>
+      s"(CASE WHEN $nxy = 0 THEN 0.0 ELSE (CAST($nxy AS DOUBLE) / CAST(d AS DOUBLE)) * ((__lnn$j - __lnd$j) / ${DetLn.dlit(DetLn.Ln2)}) END)"
+    }.mkString("\n  + ")
+    raw"""WITH tok AS (SELECT source, term FROM (
+         |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+         |        FROM documents) WHERE term <> ''),
+         |ast AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
+         |bt AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
+         |cs AS (SELECT source, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS d FROM tok),
+         |ct AS (SELECT source, term, a, b, c, d
+         |       FROM ast JOIN bt USING (term) JOIN cs USING (source) CROSS JOIN tot
+         |       WHERE a >= $minCount),
+         |ctl AS (SELECT * FROM $nest)
+         |SELECT source, term, a AS n_in_source, b AS n_in_corpus,
+         |    $mi
+         |  AS mi
+         |FROM ctl
+         |ORDER BY mi DESC, source, term LIMIT $k""".stripMargin
   }
 
   /** ES significant_terms with the JLH heuristic (round 13 — ES's
@@ -1347,15 +1412,20 @@ object TextOps {
           (lit(wTitle) * tfIn("tt", t) + lit(wBody) * tfIn("bt", t))
             .cast("long").as(s"tf$i") }: _*)
       .persist()
-    val stats = perDoc.agg(
+    val stats0 = perDoc.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_toks") +: terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    // DetLn idf on the 1-row stats frame (r14 — see bm25Search)
+    val stats = terms.indices.foldLeft(stats0) { (df0, i) =>
+      graft.util.DetLn.withLn(
+        df0.withColumn(s"__arg_idf$i", lit(1) +
+          (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))),
+        s"__arg_idf$i", s"idf$i").drop(s"__arg_idf$i")
+    }
     val avgdl = col("total_toks").cast("double") / col("n_docs")
     val score = terms.indices.map { i =>
-      val idf = log(lit(1) +
-        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
-      idf * (col(s"tf$i") * lit(k1 + 1)) /
+      col(s"idf$i") * (col(s"tf$i") * lit(k1 + 1)) /
         (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
     }.reduce(_ + _)
     val out = perDoc.crossJoin(broadcast(stats))

@@ -112,6 +112,19 @@ object DetLn {
     items.result()
   }
 
+  /** Nest (name, expr) chain items as one-item-per-level subqueries
+    * over `base` — REQUIRED shape for DuckDB: lateral aliases in one
+    * SELECT are bound by textual substitution, and the ladder's three
+    * references per stage compound to a 3^6 × Horner-refs expression
+    * (measured r14: 56 s to bind ONE row; the nested form, where
+    * every intermediate is a real projection column, binds in 40 ms —
+    * 1400× — with identical results). Each level's items may
+    * reference any earlier level's aliases. */
+  def nestSql(base: String, items: Seq[(String, String)]): String =
+    items.zipWithIndex.foldLeft(base) { case (inner, ((name, expr), i)) =>
+      s"(SELECT *, $expr AS $name FROM $inner q$i)"
+    }
+
   /** Plain-Scala replica of the SAME program (spec use: pins the
     * Column program to this documented order bit-for-bit). */
   def lnScala(x: Double): Double = {

@@ -449,8 +449,11 @@ class EsAggsSpec extends SparkSpec {
     val dd = toks.length.toLong
     def cell(nxy: Long, nx: Long, ny: Long): Double =
       if (nxy == 0) 0.0
+      // r14: DetLn split form (ln(num) − ln(den)) / Ln2 — the replica
+      // stays bit-exact with the dual-compiled program
       else (nxy.toDouble / dd.toDouble) *
-        (math.log((nxy.toDouble * dd.toDouble) / (nx.toDouble * ny.toDouble)) / math.log(2.0))
+        ((graft.util.DetLn.lnScala(nxy.toDouble * dd.toDouble) -
+          graft.util.DetLn.lnScala(nx.toDouble * ny.toDouble)) / graft.util.DetLn.Ln2)
     val naive = aM.collect { case ((src, t), a) if a >= 5 =>
       val b = bM(t); val c = cM(src)
       ((src, t),
@@ -1103,7 +1106,10 @@ class EsAggsSpec extends SparkSpec {
       val dl = toks.size.toLong
       val tfs = terms.map(t => toks.count(_ == t).toLong)
       val score = terms.indices.map { i =>
-        val idf = math.log(1 + (nDocs - dfs(i) + 0.5) / (dfs(i) + 0.5))
+        // DetLn.lnScala, not math.log — bm25 idf runs on the
+        // dual-compiled libm-free ln since r14; the replica stays
+        // bit-exact
+        val idf = graft.util.DetLn.lnScala(1 + (nDocs - dfs(i) + 0.5) / (dfs(i) + 0.5))
         idf * (tfs(i) * (k1 + 1)) / (tfs(i) + k1 * ((1 - b) + b * (dl / avgdl)))
       }.reduce(_ + _)
       (id, dl, score, tfs)

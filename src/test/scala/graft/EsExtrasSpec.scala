@@ -451,7 +451,7 @@ class EsExtrasSpec extends SparkSpec {
     def score(dl: Long, tfs: Seq[Long]): Double =
       terms.indices.map { i =>
         val tf = tfs(i); val df = dfs(i)
-        val idf = math.log(1 + (nDocs - df + 0.5) / (df + 0.5))
+        val idf = graft.util.DetLn.lnScala(1 + (nDocs - df + 0.5) / (df + 0.5)) // r14: bm25-family idf is DetLn
         idf * (tf * (1.2 + 1)) / (tf + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl)))
       }.sum
     val naive = perDoc.filter(_._3.exists(_ > 0))
