@@ -90,6 +90,22 @@ object SparkEntry {
         ordered = true, maxGaps = 2),
       IWildcard("vec%")))
   }
+  /** Span-family queries (r14) — shared between the Spark wiring and
+    * the generated oracle via [[text.Spans.toIntervals]]. */
+  private val spanNearQuery: text.Spans.Span = {
+    import text.Spans._
+    SNear(Seq(STerm("merge"), STerm("sort")), slop = 3, inOrder = false)
+  }
+  private val spanOrQuery: text.Spans.Span = {
+    import text.Spans._
+    SOr(Seq(SNear(Seq(STerm("hash"), STerm("join")), slop = 2, inOrder = true),
+      STerm("vector")))
+  }
+  private val spanNotQuery: text.Spans.Span = {
+    import text.Spans._
+    SNot(SNear(Seq(STerm("merge"), STerm("sort")), slop = 4, inOrder = false),
+      STerm("batch"), pre = 1, post = 1)
+  }
 
   /** Shared percolator stored-query set — ONE definition feeds the
     * exhaustive form, the r13 term-index-prefiltered form, and (via
@@ -513,6 +529,16 @@ object SparkEntry {
     "text_intervals_wildcard" -> ((s, dir) =>
       text.IntervalsAst.intervalsAstQuery(Tables.documents(s, dir),
         intervalsWildcardTree, 25)),
+
+    // span family (r14): the ES-documented span→intervals compile
+    // (Spans.toIntervals) — each query rides the intervals compiler
+    // and its generated oracle
+    "text_span_near" -> ((s, dir) =>
+      text.Spans.spanSearch(Tables.documents(s, dir), spanNearQuery, 25)),
+    "text_span_or" -> ((s, dir) =>
+      text.Spans.spanSearch(Tables.documents(s, dir), spanOrQuery, 25)),
+    "text_span_not" -> ((s, dir) =>
+      text.Spans.spanSearch(Tables.documents(s, dir), spanNotQuery, 25)),
 
     // terms lookup: docs sharing tokens with doc 42 (set membership,
     // not TF scoring — the more_like_this contrast)
@@ -1894,6 +1920,9 @@ object SparkEntry {
     "text_intervals_filter" -> text.IntervalsAst.oracleSql(intervalsFilterTree, 25),
     "text_intervals_fuzzy" -> text.IntervalsAst.oracleSql(intervalsFuzzyTree, 25),
     "text_intervals_wildcard" -> text.IntervalsAst.oracleSql(intervalsWildcardTree, 25),
+    "text_span_near" -> text.Spans.oracleSql(spanNearQuery, 25),
+    "text_span_or" -> text.Spans.oracleSql(spanOrQuery, 25),
+    "text_span_not" -> text.Spans.oracleSql(spanNotQuery, 25),
 
     "q_bucket_ks_test" ->
       """WITH day AS (

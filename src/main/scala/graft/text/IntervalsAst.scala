@@ -93,6 +93,17 @@ object IntervalsAst {
     * position). The survivors are a subset of an already-minimal set —
     * an antichain's subset is an antichain, so no re-minimize. */
   final case class IFilter(source: Node, mode: String, reference: Node) extends Node
+  /** Interval expansion (r14, the spans layer's `span_not` pre/post
+    * buffers): every child interval [s,e] becomes
+    * [max(s−pre, 0), min(e+post, Enc−1)] — clamped so the encoding
+    * never goes negative (negative `%`/`//` semantics DIVERGE between
+    * the engines) or carries past the Enc radix. The expanded set is
+    * NOT re-minimized (expansion can nest formerly-disjoint
+    * intervals); it is intended as a [[IFilter]] reference — overlap/
+    * containment exists-tests don't require minimality — though the
+    * combinators accept it anywhere (they re-minimize their own
+    * outputs). */
+  final case class IExpand(child: Node, pre: Int, post: Int) extends Node
 
   private val FilterModes = Set("containing", "not_containing",
     "contained_by", "not_contained_by", "overlapping", "not_overlapping")
@@ -114,6 +125,7 @@ object IntervalsAst {
     case IFuzzy(_, _) => true
     case IWildcard(_) => true
     case IFilter(src, _, _) => width1(src) // survivors come from source
+    case IExpand(c, pre, post) => pre == 0 && post == 0 && width1(c)
     case _ => false
   }
 
@@ -154,6 +166,7 @@ object IntervalsAst {
     case IPrefix(_) | IFuzzy(_, _) | IWildcard(_) => Nil
     case IAllOf(cs, _, _) => cs.flatMap(collectTerms)
     case IAnyOf(cs) => cs.flatMap(collectTerms)
+    case IExpand(c, _, _) => collectTerms(c)
     case IFilter(src, _, ref) => collectTerms(src) ++ collectTerms(ref)
   }
 
@@ -162,6 +175,7 @@ object IntervalsAst {
     case IPrefix(pfx) => Seq(pfx)
     case IAllOf(cs, _, _) => cs.flatMap(collectPrefixes)
     case IAnyOf(cs) => cs.flatMap(collectPrefixes)
+    case IExpand(c, _, _) => collectPrefixes(c)
     case IFilter(src, _, ref) => collectPrefixes(src) ++ collectPrefixes(ref)
   }
 
@@ -170,6 +184,7 @@ object IntervalsAst {
     case IFuzzy(t, f) => Seq((t, f))
     case IAllOf(cs, _, _) => cs.flatMap(collectFuzzies)
     case IAnyOf(cs) => cs.flatMap(collectFuzzies)
+    case IExpand(c, _, _) => collectFuzzies(c)
     case IFilter(src, _, ref) => collectFuzzies(src) ++ collectFuzzies(ref)
   }
 
@@ -178,6 +193,7 @@ object IntervalsAst {
     case IWildcard(p) => Seq(p)
     case IAllOf(cs, _, _) => cs.flatMap(collectWildcards)
     case IAnyOf(cs) => cs.flatMap(collectWildcards)
+    case IExpand(c, _, _) => collectWildcards(c)
     case IFilter(src, _, ref) => collectWildcards(src) ++ collectWildcards(ref)
   }
 
@@ -279,6 +295,15 @@ object IntervalsAst {
         val keep = (a: Column) =>
           if (mode.startsWith("not_")) !hit(a) else hit(a)
         emit(filter(col(srcN), keep), Seq(srcN, refN))
+      case IExpand(c, pre, post) =>
+        require(pre >= 0 && post >= 0, "expand buffers must be >= 0")
+        val cN = go(c)
+        // distinct: two disjoint child intervals can expand to the
+        // SAME interval — the algebra is over sets
+        if (pre == 0 && post == 0) cN
+        else emit(array_distinct(transform(col(cN), v =>
+          greatest(sOf(v) - lit(pre.toLong), lit(0L)) * Enc +
+            least(eOf(v) + lit(post.toLong), lit(Enc - 1)))), Seq(cN))
     }
   }
 
@@ -424,6 +449,16 @@ object IntervalsAst {
         val cmp = if (mode.startsWith("not_")) "= 0" else "> 0"
         s"list_filter($srcSql, $av -> " +
           s"len(list_filter($refSql, $bv -> $rel)) $cmp)"
+      case IExpand(c, pre, post) =>
+        require(pre >= 0 && post >= 0, "expand buffers must be >= 0")
+        val cSql = go(c)
+        if (pre == 0 && post == 0) cSql
+        else {
+          val v = s"v${fresh()}"
+          s"list_distinct(list_transform($cSql, $v -> " +
+            s"greatest($v // $Enc - $pre, 0) * $Enc + " +
+            s"least($v % $Enc + $post, ${Enc - 1})))"
+        }
     }
     go(node)
   }

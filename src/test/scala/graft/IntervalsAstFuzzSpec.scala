@@ -65,6 +65,9 @@ class IntervalsAstFuzzSpec extends SparkSpec {
       naiveMinimize(valid.map(cm => (cm.map(_._1).min, cm.map(_._2).max)).toSet)
     case IAnyOf(cs) =>
       naiveMinimize(cs.flatMap(c => naiveEval(c, toks)).toSet)
+    case IExpand(c, pre, post) =>
+      naiveEval(c, toks).map { case (s, e) =>
+        (math.max(s - pre, 0), math.min(e + post, 99999)) }
     case IFilter(src, mode, ref) =>
       val s0 = naiveEval(src, toks); val r0 = naiveEval(ref, toks)
       def rel(a: (Int, Int), b: (Int, Int)) = mode.stripPrefix("not_") match {
@@ -107,7 +110,11 @@ class IntervalsAstFuzzSpec extends SparkSpec {
         src <- tree(depth - 1); ref <- tree(depth - 1)
         m <- Gen.oneOf("containing", "not_containing", "contained_by",
           "not_contained_by", "overlapping", "not_overlapping")
-      } yield IFilter(src, m, ref)))
+      } yield IFilter(src, m, ref)),
+      1 -> (for {
+        c <- tree(depth - 1)
+        pre <- Gen.oneOf(0, 1, 2); post <- Gen.oneOf(0, 1, 2)
+      } yield IExpand(c, pre, post)))
 
   private val docGen: Gen[Seq[String]] =
     Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("zz"))))
