@@ -364,4 +364,76 @@ object StreamingRiver {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Per-key running sums for the streaming anomaly detector — EXACT
+    * integer state (value is 2-decimal money: cents = round(100·v) is
+    * exact), so folding a micro-batch is order-free and the state
+    * replays identically after a restart. */
+  case class AnomalyState(n: Long, sumCents: Long, sumSqCents: Long)
+  case class AnomalyEvent(event_type: String, event_id: Long, value: Double)
+  case class AnomalyAlert(event_type: String, event_id: Long, value: Double,
+      mean_before: Double, std_before: Double)
+
+  /** Streaming per-key anomaly detection (r14) — the
+    * `flatMapGroupsWithState` surface: each event_type carries running
+    * (n, Σcents, Σcents²) state; a micro-batch's events are flagged
+    * against the state AS OF BEFORE the batch (|v − mean| > k·stddev,
+    * population stddev), then the whole batch folds into the state.
+    * Batch-internal events never suppress each other, flagging is
+    * per-event against a batch-constant gauge (order-free), and the
+    * fold is integer sums (order-free) — so the emitted alert set is
+    * deterministic for a given micro-batch partitioning, and the spec
+    * replays it from a plain-Scala replica. Keys with fewer than
+    * `minN` prior events flag nothing (cold start). This is the
+    * streaming twin of the batch change-point/outlier surface: state
+    * is three longs per key — bounded forever, no watermark needed. */
+  def anomalies(events: DataFrame, k: Double, minN: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("event_type"), col("event_id").cast("long").as("event_id"),
+      col("value").cast("double").as("value")).as[AnomalyEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[AnomalyEvent], state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          val batch = rows.toVector
+          val alerts =
+            if (st.n >= minN) {
+              val meanC = st.sumCents.toDouble / st.n
+              val varC = (st.sumSqCents.toDouble - st.sumCents.toDouble *
+                st.sumCents.toDouble / st.n) / st.n
+              val stdC = math.sqrt(math.max(varC, 0.0))
+              batch.collect {
+                case e if math.abs(math.round(e.value * 100).toDouble - meanC) >
+                    k * stdC =>
+                  AnomalyAlert(key, e.event_id, e.value,
+                    meanC / 100.0, stdC / 100.0)
+              }
+            } else Vector.empty
+          val cents = batch.map(e => math.round(e.value * 100))
+          state.update(AnomalyState(
+            st.n + batch.size,
+            st.sumCents + cents.sum,
+            st.sumSqCents + cents.map(c => c * c).sum))
+          alerts.iterator
+      }.toDF()
+  }
+
+  /** Run the anomaly detector over a bounded stream into an in-memory
+    * sink and return every emitted alert. */
+  def runAnomaliesToMemory(spark: SparkSession, events: DataFrame,
+      k: Double, minN: Long, queryName: String,
+      checkpointDir: String): DataFrame = {
+    val q = anomalies(events, k, minN).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

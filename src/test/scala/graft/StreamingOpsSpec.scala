@@ -139,4 +139,41 @@ class StreamingOpsSpec extends SparkSpec {
       .agg(sum("n_sessions")).head().getLong(0)
     assert(batch.size.toLong == viaLag)
   }
+
+  test("streaming anomalies: pre-batch gauge flags outliers, replayed exactly by a plain replica") {
+    import spark.implicits._
+    val src = tmp("anom-src")
+    // batch 1: baseline for 'click' (no flags possible — cold start);
+    // batch 2: one outlier + one in-band event, plus a cold-start key
+    val b1 = Seq(
+      ("click", 1L, 10.00), ("click", 2L, 10.10), ("click", 3L, 9.90),
+      ("click", 4L, 10.05), ("click", 5L, 9.95))
+    val b2 = Seq(
+      ("click", 6L, 99.00),  // outlier vs batch-1 gauge
+      ("click", 7L, 10.02),  // in-band
+      ("view", 8L, 500.0))   // cold-start key: never flagged
+    Seq(b1, b2).foreach(b =>
+      b.toDF("event_type", "event_id", "value")
+        .coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream
+      .schema(b1.toDF("event_type", "event_id", "value").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val got = StreamingRiver.runAnomaliesToMemory(
+        spark, stream, 3.0, 5L, "anomstream", tmp("anom-ckpt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    // plain replica of the documented semantics over the two batches
+    val cents1 = b1.map(x => math.round(x._3 * 100))
+    val n = cents1.size.toLong
+    val meanC = cents1.sum.toDouble / n
+    val varC = (cents1.map(c => c * c).sum.toDouble -
+      cents1.sum.toDouble * cents1.sum.toDouble / n) / n
+    val stdC = math.sqrt(varC)
+    val want = b2.filter(_._1 == "click")
+      .filter(e => math.abs(math.round(e._3 * 100).toDouble - meanC) > 3.0 * stdC)
+      .map(e => (e._1, e._2, e._3, meanC / 100.0, stdC / 100.0)).toSet
+    assert(want.map(_._2) == Set(6L), "replica sanity: exactly the outlier")
+    assert(got == want, s"got=$got want=$want")
+  }
 }
