@@ -1184,6 +1184,11 @@ object SparkEntry {
     "text_prefix_search" -> ((s, dir) =>
       text.TextOps.prefixSearch(Tables.documents(s, dir), "sc", 25)),
 
+    // ES _terms_enum API (r14): ascending distinct-term walk under a
+    // prefix, with doc frequencies — the field-value autocomplete
+    "text_terms_enum" -> ((s, dir) =>
+      text.TextOps.termsEnum(Tables.documents(s, dir), "s", 25)),
+
     // LIKE-spelled wildcard (ES `s?a*`): scan, small, spark, ...
     "text_wildcard_search" -> ((s, dir) =>
       text.TextOps.wildcardSearch(Tables.documents(s, dir), "s_a%", 25)),
@@ -3276,6 +3281,13 @@ object SparkEntry {
            |         x -> x LIKE 'sc%')) AS BIGINT) AS n_matches
            |  FROM documents) t
            |WHERE n_matches > 0 ORDER BY n_matches DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_terms_enum" ->
+      raw"""SELECT term, count(*) AS doc_freq FROM (
+           |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS term
+           |  FROM documents) t
+           |WHERE substr(term, 1, 1) = 's'
+           |GROUP BY term ORDER BY term LIMIT 25""".stripMargin,
 
     "text_phrase_match" ->
       """SELECT doc_id, n_occurrences FROM (

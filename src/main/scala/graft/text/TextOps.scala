@@ -896,6 +896,24 @@ object TextOps {
     * by matching-token count, top-k. Same narrow-scan shape as
     * [[matchQuery]] — at 100 TB an index-backed engine would consult a
     * term dictionary; the streaming form is one codegen'd pass. */
+  /** ES _terms_enum API (r14): alphabetically ordered distinct index
+    * terms starting with `prefix`, with their doc frequencies — the
+    * index-metadata autocomplete endpoint (distinct from the
+    * completion suggester, which ranks by weight/frequency: terms_enum
+    * is the raw ascending term walk Kibana's field-value autocomplete
+    * uses). One distinct-terms agg (map-side combinable) + bounded
+    * TakeOrdered; at warehouse scale this reads the maintained vocab
+    * table instead of re-tokenizing (TermsIndex), same contract. */
+  def termsEnum(docs: DataFrame, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty)
+    docs
+      .select(explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("term"))
+      .limit(k)
+  }
+
   def prefixSearch(docs: DataFrame, prefix: String, k: Int): DataFrame = {
     val toks = split(lower(col("text")), "\\s+")
     docs

@@ -272,6 +272,19 @@ class EsExtrasSpec extends SparkSpec {
       s"threshold must keep only the 5-doc triple, got $out")
   }
 
+  test("termsEnum: ascending prefix term walk with doc frequencies, matching naive") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextOps.termsEnum(docs, "s", 25).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val naive = docs.select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+").distinct)
+      .filter(_.startsWith("s"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy(_._1).take(25)
+    assert(got == naive && got.nonEmpty)
+    assert(got.map(_._1) == got.map(_._1).sorted, "ascending term order")
+  }
+
   test("rangeSearch: exactly the cosine >= tau neighborhood of each query") {
     val emb = Tables.embeddings(spark, sfDir)
     val got = similarity.Ann.rangeSearch(emb, 10, 0.3).collect()
