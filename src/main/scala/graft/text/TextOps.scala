@@ -241,10 +241,9 @@ object TextOps {
     // on the dual-compiled libm-free program now (the multi_match
     // migration applied back to its ancestors)
     val stats = terms.indices.foldLeft(stats0) { (df0, i) =>
-      graft.util.DetLn.withLn(
-        df0.withColumn(s"__arg_idf$i", lit(1) +
-          (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))),
-        s"__arg_idf$i", s"idf$i").drop(s"__arg_idf$i")
+      df0.withColumn(s"idf$i", graft.util.DetLn.lnExpr((lit(1) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        .cast("double")))
     }
     val avgdl = col("total_toks").cast("double") / col("n_docs")
     val score = terms.indices.map { i =>
@@ -491,8 +490,7 @@ object TextOps {
           s"idf_x$i" -> idfArg(greatest(col(s"dft$i"), col(s"dfb$i"))))
     }
     val stats = idfKeys.foldLeft(stats0) { case (df0, (name, arg)) =>
-      graft.util.DetLn.withLn(df0.withColumn(s"__arg_$name", arg),
-        s"__arg_$name", name).drop(s"__arg_$name")
+      df0.withColumn(name, graft.util.DetLn.lnExpr(arg.cast("double")))
     }
     val avgT = col("tot_t").cast("double") / col("n_docs")
     val avgB = col("tot_b").cast("double") / col("n_docs")
@@ -750,24 +748,19 @@ object TextOps {
       .join(broadcast(bySrc), "source")
       .crossJoin(broadcast(total))
       .filter(col("a") >= minCount)
-    // DetLn chains for each cell's numerator/denominator products
-    // (a zero cell's numerator ln is garbage-but-unused: the mi term
-    // is `when`-guarded to 0, same as the libm form's guard)
-    val withLns = cells.zipWithIndex.foldLeft(base) {
-      case (fr, ((nxy, nx, ny), j)) =>
-        val f1 = graft.util.DetLn.withLn(
-          fr.withColumn(s"__argn$j", d(nxy) * d(n)), s"__argn$j", s"__lnn$j")
-          .drop(s"__argn$j")
-        graft.util.DetLn.withLn(
-          f1.withColumn(s"__argd$j", d(nx) * d(ny)), s"__argd$j", s"__lnd$j")
-          .drop(s"__argd$j")
-    }
-    val mi = cells.zipWithIndex.map { case ((nxy, _, _), j) =>
+    // DetLn as the codegen'd kernel expression, NOT chained columns —
+    // on this data-scale frame CollapseProject merges a column chain
+    // back into one textually-substituted expression (measured 5×,
+    // the DuckDB lateral-alias blowup replayed inside Catalyst).
+    // A zero cell's numerator ln is garbage-but-unused: the mi term
+    // is `when`-guarded to 0, same as the libm form's guard.
+    val mi = cells.map { case (nxy, nx, ny) =>
       when(nxy === 0, lit(0.0)).otherwise(
         (d(nxy) / d(n)) *
-          ((col(s"__lnn$j") - col(s"__lnd$j")) / lit(graft.util.DetLn.Ln2)))
+          ((graft.util.DetLn.lnExpr(d(nxy) * d(n)) -
+            graft.util.DetLn.lnExpr(d(nx) * d(ny))) / lit(graft.util.DetLn.Ln2)))
     }.reduce(_ + _)
-    val out = withLns
+    val out = base
       .withColumn("mi", mi)
       .select(col("source"), col("term"), col("a").as("n_in_source"),
         col("b").as("n_in_corpus"), col("mi"))
@@ -1436,10 +1429,9 @@ object TextOps {
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
     // DetLn idf on the 1-row stats frame (r14 — see bm25Search)
     val stats = terms.indices.foldLeft(stats0) { (df0, i) =>
-      graft.util.DetLn.withLn(
-        df0.withColumn(s"__arg_idf$i", lit(1) +
-          (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))),
-        s"__arg_idf$i", s"idf$i").drop(s"__arg_idf$i")
+      df0.withColumn(s"idf$i", graft.util.DetLn.lnExpr((lit(1) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        .cast("double")))
     }
     val avgdl = col("total_toks").cast("double") / col("n_docs")
     val score = terms.indices.map { i =>

@@ -125,6 +125,18 @@ object DetLn {
       s"(SELECT *, $expr AS $name FROM $inner q$i)"
     }
 
+  /** One-expression form: [[DetLnExpr]] evaluating [[lnScala]] as a
+    * codegen'd kernel call. This is the HOT-PATH form for per-row use
+    * ([[withLn]]'s chained columns are for 1-row gauges only: on a
+    * data-scale frame Catalyst's CollapseProject merges the chain back
+    * into one textually-substituted expression — the ladder's 3
+    * refs/stage compound exactly like DuckDB's lateral aliases did,
+    * measured 5× on significant_mi, r14). Bit-identical to the column
+    * program by construction: lnScala IS the program. */
+  def lnExpr(c: Column): Column =
+    org.apache.spark.sql.graftglue.Glue.column(
+      DetLnExpr(org.apache.spark.sql.graftglue.Glue.expression(c)))
+
   /** Plain-Scala replica of the SAME program (spec use: pins the
     * Column program to this documented order bit-for-bit). */
   def lnScala(x: Double): Double = {
@@ -141,4 +153,38 @@ object DetLn {
     while (j >= 0) { h = h * t2 + coeff(j); j -= 1 }
     k * Ln2 + 2.0 * t * h
   }
+}
+
+/** [[DetLn.lnScala]] as a Catalyst expression — codegen'd kernel call,
+  * O(1) plan size (see [[DetLn.lnExpr]]). */
+case class DetLnExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"det_ln requires double input, got ${t.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    DetLn.lnScala(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.util.DetLn.lnScala($c);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "det_ln"
 }

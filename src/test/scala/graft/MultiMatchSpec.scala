@@ -20,11 +20,18 @@ class MultiMatchSpec extends SparkSpec {
     val got = DetLn.withLn(xs.toDF("x"), "x", "lnx")
       .select("x", "lnx").collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // the hot-path kernel expression form must be the same bits too
+    val gotExpr = xs.toDF("x")
+      .select(col("x"), DetLn.lnExpr(col("x")).as("lnx"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     for (x <- xs) {
       val want = DetLn.lnScala(x)
       assert(java.lang.Double.doubleToLongBits(got(x)) ==
         java.lang.Double.doubleToLongBits(want),
         s"x=$x spark=${got(x)} scala=$want")
+      assert(java.lang.Double.doubleToLongBits(gotExpr(x)) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"x=$x kernelExpr=${gotExpr(x)} scala=$want")
     }
     // accuracy: within 1e-11 relative of the libm value (the series
     // truncation bound is ~4e-13; this is a loose sanity ceiling)
