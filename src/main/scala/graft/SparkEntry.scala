@@ -1518,6 +1518,16 @@ object SparkEntry {
     "pipe_shard_manifest" -> ((s, dir) =>
       pipeline.Pipeline.shardManifest(Tables.documents(s, dir), 4)),
 
+    // Gopher/C4 rule-based quality report: five integer-threshold
+    // heuristics + per-doc failed-rule bitmask (narrow, codegen-only)
+    "pipe_quality_rules" -> ((s, dir) =>
+      pipeline.Pipeline.qualityRules(Tables.documents(s, dir))),
+
+    // Gopher repetition gate: top word-2-gram char coverage + duplicated
+    // 5-gram char coverage per doc, integer cross-multiplied thresholds
+    "pipe_repetition_filter" -> ((s, dir) =>
+      pipeline.Pipeline.repetitionFilter(Tables.documents(s, dir))),
+
     // variable_width_histogram: 6 equal-frequency clusters with exact
     // quantile edges (distributed rank-select — no global sort)
     "q_variable_width_histogram" -> ((s, dir) =>
@@ -3884,7 +3894,12 @@ object SparkEntry {
         |       max(n_tok) AS max_tok, min(n_tok) AS min_tok
         |FROM r GROUP BY shard""".stripMargin,
 
-    "q_variable_width_histogram" -> variableWidthSql
+    "q_variable_width_histogram" -> variableWidthSql,
+
+    // generated from the same Qr*/Rep* constants as the Spark program
+    // (pipeline/Pipeline.scala) — the engines share one definition
+    "pipe_quality_rules" -> pipeline.Pipeline.qualityRulesSql,
+    "pipe_repetition_filter" -> pipeline.Pipeline.repetitionFilterSql
   )
 
   /** Shared by the corpus-pass and maintained-index forms — merged

@@ -319,6 +319,179 @@ object Pipeline {
     } finally rdd.unpersist(blocking = false)
   }
 
+  /** Gopher/C4-style rule thresholds, shared by the Spark program and
+    * the generated DuckDB oracle so the two engines cannot drift. Every
+    * ratio rule is expressed as a CROSS-MULTIPLIED integer comparison —
+    * no float threshold exists anywhere, so the pass/fail bits are
+    * bit-exact on any engine by construction. Bounds are tuned to the
+    * synthetic corpus so each side genuinely binds (word counts run
+    * 10–99, stop hits 0–14 on the testdata). */
+  final val QrWordMin = 25L
+  final val QrWordMax = 80L
+  final val QrMeanLenMin = 3L   // meanLenMin*words <= wordChars
+  final val QrMeanLenMax = 10L  // wordChars <= meanLenMax*words
+  final val QrSymbolDen = 10L   // symbolDen*symbols <= words  (ratio <= 0.1)
+  final val QrAlphaNum = 4L     // alphaDen*alphaWords >= alphaNum*words
+  final val QrAlphaDen = 5L     //   (fraction >= 0.8)
+  final val QrStopMin = 2L
+  /** Stopword set shared with [[graft.text.TextOps.quality]]'s metric —
+    * the regex subset Java regex and RE2 read identically. */
+  final val QrStopRe = """\b(the|a|and|of|to|in|is|for|on|with)\b"""
+  final val QrSymbolRe = """#|\.\.\."""
+
+  /** Rule-based quality filtering (the Gopher/C4 report card): per
+    * document, the raw counters behind five classic heuristics —
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * alphabetic-word fraction, stopword presence — plus a `rules_failed`
+    * bitmask (bit i = rule i violated) and the final `pass` flag. A
+    * training pipeline runs this BEFORE the model-based quality score:
+    * it is cheap, explainable, and catches the pathological tails.
+    *
+    * Scale: one narrow codegen'd projection — regex counters and integer
+    * compares only, no shuffle, no UDF; at 100 TB it streams through the
+    * scan. All thresholds are integer cross-multiplications (see the
+    * `Qr*` constants), so the bits are engine-exact. */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nWords = size(toks).cast("long")
+    val nWordChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nSymbols = size(regexp_extract_all(col("text"), lit(QrSymbolRe), lit(0))).cast("long")
+    val nAlphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val nStop = size(regexp_extract_all(col("text"), lit(QrStopRe), lit(0))).cast("long")
+    val base = docs.select(col("doc_id"), nWords.as("n_words"),
+      nWordChars.as("n_word_chars"), nSymbols.as("n_symbols"),
+      nAlphaWords.as("n_alpha_words"), nStop.as("n_stop_hits"))
+    val f0 = col("n_words") < QrWordMin || col("n_words") > QrWordMax
+    val f1 = lit(QrMeanLenMin) * col("n_words") > col("n_word_chars") ||
+      col("n_word_chars") > lit(QrMeanLenMax) * col("n_words")
+    val f2 = lit(QrSymbolDen) * col("n_symbols") > col("n_words")
+    val f3 = lit(QrAlphaDen) * col("n_alpha_words") < lit(QrAlphaNum) * col("n_words")
+    val f4 = col("n_stop_hits") < QrStopMin
+    val mask = Seq(f0, f1, f2, f3, f4).zipWithIndex
+      .map { case (f, i) => when(f, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    base.withColumn("rules_failed", mask.cast("long"))
+      .withColumn("pass", col("rules_failed") === 0L)
+  }
+
+  /** Generated DuckDB oracle for [[qualityRules]] — same `Qr*`
+    * constants, same regexes (shared dialect subset), same
+    * cross-multiplied integer comparisons. DuckDB's regexp_replace
+    * needs the explicit 'g' flag (Spark's is global by default). */
+  def qualityRulesSql: String = {
+    val words = raw"len(string_split_regex(text, '\s+'))"
+    val wordChars = raw"length(regexp_replace(text, '\s', '', 'g'))"
+    val symbols = s"len(regexp_extract_all(text, '$QrSymbolRe'))"
+    val alphaWords =
+      raw"len(list_filter(string_split_regex(text, '\s+'), t -> regexp_matches(t, '[a-zA-Z]')))"
+    val stop = s"len(regexp_extract_all(text, '$QrStopRe'))"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CAST($words AS BIGINT) AS n_words,
+       |         CAST($wordChars AS BIGINT) AS n_word_chars,
+       |         CAST($symbols AS BIGINT) AS n_symbols,
+       |         CAST($alphaWords AS BIGINT) AS n_alpha_words,
+       |         CAST($stop AS BIGINT) AS n_stop_hits
+       |  FROM documents),
+       |b AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN n_words < $QrWordMin OR n_words > $QrWordMax THEN 1 ELSE 0 END
+       |       + CASE WHEN $QrMeanLenMin * n_words > n_word_chars
+       |               OR n_word_chars > $QrMeanLenMax * n_words THEN 2 ELSE 0 END
+       |       + CASE WHEN $QrSymbolDen * n_symbols > n_words THEN 4 ELSE 0 END
+       |       + CASE WHEN $QrAlphaDen * n_alpha_words < $QrAlphaNum * n_words THEN 8 ELSE 0 END
+       |       + CASE WHEN n_stop_hits < $QrStopMin THEN 16 ELSE 0 END AS BIGINT)
+       |      AS rules_failed
+       |  FROM m)
+       |SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words,
+       |       n_stop_hits, rules_failed, rules_failed = 0 AS pass
+       |FROM b""".stripMargin
+  }
+
+  /** Repetition-filter thresholds (Gopher's "repetitious text" family,
+    * adapted to the line-free synthetic corpus): the share of CHARACTERS
+    * covered by the most frequent word 2-gram must be ≤ 1/[[RepTop2Den]],
+    * and the share covered by duplicated word 5-grams (all occurrences
+    * of any 5-gram appearing ≥2 times) ≤ 1/[[RepDup5Den]]. Integer
+    * cross-multiplication again — no float thresholds. */
+  final val RepTop2Den = 16L  // top2_chars * 16 <= n_chars  (<= 6.25%)
+  final val RepDup5Den = 10L  // dup5_chars * 10 <= n_chars  (<= 10%)
+
+  /** Repetition filtering: per document, the most frequent word 2-gram
+    * (count, gram, characters covered = count × gram length) and the
+    * characters covered by duplicated word 5-grams, plus the pass flag
+    * under the [[RepTop2Den]]/[[RepDup5Den]] thresholds — the "is this
+    * document mostly the same phrase over and over" gate every LLM
+    * corpus runs (boilerplate, SEO spam, template pages).
+    *
+    * Scale shape: ONE tagged explode covers both gram widths (each
+    * 2-gram and 5-gram row ships as a slim (doc_id, n, gram) row), one
+    * map-side-combinable count per (doc, n, gram), one per-doc fold —
+    * linear in corpus tokens, no self-join, no per-row O(words²) HOF.
+    * Tie-break on the top gram is (count, gram) max, mirrored exactly
+    * by the oracle's ORDER BY cnt DESC, gram DESC. */
+  def repetitionFilter(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      wordNgrams(col("text"), 2).as("g2"),
+      wordNgrams(col("text"), 5).as("g5"))
+    val tagged = base.select(col("doc_id"),
+      explode(concat(
+        transform(col("g2"), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(col("g5"), g => struct(lit(5).as("n"), g.as("gram"))))).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
+    val counts = tagged.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy("doc_id").agg(
+      max(when(col("n") === 2, struct(col("cnt"), col("gram")))).as("top2"),
+      sum(when(col("n") === 5 && col("cnt") >= 2,
+        col("cnt") * length(col("gram")).cast("long")).otherwise(lit(0L)))
+        .as("dup5_chars"))
+    base.select(col("doc_id"), col("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("top2.cnt"), lit(0L)).as("top2_cnt"),
+        coalesce(col("top2.gram"), lit("")).as("top2_gram"),
+        coalesce(col("top2.cnt") * length(col("top2.gram")).cast("long"), lit(0L))
+          .as("top2_chars"),
+        coalesce(col("dup5_chars"), lit(0L)).as("dup5_chars"))
+      .withColumn("pass",
+        col("top2_chars") * RepTop2Den <= col("n_chars") &&
+          col("dup5_chars") * RepDup5Den <= col("n_chars"))
+  }
+
+  /** Generated DuckDB oracle for [[repetitionFilter]] — grams built
+    * positionally over the same single-space split [[wordNgrams]] uses,
+    * top gram picked by the same (cnt, gram) descending order. */
+  def repetitionFilterSql: String =
+    s"""WITH w AS (SELECT doc_id, length(text) AS n_chars,
+       |                  string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, array_to_string(toks[i:i+1], ' ') AS gram
+       |  FROM w, unnest(range(1, len(toks))) AS t(i)
+       |  UNION ALL
+       |  SELECT doc_id, 5 AS n, array_to_string(toks[i:i+4], ' ') AS gram
+       |  FROM w, unnest(range(1, len(toks) - 3)) AS t(i)),
+       |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+       |t2 AS (
+       |  SELECT doc_id, cnt AS top2_cnt, gram AS top2_gram,
+       |         cnt * length(gram) AS top2_chars
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                    ORDER BY cnt DESC, gram DESC) AS rn
+       |        FROM c WHERE n = 2)
+       |  WHERE rn = 1),
+       |d5 AS (
+       |  SELECT doc_id, sum(cnt * length(gram)) AS dup5_chars
+       |  FROM c WHERE n = 5 AND cnt >= 2 GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(w.n_chars AS BIGINT) AS n_chars,
+       |       CAST(coalesce(t2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+       |       coalesce(t2.top2_gram, '') AS top2_gram,
+       |       CAST(coalesce(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+       |       CAST(coalesce(d5.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+       |       coalesce(t2.top2_chars, 0) * $RepTop2Den <= w.n_chars AND
+       |       coalesce(d5.dup5_chars, 0) * $RepDup5Den <= w.n_chars AS pass
+       |FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)""".stripMargin
+
   /** The APPLY step of substring-level dedup: remove every token
     * covered by a [[graft.dedup.Dedup.substringDedup]] span (repeated
     * ≥k-token runs, global-first occurrence kept corpus-wide) and emit

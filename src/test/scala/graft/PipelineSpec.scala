@@ -313,4 +313,72 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._3).sum == totalTok)
     assert(rows.map(_._2).sum == docs.count())
   }
+
+  test("qualityRules: each rule bit fires on exactly its crafted violation") {
+    val spark2 = spark; import spark2.implicits._
+    val ok = (("word " * 30) + "the a and of to").trim // 35 words, stops, alpha
+    val docs = Seq(
+      (0L, ok),                                     // passes everything
+      (1L, "the a of to in short"),                 // too few words -> bit 0
+      (2L, ("ab " * 20 + "the a of in xy").trim),   // mean word len < 3 -> bits 0? no: 25 words
+      (3L, (("word " * 30) + "# # # # the a").trim), // symbols -> bit 2
+      (4L, (("12345 " * 30) + "the a of").trim),    // non-alpha words -> bit 3
+      (5L, ("word " * 30).trim)                     // no stopwords -> bit 4
+    ).toDF("doc_id", "text")
+    val got = Pipeline.qualityRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(got(0L) == 0L)
+    assert((got(1L) & 1L) != 0L)       // word count
+    assert((got(2L) & 2L) != 0L, got)  // mean word length below 3
+    assert((got(3L) & 4L) != 0L)       // symbol ratio
+    assert((got(4L) & 8L) != 0L)       // alpha fraction
+    assert(got(5L) == 16L)             // stopword rule only
+    // pass column is exactly rules_failed == 0
+    val rows = Pipeline.qualityRules(docs).collect()
+    rows.foreach(r => assert(r.getBoolean(7) == (r.getLong(6) == 0L)))
+  }
+
+  test("qualityRules counters match a naive Scala recompute on real docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Pipeline.qualityRules(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    raw.foreach { case (id, text) =>
+      val words = text.split("\\s+")
+      val stops = Set("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+      val expect = (words.length.toLong,
+        text.replaceAll("\\s", "").length.toLong,
+        words.count(_.exists(_.isLetter)).toLong,
+        words.count(stops.contains).toLong)
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
+  test("repetitionFilter finds the dominant 2-gram and duplicated 5-gram coverage") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      // "x y" appears 3 times (positions 0,2,4 of the repeated pair)
+      (0L, "x y x y x y"),
+      // a duplicated 5-gram: "a b c d e" twice (and no other dup 5-gram)
+      (1L, "a b c d e a b c d e"),
+      (2L, "unique words only here now")
+    ).toDF("doc_id", "text")
+    val got = Pipeline.repetitionFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(got(0L)._1 == 3L && got(0L)._2 == "x y" && got(0L)._3 == 9L)
+    assert(!got(0L)._5) // 9*16 > 11 chars -> repetitious
+    // doc 1: 2-grams "a b","b c","c d","d e" twice each, "e a" once;
+    // top by (cnt, gram desc) = "e a"? no: cnt 2 beats 1; tie on cnt=2
+    // resolves to the lexicographically greatest gram "d e"
+    assert(got(1L)._1 == 2L && got(1L)._2 == "d e")
+    // dup 5-grams: "a b c d e" (cnt 2, len 9) -> 18 covered chars
+    assert(got(1L)._4 == 18L)
+    assert(got(2L)._1 == 1L && got(2L)._4 == 0L)
+    // empty/one-word doc degrades to zero counters, never a dropped row
+    val tiny = Seq((9L, "solo")).toDF("doc_id", "text")
+    val t = Pipeline.repetitionFilter(tiny).collect()
+    assert(t.length == 1 && t(0).getLong(2) == 0L && t(0).getBoolean(6))
+  }
 }
