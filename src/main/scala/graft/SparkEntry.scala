@@ -37,6 +37,16 @@ object SparkEntry {
     (0.0, -50.0), (40.0, -10.0), (5.0, 5.0),
     (10.0, 60.0), (-30.0, 40.0), (-45.0, -25.0))
 
+  /** Shared sparse_vector query weights — ONE definition feeds both the
+    * Spark program and the generated oracle (integer weights; the prune
+    * threshold is applied as a cross-multiplied integer rule on both
+    * sides). df probes on record: at 790000 ppm some of these terms are
+    * pruned and some kept at BOTH verify SFs, so the prune branch is
+    * exercised by the gate itself. */
+  private val sparseVectorWeights: Seq[(String, Long)] = Seq(
+    ("scan", 3L), ("hash", 2L), ("window", 2L),
+    ("vector", 1L), ("batch", 2L), ("merge", 1L))
+
   /** Shared intervals-AST trees (r13) — ONE definition compiled to both
     * the Spark Column program and the generated DuckDB oracle
     * ([[text.IntervalsAst]]), so the two engines cannot drift.
@@ -1188,6 +1198,17 @@ object SparkEntry {
     // prefix, with doc frequencies — the field-value autocomplete
     "text_terms_enum" -> ((s, dir) =>
       text.TextOps.termsEnum(Tables.documents(s, dir), "s", 25)),
+
+    // ES _termvectors API: one doc's term vector (tf, first position)
+    // + the corpus stats the API reports (doc_freq, ttf)
+    "text_termvectors" -> ((s, dir) =>
+      text.TextOps.termVectors(Tables.documents(s, dir), 7L)),
+
+    // ES sparse_vector query (ELSER shape): integer-weight sparse dot
+    // product with the df-ratio prune option (see sparseVectorWeights)
+    "q_sparse_vector" -> ((s, dir) =>
+      text.TextOps.sparseVectorQuery(Tables.documents(s, dir),
+        sparseVectorWeights, prunePpm = 790000L, k = 10)),
 
     // LIKE-spelled wildcard (ES `s?a*`): scan, small, spark, ...
     "text_wildcard_search" -> ((s, dir) =>
@@ -3298,6 +3319,11 @@ object SparkEntry {
            |  FROM documents) t
            |WHERE substr(term, 1, 1) = 's'
            |GROUP BY term ORDER BY term LIMIT 25""".stripMargin,
+
+    // generated — same doc id / weight list / prune rule as the wiring
+    "text_termvectors" -> text.TextOps.termVectorsSql(7L),
+    "q_sparse_vector" ->
+      text.TextOps.sparseVectorSql(sparseVectorWeights, 790000L, 10),
 
     "text_phrase_match" ->
       """SELECT doc_id, n_occurrences FROM (

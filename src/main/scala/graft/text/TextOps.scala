@@ -1709,4 +1709,114 @@ object TextOps {
       .orderBy(col("support").desc, col("term1"), col("term2"), col("term3"))
       .limit(k)
   }
+
+  /** ES `sparse_vector` query (the ELSER / learned-sparse-retrieval
+    * surface): the query is a {token → weight} map; each document's
+    * score is the sparse dot product Σ_t weight(t) · tf(doc, t) over
+    * INTEGER weights (engine-exact — no float accumulates anywhere),
+    * top-k by (score desc, doc_id). With `prunePpm` set, tokens whose
+    * document frequency exceeds prunePpm/10⁶ of the corpus are PRUNED
+    * from the query first — ES's `prune` option: learned-sparse vectors
+    * carry many low-information high-df tokens, and dropping them cuts
+    * scoring cost without moving the ranking. The prune rule is a
+    * cross-multiplied integer comparison (df · 10⁶ ≤ prunePpm · nDocs).
+    *
+    * Scale: the df probe touches only the |query| terms (explode
+    * filtered to the query's token set BEFORE the aggregate, so the
+    * shuffle carries ≤ |query| partial counts per partition); the
+    * scoring pass is one narrow codegen'd fold per doc (map literal
+    * lookup, no join, no shuffle) + the driver-bounded top-k. The
+    * zero-score filter sits ABOVE the top-k (score is the primary DESC
+    * key — the r13 filter-placement rule). */
+  def sparseVectorQuery(docs: DataFrame, weights: Seq[(String, Long)],
+      prunePpm: Long, k: Int): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val termArr = typedlit(weights.map(_._1))
+    val nDocs = docs.count()
+    // bounded-metadata collect: ≤ |query| (term, df) rows
+    val dfOf = docs
+      .select(explode(array_distinct(
+        filter(toks, t => array_contains(termArr, t)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = weights.filter { case (t, _) =>
+      dfOf.getOrElse(t, 0L) * 1000000L <= prunePpm * nDocs }
+    if (kept.isEmpty)
+      return docs.select(col("doc_id"), lit(0L).as("score")).filter(lit(false))
+    val keptMap = typedlit(kept.toMap)
+    docs
+      .select(col("doc_id"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + coalesce(element_at(keptMap, t), lit(0L))).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .filter(col("score") > 0)
+  }
+
+  /** ES `_termvectors` API: for one document, its term vector — per
+    * term the in-doc frequency and first position, plus the corpus-wide
+    * statistics the API reports (`doc_freq`, `ttf` = total term
+    * frequency) — what relevance debugging and "why did this doc score
+    * X" workflows read.
+    *
+    * Scale: the document side is one row; the corpus-statistics side is
+    * filtered to the doc's own term set BEFORE its aggregate (broadcast
+    * semi-join of a ≤doc-length term list), so the shuffle carries ≤
+    * |doc terms| partial counts per partition — never a full-vocab
+    * aggregate for a one-doc API call. */
+  def termVectors(docs: DataFrame, docId: Long): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val doc = docs.filter(col("doc_id") === docId)
+      .select(posexplode(toks)).toDF("pos", "term")
+      .groupBy("term")
+      .agg(count(lit(1)).as("term_freq"), min(col("pos")).cast("long").as("first_pos"))
+    val stats = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .join(broadcast(doc.select("term")), "term")
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("ttf"))
+    doc.join(stats, "term")
+      .select(col("term"), col("term_freq"), col("first_pos"),
+        col("doc_freq"), col("ttf"))
+  }
+
+  /** Generated DuckDB oracle for [[termVectors]] — positions built
+    * positionally (0-based, mirroring posexplode), corpus stats
+    * restricted to the doc's term set. */
+  def termVectorsSql(docId: Long): String =
+    raw"""WITH d AS (SELECT string_split_regex(lower(text), '\s+') AS toks
+         |           FROM documents WHERE doc_id = $docId),
+         |dt AS (SELECT toks[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+         |       FROM d, unnest(range(1, len(toks) + 1)) AS t(i)),
+         |dv AS (SELECT term, CAST(count(*) AS BIGINT) AS term_freq,
+         |              min(pos) AS first_pos
+         |       FROM dt GROUP BY term),
+         |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+         |        FROM documents),
+         |st AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         |              CAST(count(*) AS BIGINT) AS ttf
+         |       FROM tok JOIN (SELECT term FROM dv) x USING (term) GROUP BY term)
+         |SELECT term, term_freq, first_pos, doc_freq, ttf
+         |FROM dv JOIN st USING (term)""".stripMargin
+
+  /** Generated DuckDB oracle for [[sparseVectorQuery]] — same weight
+    * list, same cross-multiplied prune rule, zero-score docs excluded
+    * by the join (they rank after every positive, so filtering outside
+    * the LIMIT is equivalent to Spark's above-the-top-k filter). */
+  def sparseVectorSql(weights: Seq[(String, Long)], prunePpm: Long,
+      k: Int): String = {
+    val values = weights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    raw"""WITH q(term, w) AS (VALUES $values),
+         |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+         |        FROM documents),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df
+         |       FROM tok JOIN q USING (term) GROUP BY term),
+         |kept AS (SELECT q.term, q.w FROM q LEFT JOIN df USING (term) CROSS JOIN nd
+         |         WHERE coalesce(df, 0) * 1000000 <= $prunePpm * nd.n),
+         |s AS (SELECT t.doc_id, CAST(sum(k.w) AS BIGINT) AS score
+         |      FROM tok t JOIN kept k USING (term) GROUP BY t.doc_id)
+         |SELECT doc_id, score
+         |FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT $k)
+         |WHERE score > 0""".stripMargin
+  }
 }

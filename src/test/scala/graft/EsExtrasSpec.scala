@@ -753,4 +753,58 @@ class EsExtrasSpec extends SparkSpec {
         filter = Seq(TermQ("lang", "en"))))).count()
     assert(loose > got.count(_._2 == "pq2"), "minimum_should_match must bind")
   }
+
+  test("sparseVectorQuery scores the integer dot product and prunes by df ratio") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      (1L, "hot hot cold rare"),   // hot tf 2, cold 1, rare 1
+      (2L, "hot cold cold"),
+      (3L, "hot warm"),
+      (4L, "hot other words here")
+    ).toDF("doc_id", "text")
+    val w = Seq(("hot", 5L), ("cold", 3L), ("rare", 7L))
+    // no pruning (threshold 100%): plain dot product
+    val all = TextOps.sparseVectorQuery(docs, w, prunePpm = 1000000L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(1L -> (2 * 5 + 3 + 7L), 2L -> (5 + 6L), 3L -> 5L, 4L -> 5L))
+    // prune 'hot' (df 4/4 = 100% > 70%): scores drop to cold/rare only,
+    // zero-score docs (3, 4) vanish
+    val pruned = TextOps.sparseVectorQuery(docs, w, prunePpm = 700000L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned == Map(1L -> 10L, 2L -> 6L))
+    // everything pruned -> typed empty frame, not a crash
+    val none = TextOps.sparseVectorQuery(docs, Seq(("hot", 5L)), 100000L, 10)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("doc_id", "score"))
+    // the WIRED threshold genuinely splits the real corpus's query terms
+    val real = Tables.documents(spark, sfDir)
+    val nDocs = real.count()
+    val dfOf = real.select(explode(array_distinct(
+        split(lower(col("text")), "\\s+"))).as("term"))
+      .filter(col("term").isin("scan", "hash", "window", "vector", "batch", "merge"))
+      .groupBy("term").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prunedReal = dfOf.count { case (_, df) => df * 1000000L > 790000L * nDocs }
+    assert(prunedReal > 0 && prunedReal < dfOf.size,
+      s"prune rule must split the wired terms, got $dfOf")
+  }
+
+  test("termVectors reports tf/first_pos and corpus df/ttf for one doc") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "b b d"),
+      (3L, "a d d")
+    ).toDF("doc_id", "text")
+    val got = TextOps.termVectors(docs, 1L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // term -> (tf, first_pos, doc_freq, ttf)
+    assert(got == Map(
+      "a" -> ((2L, 0L, 2L, 3L)),
+      "b" -> ((1L, 1L, 2L, 3L)),
+      "c" -> ((1L, 3L, 1L, 1L))))
+    // doc 2's vector is independent of doc 1's
+    val got2 = TextOps.termVectors(docs, 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("b" -> 2L, "d" -> 1L))
+  }
 }
