@@ -782,6 +782,12 @@ object SparkEntry {
       operators.Analytics.gaussDecayScore(Tables.events(s, dir),
         50.0, 80.0, 0.5, 20)),
 
+    // function_score field_value_factor, log1p modifier on DetLn
+    // (bit-exact per-row ln; factor 0.125 = exact power-of-two scaling)
+    "q_function_score_fvf" -> ((s, dir) =>
+      operators.Analytics.fieldValueFactor(Tables.orders(s, dir),
+        0.125, 1.5, 15)),
+
     // ----- geo surface (SURVEY §2, round 11): deterministic lat/lon
     // derived from user_id/event_id (Geo.withCoords — exact modulo +
     // one double division, IEEE-identical in DuckDB) -----
@@ -2562,6 +2568,9 @@ object SparkEntry {
     // generated from the same constants as the Spark side
     "q_decay_gauss" ->
       operators.Analytics.gaussDecaySql(50.0, 80.0, 0.5, 20),
+
+    "q_function_score_fvf" ->
+      operators.Analytics.fieldValueFactorSql(0.125, 1.5, 15),
 
     // geo: coordinate derivation + geohash bit math generated from the
     // SAME Scala parameters as the Spark side (Geo.coordsSql /

@@ -1445,6 +1445,46 @@ object Analytics {
        |ORDER BY score_grid DESC, event_id LIMIT $k""".stripMargin
   }
 
+  /** ES function_score `field_value_factor` with the `log1p` modifier:
+    * score = weight · ln(1 + factor · field) — the "boost by
+    * popularity/price" pattern ES users reach for first. The logarithm
+    * is [[graft.util.DetLn.lnExpr]], the libm-free codegen'd kernel, so
+    * the per-row double scores are BIT-IDENTICAL on both engines (the
+    * multi_match discipline — no libm ln anywhere). `factor` should be
+    * a power of two (the wiring uses 0.125) so factor·field is EXACT
+    * scaling and the whole argument carries one rounding (the 1+x add),
+    * identical everywhere. Domain: 1 + factor·field ≥ 1 — log1p's whole
+    * point, and DetLn's domain. One narrow projection + driver-bounded
+    * top-k; no shuffle. */
+  def fieldValueFactor(orders: DataFrame, factor: Double, weight: Double,
+      k: Int): DataFrame = {
+    require(factor > 0 && factor == java.lang.Math.scalb(1.0,
+      java.lang.Math.getExponent(factor)), "factor must be a power of two")
+    val arg = lit(1.0) + lit(factor) * col("o_totalprice").cast("double")
+    orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (lit(weight) * graft.util.DetLn.lnExpr(arg)).as("score"))
+      .orderBy(col("score").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** The DuckDB twin of [[fieldValueFactor]] — the DetLn program
+    * replayed per row as nested one-column-per-level subqueries
+    * ([[graft.util.DetLn.nestSql]]; flat lateral aliases bind
+    * exponentially — the r14 measurement). Same literals, same
+    * association order (`weight * lnv`). */
+  def fieldValueFactorSql(factor: Double, weight: Double, k: Int): String = {
+    import graft.util.DetLn
+    val base = s"""(SELECT o_orderkey, o_totalprice,
+      CAST(1.0e0 + ${DetLn.dlit(factor)} * CAST(o_totalprice AS DOUBLE) AS DOUBLE) AS __fvf_arg
+      FROM orders)"""
+    val nested = DetLn.nestSql(base, DetLn.sqlItems("__fvf_arg", "__fvf_ln"))
+    s"""SELECT o_orderkey, o_totalprice,
+       |       ${DetLn.dlit(weight)} * __fvf_ln AS score
+       |FROM $nested q
+       |ORDER BY score DESC, o_orderkey LIMIT $k""".stripMargin
+  }
+
   /** ES missing aggregation: the bucket of documents that DON'T carry a
     * field, beside the present-value terms buckets (the ES pattern of a
     * `terms` agg plus a sibling `missing` agg on the same field). The

@@ -1125,4 +1125,26 @@ class EsAggsSpec extends SparkSpec {
     assert(got.take(5).forall(h => dupDocs.contains(h._1)),
       "IDF must rank the rare term's docs first — raw TF cannot do this")
   }
+
+  test("fieldValueFactor scores bit-match the DetLn Scala replica") {
+    val orders = Tables.orders(spark, sfDir)
+    val got = Analytics.fieldValueFactor(orders, 0.125, 1.5, 15).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 15)
+    got.foreach { case (_, price, score) =>
+      val expect = 1.5 * graft.util.DetLn.lnScala(1.0 + 0.125 * price)
+      assert(java.lang.Double.doubleToLongBits(score) ==
+        java.lang.Double.doubleToLongBits(expect),
+        s"score $score != replica $expect at price $price")
+    }
+    // log1p is monotone in the field, so the page is the top-k by price
+    val topPrices = orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15).collect().map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(got.map(_._2).toSeq == topPrices)
+    // non-power-of-two factors are rejected (inexact scaling would put
+    // an extra engine-dependent rounding inside the ln argument)
+    intercept[IllegalArgumentException] {
+      Analytics.fieldValueFactor(orders, 0.1, 1.5, 15)
+    }
+  }
 }
