@@ -1118,6 +1118,14 @@ object SparkEntry {
           "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150"),
         20)),
 
+    // simple_query_string: the +/|/- operator spellings with default-OR
+    // juxtaposition, compiled onto the same BoolDsl tree
+    "q_simple_query_string" -> ((s, dir) =>
+      text.BoolDsl.search(Tables.documents(s, dir),
+        text.QueryString.parse(
+          "scan + (vector | stream) -source:src7 n_chars:<300"),
+        20)),
+
     // percolate with stored BOOL TREES: three registered queries with
     // filter/should/must_not context evaluated in one corpus pass
     "text_percolate_dsl" -> ((s, dir) =>
@@ -2210,6 +2218,31 @@ object SparkEntry {
            |FROM t
            |WHERE tf_hash > 0 AND (tf_join > 0 OR tf_vec > 0)
            |  AND NOT source = 'src13' AND n_chars >= 150
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors the parsed tree exactly: root Bool(should=[AND-group,
+    // range], mustNot=[source term], msm=1); the AND-group is a SHOULD
+    // here, so its score needs the outer CASE (unlike q_query_string,
+    // where the group sits in must and WHERE already guarantees it)
+    "q_simple_query_string" ->
+      raw"""WITH t AS (SELECT doc_id, source, n_chars,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'scan')) AS BIGINT) AS tf_scan,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'vector')) AS BIGINT) AS tf_vec,
+           |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'stream')) AS BIGINT) AS tf_str
+           |  FROM documents)
+           |SELECT doc_id,
+           |  (CASE WHEN tf_scan > 0 AND (tf_vec > 0 OR tf_str > 0)
+           |        THEN (CAST(tf_scan AS DOUBLE) * 1.0e0
+           |              + CASE WHEN tf_vec > 0 OR tf_str > 0
+           |                     THEN (CASE WHEN tf_vec > 0 THEN CAST(tf_vec AS DOUBLE) * 1.0e0 ELSE 0e0 END
+           |                           + CASE WHEN tf_str > 0 THEN CAST(tf_str AS DOUBLE) * 1.0e0 ELSE 0e0 END) * 1.0e0
+           |                     ELSE 0e0 END) * 1.0e0
+           |        ELSE 0e0 END
+           |   + CASE WHEN n_chars <= 299 THEN 1.0e0 ELSE 0e0 END) * 1.0e0 AS score
+           |FROM t
+           |WHERE NOT source = 'src7'
+           |  AND ((CASE WHEN tf_scan > 0 AND (tf_vec > 0 OR tf_str > 0) THEN 1 ELSE 0 END
+           |        + CASE WHEN n_chars <= 299 THEN 1 ELSE 0 END) >= 1)
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_percolate_dsl" -> percolateDslSql,

@@ -19,6 +19,9 @@ package graft.text
   *    ≡ `a AND NOT b`) — Lucene's BooleanQuery has no OR-NOT
   *  - leading `-` = NOT (the simple_query_string spelling), including
   *    `-(...)` group negation; a bare dash is rejected
+  *  - `+` / `|` = the simple_query_string infix spellings of AND / OR
+  *    (whitespace-optional — `foo|bar` tokenizes like `foo | bar`);
+  *    a dangling operator is rejected, not silently matched as a term
   *
   * Out of scope (documented, not silently wrong): quoted phrases,
   * fuzziness suffixes, boosts (`^2`), wildcards mid-token, and regex
@@ -43,6 +46,7 @@ object QueryString {
 
   private def tokenize(q: String): List[String] = {
     val spaced = q.replace("(", " ( ").replace(")", " ) ")
+      .replace("|", " | ").replace("+", " + ")
     spaced.split("\\s+").filter(_.nonEmpty).toList
   }
 
@@ -64,10 +68,11 @@ object QueryString {
     var rest = rest0
     var continue = true
     while (continue) rest match {
-      case "OR" :: tail =>
+      case op :: tail if op == "OR" || op == "|" =>
         val (nxt, r) = parseAnd(tail)
         parts = nxt :: parts; rest = r
-      case tok :: _ if tok != ")" && tok != "AND" && tok != "OR" =>
+      case tok :: _ if tok != ")" && tok != "AND" && tok != "OR" &&
+          tok != "+" && tok != "|" =>
         // juxtaposition → default operator OR
         val (nxt, r) = parseAnd(rest)
         parts = nxt :: parts; rest = r
@@ -91,7 +96,7 @@ object QueryString {
     var rest = rest0
     var continue = true
     while (continue) rest match {
-      case "AND" :: tail =>
+      case op :: tail if op == "AND" || op == "+" =>
         val (nxt, r) = parseUnary(tail)
         parts = nxt :: parts; rest = r
       case _ => continue = false
@@ -123,6 +128,8 @@ object QueryString {
   }
 
   private def atom(tok: String): Query = tok.split(":", 2) match {
+    case Array(op) if op == "+" || op == "|" =>
+      throw new IllegalArgumentException(s"dangling operator '$op'")
     case Array(term) => MatchQ(term.toLowerCase)
     case Array(field, v) if v.startsWith(">=") => rangeAtom(field, gte = Some(v.drop(2)))
     case Array(field, v) if v.startsWith("<=") => rangeAtom(field, lte = Some(v.drop(2)))

@@ -38,7 +38,7 @@ class QueryStringFuzzSpec extends AnyFunSuite {
       3 -> atomGen,
       2 -> (for {
         a <- wellFormed(depth - 1); b <- wellFormed(depth - 1)
-        op <- Gen.oneOf(" AND ", " OR ", " ")
+        op <- Gen.oneOf(" AND ", " OR ", " ", " + ", " | ", "|")
       } yield a + op + b),
       1 -> wellFormed(depth - 1).map(q => s"( $q )"),
       1 -> wellFormed(depth - 1).map(q => s"NOT $q"))
@@ -77,5 +77,29 @@ class QueryStringFuzzSpec extends AnyFunSuite {
     check(forAll(wellFormed(3)) { q =>
       QueryString.parse(q) == QueryString.parse(q)
     })
+  }
+
+  test("simple_query_string spellings: + / | parse to the same trees as AND / OR") {
+    // only generate with the word spellings, then rewrite to the
+    // operator spellings — trees must be identical
+    def wordsOnly(depth: Int): Gen[String] =
+      if (depth == 0) atomGen
+      else Gen.frequency(
+        3 -> atomGen,
+        2 -> (for {
+          a <- wordsOnly(depth - 1); b <- wordsOnly(depth - 1)
+          op <- Gen.oneOf(" AND ", " OR ")
+        } yield a + op + b),
+        1 -> wordsOnly(depth - 1).map(q => s"( $q )"))
+    check(forAll(wordsOnly(3)) { q =>
+      val sym = q.replace(" AND ", " + ").replace(" OR ", " | ")
+      QueryString.parse(q) == QueryString.parse(sym)
+    })
+    // whitespace-free operator form tokenizes the same
+    assert(QueryString.parse("hash|join") == QueryString.parse("hash OR join"))
+    assert(QueryString.parse("hash+join") == QueryString.parse("hash AND join"))
+    // dangling operators are rejected, never matched as terms
+    intercept[IllegalArgumentException] { QueryString.parse("hash |") }
+    intercept[IllegalArgumentException] { QueryString.parse("+ hash") }
   }
 }
