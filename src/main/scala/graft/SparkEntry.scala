@@ -458,6 +458,16 @@ object SparkEntry {
     "q_rank_feature" -> ((s, dir) =>
       operators.Analytics.rankFeature(Tables.events(s, dir), 50.0, 2.0, 20)),
 
+    // rank_feature `log` function on the DetLn kernel (scaling 0.25 =
+    // exact power-of-two; bit-identical doubles on both engines)
+    "q_rank_feature_log" -> ((s, dir) =>
+      operators.Analytics.rankFeatureLog(Tables.events(s, dir), 0.25, 2.0, 20)),
+
+    // scripted_metric (ES docs' profit script + a second state): the
+    // map/combine/reduce contract compiled onto one hash agg
+    "q_scripted_metric" -> ((s, dir) =>
+      operators.Analytics.scriptedMetric(Tables.events(s, dir), 500.0)),
+
     // extended_stats_bucket: second-moment sibling stats over the day
     // histogram's bucket values
     "q_extended_stats_bucket" -> ((s, dir) =>
@@ -1563,6 +1573,11 @@ object SparkEntry {
     "pipe_repetition_filter" -> ((s, dir) =>
       pipeline.Pipeline.repetitionFilter(Tables.documents(s, dir))),
 
+    // per-domain token-budget cap (the data-mixing admit step): docs
+    // admitted in id order until the source's BPE budget is crossed
+    "pipe_domain_mix" -> ((s, dir) =>
+      pipeline.Pipeline.domainMix(Tables.documents(s, dir), 1000L)),
+
     // variable_width_histogram: 6 equal-frequency clusters with exact
     // quantile edges (distributed rank-select — no global sort)
     "q_variable_width_histogram" -> ((s, dir) =>
@@ -1880,6 +1895,18 @@ object SparkEntry {
     "q_rank_feature" ->
       """SELECT event_id, value, 2.0e0 * value / (value + 50.0e0) AS score
         |FROM events ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
+
+    "q_rank_feature_log" ->
+      operators.Analytics.rankFeatureLogSql(0.25, 2.0, 20),
+
+    "q_scripted_metric" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN value > 500.0e0 THEN CAST(value AS DECIMAL(12,2))
+        |                ELSE -CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS profit,
+        |  CAST(max(CASE WHEN value > 500.0e0 THEN CAST(value AS DECIMAL(12,2))
+        |               ELSE -CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS max_txn,
+        |  count(*) AS n_txns
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_extended_stats_bucket" ->
       """WITH day AS (
@@ -3967,7 +3994,8 @@ object SparkEntry {
     // generated from the same Qr*/Rep* constants as the Spark program
     // (pipeline/Pipeline.scala) — the engines share one definition
     "pipe_quality_rules" -> pipeline.Pipeline.qualityRulesSql,
-    "pipe_repetition_filter" -> pipeline.Pipeline.repetitionFilterSql
+    "pipe_repetition_filter" -> pipeline.Pipeline.repetitionFilterSql,
+    "pipe_domain_mix" -> pipeline.Pipeline.domainMixSql(1000L)
   )
 
   /** Shared by the corpus-pass and maintained-index forms — merged

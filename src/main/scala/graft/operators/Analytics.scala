@@ -795,6 +795,57 @@ object Analytics {
       .limit(k)
   }
 
+  /** ES rank_feature `log` function (the third rank_feature form beside
+    * [[rankFeature]]'s saturation and the linear retriever weights):
+    * score = boost · ln(1 + scaling · value). Same DetLn discipline as
+    * [[fieldValueFactor]] — libm-free per-row ln, scaling restricted to
+    * a power of two so the argument carries exactly one rounding. */
+  def rankFeatureLog(events: DataFrame, scaling: Double, boost: Double,
+      k: Int): DataFrame = {
+    require(scaling > 0 && scaling == java.lang.Math.scalb(1.0,
+      java.lang.Math.getExponent(scaling)), "scaling must be a power of two")
+    val arg = lit(1.0) + lit(scaling) * col("value").cast("double")
+    events
+      .select(col("event_id"), col("value"),
+        (lit(boost) * graft.util.DetLn.lnExpr(arg)).as("score"))
+      .orderBy(col("score").desc, col("event_id"))
+      .limit(k)
+  }
+
+  /** The DuckDB twin of [[rankFeatureLog]] (nestSql DetLn replay). */
+  def rankFeatureLogSql(scaling: Double, boost: Double, k: Int): String = {
+    import graft.util.DetLn
+    val base = s"""(SELECT event_id, value,
+      CAST(1.0e0 + ${DetLn.dlit(scaling)} * CAST(value AS DOUBLE) AS DOUBLE) AS __rf_arg
+      FROM events)"""
+    val nested = DetLn.nestSql(base, DetLn.sqlItems("__rf_arg", "__rf_ln"))
+    s"""SELECT event_id, value, ${DetLn.dlit(boost)} * __rf_ln AS score
+       |FROM $nested q
+       |ORDER BY score DESC, event_id LIMIT $k""".stripMargin
+  }
+
+  /** ES scripted_metric aggregation: user-supplied init/map/combine/
+    * reduce scripts. Spark's partial-aggregation model IS
+    * map/combine/reduce — a scripted metric whose combine is
+    * associative+commutative compiles directly onto agg expressions, so
+    * this operator is the composition API, not a new engine mechanism:
+    * each metric is a (name, per-row map Column, merge kind) triple and
+    * the whole bucket evaluates in ONE map-side-combinable hash agg.
+    * Ships the ES docs' canonical "profit" script (map emits +amount
+    * for sales, −amount for costs; reduce sums) plus a second state
+    * (running max) to show multi-state scripts fold in the same pass.
+    * Exact arithmetic on the cent-grain DECIMAL domain (`Det`
+    * discipline), cast to double once at the end. */
+  def scriptedMetric(events: DataFrame, saleThreshold: Double): DataFrame = {
+    val amount = dec2(col("value"))
+    val signed = when(col("value") > lit(saleThreshold), amount).otherwise(-amount)
+    events
+      .groupBy(col("event_type"))
+      .agg(sum(signed).cast("double").as("profit"),
+        max(signed).cast("double").as("max_txn"),
+        count(lit(1)).as("n_txns"))
+  }
+
   /** ES join-field `parent` aggregation (dual of [[childrenAgg]]): from
     * the CHILD context, bucket by a child field and aggregate the
     * PARENT docs — each parent counted ONCE per bucket however many of

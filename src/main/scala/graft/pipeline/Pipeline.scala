@@ -319,6 +319,52 @@ object Pipeline {
     } finally rdd.unpersist(blocking = false)
   }
 
+  /** Per-domain token-budget capping (the "data mixing" step a corpus
+    * plan executes after choosing per-source budgets): within each
+    * source, documents are admitted in doc_id order until the source's
+    * cumulative BPE token count crosses `budget` — the doc that crosses
+    * is dropped (strict cap) — and the per-source audit row reports
+    * kept/dropped docs and exact kept/total tokens. Deterministic by
+    * construction (no sampling state): re-running on any engine admits
+    * the identical doc set, which is what makes a mixture reproducible.
+    *
+    * Scale: the running sum is a window PARTITIONED BY source — domains
+    * are the natural parallelism unit (a 100 TB corpus has millions of
+    * them), so no single-reducer window exists. One monster domain
+    * larger than a partition would shift this to the two-phase offset
+    * pattern ([[packSequences]]); at the testdata's shape the
+    * per-domain window is the right plan. */
+  def domainMix(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("source"),
+        graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .groupBy("source")
+      .agg(sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") > budget, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("cum") <= budget, col("n_tok")).otherwise(0L)).as("tok_kept"),
+        sum(col("n_tok")).as("tok_total"))
+  }
+
+  /** Generated DuckDB oracle for [[domainMix]] — same BPE token SQL,
+    * same window frame, every integer output cast BIGINT. */
+  def domainMixSql(budget: Long): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             ${graft.text.Bpe.tokenCountSql("text")} AS n_tok
+       |           FROM documents),
+       |c AS (SELECT source, n_tok,
+       |             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+       |      FROM t)
+       |SELECT source,
+       |       CAST(sum(CASE WHEN cum <= $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN cum > $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN cum <= $budget THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+       |       CAST(sum(n_tok) AS BIGINT) AS tok_total
+       |FROM c GROUP BY source""".stripMargin
+
   /** Gopher/C4-style rule thresholds, shared by the Spark program and
     * the generated DuckDB oracle so the two engines cannot drift. Every
     * ratio rule is expressed as a CROSS-MULTIPLIED integer comparison —

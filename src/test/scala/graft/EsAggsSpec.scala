@@ -1147,4 +1147,46 @@ class EsAggsSpec extends SparkSpec {
       Analytics.fieldValueFactor(orders, 0.1, 1.5, 15)
     }
   }
+
+  test("rankFeatureLog bit-matches the DetLn replica and ranks by value") {
+    val events = Tables.events(spark, sfDir)
+    val got = Analytics.rankFeatureLog(events, 0.25, 2.0, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 20)
+    got.foreach { case (_, v, score) =>
+      val expect = 2.0 * graft.util.DetLn.lnScala(1.0 + 0.25 * v)
+      assert(java.lang.Double.doubleToLongBits(score) ==
+        java.lang.Double.doubleToLongBits(expect))
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.rankFeatureLog(events, 0.3, 2.0, 20)
+    }
+  }
+
+  test("scriptedMetric folds the profit script exactly (signed cent-grain sums)") {
+    val spark2 = spark; import spark2.implicits._
+    // quarter-grain values: exact in double AND DECIMAL(12,2), so every
+    // expected value below is exact arithmetic, not a tolerance check
+    val ev = Seq(
+      ("buy", 600.25), ("buy", 700.50), ("buy", 100.25), // 2 sales, 1 cost
+      ("sell", 499.75), ("sell", 500.25)                 // boundary: > binds strictly
+    ).toDF("event_type", "value")
+    val got = Analytics.scriptedMetric(ev, 500.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("buy") == ((1200.50, 700.50, 3L)))
+    assert(got("sell") == ((0.50, 500.25, 2L)))
+    // real-table conservation: Σ profit over buckets ≈ Σ sales − Σ costs
+    // (bucket-wise decimal→double casts differ from one global cast by
+    // ulps at most — tolerance, not equality)
+    val real = Tables.events(spark, sfDir)
+    val profit = Analytics.scriptedMetric(real, 500.0)
+      .agg(sum(col("profit"))).head().getDouble(0)
+    val parts = real.select(
+        sum(when(col("value") > 500.0, col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double"),
+        sum(when(col("value") <= 500.0, col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double"))
+      .head()
+    assert(math.abs(profit - (parts.getDouble(0) - parts.getDouble(1))) < 1e-6)
+  }
 }

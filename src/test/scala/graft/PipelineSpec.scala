@@ -381,4 +381,27 @@ class PipelineSpec extends SparkSpec {
     val t = Pipeline.repetitionFilter(tiny).collect()
     assert(t.length == 1 && t(0).getLong(2) == 0L && t(0).getBoolean(6))
   }
+
+  test("domainMix admits the id-ordered prefix until the budget is crossed") {
+    val docs = Tables.documents(spark, sfDir)
+    val budget = 1000L
+    val got = Pipeline.domainMix(docs, budget).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // naive replay per source: cumulative BPE counts in doc_id order
+    val toks = docs.select(col("source"), col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text")).as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    toks.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._3)
+      val cums = ordered.scanLeft(0L)(_ + _).tail
+      val kept = cums.count(_ <= budget)
+      val expect = (kept.toLong, (ordered.length - kept).toLong,
+        ordered.take(kept).sum, ordered.sum)
+      assert(got(src) == expect, s"source $src")
+      // the budget must genuinely bind somewhere and admit somewhere
+    }
+    assert(got.values.exists(_._2 > 0), "budget must drop docs at this SF")
+    assert(got.values.forall(_._1 > 0), "budget must admit a prefix everywhere")
+  }
 }
