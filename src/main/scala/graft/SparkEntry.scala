@@ -1423,6 +1423,11 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       similarity.Ann.ivfTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // product-quantization ANN (memory-compressed scale path): 16
+    // 4-bit codes per vector, ADC candidate scan, exact-cosine refine
+    "ann_pq_topk" -> ((s, dir) =>
+      similarity.Ann.pqTopK(Tables.embeddings(s, dir), 10, 5)),
+
     // IVF top-k reading a MAINTAINED index (AnnIndex): centroids trained
     // once on the first ingest batch then frozen, corpus cluster-bucketed
     // across 3 deterministic ingest batches, probe reads only the probed

@@ -37,6 +37,33 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ recall@5 vs brute force clears the floor; refine sims are exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Ann.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.pqTopK(emb, 10, 5).collect()
+    assert(approx.nonEmpty)
+    val approxSet = approx.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approxSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 $recall below floor")
+    // refine-stage sims are the exact cosine (same expression as brute)
+    val exactSims = Ann.bruteForceTopK(emb, 10, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactSims.get(key).foreach(v => assert(v == r.getDouble(3)))
+    }
+    // every query returns exactly k ranked rows, self excluded
+    approx.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+    // empty corpus degrades to the typed empty frame
+    assert(Ann.pqTopK(emb.filter(org.apache.spark.sql.functions.lit(false)),
+      10, 5).count() == 0)
+  }
+
   test("filteredKnn ranks only filter survivors; the filter binds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
