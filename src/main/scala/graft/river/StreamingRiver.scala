@@ -57,6 +57,63 @@ object StreamingRiver {
     fs.delete(old, true)
   }
 
+  /** CDC upsert with DELETE tombstones — the streaming twin of the
+    * reference's delete-old step (HBaseRiver.java:176-180 removes
+    * vanished keys; a change stream spells the same fact as delete
+    * markers): rows whose `deleteCol` is true are tombstones, and
+    * RECENCY decides — a tombstone deletes its key only while it is the
+    * key's latest record; a stale tombstone arriving after a newer
+    * upsert must not delete, and a reinsert after a delete restores.
+    *
+    * The index STORES tombstones (flag column intact): forgetting them
+    * at merge would let a late-arriving older record resurrect a
+    * deleted key. Readers go through [[liveIndex]] (filters the flag);
+    * compacting tombstones older than the late-data horizon is the
+    * maintenance step, exactly like any watermark. Same staging +
+    * rename-aside crash discipline as [[upsertBatch]]. */
+  def upsertBatchWithDeletes(batch: DataFrame, cfg: RiverConfig,
+      seqCol: String, deleteCol: String): Unit = {
+    require(batch.columns.contains(deleteCol), s"batch lacks $deleteCol")
+    val spark = batch.sparkSession
+    val index = new org.apache.hadoop.fs.Path(cfg.sinkPath)
+    val fs = index.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(cfg.sinkPath + "__staging")
+    val old = new org.apache.hadoop.fs.Path(cfg.sinkPath + "__old")
+    if (!fs.exists(index) && fs.exists(old)) fs.rename(old, index)
+    val merged =
+      if (fs.exists(index))
+        River.latestPerKey(spark.read.parquet(cfg.sinkPath).unionByName(batch),
+          cfg.keyCol, cfg.tsCol, seqCol)
+      else River.latestPerKey(batch, cfg.keyCol, cfg.tsCol, seqCol)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(old, true)
+    if (fs.exists(index)) fs.rename(index, old)
+    fs.rename(staging, index)
+    fs.delete(old, true)
+  }
+
+  /** The live view of a tombstone-carrying index: rows whose delete
+    * flag is false. The tombstones stay on disk (see
+    * [[upsertBatchWithDeletes]]); this is the read every consumer
+    * takes. */
+  def liveIndex(spark: org.apache.spark.sql.SparkSession, cfg: RiverConfig,
+      deleteCol: String): DataFrame =
+    spark.read.parquet(cfg.sinkPath).filter(!col(deleteCol)).drop(deleteCol)
+
+  /** Streaming CDC import with deletes: change stream → foreachBatch
+    * tombstone-aware upsert ([[upsertBatchWithDeletes]]). */
+  def runWithDeletes(changes: DataFrame, cfg: RiverConfig,
+      checkpointDir: String, seqCol: String = "event_id",
+      deleteCol: String = "deleted"): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatchWithDeletes(batch, cfg, seqCol, deleteCol)
+      }
+      .start()
+
   /** Partition-pruned upsert: the index is hash-partitioned on the key
     * (`kbucket=pmod(hash(key), nBuckets)` directories) and a micro-batch
     * rewrites ONLY the buckets its keys fall in — the reference's bulk

@@ -193,4 +193,53 @@ class StreamingRiverSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming CDC tombstones: recency decides; live view equals batch replay") {
+    val spark2 = spark; import spark2.implicits._
+    // crafted recency fixture, applied as three micro-batches
+    val sink = tmp("cdc-sink") + "/index"
+    val cfg = RiverConfig(sourcePath = "unused", sinkPath = sink, keyCol = "user_id")
+    def b(rows: (Long, Long, Long, Boolean)*) =
+      rows.toSeq.toDF("user_id", "ts", "event_id", "deleted")
+    StreamingRiver.upsertBatchWithDeletes(
+      b((1L, 10L, 1L, false), (2L, 10L, 2L, false)), cfg, "event_id", "deleted")
+    StreamingRiver.upsertBatchWithDeletes(
+      b((1L, 5L, 3L, true),   // stale tombstone: must NOT delete key 1
+        (2L, 15L, 4L, true),  // fresh tombstone: deletes key 2
+        (3L, 12L, 5L, false),
+        (4L, 15L, 6L, true)), cfg, "event_id", "deleted")
+    StreamingRiver.upsertBatchWithDeletes(
+      b((2L, 20L, 7L, false),  // reinsert after delete: key 2 returns
+        (4L, 9L, 8L, false)),  // LATE OLD record: stored tombstone wins
+      cfg, "event_id", "deleted")
+    val live = StreamingRiver.liveIndex(spark, cfg, "deleted")
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == Map(1L -> 1L, 2L -> 7L, 3L -> 5L))
+
+    // full-stream convergence: streamed live view == batch latest-per-key
+    // with tombstones filtered, on the real events with a derived flag
+    val src = tmp("cdc-src")
+    val sink2 = tmp("cdc-sink2") + "/index"
+    val ckpt = tmp("cdc-ckpt")
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_id") % 7 === 0).as("deleted"))
+    changes.repartition(4).write.mode("overwrite").parquet(src)
+    val cfg2 = RiverConfig(sourcePath = src, sinkPath = sink2, keyCol = "user_id")
+    StreamingRiver.runWithDeletes(
+      spark.readStream.schema(changes.schema).parquet(src), cfg2, ckpt,
+      seqCol = "event_id", deleteCol = "deleted").awaitTermination()
+    val streamedLive = StreamingRiver.liveIndex(spark, cfg2, "deleted")
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val replay = River.latestPerKey(changes, "user_id", "ts", "event_id")
+      .filter(!col("deleted"))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamedLive == replay)
+    // the tombstones genuinely delete some keys at this SF
+    val allKeys = River.latestPerKey(changes, "user_id", "ts", "event_id").count()
+    assert(streamedLive.size < allKeys)
+  }
 }
