@@ -795,6 +795,19 @@ object Analytics {
       .limit(k)
   }
 
+  /** Domain guard for ln-scoring inputs (r14 ADVICE): a negative field
+    * value puts `1 + scaling·value` below DetLn's documented x ≥ 1
+    * domain, producing silently-inaccurate scores IDENTICALLY on both
+    * engines — the one failure class the dual-compiled oracle cannot
+    * catch. Mirrors the intervals token-count guard: one compare per
+    * row, fails loudly with the offending row id. Returns the value
+    * cast to double when in-domain. */
+  private def lnDomainGuard(value: Column, rowId: Column, site: String): Column =
+    when(value >= 0, value.cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"$site: negative feature value at row "), rowId.cast("string"),
+        lit(" is below the ln(1+x) domain"))))
+
   /** ES rank_feature `log` function (the third rank_feature form beside
     * [[rankFeature]]'s saturation and the linear retriever weights):
     * score = boost · ln(1 + scaling · value). Same DetLn discipline as
@@ -804,7 +817,12 @@ object Analytics {
       k: Int): DataFrame = {
     require(scaling > 0 && scaling == java.lang.Math.scalb(1.0,
       java.lang.Math.getExponent(scaling)), "scaling must be a power of two")
-    val arg = lit(1.0) + lit(scaling) * col("value").cast("double")
+    // A negative feature value would push 1 + scaling·value below
+    // DetLn's x ≥ 1 domain and drift IDENTICALLY on both engines — the
+    // one failure class the oracle is blind to. Fail loudly instead
+    // (r14 ADVICE; the intervals token-count guard discipline).
+    val v = lnDomainGuard(col("value"), col("event_id"), "rank_feature log")
+    val arg = lit(1.0) + lit(scaling) * v
     events
       .select(col("event_id"), col("value"),
         (lit(boost) * graft.util.DetLn.lnExpr(arg)).as("score"))
@@ -1511,7 +1529,8 @@ object Analytics {
       k: Int): DataFrame = {
     require(factor > 0 && factor == java.lang.Math.scalb(1.0,
       java.lang.Math.getExponent(factor)), "factor must be a power of two")
-    val arg = lit(1.0) + lit(factor) * col("o_totalprice").cast("double")
+    val arg = lit(1.0) + lit(factor) *
+      lnDomainGuard(col("o_totalprice"), col("o_orderkey"), "field_value_factor log1p")
     orders
       .select(col("o_orderkey"), col("o_totalprice"),
         (lit(weight) * graft.util.DetLn.lnExpr(arg)).as("score"))

@@ -105,11 +105,32 @@ object AnnIndex {
     val v = centroidVersions(spark, root).last
     val assign = Ann.centroidAssigner(spark,
       Ann.centMatrix(readCentroidsV(spark, root, v)))
+    // Replays write to a staging dir and RENAME into place (r14
+    // ADVICE): mode("overwrite") directly on the ingest dir deletes
+    // `_SUCCESS` + data files non-atomically, so a reader that passed
+    // the committedIngests check just before the overwrite could still
+    // see a torn partition. With rename-aside (the StreamingRiver
+    // upsertBatch discipline) an ingest partition is only ever
+    // atomically swapped: readers see the old complete batch or the
+    // new complete batch, never a mix.
+    // staging/old names must NOT start with "ingest=" or
+    // committedIngests would list a half-swapped replay twice
+    val dest = new Path(s"${assignDir(root)}/cv=$v/ingest=$batchId")
+    val staging = new Path(s"${assignDir(root)}/cv=$v/.staging-ingest-$batchId")
+    val old = new Path(s"${assignDir(root)}/cv=$v/.old-ingest-$batchId")
+    val fs = hadoopFs(spark, dest.toString)
+    // recover from a crash between rename-aside and rename-into-place
+    if (!fs.exists(dest) && fs.exists(old)) fs.rename(old, dest)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(old)) fs.delete(old, true)
     batchEmb.select(col("vec_id"),
         col("embedding"),
         assign(col("embedding"), 1).getItem(0).as("cent_id"))
       .write.partitionBy("cent_id").mode("overwrite")
-      .parquet(s"${assignDir(root)}/cv=$v/ingest=$batchId")
+      .parquet(staging.toString)
+    if (fs.exists(dest)) fs.rename(dest, old)
+    fs.rename(staging, dest)
+    fs.delete(old, true)
   }
 
   /** The cluster-bucketed corpus across every ingested batch, with the

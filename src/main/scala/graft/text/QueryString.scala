@@ -46,9 +46,27 @@ object QueryString {
 
   private def tokenize(q: String): List[String] = {
     val spaced = q.replace("(", " ( ").replace(")", " ) ")
-      .replace("|", " | ").replace("+", " + ")
-    spaced.split("\\s+").filter(_.nonEmpty).toList
+    spaced.split("\\s+").filter(_.nonEmpty).toList.flatMap(splitOps)
   }
+
+  /** The simple_query_string '+'/'|' spellings inside a raw token are
+    * operators only when EVERY occurrence has a nonempty operand on
+    * both sides (`hash|join` → hash OR join). A token where any side
+    * is empty is a literal term (`tag:c++`, `a+`), restoring the
+    * pre-r14 parse for terms that merely contain these characters
+    * (r14 ADVICE: global spacing made 'tag:c++' throw). Standalone
+    * whitespace-delimited '+'/'|' are always operators. */
+  private def splitOps(tok: String): List[String] =
+    if (tok.length <= 1 || !tok.exists(c => c == '+' || c == '|')) List(tok)
+    else {
+      val segs = tok.split("[+|]", -1)
+      if (segs.exists(_.isEmpty)) List(tok) // literal: c++, +x, a+|b
+      else {
+        val ops = tok.filter(c => c == '+' || c == '|').toList
+        segs.head :: ops.zip(segs.tail).flatMap { case (op, s) =>
+          List(op.toString, s) }
+      }
+    }
 
   /** A clause that is nothing but negation (`NOT x` / `-x`). In a
     * Lucene BooleanQuery a NOT clause is always conjunctive — there is

@@ -1163,6 +1163,24 @@ class EsAggsSpec extends SparkSpec {
     }
   }
 
+  test("ln-scoring domain guard: a negative feature value fails loudly") {
+    // r14 ADVICE: a value < 0 puts 1 + scaling·value below DetLn's
+    // x >= 1 domain and would drift IDENTICALLY on both engines — the
+    // one failure class the oracle cannot catch, so it must raise.
+    val spark2 = spark; import spark2.implicits._
+    val bad = Seq((1L, 5.0), (2L, -0.5)).toDF("event_id", "value")
+    val e = intercept[Exception] {
+      Analytics.rankFeatureLog(bad, 0.25, 2.0, 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("below the ln(1+x) domain")), msgs(e))
+    // in-domain data is untouched by the guard
+    val ok = Seq((1L, 5.0), (2L, 0.0)).toDF("event_id", "value")
+    val got = Analytics.rankFeatureLog(ok, 0.25, 2.0, 5).collect()
+    assert(got.length == 2 && got.head.getLong(0) == 1L)
+  }
+
   test("scriptedMetric folds the profit script exactly (signed cent-grain sums)") {
     val spark2 = spark; import spark2.implicits._
     // quarter-grain values: exact in double AND DECIMAL(12,2), so every

@@ -31,14 +31,22 @@ class QueryStringFuzzSpec extends AnyFunSuite {
   private val prefixAtom = Gen.oneOf("source:src*", "lang:e*")
   private val atomGen = Gen.oneOf(bareTerm, fieldAtom, rangeAtom, prefixAtom)
 
+  /** Whitespace-free operator spelling: only valid between plain
+    * terms (the post-r14 grammar — a '+'/'|' glued to a paren or a
+    * field atom's value is part of the term, not an operator). */
+  private val gluedOp = for {
+    a <- bareTerm; b <- bareTerm; op <- Gen.oneOf("|", "+")
+  } yield a + op + b
+
   /** Well-formed query strings by construction (matching the grammar). */
   private def wellFormed(depth: Int): Gen[String] =
-    if (depth == 0) atomGen
+    if (depth == 0) Gen.frequency(4 -> atomGen, 1 -> gluedOp)
     else Gen.frequency(
       3 -> atomGen,
+      1 -> gluedOp,
       2 -> (for {
         a <- wellFormed(depth - 1); b <- wellFormed(depth - 1)
-        op <- Gen.oneOf(" AND ", " OR ", " ", " + ", " | ", "|")
+        op <- Gen.oneOf(" AND ", " OR ", " ", " + ", " | ")
       } yield a + op + b),
       1 -> wellFormed(depth - 1).map(q => s"( $q )"),
       1 -> wellFormed(depth - 1).map(q => s"NOT $q"))
@@ -101,5 +109,10 @@ class QueryStringFuzzSpec extends AnyFunSuite {
     // dangling operators are rejected, never matched as terms
     intercept[IllegalArgumentException] { QueryString.parse("hash |") }
     intercept[IllegalArgumentException] { QueryString.parse("+ hash") }
+    // a '+'/'|' with an empty side is part of the term, not an
+    // operator (r14 ADVICE regression: 'tag:c++' must parse again)
+    assert(QueryString.parse("tag:c++") == TermQ("tag", "c++"))
+    assert(QueryString.parse("c++") == MatchQ("c++"))
+    assert(QueryString.parse("a+|b") == MatchQ("a+|b"))
   }
 }
