@@ -134,6 +134,17 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
 
+    // the FIRST suite query uniquely pays first-use costs every later
+    // query amortizes (vector-op whole-stage-codegen JIT, broadcast
+    // machinery, window/aggregate buffers): the r13→r15 forensics on
+    // alphabetically-first ann_bruteforce_topk read 0.36–1.20 s cold
+    // vs 0.15–0.25 warm — sub-second wobble that kept tripping the
+    // cross-round movers table without any code change (r14 VERDICT
+    // tripwire, audited r15: no code cause, mechanism pinned here).
+    // Warm it untimed, exactly like the calibration query above, so
+    // its measurement starts from the same warm state as the rest.
+    names.headOption.foreach(once)
+
     // one bracketed pass over `todo`: calibration → segment → calibration
     // → … ; returns (segment, calib-before, calib-after) triples. The
     // in-loop dirty filter below is only a RE-QUEUE heuristic (it sees

@@ -382,12 +382,21 @@ object Ann {
         explode(assign(col("embedding"), nprobe)).as("cent_id"))
     // queries×nprobe is tiny by construction; size estimation can't see
     // through the explode, so broadcast explicitly (SMJ otherwise)
-    val sim = broadcast(queries).join(corpus, Seq("cent_id"))
+    // Ranking is the bounded TopKPairs fold, not a row_number window
+    // (r14 VERDICT minor): map-side combine ships ≤ k pairs per query
+    // per partition, where the window form must shuffle + sort EVERY
+    // scored candidate row — under list skew (one hot centroid) that
+    // sort is the straggler. Same output, same tie-break (score desc,
+    // id asc — the bruteForceTopKAgg equivalence discipline).
+    broadcast(queries).join(corpus, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
-    sim.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cos_sim")
+      .select(col("query_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cos_sim"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
   }
 }

@@ -2,7 +2,6 @@ package graft.similarity
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -305,11 +304,14 @@ object AnnIndex {
         .select("query_id", "cand_id", "cos_sim")
     }.reduce(_.unionByName(_))
     // a vector can be a candidate under several versions/lists — one
-    // vote per (query, candidate) before ranking
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    // vote per (query, candidate) before ranking; then the bounded
+    // TopKPairs fold (r14 VERDICT minor: ≤ k pairs per query per
+    // partition map-side, no full candidate sort under list skew)
     sim.dropDuplicates("query_id", "cand_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "cand_id", "cos_sim")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
   }
 }

@@ -58,6 +58,41 @@ class NewOpsSpec extends SparkSpec {
       s"IVF rank-1 exactness too low: $r1Exact/${exactR1.size}")
   }
 
+  test("ivfTopK fold form: no Window node, output == window replica") {
+    // r14 VERDICT minor: the probed-list ranking moved from a
+    // row_number window to the bounded TopKPairs fold. Equivalence is
+    // pinned against an inline window replica of the OLD form (same
+    // probe lists, same tie-break score desc / cand_id asc), and the
+    // physical plan must carry no Window node (the fold ships ≤ k
+    // pairs per query per partition map-side).
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val fold = Ann.ivfTopK(emb, 10, 5)
+    assert(!fold.queryExecution.executedPlan.toString.contains("Window"),
+      "ivfTopK must rank via the TopKPairs fold, not a window")
+    val got = fold.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    // window replica over the SAME candidate generation
+    val cents = Ann.lloydCentroids(emb, 16, 3)
+    val assign = Ann.centroidAssigner(emb.sparkSession, Ann.centMatrix(cents))
+    val corpus = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"),
+      assign(col("embedding"), 1).getItem(0).as("cent_id"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(assign(col("embedding"), 4)).as("cent_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
+    val want = broadcast(queries).join(corpus, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", graft.functions.GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq,
+      s"fold/window divergence: ${got.toSeq.diff(want.toSeq).take(5)}")
+  }
+
   test("embeddingNearDupLsh at the wired τ=0.45: non-empty subset of exact, good recall") {
     // τ=0.45 is the regime SparkEntry wires (inside the data's
     // similarity range at every SF — τ=0.6 returns the empty set and
