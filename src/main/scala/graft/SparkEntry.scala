@@ -1444,6 +1444,26 @@ object SparkEntry {
       similarity.AnnIndex.ivfTopKIndexed(s, root, emb, 10, 5)
     }),
 
+    // IVFADC: PQ composed inside the maintained IVF index — codebooks
+    // trained with the centroids, 16-code PQ words encoded at ingest
+    // into the cent_id= partitions, probes ADC-scan only the nprobe
+    // probed lists (codes column alone — no embedding bytes in the
+    // candidate scan), exact-cosine refine on the survivors. The flat
+    // pqTopK's full-corpus ADC scan shrinks to ~nprobe/nCentroids.
+    // rows-only gate; AnnIndexSpec pins recall >= the flat-PQ floor
+    // and the candidate-row ratio.
+    "ann_ivfpq_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val root = indexRoot("annpq", dir) { r =>
+        // codebooks train on the full frame — at scale a corpus sample
+        // (faiss discipline); a third of the small SFs under-trains
+        similarity.AnnIndex.trainCentroids(emb, 0L, r, pqM = 16)
+        (0L until 3L).foreach(b =>
+          similarity.AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, r))
+      }
+      similarity.AnnIndex.ivfpqTopKIndexed(s, root, emb, 10, 5, nprobe = 8)
+    }),
+
     // ES 8 knn.filter: candidates restricted to lang='en' docs BEFORE
     // ranking (218/500 at sf0.01 — the page differs from unfiltered
     // kNN, so the filter is load-bearing); predicate pushed to the

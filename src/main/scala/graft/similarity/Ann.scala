@@ -258,6 +258,56 @@ object Ann {
     centMatrix(cents)
   }
 
+  /** Per-subspace PQ codebooks on the sliced corpus: `m` independent
+    * [[lloydOn]] runs over `slice(e, j·sub+1, sub)` — deterministic
+    * seeds + fixed rounds, `ks` entries each. Shared by the flat
+    * [[pqTopK]] and the maintained IVFADC index
+    * ([[AnnIndex.trainCentroids]] with `pqM > 0`). */
+  private[graft] def pqTrainCodebooks(emb: DataFrame, dim: Int, m: Int,
+      ks: Int, lloydRounds: Int): IndexedSeq[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val e64 = col("embedding").cast("array<double>")
+    (0 until m).map { j =>
+      lloydOn(emb.select(col("vec_id"), slice(e64, j * sub + 1, sub).as("e")),
+        ks, lloydRounds)
+    }
+  }
+
+  /** Encode a vector to its `m` nearest-codebook-entry codes (the
+    * TopCentroids kernel per subspace; zero subvectors defensively
+    * code 0). `array<int>` — m small ints per vector, the compressed
+    * candidate-stage state. */
+  private[graft] def pqEncodeCol(e64: Column,
+      cbs: IndexedSeq[Array[Array[Double]]], sub: Int): Column =
+    array(cbs.indices.map { j =>
+      coalesce(GraftFunctions.topCentroids(
+        slice(e64, j * sub + 1, sub), cbs(j), 1).getItem(0), lit(0))
+    }: _*)
+
+  /** Per-query ADC lookup tables: query-subvector · codebook-entry
+    * dots, nQueries × m × ks doubles — plan metadata. */
+  private[graft] def pqLut(qVecs: Seq[Array[Double]],
+      cbs: IndexedSeq[Array[Array[Double]]], sub: Int): Seq[Seq[Seq[Double]]] =
+    qVecs.map { q =>
+      cbs.indices.map { j =>
+        cbs(j).map { cent =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += q(j * sub + i) * cent(i); i += 1 }
+          d
+        }.toSeq
+      }.toSeq
+    }
+
+  /** The ADC score: m lookup-table adds per candidate (never a
+    * dim-length multiply). `qi` indexes the LUT literal, `codes` is
+    * the candidate's code array. */
+  private[graft] def pqAdcCol(lutLit: Column, qi: Column, codes: Column,
+      m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(element_at(lutLit,
+        qi + 1), j + 1), element_at(codes, j + 1) + 1))
+
   /** Product-quantization ANN top-k (the memory-compressed scale path
     * beside IVF's partitioned one): vectors are split into `m`
     * subspaces, each subspace trains a `ks`-entry codebook
@@ -303,31 +353,14 @@ object Ann {
     val sub = dim / m
     val e64 = col("embedding").cast("array<double>")
     // per-subspace codebooks on the sliced corpus (index build)
-    val cbs: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
-      lloydOn(emb.select(col("vec_id"), slice(e64, j * sub + 1, sub).as("e")),
-        ks, lloydRounds)
-    }
-    // encode: m nearest-codebook-entry codes per vector
-    val codeCols = (0 until m).map { j =>
-      coalesce(GraftFunctions.topCentroids(
-        slice(e64, j * sub + 1, sub), cbs(j), 1).getItem(0), lit(0))
-    }
+    val cbs = pqTrainCodebooks(emb, dim, m, ks, lloydRounds)
     val coded = emb.select(col("vec_id").as("cand_id"),
-      array(codeCols: _*).as("codes"))
+      pqEncodeCol(e64, cbs, sub).as("codes"))
     // per-query ADC lookup tables (bounded metadata: nQueries vectors)
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), e64.as("e")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val lut: Seq[Seq[Seq[Double]]] = qRows.map { case (_, q) =>
-      (0 until m).map { j =>
-        cbs(j).map { cent =>
-          var d = 0.0; var i = 0
-          while (i < sub) { d += q(j * sub + i) * cent(i); i += 1 }
-          d
-        }.toSeq
-      }.toSeq
-    }.toSeq
-    val lutLit = typedlit(lut)
+    val lutLit = typedlit(pqLut(qRows.map(_._2), cbs, sub))
     val qIds = typedlit(qRows.map(_._1).toSeq)
     // candidate stage: n × nQueries slim rows, ADC adds only
     val approx = coded
@@ -335,10 +368,7 @@ object Ann {
         posexplode(qIds).as(Seq("qi", "query_id")))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(element_at(element_at(lutLit,
-            col("qi") + 1), j + 1), element_at(col("codes"), j + 1) + 1))
-          .as("approx"),
+        pqAdcCol(lutLit, col("qi"), col("codes"), m).as("approx"),
         col("cand_id"))
       .groupBy("query_id")
       .agg(TopKPairs.topK(col("approx"), col("cand_id"), refine * k).as("top"))

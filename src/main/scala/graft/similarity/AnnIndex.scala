@@ -47,6 +47,7 @@ object AnnIndex {
 
   private def centsDir(root: String) = s"$root/centroids"
   private def assignDir(root: String) = s"$root/assignments"
+  private def pqDir(root: String) = s"$root/pq"
 
   private def hadoopFs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -65,16 +66,58 @@ object AnnIndex {
   /** Train the centroid matrix on `trainEmb` and commit it as version
     * `batchId` — a no-op if that version already exists (replay).
     * Deterministic: seeded by the first `nCentroids` vectors by id plus
-    * fixed Lloyd rounds, like [[Ann.ivfTopK]]. */
+    * fixed Lloyd rounds, like [[Ann.ivfTopK]].
+    *
+    * `pqM > 0` additionally trains per-subspace PQ codebooks on the
+    * same batch (IVFADC — VERDICT r14 next #1): `pqM` subspaces ×
+    * `pqKs` entries, committed under `pq/v=<batchId>` BEFORE the
+    * centroids commit, so any version visible through
+    * [[centroidVersions]] always has its codebooks. Subsequent
+    * [[appendBatch]] calls then encode every ingested vector's `codes`
+    * into the cent_id partitions (64 bits a vector at the defaults —
+    * they ride the existing partition files), and
+    * [[ivfpqTopKIndexed]] ADC-scans only the probed lists. */
   def trainCentroids(trainEmb: DataFrame, batchId: Long, root: String,
-      nCentroids: Int = 16, lloydRounds: Int = 3): Unit = {
+      nCentroids: Int = 16, lloydRounds: Int = 3,
+      pqM: Int = 0, pqKs: Int = 16): Unit = {
     val spark = trainEmb.sparkSession
+    import spark.implicits._
     if (!centroidVersions(spark, root).contains(batchId)) {
+      if (pqM > 0) {
+        val firstDim = trainEmb.select(size(col("embedding"))).limit(1).collect()
+        // empty training batch → commit EMPTY codebooks (the empty-
+        // corpus sweep contract: probes return no neighbors, no crash)
+        val rows: Seq[(Int, Int, Seq[Double])] =
+          if (firstDim.isEmpty) Seq.empty
+          else {
+            val cbs = Ann.pqTrainCodebooks(trainEmb, firstDim(0).getInt(0),
+              pqM, pqKs, lloydRounds)
+            for { (cb, j) <- cbs.zipWithIndex.toSeq
+                  (cent, c) <- cb.zipWithIndex }
+              yield (j, c, cent.toSeq)
+          }
+        rows.toDF("subspace", "code", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"${pqDir(root)}/v=$batchId")
+      }
       val cents = Ann.lloydCentroids(trainEmb, nCentroids, lloydRounds)
-      import spark.implicits._
       cents.toDF("cent_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"${centsDir(root)}/v=$batchId")
     }
+  }
+
+  /** The PQ codebooks committed for a centroid version, as
+    * subspace-indexed (ks × sub) matrices — empty when the version was
+    * trained without PQ (or on an empty batch). Metadata scale:
+    * m × ks × sub doubles. */
+  def readPqCodebooksV(spark: SparkSession, root: String,
+      version: Long): IndexedSeq[Array[Array[Double]]] = {
+    val p = new Path(s"${pqDir(root)}/v=$version")
+    val fs = hadoopFs(spark, p.toString)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) IndexedSeq.empty
+    else spark.read.parquet(p.toString).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
   }
 
   /** A specific committed centroid version, in cent_id = row-index
@@ -122,9 +165,19 @@ object AnnIndex {
     if (!fs.exists(dest) && fs.exists(old)) fs.rename(old, dest)
     if (fs.exists(staging)) fs.delete(staging, true)
     if (fs.exists(old)) fs.delete(old, true)
-    batchEmb.select(col("vec_id"),
-        col("embedding"),
-        assign(col("embedding"), 1).getItem(0).as("cent_id"))
+    // versions trained with PQ (trainCentroids pqM > 0) also encode the
+    // m-code PQ words at ingest — the IVFADC composition: codes ride
+    // the cent_id partition files, so a probe ADC-scans probed lists
+    // without ever shipping embedding bytes in the candidate stage
+    val cbs = readPqCodebooksV(spark, root, v)
+    val base = batchEmb.select(col("vec_id"),
+      col("embedding"),
+      assign(col("embedding"), 1).getItem(0).as("cent_id"))
+    val encoded =
+      if (cbs.isEmpty) base
+      else base.withColumn("codes", Ann.pqEncodeCol(
+        col("embedding").cast("array<double>"), cbs, cbs(0)(0).length))
+    encoded
       .write.partitionBy("cent_id").mode("overwrite")
       .parquet(staging.toString)
     if (fs.exists(dest)) fs.rename(dest, old)
@@ -187,6 +240,37 @@ object AnnIndex {
       }
   }
 
+  /** [[assignments]] plus the per-vector PQ `codes` column — the
+    * IVFADC read path. Only valid on an index whose every version was
+    * trained with `pqM > 0` (mixed indices would union mismatched
+    * schemas). Same committed-ingest discipline and empty-corpus
+    * degradation. */
+  def assignmentsWithCodes(spark: SparkSession, root: String): DataFrame = {
+    val committed = committedIngests(spark, root)
+    def emptyFrame = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("codes", ArrayType(IntegerType)),
+          StructField("cent_id", IntegerType),
+          StructField("cv", LongType))))
+    }
+    if (committed.isEmpty) emptyFrame
+    else
+      try
+        spark.read.option("basePath", assignDir(root))
+          .parquet(committed.map(_.toString): _*)
+          .select(col("vec_id"), col("embedding"), col("codes"),
+            col("cent_id"), col("cv").cast("long").as("cv"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => emptyFrame
+      }
+  }
+
   /** Structured Streaming maintenance: first batch trains the
     * centroids, every batch (including the first) appends its
     * assignments — the river's poll loop with the IVF index as sink.
@@ -200,14 +284,15 @@ object AnnIndex {
     * retrain-then-append order is deterministic per batch id. */
   def maintain(embStream: DataFrame, root: String, checkpoint: String,
       nCentroids: Int = 16, lloydRounds: Int = 3,
-      retrainEvery: Int = 0): StreamingQuery =
+      retrainEvery: Int = 0, pqM: Int = 0, pqKs: Int = 16): StreamingQuery =
     embStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val needTrain = centroidVersions(batch.sparkSession, root).isEmpty ||
           (retrainEvery > 0 && id > 0 && id % retrainEvery == 0)
         if (needTrain)
-          trainCentroids(batch.toDF(), id, root, nCentroids, lloydRounds)
+          trainCentroids(batch.toDF(), id, root, nCentroids, lloydRounds,
+            pqM, pqKs)
         appendBatch(batch.toDF(), id, root)
       }
       .trigger(Trigger.AvailableNow())
@@ -310,6 +395,103 @@ object AnnIndex {
     sim.dropDuplicates("query_id", "cand_id")
       .groupBy("query_id")
       .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
+  }
+
+  /** IVFADC top-k — PQ composed INSIDE the maintained IVF index
+    * (VERDICT r14 next #1; the composition that survives 10⁹ vectors,
+    * the IVFADC of Jégou et al.'s PQ paper re-expressed on the
+    * versioned index):
+    *
+    *  - candidate stage: queries probe their `nprobe` nearest lists per
+    *    centroid version and ADC-score ONLY those `cent_id=` partitions
+    *    — reading the ingest-time `codes` column alone (m small ints a
+    *    vector; the scan's ReadSchema carries no embedding bytes), so
+    *    candidate rows are ~nprobe/nCentroids of the flat [[Ann.pqTopK]]
+    *    n × nQueries scan, AND each row is 32× slimmer;
+    *  - per-query ADC lookup tables against each version's own
+    *    codebooks (nQueries × m × ks doubles — plan metadata, the flat
+    *    PQ discipline);
+    *  - the bounded TopKPairs fold keeps `refine`·k approx survivors
+    *    per query (max-vote across versions first — ADC scores from
+    *    different codebook eras both approximate the same dot);
+    *  - exact-cosine refine joins the ≤ nQueries·refine·k survivor ids
+    *    (broadcast) back to the SAME probed partitions' embedding
+    *    column — partition-pruned again, never a full-corpus read.
+    *
+    * Requires every version trained with `pqM > 0`
+    * ([[trainCentroids]]); versions without codebooks contribute no
+    * candidates. Empty index/query set degrades to the typed empty
+    * frame (sweep contract). Rows-only gate + recall/candidate-ratio
+    * specs in `AnnIndexSpec`. */
+  def ivfpqTopKIndexed(spark: SparkSession, root: String, emb: DataFrame,
+      nQueries: Int, k: Int, nprobe: Int = 4, refine: Int = 10): DataFrame = {
+    import graft.functions.TopKPairs
+    val versions = centroidVersions(spark, root)
+    require(versions.nonEmpty, s"no centroid snapshot under $root — train first")
+    def emptyOut = emb.select(col("vec_id").as("query_id"), lit(1).as("rank"),
+      col("vec_id").as("cand_id"), lit(0.0).as("cos_sim")).filter(lit(false))
+    val all = assignmentsWithCodes(spark, root)
+    val e64 = col("embedding").cast("array<double>")
+    // query vectors: bounded driver-side metadata (nQueries rows), the
+    // pqTopK LUT discipline
+    val qRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), e64.as("e")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qRows.isEmpty) return emptyOut
+    val qiMap = map_from_arrays(typedlit(qRows.map(_._1).toSeq),
+      typedlit(qRows.indices.toList))
+    val perV = versions.flatMap { v =>
+      val cbs = readPqCodebooksV(spark, root, v)
+      if (cbs.isEmpty) None
+      else {
+        val m = cbs.length
+        val sub = cbs(0)(0).length
+        val assign = Ann.centroidAssigner(spark,
+          Ann.centMatrix(readCentroidsV(spark, root, v)))
+        val queries = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"),
+            explode(assign(col("embedding"), nprobe)).as("cent_id"))
+          .withColumn("qi", element_at(qiMap, col("query_id")))
+        val probed = queries.select("cent_id").distinct()
+          .collect().map(_.getInt(0)).sorted // bounded: ≤ nQueries × nprobe
+        val probedPred = col("cv") === v &&
+          col("cent_id").isin(probed.map(Int.box): _*)
+        val lutLit = typedlit(Ann.pqLut(qRows.map(_._2).toSeq, cbs, sub))
+        val scored = broadcast(queries)
+          .join(all.filter(probedPred)
+            .select(col("vec_id").as("cand_id"), col("codes"), col("cent_id")),
+            Seq("cent_id"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .select(col("query_id"),
+            Ann.pqAdcCol(lutLit, col("qi"), col("codes"), m).as("approx"),
+            col("cand_id"))
+        Some((scored, probedPred))
+      }
+    }
+    if (perV.isEmpty) return emptyOut
+    val surv = perV.map(_._1).reduce(_.unionByName(_))
+      .groupBy("query_id", "cand_id").agg(max(col("approx")).as("approx"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("approx"), col("cand_id"), refine * k).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+    // exact refine: embeddings from the probed partitions only (a
+    // vector ingests under exactly one cv, so the union is the corpus
+    // slice, not duplicates; dropDuplicates guards replayed eras)
+    val probedCorpus = all.filter(perV.map(_._2).reduce(_ || _))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .dropDuplicates("cand_id")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    probedCorpus.join(broadcast(surv), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cos_sim"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
       .select(col("query_id"), (col("i") + 1).as("rank"),
         col("s.id").as("cand_id"), col("s.score").as("cos_sim"))

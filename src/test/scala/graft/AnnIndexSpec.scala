@@ -252,4 +252,97 @@ class AnnIndexSpec extends SparkSpec {
     assert(nLists > 1, "degenerate index: single list")
     m.foreach(mm => assert(mm.group(1).toInt < 3 * nLists))
   }
+
+  private def buildPqIndex(root: String): Unit = {
+    // codebooks train on the full frame: at scale this is a corpus
+    // SAMPLE (the faiss discipline), but a third of this 500-vector
+    // test corpus under-trains the 16x16 codebooks (probed recall
+    // 0.70 vs 0.88 full — measured r15), which is sample noise, not
+    // the operator
+    AnnIndex.trainCentroids(emb, 0L, root, pqM = 16)
+    (0L until 3L).foreach(b =>
+      AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, root))
+  }
+
+  test("IVFADC: recall@5 >= flat-PQ floor; candidate scan reads codes, " +
+      "not embeddings; candidate rows shrink to the probed-list fraction") {
+    val root = tmp("ann-ivfpq")
+    buildPqIndex(root)
+    val probe = AnnIndex.ivfpqTopKIndexed(spark, root, emb, 10, 5, nprobe = 8)
+    // the candidate stage must read the codes column WITHOUT embedding
+    // bytes (the IVFADC point: 64-bit words move, 256-byte vectors
+    // don't) — at least one file scan in the plan carries codes and no
+    // embedding in its ReadSchema
+    val planLines = probe.queryExecution.executedPlan.toString.split("\n")
+    assert(planLines.exists(l => l.contains("ReadSchema") &&
+      l.contains("codes") && !l.contains("embedding")),
+      "no codes-only candidate scan found in the plan")
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.nonEmpty)
+    // recall vs exact brute force: >= the flat-PQ spec floor (0.8)
+    val exact = Ann.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"IVFADC recall@5 $mean below the flat-PQ floor")
+    // candidate-row ratio: the ADC scan touches Σ_q Σ_{probed lists of q}
+    // |list| rows where flat pqTopK touches n × nQueries — the SCALING
+    // probe the composition exists for
+    val asn = AnnIndex.assignmentsWithCodes(spark, root)
+    val listSizes = asn.groupBy("cent_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val mat = Ann.centMatrix(AnnIndex.readCentroidsV(spark, root, 0L))
+    val probedRows = emb.filter(col("vec_id") < 10)
+      .select(explode(GraftFunctions.topCentroids(col("embedding"), mat, 8)).as("c"))
+      .collect().map(r => listSizes.getOrElse(r.getInt(0), 0L)).sum
+    val flatRows = emb.count() * 10
+    val ratio = probedRows.toDouble / flatRows
+    info(f"IVFADC candidate rows: $probedRows vs flat $flatRows (ratio $ratio%.3f)")
+    assert(ratio < 0.65,
+      s"probed-list candidate fraction $ratio not materially below flat PQ")
+  }
+
+  test("IVFADC replay + retrain: codes follow their version's codebooks, " +
+      "probe stays correct across eras") {
+    val root = tmp("ann-ivfpq")
+    val eraA = emb.filter(col("vec_id") % 2 === 0)
+    val eraB = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.trainCentroids(eraA, 0L, root, pqM = 16)
+    AnnIndex.appendBatch(eraA, 0L, root)
+    AnnIndex.trainCentroids(eraB, 1L, root, pqM = 16)
+    AnnIndex.appendBatch(eraB, 1L, root)
+    // each era has its own codebooks; replay of a train id is a no-op
+    val cb0 = AnnIndex.readPqCodebooksV(spark, root, 0L)
+    val cb1 = AnnIndex.readPqCodebooksV(spark, root, 1L)
+    assert(cb0.nonEmpty && cb1.nonEmpty && cb0.length == 16)
+    AnnIndex.trainCentroids(eraA, 0L, root, pqM = 16)
+    assert(AnnIndex.readPqCodebooksV(spark, root, 0L)
+      .map(_.map(_.toSeq).toSeq) == cb0.map(_.map(_.toSeq).toSeq))
+    // replayed append is idempotent (staging + rename swap)
+    AnnIndex.appendBatch(eraB, 1L, root)
+    val asn = AnnIndex.assignmentsWithCodes(spark, root)
+    assert(asn.count() == emb.count())
+    assert(asn.select("vec_id").distinct().count() == emb.count())
+    // codes re-derive from the version's OWN codebooks (spot-check era B)
+    val mat1 = Ann.centMatrix(AnnIndex.readCentroidsV(spark, root, 1L))
+    val sub = cb1(0)(0).length
+    val expectB = eraB.select(col("vec_id"),
+      Ann.pqEncodeCol(col("embedding").cast("array<double>"), cb1, sub).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+    val gotB = asn.filter(col("cv") === 1L).select("vec_id", "codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+    assert(gotB == expectB, "ingested codes must match the era's codebooks")
+    // probe across both eras returns full pages touching both eras
+    val page = AnnIndex.ivfpqTopKIndexed(spark, root, emb, 10, 5, nprobe = 8)
+      .collect()
+    assert(page.length == 50, s"expected 10 full pages, got ${page.length}")
+    val cands = page.map(_.getLong(2)).toSet
+    assert(cands.exists(_ % 2 == 0) && cands.exists(_ % 2 == 1),
+      "both eras must serve candidates")
+  }
 }
