@@ -389,6 +389,21 @@ object SparkEntry {
     "q_date_histogram" -> ((s, dir) =>
       operators.Analytics.dateHistogram(Tables.events(s, dir))),
 
+    // calendar_interval date_histogram (r15, the Kibana default):
+    // REAL tz bucket edges from a java.time-generated ladder — the
+    // January data's first UTC hours land in the Dec-2023 NY bucket,
+    // so the tz shift is load-bearing at every SF. Oracle = DuckDB's
+    // own ICU date_trunc (independent tzdb implementation).
+    "q_date_histogram_calendar" -> ((s, dir) =>
+      operators.Analytics.calendarDateHistogram(Tables.events(s, dir),
+        "month", "America/New_York", 2023, 2027)),
+    "q_date_histogram_calquarter" -> ((s, dir) =>
+      operators.Analytics.calendarDateHistogram(Tables.events(s, dir),
+        "quarter", "America/New_York", 2023, 2027)),
+    "q_date_histogram_calweek" -> ((s, dir) =>
+      operators.Analytics.calendarDateHistogram(Tables.events(s, dir),
+        "week", "America/New_York", 2023, 2027)),
+
     "q_salted_agg" -> ((s, dir) =>
       operators.Skew.saltedStats(Tables.events(s, dir),
         "user_id", "value", "event_id", 16)),
@@ -790,6 +805,12 @@ object SparkEntry {
     // Analytics.gaussDecayScore + the exhaustive EsAggsSpec proof)
     "q_decay_gauss" -> ((s, dir) =>
       operators.Analytics.gaussDecayScore(Tables.events(s, dir),
+        50.0, 80.0, 0.5, 20)),
+
+    // exp decay (r15): the last decay member — same floor-grid
+    // discipline, M searched for the exp score set (EsAggsSpec proof)
+    "q_decay_exp" -> ((s, dir) =>
+      operators.Analytics.expDecayScore(Tables.events(s, dir),
         50.0, 80.0, 0.5, 20)),
 
     // function_score field_value_factor, log1p modifier on DetLn
@@ -1772,6 +1793,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_date_histogram_calendar" ->
+      operators.Analytics.calendarHistogramSql("month", "America/New_York"),
+    "q_date_histogram_calquarter" ->
+      operators.Analytics.calendarHistogramSql("quarter", "America/New_York"),
+    "q_date_histogram_calweek" ->
+      operators.Analytics.calendarHistogramSql("week", "America/New_York"),
+
     "q_salted_agg" ->
       """SELECT user_id, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
@@ -2653,6 +2681,9 @@ object SparkEntry {
     // generated from the same constants as the Spark side
     "q_decay_gauss" ->
       operators.Analytics.gaussDecaySql(50.0, 80.0, 0.5, 20),
+
+    "q_decay_exp" ->
+      operators.Analytics.expDecaySql(50.0, 80.0, 0.5, 20),
 
     "q_function_score_fvf" ->
       operators.Analytics.fieldValueFactorSql(0.125, 1.5, 15),

@@ -141,6 +141,71 @@ object Analytics {
       .groupBy("day_idx", "event_type")
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
 
+  /** The calendar bucket-edge ladder: instants (epoch µs) of every
+    * `unit` start in IANA zone `tz` covering [fromYear, toYear) —
+    * generated driver-side with java.time (the JDK's IANA tzdb), so
+    * bucket edges are exact instants with real tz rules (DST, offset
+    * history), not fixed-width arithmetic. month/quarter ladders are
+    * 12/4 entries a year; week is 52–53 (ISO Monday starts, first
+    * edge the Monday on/before Jan 1). Plan metadata: a few hundred
+    * BIGINTs even for a decade of coverage. */
+  def calendarEdgesUs(unit: String, tz: String, fromYear: Int,
+      toYear: Int): IndexedSeq[Long] = {
+    import java.time._
+    import java.time.temporal.TemporalAdjusters
+    val zone = ZoneId.of(tz)
+    val first = LocalDate.of(fromYear, 1, 1)
+    val starts: Iterator[LocalDate] = unit match {
+      case "month" => Iterator.iterate(first)(_.plusMonths(1))
+      case "quarter" => Iterator.iterate(first)(_.plusMonths(3))
+      case "week" => Iterator.iterate(
+        first.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY)))(
+        _.plusWeeks(1))
+      case "day" => Iterator.iterate(first)(_.plusDays(1))
+      case u => throw new IllegalArgumentException(s"calendar unit: $u")
+    }
+    starts.takeWhile(_.getYear < toYear).map { d =>
+      val i = d.atStartOfDay(zone).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }.toIndexedSeq
+  }
+
+  /** ES date_histogram with `calendar_interval` month/quarter/week/day
+    * in a real timezone (the Kibana default view): buckets start at
+    * CALENDAR edges in `tz` — variable-width instants (a NY month is
+    * 28–31 days and shifts by DST offset), not epoch arithmetic. Each
+    * event keys to `max(edge ≤ ts)` over the generated
+    * [[calendarEdgesUs]] ladder — a codegen'd array fold over plan
+    * metadata, O(|ladder|) per row with the ladder bounded by the
+    * coverage window (set fromYear/toYear to the retention window at
+    * scale), zero joins, one hash aggregation. Events outside the
+    * coverage window key to NULL (a visible bucket, not silent drop).
+    * The DuckDB oracle is an INDEPENDENT replay — ICU `date_trunc AT
+    * TIME ZONE` against java.time's ladder, two IANA tzdb
+    * implementations agreeing — see [[calendarHistogramSql]]. */
+  def calendarDateHistogram(events: DataFrame, unit: String, tz: String,
+      fromYear: Int = 2020, toYear: Int = 2030): DataFrame = {
+    val edges = calendarEdgesUs(unit, tz, fromYear, toYear)
+    val tsUs = Det.tsMicrosOf(events, "ts")
+    events
+      .select(array_max(filter(typedlit(edges),
+        e => e <= tsUs)).as("bucket_start_us"), col("value"))
+      .groupBy("bucket_start_us")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+  }
+
+  /** The DuckDB twin of [[calendarDateHistogram]]: `ts AT TIME ZONE
+    * 'UTC' AT TIME ZONE tz` → local wall time, ICU date_trunc to the
+    * unit start, back to an instant, epoch µs. Independent of the
+    * Spark ladder by construction. (Bucket starts — 00:00 on a
+    * month/quarter/Monday edge — are never inside a US DST gap, so
+    * the local→instant step is unambiguous.) */
+  def calendarHistogramSql(unit: String, tz: String): String =
+    s"""SELECT epoch_us(date_trunc('$unit', ts AT TIME ZONE 'UTC' AT TIME ZONE '$tz') AT TIME ZONE '$tz') AS bucket_start_us,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1""".stripMargin
+
   /** Tumbling-window aggregation — the batch twin of the streaming river's
     * windowed agg (same `window()` expression Structured Streaming uses). */
   def timeWindow(events: DataFrame, width: String): DataFrame =
@@ -1510,6 +1575,45 @@ object Analytics {
     val twoSigmaSq = scale * scale / math.log(1 / decay)
     s"""SELECT event_id, value,
        |  CAST(floor(exp(-((abs(value - ${origin}e0)) * (abs(value - ${origin}e0))) / ${twoSigmaSq}e0) * $GaussGridM) AS BIGINT) AS score_grid
+       |FROM events
+       |ORDER BY score_grid DESC, event_id LIMIT $k""".stripMargin
+  }
+
+  /** ES function_score EXP decay — the last decay family member
+    * (linear is libm-free, gauss is the r14 precedent; same floor-grid
+    * discipline here). score = exp(−λ·d) with d = |value − origin| and
+    * λ = ln(1/decay)/scale precomputed ONCE in Scala and embedded as
+    * the identical double literal in both engines' programs — at query
+    * time only `exp` is libm.
+    *
+    * Output is `floor(score × M)` (BIGINT) with M = 791,765,213 —
+    * searched exhaustively (r15) over the ENTIRE finite synthetic
+    * value domain (v = k/100, k ∈ [0, 100000]) so every scaled score
+    * sits ≥ ~1100× the cross-libm exp drift bound (≈1e-15 relative)
+    * from the nearest floor boundary. The one exact-integral point is
+    * v = origin, where exp(0) = 1 is IEEE-mandated exact in every
+    * libm (the gauss v = origin precedent). Margin proof re-run
+    * exhaustively in EsAggsSpec. */
+  val ExpGridM = 791765213.0
+  def expDecayScore(events: DataFrame, origin: Double, scale: Double,
+      decay: Double, k: Int): DataFrame = {
+    require(scale > 0 && decay > 0 && decay < 1)
+    val lambda = math.log(1 / decay) / scale
+    val d = abs(col("value") - lit(origin))
+    events
+      .select(col("event_id"), col("value"),
+        floor(exp(-(d * lit(lambda))) * lit(ExpGridM)).as("score_grid"))
+      .orderBy(col("score_grid").desc, col("event_id"))
+      .limit(k)
+  }
+
+  /** The DuckDB twin of [[expDecayScore]], generated from the same
+    * constants with the same textual association order. */
+  def expDecaySql(origin: Double, scale: Double, decay: Double,
+      k: Int): String = {
+    val lambda = math.log(1 / decay) / scale
+    s"""SELECT event_id, value,
+       |  CAST(floor(exp(-((abs(value - ${origin}e0)) * ${lambda}e0)) * $ExpGridM) AS BIGINT) AS score_grid
        |FROM events
        |ORDER BY score_grid DESC, event_id LIMIT $k""".stripMargin
   }

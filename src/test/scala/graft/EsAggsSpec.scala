@@ -965,6 +965,88 @@ class EsAggsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.size > 1, "page must show the decay slope")
   }
 
+  test("expDecayScore: exhaustive floor-margin proof + naive recompute") {
+    // The gauss discipline verbatim (see above): enumerate the ENTIRE
+    // finite value domain v = k/100, k in [0, 100000], and prove every
+    // scaled exp-decay score sits far from a floor boundary relative
+    // to the cross-libm exp drift bound. M = 791765213 was searched
+    // r15 for this score set (worst ratio ~1106x at selection); the
+    // spec re-proves >= 100x. The one exact-integral point is
+    // v = origin (exp(0) = 1, IEEE-exact in every libm).
+    val (origin, scale, decay) = (50.0, 80.0, 0.5)
+    val lambda = math.log(1 / decay) / scale
+    val m = Analytics.ExpGridM
+    var minRatio = Double.MaxValue
+    val exactKs = scala.collection.mutable.ArrayBuffer[Int]()
+    for (k <- 0 to 100000) {
+      val d = math.abs(k / 100.0 - origin)
+      val sm = math.exp(-(d * lambda)) * m
+      val f = sm - math.floor(sm)
+      val margin = math.min(f, 1 - f)
+      if (margin == 0.0) exactKs += k
+      else minRatio = math.min(minRatio, margin / (1e-15 * sm))
+    }
+    assert(exactKs.toSeq == Seq(5000), s"unexpected exact-edge inputs: $exactKs")
+    assert(minRatio > 100, s"floor margin only ${minRatio}x the drift bound")
+
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.expDecayScore(ev, origin, scale, decay, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val local = ev.select("event_id", "value").collect()
+      .map { r =>
+        val v = r.getDouble(1)
+        val d = math.abs(v - origin)
+        (r.getLong(0), v, math.floor(math.exp(-(d * lambda)) * m).toLong)
+      }
+    val expected = local.sortBy(x => (-x._3, x._1)).take(20).toSeq
+    assert(got.toSeq == expected)
+    assert(got.map(_._3).distinct.size > 1, "page must show the decay slope")
+  }
+
+  test("calendar date_histogram: tz edges are real instants (DST-short " +
+      "weeks, offset-shifted months); January data splits at the NY new year") {
+    // month edges, America/New_York: pinned against an independent
+    // reference (Python zoneinfo — the constants below), spanning the
+    // EST→EDT offset change: Mar 1 is UTC-5, Apr 1 is UTC-4
+    val mo = Analytics.calendarEdgesUs("month", "America/New_York", 2023, 2027)
+    assert(mo.length == 48)
+    assert(mo.contains(1701406800000000L), "Dec 2023 00:00 EST = 05:00Z")
+    assert(mo.contains(1704085200000000L), "Jan 2024 00:00 EST")
+    assert(mo.contains(1709269200000000L), "Mar 2024 00:00 EST (UTC-5)")
+    assert(mo.contains(1711944000000000L), "Apr 2024 00:00 EDT (UTC-4)")
+    // the Mar→Apr bucket is 31 days MINUS the spring-forward hour
+    assert(1711944000000000L - 1709269200000000L ==
+      31L * 86400000000L - 3600000000L)
+    // week ladder: ISO Mondays; the week containing 2024-03-10 (spring
+    // forward) is 167 hours, the one containing 2024-11-03 is 169
+    val wk = Analytics.calendarEdgesUs("week", "America/New_York", 2023, 2027)
+    assert(wk.sliding(2).forall(p => p(0) < p(1)), "ladder must increase")
+    val mar4 = 1709528400000000L; val mar11 = 1710129600000000L
+    assert(wk.contains(mar4) && wk.contains(mar11))
+    assert(mar11 - mar4 == 167L * 3600000000L, "DST-short week")
+    val oct28 = 1730088000000000L; val nov4 = 1730696400000000L
+    assert(wk.contains(oct28) && wk.contains(nov4))
+    assert(nov4 - oct28 == 169L * 3600000000L, "DST-long week")
+    // quarter edges are every third month edge
+    val q = Analytics.calendarEdgesUs("quarter", "America/New_York", 2023, 2027)
+    assert(q == mo.grouped(3).map(_.head).toIndexedSeq)
+
+    // the wired query: January-2024 data MUST split at the NY new year
+    // (first UTC hours of Jan 1 are Dec 31 in NY), and bucket counts
+    // must match a naive recompute over the same ladder
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.calendarDateHistogram(ev, "month",
+      "America/New_York", 2023, 2027).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(1701406800000000L, 1704085200000000L),
+      s"expected the Dec-2023/Jan-2024 NY split, got ${got.keySet}")
+    val tsList = ev.select(graft.util.Det.tsMicrosOf(ev, "ts").as("us"))
+      .collect().map(_.getLong(0))
+    val naive = tsList.groupBy(us => mo.filter(_ <= us).max)
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == naive)
+  }
+
   test("rrfHybrid fuses lexical and semantic ranks, promoting dual-view docs") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
