@@ -1222,6 +1222,13 @@ object SparkEntry {
     "text_significant_jlh" -> ((s, dir) =>
       text.TextOps.significantTermsJlh(Tables.documents(s, dir), 5L, 20)),
 
+    // significant_terms background_filter (r15): the background set is
+    // the lang='en' slice, not the whole index — all four heuristics
+    // over the one scoped contingency frame, ranked by JLH (ES default)
+    "text_significant_bg" -> ((s, dir) =>
+      text.TextOps.significantTermsBackground(Tables.documents(s, dir),
+        "src3", "en", 2L, 20)),
+
     // fuzzy completion (r13): typed 'bach' still completes to batch
     // AND hash — the ES completion suggester's typo tolerance
     "text_completion_fuzzy" -> ((s, dir) =>
@@ -3269,6 +3276,9 @@ object SparkEntry {
            |       CASE WHEN pfg > pbg THEN (pfg - pbg) * (pfg / pbg) ELSE 0.0 END AS jlh
            |FROM p
            |ORDER BY jlh DESC, source, term LIMIT 20""".stripMargin,
+
+    "text_significant_bg" ->
+      text.TextOps.significantBgOracleSql("src3", "en", 2L, 20),
 
     "text_completion_fuzzy" ->
       raw"""WITH tk AS (SELECT doc_id,

@@ -845,6 +845,122 @@ object TextOps {
     out
   }
 
+  /** ES significant_terms with `background_filter` (round 15, VERDICT
+    * r14 #5): the superset ("background") counts come from a SCOPED
+    * doc set — docs matching `bgLang` — instead of the whole index,
+    * and the foreground is one `fgSource` bucket WITHIN that scope
+    * (ES's documented usage: the query carries the background
+    * predicate so fg ⊆ bg and every margin stays positive). All FOUR
+    * significance heuristics ride the one scoped contingency frame —
+    * the same (a, b, c, d) = (fg term count, bg term count, fg total,
+    * bg total) the unscoped quartet uses, so the scoring programs are
+    * shared verbatim: default lift (a·d)/(b·c); JLH
+    * (p_fg−p_bg)·(p_fg/p_bg) over-represented-else-0; chi² on the 2×2
+    * cells with double-cast-before-multiply in the oracle-mirrored
+    * parenthesization; MI via the DetLn codegen kernel (libm-free,
+    * split numerator−denominator so both ln arguments stay ≥ 1).
+    * Ranked by JLH (ES's default scorer), term tiebreak.
+    *
+    * Scale: tokenizing scans only the bg-filtered slice (predicate
+    * pushed to the parquet scan), the fg marginal is a 1-row
+    * broadcast, the candidate frame is (bg vocab) rows. */
+  def significantTermsBackground(docs: DataFrame, fgSource: String,
+      bgLang: String, minCount: Long, k: Int): DataFrame = {
+    val tok = docs.filter(col("lang") === bgLang)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist()
+    val fg = tok.filter(col("source") === fgSource)
+    val byTermFg = fg.groupBy("term").agg(count(lit(1)).as("a"))
+    val byTermBg = tok.groupBy("term").agg(count(lit(1)).as("b"))
+    val fgTotal = fg.agg(count(lit(1)).as("c"))
+    val bgTotal = tok.agg(count(lit(1)).as("d"))
+    def d(c: Column) = c.cast("double")
+    val n = col("d")
+    val lift = (col("a") * col("d")).cast("double") / (col("b") * col("c"))
+    val pFg = col("a").cast("double") / col("c").cast("double")
+    val pBg = col("b").cast("double") / col("d").cast("double")
+    val jlh = when(pFg > pBg, (pFg - pBg) * (pFg / pBg)).otherwise(lit(0.0))
+    val bigA = col("a"); val bigB = col("c") - col("a")
+    val bigC = col("b") - col("a"); val bigD = n - col("b") - col("c") + col("a")
+    val x = d(bigA) * d(bigD) - d(bigB) * d(bigC)
+    val denom = (d(bigA + bigB) * d(bigA + bigC)) *
+      (d(bigB + bigD) * d(bigC + bigD))
+    val chi2 = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(d(col("d")) * (x * x) / denom)
+    val cells = Seq(
+      (col("a"), col("c"), col("b")),
+      (col("c") - col("a"), col("c"), n - col("b")),
+      (col("b") - col("a"), n - col("c"), col("b")),
+      (n - col("b") - col("c") + col("a"), n - col("c"), n - col("b")))
+    val mi = cells.map { case (nxy, nx, ny) =>
+      when(nxy === 0, lit(0.0)).otherwise(
+        (d(nxy) / d(n)) *
+          ((graft.util.DetLn.lnExpr(d(nxy) * d(n)) -
+            graft.util.DetLn.lnExpr(d(nx) * d(ny))) / lit(graft.util.DetLn.Ln2)))
+    }.reduce(_ + _)
+    val out = byTermFg
+      .join(byTermBg, "term")
+      .crossJoin(broadcast(fgTotal))
+      .crossJoin(broadcast(bgTotal))
+      .filter(col("a") >= minCount)
+      .withColumn("lift", lift)
+      .withColumn("jlh", jlh)
+      .withColumn("chi2", chi2)
+      .withColumn("mi", mi)
+      .select(col("term"), col("a").as("n_fg"), col("b").as("n_bg"),
+        col("lift"), col("jlh"), col("chi2"), col("mi"))
+      .orderBy(col("jlh").desc, col("term"))
+      .limit(k)
+      .localCheckpoint()
+    tok.unpersist(blocking = false)
+    out
+  }
+
+  /** The DuckDB twin of [[significantTermsBackground]] — generated from
+    * the same cell definitions and the same DetLn program (the
+    * significantMiOracleSql pattern, with the scoped token CTEs). */
+  def significantBgOracleSql(fgSource: String, bgLang: String,
+      minCount: Long, k: Int): String = {
+    import graft.util.DetLn
+    val cells = Seq(
+      ("a", "c", "b"),
+      ("c - a", "c", "d - b"),
+      ("b - a", "d - c", "b"),
+      ("d - b - c + a", "d - c", "d - b"))
+    val items = cells.zipWithIndex.flatMap { case ((nxy, nx, ny), j) =>
+      DetLn.sqlItems(s"CAST($nxy AS DOUBLE) * CAST(d AS DOUBLE)", s"__lnn$j") ++
+        DetLn.sqlItems(s"CAST($nx AS DOUBLE) * CAST($ny AS DOUBLE)", s"__lnd$j")
+    }
+    val nest = DetLn.nestSql("ct", items)
+    val mi = cells.zipWithIndex.map { case ((nxy, _, _), j) =>
+      s"(CASE WHEN $nxy = 0 THEN 0.0 ELSE (CAST($nxy AS DOUBLE) / CAST(d AS DOUBLE)) * ((__lnn$j - __lnd$j) / ${DetLn.dlit(DetLn.Ln2)}) END)"
+    }.mkString("\n  + ")
+    raw"""WITH tok AS (SELECT source, term FROM (
+         |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+         |        FROM documents WHERE lang = '$bgLang') WHERE term <> ''),
+         |at AS (SELECT term, count(*) AS a FROM tok WHERE source = '$fgSource' GROUP BY 1),
+         |bt AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
+         |cs AS (SELECT count(*) AS c FROM tok WHERE source = '$fgSource'),
+         |tot AS (SELECT count(*) AS d FROM tok),
+         |ct AS (SELECT term, a, b, c, d
+         |       FROM at JOIN bt USING (term) CROSS JOIN cs CROSS JOIN tot
+         |       WHERE a >= $minCount),
+         |ctl AS (SELECT * FROM $nest)
+         |SELECT term, a AS n_fg, b AS n_bg,
+         |    (CAST(a * d AS DOUBLE) / (b * c)) AS lift,
+         |    (CASE WHEN (CAST(a AS DOUBLE) / CAST(c AS DOUBLE)) > (CAST(b AS DOUBLE) / CAST(d AS DOUBLE))
+         |          THEN ((CAST(a AS DOUBLE) / CAST(c AS DOUBLE)) - (CAST(b AS DOUBLE) / CAST(d AS DOUBLE))) * ((CAST(a AS DOUBLE) / CAST(c AS DOUBLE)) / (CAST(b AS DOUBLE) / CAST(d AS DOUBLE)))
+         |          ELSE 0.0 END) AS jlh,
+         |    (CASE WHEN (CAST(a + (c - a) AS DOUBLE) * CAST(a + (b - a) AS DOUBLE)) * (CAST((c - a) + (d - b - c + a) AS DOUBLE) * CAST((b - a) + (d - b - c + a) AS DOUBLE)) = 0.0 THEN NULL
+         |          ELSE CAST(d AS DOUBLE) * ((CAST(a AS DOUBLE) * CAST(d - b - c + a AS DOUBLE) - CAST(c - a AS DOUBLE) * CAST(b - a AS DOUBLE)) * (CAST(a AS DOUBLE) * CAST(d - b - c + a AS DOUBLE) - CAST(c - a AS DOUBLE) * CAST(b - a AS DOUBLE))) / ((CAST(a + (c - a) AS DOUBLE) * CAST(a + (b - a) AS DOUBLE)) * (CAST((c - a) + (d - b - c + a) AS DOUBLE) * CAST((b - a) + (d - b - c + a) AS DOUBLE))) END) AS chi2,
+         |    $mi
+         |  AS mi
+         |FROM ctl
+         |ORDER BY jlh DESC, term LIMIT $k""".stripMargin
+  }
+
   /** ES significant_text: terms over-represented in the HITS of a query
     * (the free-text twin of [[significantTerms]] — the foreground is
     * "documents matching `queryTerm`", not a keyed field). Lift is the

@@ -493,6 +493,68 @@ class EsAggsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0.0), "the page must carry real JLH signal")
   }
 
+  test("significantTermsBackground: all four heuristics match a scoped " +
+      "naive recompute, and the scoped background reorders the top-20") {
+    val docs = Tables.documents(spark, sfDir)
+    val (fgSource, bgLang) = ("src3", "en")
+    val toks = docs.filter(col("lang") === bgLang)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val fgToks = toks.filter(_._1 == fgSource)
+    val aM = fgToks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bM = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cc = fgToks.length.toLong
+    val dd = toks.length.toLong
+    def cell(nxy: Long, nx: Long, ny: Long): Double =
+      if (nxy == 0) 0.0
+      else (nxy.toDouble / dd.toDouble) *
+        ((graft.util.DetLn.lnScala(nxy.toDouble * dd.toDouble) -
+          graft.util.DetLn.lnScala(nx.toDouble * ny.toDouble)) / graft.util.DetLn.Ln2)
+    val naive = aM.collect { case (t, a) if a >= 2 =>
+      val b = bM(t)
+      val lift = (a * dd).toDouble / (b * cc)
+      val pFg = a.toDouble / cc.toDouble; val pBg = b.toDouble / dd.toDouble
+      val jlh = if (pFg > pBg) (pFg - pBg) * (pFg / pBg) else 0.0
+      val bigB = cc - a; val bigC = b - a; val bigD = dd - b - cc + a
+      val x = a.toDouble * bigD.toDouble - bigB.toDouble * bigC.toDouble
+      val denom = ((a + bigB).toDouble * (a + bigC).toDouble) *
+        ((bigB + bigD).toDouble * (bigC + bigD).toDouble)
+      val chi2 = if (denom == 0) Double.NaN else dd.toDouble * (x * x) / denom
+      val mi = cell(a, cc, b) + cell(cc - a, cc, dd - b) +
+        cell(b - a, dd - cc, b) + cell(dd - b - cc + a, dd - cc, dd - b)
+      (t, (lift, jlh, chi2, mi))
+    }
+    val got = TextOps.significantTermsBackground(docs, fgSource, bgLang,
+      2L, 20).collect()
+      .map(r => (r.getString(0),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+    assert(got.nonEmpty)
+    got.foreach { case (t, (lift, jlh, chi2, mi)) =>
+      val (nl, nj, nc, nm) = naive(t)
+      assert(lift == nl && jlh == nj && mi == nm, s"$t")
+      assert(chi2 == nc || (chi2.isNaN && nc.isNaN), s"$t chi2")
+    }
+    val wantTop = naive.toSeq.sortBy { case (t, (_, j, _, _)) => (-j, t) }
+      .take(20).map(_._1)
+    assert(got.map(_._1).toSeq == wantTop)
+    // the scoped background must REORDER the page vs the unscoped
+    // corpus background (else background_filter is decorative):
+    // recompute jlh with b/d from ALL langs, same fg
+    val allToks = docs.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val bAll = allToks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val dAll = allToks.length.toLong
+    val unscopedTop = aM.collect { case (t, a) if a >= 2 =>
+      val pFg = a.toDouble / cc.toDouble
+      val pBg = bAll(t).toDouble / dAll.toDouble
+      (t, if (pFg > pBg) (pFg - pBg) * (pFg / pBg) else 0.0)
+    }.toSeq.sortBy { case (t, j) => (-j, t) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq != unscopedTop,
+      "scoped background must reorder the top-20")
+  }
+
   test("cumulativeCardinality equals per-bucket distinct recomputation") {
     val ev = Tables.events(spark, sfDir)
     val rows = ev.select(col("user_id"), unix_micros(col("ts"))).collect()
