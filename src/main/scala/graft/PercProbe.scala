@@ -44,12 +44,23 @@ object PercProbe {
       .orderBy(col("count").desc, col("t")).limit(200)
       .collect().map(_.getString(0)).toSeq
 
-    def mkQueries(n: Int): Seq[(String, Query)] =
+    // `extra` synthetic never-occurring should-terms per query grow the
+    // TERM TABLE (queries × terms) without growing the candidate set —
+    // the axis that breaks the broadcast bound (r15, verdict #6). The
+    // msm=1 should-group keeps match semantics identical to the
+    // must-form (synthetic terms match nothing). `realEvery` thins the
+    // real (candidate-generating) vocab term to every k-th query, so
+    // the big-N rows scale the TABLE ×10 while the candidate volume —
+    // the r14-measured cost driver — stays at the previous row's level.
+    def mkQueries(n: Int, extra: Int = 0, realEvery: Int = 1): Seq[(String, Query)] =
       (0 until n).map { i =>
-        val term = vocab(i % vocab.size)
         val band = (i / vocab.size) * 40
+        val synth = (0 until extra).map(j => MatchQ(s"zzsynth${i}x$j"))
+        val should =
+          if (i % realEvery == 0) MatchQ(vocab(i % vocab.size)) +: synth
+          else synth
         s"pq$i" -> Bool(
-          must = Seq(MatchQ(term)),
+          should = should, minimumShouldMatch = 1,
           filter = Seq(RangeQ("n_chars", gte = Some(band.toDouble))))
       }
 
@@ -86,6 +97,27 @@ object PercProbe {
         println(f"$n%6d $tEx%14.2f $tIx%12.2f $tAt%12.2f $nEx")
       } else
         println(f"$n%6d ${"-"}%14s ${"-"}%12s $tAt%12.2f $nAt")
+    }
+
+    // term-TABLE scaling (r15, verdict #6): queries × terms grows to
+    // 10⁷ while candidates stay fixed — the broadcast form ships the
+    // whole table to every executor; the shuffle-hash form partitions
+    // it. Equality asserted at the 10⁶ row where both forms run.
+    println()
+    println(f"${"Q×T"}%9s ${"bcast(s)"}%10s ${"shuffle(s)"}%12s matches")
+    Seq((10000, 99, 1), (100000, 99, 10)).foreach { case (n, extra, realEvery) =>
+      val qs = mkQueries(n, extra, realEvery)
+      val rows = n * (extra + 1)
+      val (tSh, nSh) = time(
+        BoolDsl.percolateDslIndexedAtScale(docs, qs, termIndexShuffle = true)
+          .count())
+      if (rows <= BoolDsl.TermIndexBroadcastMaxRows) {
+        val (tBc, nBc) = time(
+          BoolDsl.percolateDslIndexedAtScale(docs, qs).count())
+        require(nBc == nSh, s"form disagreement at Q×T=$rows: $nBc vs $nSh")
+        println(f"$rows%9d $tBc%10.2f $tSh%12.2f $nSh")
+      } else
+        println(f"$rows%9d ${"-"}%10s $tSh%12.2f $nSh")
     }
     spark.stop()
   }

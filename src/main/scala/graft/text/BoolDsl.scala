@@ -186,11 +186,23 @@ object BoolDsl {
     case _ => None
   }
 
+  /** The inverted term table rides a BROADCAST join up to this many
+    * (term, query_id) rows (~32 MB at ES-typical term widths — well
+    * inside executor broadcast comfort); past it the table goes
+    * through a SHUFFLE hash join instead (r15, VERDICT r14 #6): at
+    * the ~10⁷ queries×terms regime a broadcast ships hundreds of MB
+    * to every executor and the term table must shuffle like any other
+    * fact side. Overridable per call for probes/tests. */
+  val TermIndexBroadcastMaxRows = 1000000
+
   /** Candidate (doc_id, query_id) pairs from the term-index prefilter:
-    * extractable queries invert to a (term → query_id) table that
-    * broadcast-joins the doc token stream; unextractable queries pair
+    * extractable queries invert to a (term → query_id) table joined to
+    * the doc token stream — broadcast below
+    * [[TermIndexBroadcastMaxRows]], shuffle-hash past it (or when
+    * `termIndexShuffle` forces it); unextractable queries pair
     * with every doc. Guaranteed ⊇ the true match set (spec-pinned). */
-  def percolatorCandidates(docs: DataFrame, queries: Seq[(String, Query)]): DataFrame = {
+  def percolatorCandidates(docs: DataFrame, queries: Seq[(String, Query)],
+      termIndexShuffle: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ex = queries.map { case (id, q) => id -> extractTerms(q) }
@@ -199,11 +211,18 @@ object BoolDsl {
     val byTerm =
       if (termRows.isEmpty)
         docs.select(col("doc_id"), lit("").as("query_id")).limit(0)
-      else docs
-        .select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
-        .join(broadcast(termRows.toDF("term", "query_id")), "term")
-        .select(col("doc_id"), col("query_id")).distinct()
+      else {
+        val termTable = termRows.toDF("term", "query_id")
+        val sized =
+          if (termIndexShuffle || termRows.length > TermIndexBroadcastMaxRows)
+            termTable.hint("shuffle_hash")
+          else broadcast(termTable)
+        docs
+          .select(col("doc_id"),
+            explode(array_distinct(split(lower(col("text")), "\\s+"))).as("term"))
+          .join(sized, "term")
+          .select(col("doc_id"), col("query_id")).distinct()
+      }
     if (alwaysIds.isEmpty) byTerm
     else byTerm.union(
       docs.select(col("doc_id")).crossJoin(broadcast(alwaysIds.toDF("query_id"))))
@@ -240,16 +259,18 @@ object BoolDsl {
     * JVM hash map, O(tree) per pair. Output equal to the exhaustive
     * and chain forms (spec-pinned; PercProbe asserts it per run). */
   def percolateDslIndexedAtScale(docs: DataFrame,
-      queries: Seq[(String, Query)]): DataFrame = {
+      queries: Seq[(String, Query)],
+      termIndexShuffle: Boolean = false): DataFrame = {
     require(queries.nonEmpty)
     import org.apache.spark.sql.graftglue.Glue
     val (strFs, numFs) = PercolatorEval.referencedFields(queries)
     val kids = (col("query_id") +: split(lower(col("text")), "\\s+") +:
       (strFs.map(col) ++ numFs.map(f => col(f).cast("double"))))
       .map(Glue.expression)
-    percolatorCandidates(docs, queries)
+    val forestBc = docs.sparkSession.sparkContext.broadcast(queries.toArray)
+    percolatorCandidates(docs, queries, termIndexShuffle)
       .join(docs, "doc_id")
-      .filter(Glue.column(PercolatorEval(kids, queries.toArray, strFs, numFs)))
+      .filter(Glue.column(PercolatorEval(kids, forestBc, strFs, numFs)))
       .select(col("doc_id"), col("query_id"))
   }
 }

@@ -21,14 +21,16 @@ import graft.text.BoolDsl._
   * class, this time in the analyzer's recursion rather than codegen).
   * Even below the cliff, a pair pays an O(Q) id scan down the chain.
   *
-  * This expression instead carries the compiled query FOREST as a plan
-  * reference (id → tree hash map, built once per JVM) and evaluates
-  * exactly the candidate's own tree per row in a JVM kernel: O(tree)
-  * per pair, plan size independent of Q. The forest is metadata
-  * (~100 bytes/query): at 10⁵ queries ≈ 10 MB it should move to a
-  * `SparkContext.broadcast` like [[graft.functions.TopCentroidsBcast]]
-  * — same bound discipline as TopCentroids.maxLiteralValues, recorded
-  * in SCALING.md.
+  * This expression instead carries the compiled query FOREST behind a
+  * `SparkContext.broadcast` (r15 — the [[graft.functions
+  * .TopCentroidsBcast]] discipline; the id → tree hash map is built
+  * lazily once per JVM from the broadcast value) and evaluates exactly
+  * the candidate's own tree per row in a JVM kernel: O(tree) per pair,
+  * plan size independent of Q. Before the broadcast move the forest
+  * rode `addReferenceObj` into EVERY task binary — measured OOM at
+  * 10⁵ queries × 100 leaves (PercProbe r15: 16 concurrent tasks each
+  * deserializing a multi-GB forest copy); broadcast, each executor
+  * JVM holds ONE copy.
   *
   * Children: query_id (string), text tokens (array<string>), then the
   * referenced string fields, then the referenced numeric fields cast
@@ -70,7 +72,7 @@ object PercolatorEval {
 }
 
 case class PercolatorEval(children: Seq[Expression],
-    forest: Array[(String, Query)],
+    forestBc: org.apache.spark.broadcast.Broadcast[Array[(String, Query)]],
     strFields: Seq[String], numFields: Seq[String]) extends Expression {
 
   require(children.length == 2 + strFields.length + numFields.length,
@@ -82,7 +84,7 @@ case class PercolatorEval(children: Seq[Expression],
 
   @transient private lazy val byId: java.util.HashMap[String, Query] = {
     val m = new java.util.HashMap[String, Query]()
-    forest.foreach { case (id, q) => m.put(id, q) }
+    forestBc.value.foreach { case (id, q) => m.put(id, q) }
     m
   }
   private val strIdx: Map[String, Int] = strFields.zipWithIndex.toMap

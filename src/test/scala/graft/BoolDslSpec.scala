@@ -264,6 +264,32 @@ class BoolDslSpec extends SparkSpec {
       atScale.exists(_._2 == id)), "every stored query must match somewhere")
   }
 
+  test("percolator term-index shuffle-join form: equals the broadcast " +
+      "form (and the exhaustive), and the term join genuinely shuffles") {
+    val qs = Seq(
+      "pq1" -> Bool(must = Seq(MatchQ("hash")),
+        filter = Seq(RangeQ("n_chars", gte = Some(200)))),
+      "pq2" -> Bool(should = Seq(MatchQ("join"), MatchQ("vector")),
+        filter = Seq(TermQ("lang", "en")), minimumShouldMatch = 1),
+      "pq3" -> Bool(must = Seq(MatchQ("scan")),
+        mustNot = Seq(TermQ("source", "src13"))),
+      // unextractable: exercises the always-candidate union leg too
+      "pq4" -> Bool(filter = Seq(TermQ("lang", "de"))))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val shuffled = BoolDsl.percolateDslIndexedAtScale(docs, qs,
+      termIndexShuffle = true)
+    assert(pairs(shuffled) == pairs(BoolDsl.percolateDslIndexedAtScale(docs, qs)))
+    assert(pairs(shuffled) == pairs(BoolDsl.percolateDsl(docs, qs)))
+    // the forced form must put the term join through a shuffled hash
+    // join, not a broadcast (the always-candidate leg still broadcasts
+    // its tiny id list — that's fine; we assert the HASH join exists)
+    val plan = BoolDsl.percolatorCandidates(docs, qs, termIndexShuffle = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"term join must be a shuffled hash join, plan:\n$plan")
+  }
+
   test("QueryString: parsed search equals the hand-built tree's search") {
     import graft.text.QueryString
     val q = "hash AND (join OR vector) AND -source:src13 AND n_chars:>=150"
