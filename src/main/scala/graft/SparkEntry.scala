@@ -1336,6 +1336,15 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       dedup.MinHash.nearDupPairs(Tables.documents(s, dir))),
 
+    // paragraph-grain near-dup (r15): MinHash+LSH over 32-token
+    // paragraph units — 50 pairs at sf0.01 on the raw corpus (all
+    // inside whole-doc near-dup pairs here; real corpora have
+    // independent paragraph-grain duplication, which is why the grain
+    // exists). Oracle: all-pairs Jaccard replay (the v2 LSH-complete
+    // bet; 16×2 banding misses a true 0.8-pair w.p. ~1e-7).
+    "dedup_paragraph" -> ((s, dir) =>
+      dedup.MinHash.paragraphNearDupPairs(Tables.documents(s, dir))),
+
     "dedup_simhash" -> ((s, dir) =>
       dedup.SimHash.nearDup(Tables.documents(s, dir))),
 
@@ -1588,6 +1597,17 @@ object SparkEntry {
     "pipe_release_manifest_v4" -> ((s, dir) =>
       pipeline.Pipeline.releaseManifestV4(injectPii(Tables.documents(s, dir)),
         Tables.embeddings(s, dir), Seq("src0", "src1"), 4, 0.2, 4)),
+
+    // v5 = v3 + the paragraph-grain near-dup strip between the
+    // document-grain keeper chain and the manifest tail (r15): dup
+    // 32-token blocks lose their non-canonical copies; n_tok /
+    // quality / redacted_md5 reflect the stripped text and
+    // n_para_stripped audits the stage. (On this corpus the stage
+    // usually no-ops post-doc-dedup — measured, see Pipeline scaladoc;
+    // PipelineSpec proves the strip on a constructed fixture.)
+    "pipe_release_manifest_v5" -> ((s, dir) =>
+      pipeline.Pipeline.releaseManifestV5(injectPii(Tables.documents(s, dir)),
+        Tables.embeddings(s, dir), Seq("src0", "src1"), 4, 0.2)),
 
     "pipe_weighted_mix" -> ((s, dir) => {
       val up = Seq("src0", "src1", "src2", "src3", "src4")
@@ -3434,6 +3454,10 @@ object SparkEntry {
 
     "pipe_release_manifest_v3" -> manifestV3Sql,
 
+    "pipe_release_manifest_v5" -> manifestV5Sql(32, 0.8),
+
+    "dedup_paragraph" -> dedupParagraphSql(32, 0.8),
+
     "pipe_release_manifest_v4" -> manifestV4Sql,
 
     "q_salted_join" ->
@@ -4086,7 +4110,48 @@ object SparkEntry {
   /** pipe_release_manifest_v3 oracle — the full CTE-chain replay of
     * the fingerprint -> MinHash-LSH -> semantic release chain (shared
     * by the v4 wrapper below).  */
-  private val manifestV3Sql: String =
+  /** The v3 oracle chain split into PREFIX (pii-injected corpus →
+    * fingerprint → string near-dup → semantic near-dup = keep3) and
+    * TAIL (quality gate → decontamination → PII scrub → manifest), so
+    * v5 can insert its paragraph-strip CTEs between them without
+    * duplicating either — the shared-generation discipline. `from` is
+    * the keeper CTE the tail reads; `carry`/`finalExtra` thread extra
+    * audit columns through the tail stages. */
+  private def manifestTailSql(from: String, carry: String,
+      finalExtra: String): String =
+    raw""",
+       |q AS (SELECT doc_id, source, text$carry,
+       |        CAST(length(text) AS BIGINT) AS n_chars,
+       |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+       |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS stop_hits,
+       |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct_hits
+       |      FROM $from),
+       |scored AS (SELECT doc_id, source, text$carry, n_tokens,
+       |        least(1.0, n_tokens / 100.0) * (1.0 - CAST(punct_hits AS DOUBLE) / n_chars)
+       |          * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)) AS quality_score
+       |      FROM q),
+       |flt AS (SELECT * FROM scored WHERE quality_score >= 0.2),
+       |w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM p),
+       |raw AS (SELECT doc_id, source,
+       |        unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+       |                              i -> array_to_string(words[i:i+3], ' '))) AS gram
+       |        FROM w),
+       |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
+       |b AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+       |bad AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram)
+       |        WHERE source NOT IN ('src0', 'src1')),
+       |clean AS (SELECT * FROM flt WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+       |SELECT doc_id, source, n_tokens AS n_tok, quality_score$finalExtra,
+       |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+       |     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+       |     + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_redacted,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+       |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+       |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g')) AS redacted_md5
+       |FROM clean""".stripMargin
+
+  private val manifestPrefixSql: String =
     raw"""WITH RECURSIVE p AS (SELECT doc_id, source,
            |  text || CASE WHEN doc_id % 7 = 0
            |               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
@@ -4121,37 +4186,56 @@ object SparkEntry {
            |  UNION SELECT sbi.s, sreach.r FROM sbi JOIN sreach ON sbi.d = sreach.id),
            |slbl AS (SELECT id, min(r) AS cluster FROM sreach GROUP BY id),
            |keep3 AS (SELECT keep2.* FROM keep2 LEFT JOIN slbl ON keep2.doc_id = slbl.id
-           |          WHERE slbl.cluster IS NULL OR slbl.cluster = keep2.doc_id),
-           |q AS (SELECT doc_id, source, text,
-           |        CAST(length(text) AS BIGINT) AS n_chars,
-           |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
-           |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS stop_hits,
-           |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct_hits
-           |      FROM keep3),
-           |scored AS (SELECT doc_id, source, text, n_tokens,
-           |        least(1.0, n_tokens / 100.0) * (1.0 - CAST(punct_hits AS DOUBLE) / n_chars)
-           |          * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)) AS quality_score
-           |      FROM q),
-           |flt AS (SELECT * FROM scored WHERE quality_score >= 0.2),
-           |w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM p),
-           |raw AS (SELECT doc_id, source,
-           |        unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
-           |                              i -> array_to_string(words[i:i+3], ' '))) AS gram
-           |        FROM w),
-           |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
-           |b AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
-           |bad AS (SELECT DISTINCT doc_id FROM g JOIN b USING (gram)
-           |        WHERE source NOT IN ('src0', 'src1')),
-           |clean AS (SELECT * FROM flt WHERE doc_id NOT IN (SELECT doc_id FROM bad))
-           |SELECT doc_id, source, n_tokens AS n_tok, quality_score,
-           |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
-           |     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
-           |     + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_redacted,
-           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-           |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-           |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
-           |    '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g')) AS redacted_md5
-           |FROM clean""".stripMargin
+           |          WHERE slbl.cluster IS NULL OR slbl.cluster = keep2.doc_id)""".stripMargin
+
+  private val manifestV3Sql: String =
+    manifestPrefixSql + manifestTailSql("keep3", "", "")
+
+  /** Paragraph unitize + shingle CTEs (tkp → pshp), shared by the
+    * dedup_paragraph oracle and the v5 manifest oracle — one
+    * definition so the two cannot drift. `src` must expose (doc_id,
+    * source, text). */
+  private def paraShinglesSql(src: String, paraTokens: Int): String =
+    raw"""tkp AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM $src),
+         |pup AS (SELECT doc_id, unnest(list_transform(range(0, greatest(CAST(ceil(len(toks)/$paraTokens.0) AS BIGINT), 1)),
+         |          p -> {'pidx': p, 'ptoks': toks[p*$paraTokens+1 : p*$paraTokens+$paraTokens]})) AS u FROM tkp),
+         |pup2 AS (SELECT doc_id, u.pidx AS pidx, u.ptoks AS ptoks FROM pup),
+         |pshp AS (SELECT doc_id, pidx, list_distinct(list_transform(range(1, len(ptoks) - 1), i -> array_to_string(ptoks[i:i+2], ' '))) AS sh
+         |         FROM pup2 WHERE len(ptoks) >= 3)""".stripMargin
+
+  private def paraJaccardSql: String =
+    "CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)))"
+
+  /** dedup_paragraph oracle: all-pairs replay of the LSH form (the v2
+    * LSH-lost-nothing bet — a true 0.8-Jaccard pair escapes the 16×2
+    * banding w.p. ~1e-7). */
+  private def dedupParagraphSql(paraTokens: Int, paraTau: Double): String =
+    "WITH " + paraShinglesSql("documents", paraTokens) +
+      raw"""
+         |SELECT a.doc_id AS a_doc, CAST(a.pidx AS BIGINT) AS a_para,
+         |       b2.doc_id AS b_doc, CAST(b2.pidx AS BIGINT) AS b_para,
+         |       $paraJaccardSql AS jaccard
+         |FROM pshp a JOIN pshp b2
+         |  ON (a.doc_id < b2.doc_id OR (a.doc_id = b2.doc_id AND a.pidx < b2.pidx))
+         |WHERE len(a.sh) > 0 AND len(b2.sh) > 0 AND $paraJaccardSql >= $paraTau""".stripMargin
+
+  /** v5 oracle: the v3 prefix + the paragraph-strip CTEs (all-pairs
+    * replay, strip every non-minimal (doc, para) copy) + the shared
+    * tail reading the STRIPPED text, carrying the n_para_stripped
+    * audit column. */
+  private def manifestV5Sql(paraTokens: Int, paraTau: Double): String =
+    manifestPrefixSql + ",\n" + paraShinglesSql("keep3", paraTokens) +
+      raw""",
+         |ppr5 AS (SELECT b2.doc_id AS doc_id, b2.pidx AS pidx FROM pshp a JOIN pshp b2
+         |         ON (a.doc_id < b2.doc_id OR (a.doc_id = b2.doc_id AND a.pidx < b2.pidx))
+         |         WHERE len(a.sh) > 0 AND len(b2.sh) > 0 AND $paraJaccardSql >= $paraTau),
+         |st5 AS (SELECT doc_id, list(DISTINCT pidx) AS sps FROM ppr5 GROUP BY doc_id),
+         |keep5 AS (SELECT t.doc_id, t.source,
+         |        array_to_string(list_filter(t.toks, (x, i) -> NOT list_contains(coalesce(st5.sps, []), (i - 1) // $paraTokens)), ' ') AS text,
+         |        CAST(len(coalesce(st5.sps, [])) AS BIGINT) AS n_para_stripped
+         |        FROM tkp t LEFT JOIN st5 USING (doc_id))""".stripMargin +
+      manifestTailSql("keep5", ", n_para_stripped",
+        ", CAST(n_para_stripped AS BIGINT) AS n_para_stripped")
 
   /** v4 = the v3 manifest dealt round-robin into 4 shards by
     * (n_tok desc, doc_id) rank — the shardManifest rule applied to

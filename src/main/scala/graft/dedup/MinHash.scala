@@ -94,6 +94,72 @@ object MinHash {
     Dedup.confirmJaccard(candidatePairs(s, numHashes, bands), s, tau)
   }
 
+  /** Paragraph-index bits in the encoded unit id: uid =
+    * doc_id << 20 | para_idx, so unit ids order lexicographically by
+    * (doc_id, para_idx) and the doc-grain LSH machinery
+    * ([[bandTable]]/[[candidatePairs]]/confirmJaccard) applies to
+    * paragraph units UNCHANGED. 2²⁰ paragraphs ≈ a 33M-token doc at
+    * the default unit width — guarded with raise_error, the intervals
+    * discipline. */
+  val ParaIdxBits = 20
+
+  /** Paragraph units: (doc_id, para_idx, token-hash block). This
+    * corpus is a flat token stream, so a "paragraph" is a fixed
+    * `paraTokens` block — the unitizer to swap for split-on-blank-line
+    * in a corpus that has real paragraph boundaries; everything
+    * downstream only sees token-hash arrays. Trailing blocks shorter
+    * than `n` (no full shingle) are dropped on both engines. */
+  def paragraphUnits(docs: DataFrame, paraTokens: Int, n: Int): DataFrame = {
+    require(paraTokens >= n, s"paraTokens $paraTokens < shingle width $n")
+    docs
+      .withColumn("th", tokenHashes(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(
+            ceil(size(col("th")) / lit(paraTokens.toDouble)).cast("int") - 1,
+            lit(0))),
+          p => slice(col("th"), p * paraTokens + 1, lit(paraTokens))))
+          .as(Seq("para_idx", "pth")))
+      .filter(size(col("pth")) >= n)
+  }
+
+  /** PARAGRAPH-grain near-dup pairs (r15, VERDICT r14 #8 — the grain
+    * real corpora dedup at between whole-document near-dup and
+    * repeated-span stripping): MinHash + LSH banding over paragraph
+    * units instead of documents. Unit ids encode (doc_id, para_idx)
+    * into one BIGINT so the document-grain [[candidatePairs]] and
+    * exact-Jaccard confirm run verbatim on units; pairs are ordered by
+    * (a_doc, a_para) < (b_doc, b_para) — the id encoding IS that
+    * order — and include same-doc pairs (a repeated paragraph inside
+    * one doc is also a dup; the strip stage keeps the first copy
+    * either way). Scale shape identical to the doc form: banded
+    * equi-join on slim rows, exact confirm only inside candidate
+    * groups — unit count is ~tokens/paraTokens, so the banding table
+    * grows by the same factor the rows shrink. */
+  def paragraphNearDupPairs(docs: DataFrame, paraTokens: Int = 32,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      tau: Double = 0.8): DataFrame = {
+    val cap = 1L << ParaIdxBits
+    val uid = when(col("para_idx") >= cap,
+        expr(s"raise_error(concat('paragraph index overflow at doc ', " +
+          s"CAST(doc_id AS STRING)))").cast("bigint"))
+      .otherwise(shiftleft(col("doc_id"), ParaIdxBits) + col("para_idx"))
+    val units = paragraphUnits(docs, paraTokens, n)
+      .select(uid.as("doc_id"), shinglesFromTokenHashes(col("pth"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val out = Dedup.confirmJaccard(
+        candidatePairs(units, numHashes, bands), units, tau)
+      .select(shiftright(col("a_id"), ParaIdxBits).as("a_doc"),
+        (col("a_id") % cap).as("a_para"),
+        shiftright(col("b_id"), ParaIdxBits).as("b_doc"),
+        (col("b_id") % cap).as("b_para"),
+        col("jaccard"))
+      .localCheckpoint()
+    units.unpersist(blocking = false)
+    out
+  }
+
   private def docShingles(docs: DataFrame, n: Int): DataFrame = docs
     .withColumn("th", tokenHashes(col("text")))
     .select(col("doc_id"), shinglesFromTokenHashes(col("th"), n).as("sh"))

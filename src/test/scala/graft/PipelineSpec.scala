@@ -293,6 +293,68 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("paragraphNearDupPairs equals an all-pairs naive recompute on the corpus") {
+    import graft.dedup.MinHash
+    val docs = Tables.documents(spark, sfDir)
+    val (pt, n, tau) = (32, 3, 0.8)
+    val got = MinHash.paragraphNearDupPairs(docs, pt, n, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // naive: fixed token blocks, string 3-gram shingles, all pairs
+    val paras = docs.select(col("doc_id"), col("text")).collect().flatMap { r =>
+      val toks = r.getString(1).split(" ", -1)
+      toks.grouped(pt).zipWithIndex.collect {
+        case (block, p) if block.length >= n =>
+          ((r.getLong(0), p.toLong),
+            block.sliding(n).map(_.mkString(" ")).toSet)
+      }
+    }
+    val naive = (for {
+      (ka, sa) <- paras
+      (kb, sb) <- paras
+      if ka._1 < kb._1 || (ka._1 == kb._1 && ka._2 < kb._2)
+      if sa.nonEmpty && sb.nonEmpty
+      inter = sa.intersect(sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= tau
+    } yield (ka._1, ka._2, kb._1, kb._2)).toSet
+    assert(got == naive, s"missing=${(naive -- got).take(3)} extra=${(got -- naive).take(3)}")
+    assert(got.nonEmpty, "the corpus must carry paragraph-grain signal")
+  }
+
+  test("stripDuplicateParagraphs + releaseManifestV5: the non-canonical " +
+      "paragraph copy is stripped, audit column counts it") {
+    val spark2 = spark; import spark2.implicits._
+    // a shared 32-token paragraph (block-aligned in both docs), unique
+    // remainders; doc 20 holds the canonical (smaller doc_id) copy
+    val para = (0 until 32).map(i => s"dup$i").mkString(" ")
+    val tailA = (0 until 32).map(i => s"alpha$i").mkString(" ")
+    val tailB = (0 until 32).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (20L, "s", s"$para $tailA"),
+      (21L, "s", s"$para $tailB"),
+      (22L, "s", (0 until 40).map(i => s"solo$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.stripDuplicateParagraphs(docs, 32, 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got(20L) == (s"$para $tailA", 0L), "canonical copy must survive")
+    assert(got(21L) == (tailB, 1L), "dup paragraph must strip, remainder stays")
+    assert(got(22L)._2 == 0L)
+    // and through the v5 manifest: the doc-grain stages must NOT merge
+    // 20/21 (doc Jaccard < 0.8 by construction), the paragraph stage
+    // must fire, and n_tok must reflect the stripped text
+    def unit(i: Int) = Array.tabulate(8)(j => if (j == i) 1f else 0f)
+    val emb = Seq((20L, unit(0)), (21L, unit(1)), (22L, unit(2)))
+      .toDF("vec_id", "embedding")
+    // cosTau 0.6 routes the semantic stage to the LSH branch — the
+    // IVF route's centroid training needs a real corpus, not 3 rows
+    val m = Pipeline.releaseManifestV5(docs, emb, Seq("none"), 4, 0.0,
+      cosTau = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(6))).toMap
+    assert(m(21L) == (32L, 1L), s"v5 must strip doc 21 to 32 tokens: $m")
+    assert(m(20L) == (64L, 0L) && m(22L) == (40L, 0L))
+  }
+
   test("packSequences bins are contiguous doc_id ranges filling the budget") {
     val docs = Tables.documents(spark, sfDir)
     val rows = Pipeline.packSequences(docs, 500L)
