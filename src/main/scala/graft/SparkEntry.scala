@@ -116,6 +116,23 @@ object SparkEntry {
     SNot(SNear(Seq(STerm("merge"), STerm("sort")), slop = 4, inOrder = false),
       STerm("batch"), pre = 1, post = 1)
   }
+  // r15: the remaining span members — within/containing (the two
+  // enclosure filters) and multi (prefix rewrite inside a near)
+  private val spanWithinQuery: text.Spans.Span = {
+    import text.Spans._
+    SWithin(STerm("join"),
+      SNear(Seq(STerm("hash"), STerm("scan")), slop = 6, inOrder = false))
+  }
+  private val spanContainingQuery: text.Spans.Span = {
+    import text.Spans._
+    SContaining(
+      SNear(Seq(STerm("hash"), STerm("scan")), slop = 6, inOrder = false),
+      STerm("join"))
+  }
+  private val spanMultiQuery: text.Spans.Span = {
+    import text.Spans._
+    SNear(Seq(SMultiPrefix("sc"), STerm("table")), slop = 4, inOrder = false)
+  }
 
   /** Shared percolator stored-query set — ONE definition feeds the
     * exhaustive form, the r13 term-index-prefiltered form, and (via
@@ -574,6 +591,12 @@ object SparkEntry {
       text.Spans.spanSearch(Tables.documents(s, dir), spanOrQuery, 25)),
     "text_span_not" -> ((s, dir) =>
       text.Spans.spanSearch(Tables.documents(s, dir), spanNotQuery, 25)),
+    "text_span_within" -> ((s, dir) =>
+      text.Spans.spanSearch(Tables.documents(s, dir), spanWithinQuery, 25)),
+    "text_span_containing" -> ((s, dir) =>
+      text.Spans.spanSearch(Tables.documents(s, dir), spanContainingQuery, 25)),
+    "text_span_multi" -> ((s, dir) =>
+      text.Spans.spanSearch(Tables.documents(s, dir), spanMultiQuery, 25)),
 
     // terms lookup: docs sharing tokens with doc 42 (set membership,
     // not TF scoring — the more_like_this contrast)
@@ -2080,6 +2103,9 @@ object SparkEntry {
     "text_span_near" -> text.Spans.oracleSql(spanNearQuery, 25),
     "text_span_or" -> text.Spans.oracleSql(spanOrQuery, 25),
     "text_span_not" -> text.Spans.oracleSql(spanNotQuery, 25),
+    "text_span_within" -> text.Spans.oracleSql(spanWithinQuery, 25),
+    "text_span_containing" -> text.Spans.oracleSql(spanContainingQuery, 25),
+    "text_span_multi" -> text.Spans.oracleSql(spanMultiQuery, 25),
 
     "q_bucket_ks_test" ->
       """WITH day AS (

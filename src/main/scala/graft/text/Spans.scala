@@ -40,6 +40,18 @@ object Spans {
   final case class SOr(clauses: Seq[Span]) extends Span
   final case class SNot(include: Span, exclude: Span,
       pre: Int = 0, post: Int = 0) extends Span
+  /** span_within(little, big): matches of `little` enclosed by a
+    * `big` match (r15 — the remaining span family members, each the
+    * ES-documented intervals migration). */
+  final case class SWithin(little: Span, big: Span) extends Span
+  /** span_containing(big, little): matches of `big` that enclose a
+    * `little` match. */
+  final case class SContaining(big: Span, little: Span) extends Span
+  /** span_multi over a prefix (multi-term query wrapped as a span —
+    * prefix and wildcard are the rewrites Lucene's SpanMultiTermQuery
+    * supports that intervals express directly). */
+  final case class SMultiPrefix(prefix: String) extends Span
+  final case class SMultiWildcard(pattern: String) extends Span
 
   /** The executable ES-documented span → intervals mapping. */
   def toIntervals(s: Span): Node = s match {
@@ -53,6 +65,12 @@ object Spans {
     case SNot(inc, exc, pre, post) =>
       IFilter(toIntervals(inc), "not_overlapping",
         IExpand(toIntervals(exc), pre, post))
+    case SWithin(little, big) =>
+      IFilter(toIntervals(little), "contained_by", toIntervals(big))
+    case SContaining(big, little) =>
+      IFilter(toIntervals(big), "containing", toIntervals(little))
+    case SMultiPrefix(p) => IPrefix(p)
+    case SMultiWildcard(w) => IWildcard(w)
   }
 
   /** Docs ranked by minimal-interval count for the span query —

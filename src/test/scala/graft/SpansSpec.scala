@@ -61,6 +61,37 @@ class SpansSpec extends SparkSpec {
       "pre extends the exclusion backward into doc 2's span")
   }
 
+  test("span_within / span_containing: enclosure binds both ways (r15)") {
+    assert(Spans.toIntervals(SWithin(STerm("a"), STerm("b"))) ==
+      IFilter(IMatch(Seq("a")), "contained_by", IMatch(Seq("b"))))
+    assert(Spans.toIntervals(SContaining(STerm("a"), STerm("b"))) ==
+      IFilter(IMatch(Seq("a")), "containing", IMatch(Seq("b"))))
+    val docs = docsOf(
+      "hash join scan",    // join inside the hash..scan span
+      "join hash scan",    // join OUTSIDE (before) the enclosing span
+      "hash a b scan",     // no little match at all
+      "join")              // little with no big
+    val big = SNear(Seq(STerm("hash"), STerm("scan")), 6, inOrder = false)
+    assert(hits(docs, SWithin(STerm("join"), big)) == Set(1L),
+      "within keeps only the enclosed little match")
+    assert(hits(docs, SContaining(big, STerm("join"))) == Set(1L),
+      "containing keeps only the enclosing big match")
+  }
+
+  test("span_multi: prefix rewrite inside a near binds (r15)") {
+    assert(Spans.toIntervals(SMultiPrefix("sc")) == IPrefix("sc"))
+    assert(Spans.toIntervals(SMultiWildcard("s*n")) == IWildcard("s*n"))
+    val docs = docsOf(
+      "scan a table",  // sc* one gap from table
+      "scatter table", // different sc* word, adjacent
+      "scan x y z w table", // too far at slop 4? 4 intervening -> passes
+      "table none here")
+    val q = SNear(Seq(SMultiPrefix("sc"), STerm("table")), 4, inOrder = false)
+    assert(hits(docs, q) == Set(1L, 2L, 3L))
+    assert(hits(docs, SNear(Seq(SMultiPrefix("sc"), STerm("table")), 3,
+      inOrder = false)) == Set(1L, 2L), "slop must bind on the rewrite")
+  }
+
   test("wired span queries return non-empty pages on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val near = SNear(Seq(STerm("merge"), STerm("sort")), 3, inOrder = false)
