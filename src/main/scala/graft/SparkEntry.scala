@@ -335,6 +335,13 @@ object SparkEntry {
     "q_nested_terms_agg" -> ((s, dir) =>
       river.Nested.nestedTermsAgg(river.Nested.nestedDocs(Tables.events(s, dir)))),
 
+    // reverse_nested with parent-level sub-aggs (r15): per nested
+    // term, parent metrics counted ONCE per parent — exact-decimal
+    // per-row array fold, no second shuffle
+    "q_reverse_nested" -> ((s, dir) =>
+      river.Nested.reverseNestedAgg(
+        river.Nested.nestedDocs(Tables.events(s, dir)))),
+
     // ES nested + inner_hits (round 12): the matching items themselves,
     // exploded after the per-row array filter
     "q_nested_inner_hits" -> ((s, dir) =>
@@ -420,6 +427,13 @@ object SparkEntry {
     "q_date_histogram_calweek" -> ((s, dir) =>
       operators.Analytics.calendarDateHistogram(Tables.events(s, dir),
         "week", "America/New_York", 2023, 2027)),
+
+    // date_histogram offset + min_doc_count:0 + extended_bounds (r15):
+    // 12h buckets shifted by 3h, bounds 2023-12-30..2024-02-02 — the
+    // empty lead/tail buckets materialize with n=0 at every SF
+    "q_date_histogram_filled" -> ((s, dir) =>
+      operators.Analytics.dateHistogramFilled(Tables.events(s, dir),
+        43200000000L, 10800000000L, 1703894400000000L, 1706832000000000L)),
 
     "q_salted_agg" -> ((s, dir) =>
       operators.Skew.saltedStats(Tables.events(s, dir),
@@ -1849,6 +1863,10 @@ object SparkEntry {
       operators.Analytics.calendarHistogramSql("quarter", "America/New_York"),
     "q_date_histogram_calweek" ->
       operators.Analytics.calendarHistogramSql("week", "America/New_York"),
+
+    "q_date_histogram_filled" ->
+      operators.Analytics.dateHistogramFilledSql(
+        43200000000L, 10800000000L, 1703894400000000L, 1706832000000000L),
 
     "q_salted_agg" ->
       """SELECT user_id, count(*) AS n,
@@ -4028,6 +4046,22 @@ object SparkEntry {
         |       count(DISTINCT (user_id, day_idx)) AS n_parent_docs,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM it WHERE parent IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_reverse_nested" ->
+      """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+        |                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |                        THEN NULL ELSE event_type END AS parent,
+        |                   value
+        |            FROM events),
+        |par AS (SELECT user_id, day_idx, count(*) AS p_items,
+        |               sum(CAST(value AS DECIMAL(18,2))) AS p_value
+        |        FROM it GROUP BY 1, 2),
+        |pt AS (SELECT DISTINCT user_id, day_idx, parent FROM it WHERE parent IS NOT NULL)
+        |SELECT parent, count(*) AS n_parent_docs,
+        |       CAST(sum(p_items) AS BIGINT) AS sum_parent_items,
+        |       CAST(sum(p_value) AS DOUBLE) AS sum_parent_value
+        |FROM pt JOIN par USING (user_id, day_idx)
+        |GROUP BY 1""".stripMargin,
 
     "river_delete_old" ->
       s"""WITH $sinkWm

@@ -206,6 +206,69 @@ object Analytics {
        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1""".stripMargin
 
+  /** ES date_histogram with `offset`, `min_doc_count: 0` and
+    * `extended_bounds` (r15 — the Kibana sparse-series behavior the
+    * plain [[dateHistogram]] omits): EVERY bucket between
+    * min(first data bucket, bounds.lo) and max(last data bucket,
+    * bounds.hi) materializes, empty ones with n = 0 / sum = 0.0, and
+    * bucket edges shift by `offsetUs`. Exact integer µs arithmetic
+    * throughout. The data span probe is a 1-row min/max aggregate
+    * (bounded metadata — the auto_date_histogram precedent); the fill
+    * frame is `spark.range` over the bucket index range (bucket-count
+    * rows, not data rows) left-joining the aggregated counts — at any
+    * corpus scale the join is broadcast-sized on both sides because
+    * aggregation happened first. Requires boundsLo ≥ offset so integer
+    * `div` truncation IS floor division. */
+  def dateHistogramFilled(events: DataFrame, intervalUs: Long,
+      offsetUs: Long, boundsLoUs: Long, boundsHiUs: Long): DataFrame = {
+    require(intervalUs > 0 && offsetUs >= 0 && boundsLoUs >= offsetUs &&
+      boundsHiUs >= boundsLoUs)
+    val spark = events.sparkSession
+    val us = Det.tsMicrosOf(events, "ts")
+    // exact bucket index: subtract the remainder first so the double
+    // division is of an exact multiple (IEEE-exact) — a raw
+    // (us-off)/interval double division can edge-misbucket at µs scale
+    val shifted = us - lit(offsetUs)
+    val idxCol = ((shifted - pmod(shifted, lit(intervalUs))) / lit(intervalUs))
+      .cast("long")
+    val d = events.select(idxCol.as("idx"), col("value"))
+      .filter(us >= offsetUs) // div-is-floor domain; no data below epoch+offset
+    val agg = d.groupBy("idx")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sv"))
+    val span = d.agg(min(col("idx")), max(col("idx"))).collect()(0)
+    val loIdx = (boundsLoUs - offsetUs) / intervalUs
+    val hiIdx = (boundsHiUs - offsetUs) / intervalUs
+    val (mn, mx) =
+      if (span.isNullAt(0)) (loIdx, hiIdx)
+      else (math.min(loIdx, span.getLong(0)), math.max(hiIdx, span.getLong(1)))
+    spark.range(mn, mx + 1).toDF("idx")
+      .join(agg, Seq("idx"), "left")
+      .select((col("idx") * intervalUs + offsetUs).as("bucket_start_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"))
+  }
+
+  /** The DuckDB twin of [[dateHistogramFilled]], generated from the
+    * same constants. */
+  def dateHistogramFilledSql(intervalUs: Long, offsetUs: Long,
+      boundsLoUs: Long, boundsHiUs: Long): String = {
+    val loIdx = (boundsLoUs - offsetUs) / intervalUs
+    val hiIdx = (boundsHiUs - offsetUs) / intervalUs
+    s"""WITH d AS (SELECT (epoch_us(ts) - $offsetUs) // $intervalUs AS idx, value
+       |           FROM events WHERE epoch_us(ts) >= $offsetUs),
+       |agg AS (SELECT idx, count(*) AS n,
+       |               sum(CAST(value AS DECIMAL(18,2))) AS sv
+       |        FROM d GROUP BY 1),
+       |b AS (SELECT min(idx) AS mn, max(idx) AS mx FROM d),
+       |rng AS (SELECT unnest(range(least($loIdx, COALESCE(mn, $loIdx)),
+       |                            greatest($hiIdx, COALESCE(mx, $hiIdx)) + 1)) AS idx
+       |        FROM b)
+       |SELECT idx * $intervalUs + $offsetUs AS bucket_start_us,
+       |       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       |       CAST(COALESCE(sv, 0) AS DOUBLE) AS sum_value
+       |FROM rng LEFT JOIN agg USING (idx)""".stripMargin
+  }
+
   /** Tumbling-window aggregation — the batch twin of the streaming river's
     * windowed agg (same `window()` expression Structured Streaming uses). */
   def timeWindow(events: DataFrame, width: String): DataFrame =

@@ -114,4 +114,39 @@ object Nested {
       .agg(count(lit(1)).as("n_nested"),
         countDistinct(col("user_id"), col("day_idx")).as("n_parent_docs"),
         Det.moneySum(col("item.value")).as("sum_value"))
+
+  /** ES `reverse_nested` with PARENT-LEVEL sub-aggregations (r15 —
+    * the full shape, where [[nestedTermsAgg]]'s n_parent_docs is only
+    * the count): bucket by the nested path term, step back to the
+    * parent document, and aggregate PARENT-grain metrics — each
+    * parent's total item count and total value (over ALL its items,
+    * not just the bucket's) counted ONCE per parent per bucket. That
+    * once-per-parent grain is the whole point of reverse_nested: a
+    * parent with five 'click' items contributes its metrics once to
+    * the 'click' bucket.
+    *
+    * Scale: the parent metrics and the parent's distinct term set are
+    * per-row ARRAY ops on the assembled docs (exact-decimal array
+    * fold — no second shuffle); the explode is bounded by distinct
+    * terms per parent; one hash agg. */
+  def reverseNestedAgg(docs: DataFrame): DataFrame = {
+    val dec = "decimal(18,2)"
+    // the merge re-casts to keep the accumulator type fixed (decimal
+    // addition widens 18,2 → 19,2); per-parent money sums fit 18,2 by
+    // the same bound Det.moneySum relies on
+    val parentTotal = aggregate(col("items"), lit(0).cast(dec),
+      (acc, it) => (acc + it.getField("value").cast(dec)).cast(dec))
+    docs.select(col("user_id"), col("day_idx"),
+        size(col("items")).cast("long").as("p_items"),
+        parentTotal.as("p_value"),
+        array_distinct(transform(
+          filter(col("items"), it => it.getField("parent").isNotNull),
+          it => it.getField("parent"))).as("terms"))
+      .select(col("p_items"), col("p_value"),
+        explode(col("terms")).as("parent"))
+      .groupBy("parent")
+      .agg(count(lit(1)).as("n_parent_docs"),
+        sum(col("p_items")).as("sum_parent_items"),
+        sum(col("p_value")).cast("double").as("sum_parent_value"))
+  }
 }

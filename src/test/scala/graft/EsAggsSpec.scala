@@ -1109,6 +1109,39 @@ class EsAggsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("dateHistogramFilled: empty buckets materialize to the extended " +
+      "bounds, offset shifts edges, data outside bounds still buckets") {
+    val ev = Tables.events(spark, sfDir)
+    val (itv, off) = (43200000000L, 10800000000L)
+    val (lo, hi) = (1703894400000000L, 1706832000000000L)
+    val got = Analytics.dateHistogramFilled(ev, itv, off, lo, hi).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // contiguous buckets, every edge ≡ offset (mod interval)
+    assert(got.sliding(2).forall(p => p(1)._1 - p(0)._1 == itv))
+    assert(got.forall(_._1 % itv == off % itv))
+    // the January data leaves the bound-extended lead/tail empty
+    assert(got.head._2 == 0L && got.last._2 == 0L,
+      "extended_bounds must materialize empty edge buckets")
+    assert(got.exists(_._2 > 0L))
+    // empty buckets report sum 0.0 (the ES empty-bucket sum), and the
+    // naive recompute agrees bucket-for-bucket
+    assert(got.filter(_._2 == 0L).forall(_._3 == 0.0))
+    val naive = ev.select(graft.util.Det.tsMicrosOf(ev, "ts").as("us"),
+        col("value")).collect()
+      .map(r => ((r.getLong(0) - off) / itv, r.getDouble(1)))
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.length.toLong, xs.map(x => BigDecimal(x._2)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      }.toMap
+    got.foreach { case (start, n, sv) =>
+      val (wn, wsv) = naive.getOrElse((start - off) / itv, (0L, 0.0))
+      assert(n == wn && sv == wsv, s"bucket $start")
+    }
+    assert(naive.keySet == got.filter(_._2 > 0).map(g => (g._1 - off) / itv).toSet,
+      "every data bucket must appear (bounds extend, never filter)")
+  }
+
   test("rrfHybrid fuses lexical and semantic ranks, promoting dual-view docs") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)

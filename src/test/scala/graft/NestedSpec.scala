@@ -67,4 +67,28 @@ class NestedSpec extends SparkSpec {
     // reverse_nested: parent-doc counts must be strictly below item counts
     assert(got.values.forall { case (items, parents) => parents <= items })
   }
+
+  test("reverseNestedAgg aggregates at parent grain, once per parent " +
+      "per bucket (r15)") {
+    val got = Nested.reverseNestedAgg(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def money(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val want = itemsLocal.toSeq.flatMap { case (k, its) =>
+      val pItems = its.size.toLong
+      val pValue = its.map(i => money(i.value)).sum
+      its.flatMap(_.parent).distinct.map(p => (p, k, pItems, pValue))
+    }.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, xs.map(_._3).sum, xs.map(_._4).sum.toDouble)
+    }.toMap
+    assert(got === want)
+    // the once-per-parent grain is load-bearing: a parent with
+    // multiple items of one term contributes its metrics ONCE, so the
+    // bucket's parent-item sum differs from item-grain counting
+    val itemGrain = itemsLocal.toSeq.flatMap { case (_, its) =>
+      its.collect { case Item(Some(p), _) => p }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.exists { case (p, (_, sumItems, _)) => sumItems != itemGrain(p) },
+      "parent-grain sums must differ from item-grain counting somewhere")
+  }
 }
