@@ -1646,6 +1646,13 @@ object SparkEntry {
       pipeline.Pipeline.releaseManifestV5(injectPii(Tables.documents(s, dir)),
         Tables.embeddings(s, dir), Seq("src0", "src1"), 4, 0.2)),
 
+    // BPE merge TRAINING (r15): learn 25 merges from the corpus — the
+    // vocab-induction step before any token counting. One corpus pass
+    // builds the word-count vocab; each iteration is vocab-sized.
+    // Iterative argmax → rows-only; exact naive-recompute spec.
+    "pipe_bpe_train" -> ((s, dir) =>
+      text.Bpe.trainMerges(Tables.documents(s, dir), 25)),
+
     "pipe_weighted_mix" -> ((s, dir) => {
       val up = Seq("src0", "src1", "src2", "src3", "src4")
       val keep = Seq("src5", "src6", "src7", "src8", "src9")

@@ -134,4 +134,70 @@ object Bpe {
     val cls = nonTokenClass.replace("'", "''")
     s"CAST(length(regexp_replace(${mergeWordSql(s"lower($textExpr)")}, '$cls', '', 'g')) AS BIGINT)"
   }
+
+  /** Distributed BPE merge TRAINING (r15) — the other half of the
+    * tokenizer story: [[mergeTokens]] is the shape of a published
+    * merges.txt, and this LEARNS one from the corpus (Sennrich's
+    * algorithm, the vocab-induction step every training pipeline runs
+    * before it can count a token):
+    *
+    *  1. ONE corpus pass builds the (word, count) table — after that,
+    *     every iteration works on the VOCAB (distinct words), which is
+    *     orders of magnitude smaller than the corpus at any scale (the
+    *     reason BPE training is feasible at all);
+    *  2. per iteration: adjacent symbol-pair counts weighted by word
+    *     count (overlapping positions count, the reference
+    *     `get_stats` convention) → the winner by (count desc, pair
+    *     asc) is a 1-row TakeOrdered — bounded driver metadata;
+    *  3. the merge applies as the same 2-char → 1-symbol `replace`
+    *     the application side uses (leftmost non-overlapping;
+    *     injective, since the symbol char is fresh — distinct words
+    *     stay distinct, so no re-aggregation);
+    *  4. localCheckpoint per round truncates the iterative lineage
+    *     (the label-propagation discipline).
+    *
+    * Determinism: the tie-break orders on the current symbol-string
+    * pair, and symbols are assigned in learned order — same corpus,
+    * same merges, any engine/partitioning. Not SQL-expressible (an
+    * iterative argmax loop) → rows-only gate + an exact
+    * naive-recompute spec in `BpeMergeSpec`. Output: (rank, left,
+    * right, pair_count) with sides DECODED to token strings — every
+    * side is a base char or a previously-produced token, the defining
+    * BPE property (spec-pinned). */
+  def trainMerges(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && k <= symbols.length, s"k=$k beyond the symbol alphabet")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9']+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val symToTok = scala.collection.mutable.Map[Char, String]()
+    def tokOf(c: Char): String = symToTok.getOrElse(c, c.toString)
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (i <- 0 until k if !exhausted) {
+      val top = words
+        .filter(length(col("w")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            j => col("w").substr(j, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val best = top(0).getString(0)
+        val symc = symbols(i)
+        symToTok(symc) = tokOf(best(0)) + tokOf(best(1))
+        learned += ((i + 1L, tokOf(best(0)), tokOf(best(1)), top(0).getLong(1)))
+        words = words
+          .withColumn("w", replace(col("w"), lit(best), lit(symc.toString)))
+          .localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
 }

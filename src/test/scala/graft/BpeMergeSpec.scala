@@ -45,4 +45,52 @@ class BpeMergeSpec extends SparkSpec {
     rows.foreach { case (n, chain) => assert(n == chain, s"$n != $chain") }
     assert(rows.head._1 == 1L) // "the" merges to a single token
   }
+
+  test("trainMerges equals an exact naive Sennrich recompute (r15)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val k = 15
+    val got = Bpe.trainMerges(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // naive: same word counts, same overlapping pair stats, same
+    // (count desc, symbol-pair asc) winner, same leftmost
+    // non-overlapping replace — all in plain Scala collections
+    var wordCounts: Map[String, Long] = docs.select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+"))
+      .filter(_.matches("^[a-z0-9']+$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val symbols = "ABCDEFGHIJKLMNOPQRSTUVWXYZÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏ"
+    val symToTok = scala.collection.mutable.Map[Char, String]()
+    def tokOf(c: Char): String = symToTok.getOrElse(c, c.toString)
+    val naive = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (i <- 0 until k) {
+      val stats = scala.collection.mutable.Map[String, Long]()
+      wordCounts.foreach { case (w, n) =>
+        (0 until w.length - 1).foreach { j =>
+          val p = w.substring(j, j + 2)
+          stats(p) = stats.getOrElse(p, 0L) + n
+        }
+      }
+      val (best, n) = stats.toSeq.minBy { case (p, c) => (-c, p) }
+      val symc = symbols(i)
+      symToTok(symc) = tokOf(best(0)) + tokOf(best(1))
+      naive += ((i + 1L, tokOf(best(0)), tokOf(best(1)), n))
+      wordCounts = wordCounts.map { case (w, c) =>
+        w.replace(best, symc.toString) -> c
+      }
+    }
+    assert(got == naive.toSeq,
+      s"first divergence: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // the defining BPE property: every side is a base char or a
+    // previously-produced token
+    val produced = scala.collection.mutable.Set[String]()
+    got.foreach { case (_, l, r, _) =>
+      Seq(l, r).foreach(s =>
+        assert(s.length == 1 || produced.contains(s), s"side '$s' unproduced"))
+      produced += (l + r)
+    }
+    // and the learned table is corpus-adapted: multi-char sides appear
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
 }
