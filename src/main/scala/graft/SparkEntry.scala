@@ -1491,6 +1491,12 @@ object SparkEntry {
     "ann_l2_topk" -> ((s, dir) =>
       similarity.Ann.l2TopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // int8 scalar quantization (r15): 4× compressed codes + per-vector
+    // scale, scale-corrected integer dot — hash-green by construction
+    // (exact int sum, mirrored rounding), no refine needed
+    "ann_int8_topk" -> ((s, dir) =>
+      similarity.Ann.int8TopK(Tables.embeddings(s, dir), 10, 5)),
+
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -3826,6 +3832,25 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rank
         |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_int8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0.0
+        |             THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+        |             ELSE 1.0 END AS scale
+        |      FROM e),
+        |cd AS (SELECT vec_id, scale,
+        |         list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS codes
+        |       FROM s),
+        |q AS (SELECT vec_id AS query_id, codes AS qc, scale AS qs FROM cd WHERE vec_id < 10)
+        |SELECT query_id, rank, cand_id, dot_q FROM (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |         CAST(list_dot_product(qc, c.codes) AS DOUBLE) / (qs * c.scale) AS dot_q,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY CAST(list_dot_product(qc, c.codes) AS DOUBLE) / (qs * c.scale) DESC, c.vec_id) AS rank
+        |  FROM q JOIN cd c ON c.vec_id <> q.query_id) t
         |WHERE rank <= 5""".stripMargin,
 
     "ann_topk_agg" ->

@@ -86,6 +86,46 @@ object Ann {
         col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
   }
 
+  /** INT8 scalar-quantized top-k (r15 — the Lucene/ES 8.14
+    * `int8_hnsw` quantization primitive re-expressed): each vector
+    * compresses 4× to per-dimension int8 codes with a per-vector
+    * scale (127 / max|e_i|; zero vectors take scale 1, codes 0), and
+    * candidates rank by the SCALE-CORRECTED integer dot
+    * Σ qcodeᵢ·ccodeᵢ / (qscale·cscale) — the integer sum is exact and
+    * order-free (≤ dim·127² ≪ 2⁵³), the two corrections are one
+    * multiply + one divide in a fixed mirrored order, and
+    * floor(x·scale + 0.5) rounding is engine-identical by
+    * construction (no banker's-rounding hazard), so the whole score
+    * is hash-green against the DuckDB replay — no refine stage
+    * needed for determinism. Ranking via the bounded TopKPairs fold
+    * (quantized scores tie often; cand_id tie-break).
+    *
+    * Scale: candidate rows carry 64 int8-valued codes instead of 64
+    * floats — the 4× memory/bandwidth cut is the operator's point;
+    * compose with the IVF index for the partition-pruned form. */
+  def int8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e64 = col("embedding").cast("array<double>")
+    val mx = array_max(transform(e64, x => abs(x)))
+    val scale = when(mx > lit(0.0), lit(127.0) / mx).otherwise(lit(1.0))
+    val coded = emb.select(col("vec_id"),
+      transform(e64, x => floor(x * scale + lit(0.5))).as("codes"),
+      scale.as("scale"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("scale").as("qs"))
+    val dotL = aggregate(zip_with(col("qc"), col("codes"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        (dotL.cast("double") / (col("qs") * col("scale"))).as("dot_q"),
+        col("vec_id").as("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("dot_q"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("dot_q"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in
     * at least one of `tables` hyperplane tables; exact cosine re-rank.
     * Defaults suit the test corpus (~10^2.5 docs); at production scale

@@ -64,6 +64,49 @@ class AnnSpec extends SparkSpec {
       10, 5).count() == 0)
   }
 
+  test("int8 quantized top-k: codes bounded, reconstruction error within " +
+      "half a step, recall@5 vs exact dot clears the floor (r15)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    // naive replay of the quantizer
+    def quant(v: Array[Double]): (Array[Long], Double) = {
+      val mx = v.map(math.abs).max
+      val s = if (mx > 0) 127.0 / mx else 1.0
+      (v.map(x => math.floor(x * s + 0.5).toLong), s)
+    }
+    vecs.values.take(50).foreach { v =>
+      val (c, s) = quant(v)
+      assert(c.forall(x => x >= -127 && x <= 127), "codes must fit int8")
+      v.zip(c).foreach { case (x, code) =>
+        assert(math.abs(x - code / s) <= 0.5 / s + 1e-12,
+          "reconstruction must stay within half a quantization step")
+      }
+    }
+    val got = Ann.int8TopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    // scores equal the naive scale-corrected integer dot
+    got.foreach { case (qid, _, cid, score) =>
+      val (qc, qs) = quant(vecs(qid)); val (cc, cs) = quant(vecs(cid))
+      val dot = qc.zip(cc).map { case (a, b) => a * b }.sum
+      assert(score == dot.toDouble / (qs * cs), s"($qid,$cid)")
+    }
+    // recall@5 vs the exact float dot-product ranking
+    val exact = (0L until 10L).map { qid =>
+      val q = vecs(qid)
+      qid -> vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, q.zip(v).map(p => p._1 * p._2).sum) }
+        .sortBy { case (id, d) => (-d, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      want.intersect(gotSets.getOrElse(q, Set.empty)).size.toDouble / want.size }
+    val mean = recalls.sum / recalls.size
+    info(f"int8 recall@5 vs exact dot = $mean%.3f")
+    assert(mean >= 0.8, s"int8 recall@5 $mean below floor")
+  }
+
   test("filteredKnn ranks only filter survivors; the filter binds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
