@@ -1652,6 +1652,11 @@ object SparkEntry {
       pipeline.Pipeline.releaseManifestV5(injectPii(Tables.documents(s, dir)),
         Tables.embeddings(s, dir), Seq("src0", "src1"), 4, 0.2)),
 
+    // deterministic epoch shuffle (r15): seeded-hash training order,
+    // 3 epochs × first 50 positions — reproducible on any engine
+    "pipe_epoch_shuffle" -> ((s, dir) =>
+      pipeline.Pipeline.epochShuffle(Tables.documents(s, dir), 3, 50)),
+
     // BPE merge TRAINING (r15): learn 25 merges from the corpus — the
     // vocab-induction step before any token counting. One corpus pass
     // builds the word-count vocab; each iteration is vocab-sized.
@@ -3512,6 +3517,8 @@ object SparkEntry {
     "pipe_release_manifest_v3" -> manifestV3Sql,
 
     "pipe_release_manifest_v5" -> manifestV5Sql(32, 0.8),
+
+    "pipe_epoch_shuffle" -> pipeline.Pipeline.epochShuffleSql(3, 50),
 
     "dedup_paragraph" -> dedupParagraphSql(32, 0.8),
 

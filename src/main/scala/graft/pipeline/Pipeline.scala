@@ -631,6 +631,42 @@ object Pipeline {
         md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
   }
 
+  /** Deterministic EPOCH SHUFFLE (r15): the training-order permutation
+    * every pipeline runs per epoch, with the seed in the hash so each
+    * epoch gets an independent, reproducible order — doc position =
+    * rank of md5("<epoch>:<doc_id>") (identical lowercase-hex on any
+    * engine; no RNG state to ship). The full permutation at scale is
+    * ORDER BY the hash — a range-partitioned sort writing the epoch's
+    * shard order; this query form surfaces each epoch's first `k`
+    * positions (the order's head), which a TakeOrdered computes with
+    * per-partition top-k, never a global sort. Per-epoch loop is
+    * driver metadata (epochs, not data). */
+  def epochShuffle(docs: DataFrame, epochs: Int, k: Int): DataFrame = {
+    require(epochs >= 1 && k >= 1)
+    (0 until epochs).map { e =>
+      val h = md5(concat(lit(s"$e:"), col("doc_id").cast("string")))
+      docs.select(lit(e.toLong).as("epoch"), col("doc_id"), h.as("h"))
+        .orderBy("h").limit(k)
+    }.reduce(_.unionByName(_))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch").orderBy("h")).cast("long"))
+      .select(col("epoch"), col("pos"), col("doc_id"))
+  }
+
+  /** The DuckDB twin of [[epochShuffle]], generated from the same
+    * constants. */
+  def epochShuffleSql(epochs: Int, k: Int): String =
+    s"""WITH perms AS (
+       |  SELECT e.epoch, d.doc_id,
+       |         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(0, $epochs)) AS epoch) e)
+       |SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id FROM (
+       |  SELECT epoch, doc_id,
+       |         row_number() OVER (PARTITION BY epoch ORDER BY h) AS pos
+       |  FROM perms) t
+       |WHERE pos <= $k""".stripMargin
+
   /** Token-budget sequence packing (concat-stream form): documents are
     * concatenated in doc_id order and the stream is cut every `budget`
     * tokens; a doc's bin is the bin its first token lands in. This is

@@ -355,6 +355,34 @@ class PipelineSpec extends SparkSpec {
     assert(m(20L) == (64L, 0L) && m(22L) == (40L, 0L))
   }
 
+  test("epochShuffle: per-epoch orders are independent, reproducible, " +
+      "and computed via TakeOrdered, not a global sort (r15)") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = Pipeline.epochShuffle(docs, 3, 50)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 3 epochs × 50 contiguous positions
+    val byEpoch = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.values.foreach(h => assert(h.length == 50))
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 50L)) }
+    // independent permutations: epoch heads differ pairwise
+    assert(byEpoch(0L) != byEpoch(1L) && byEpoch(1L) != byEpoch(2L))
+    // reproducible: a second run returns the identical rows
+    assert(Pipeline.epochShuffle(docs, 3, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == got.toSeq)
+    // naive recompute of epoch 1's head
+    val want = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+      .sortBy(_._2).take(50).map(_._1).toSeq
+    assert(byEpoch(1L) == want)
+    // scale shape: the per-epoch head is a TakeOrdered, never a global Sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("packSequences bins are contiguous doc_id ranges filling the budget") {
     val docs = Tables.documents(spark, sfDir)
     val rows = Pipeline.packSequences(docs, 500L)
