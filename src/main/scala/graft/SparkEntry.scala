@@ -1590,6 +1590,16 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) =>
       multimodal.Multimodal.frameSample(Tables.documents(s, dir), 256, 4)),
 
+    // resize stub (r15): area-pooling thumbnail of the payload grid —
+    // the decode→transform→re-encode plumbing with a binary output
+    // column; the hex of the resized payload makes the row comparable
+    // (DuckDB md5 is varchar-only, hex replays byte-exactly)
+    "mm_resize_stub" -> ((s, dir) =>
+      multimodal.Multimodal.resizeStub(Tables.documents(s, dir), 32, 8, 8)
+        .select(col("doc_id"), col("n_bytes"), col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          hex(col("out_payload")).as("out_hex"))),
+
     "river_full_pipeline" -> ((s, dir) => {
       val scanned = literalScan(s, dir)
       val parsed = scanned.select(
@@ -3910,6 +3920,40 @@ object SparkEntry {
         |                        + (strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS INT), 1)) - 1))) AS DOUBLE)
         |                 / (hi - lo) / 255.0 END AS feature
         |FROM s""".stripMargin,
+
+    // byte-exact replay of the area-pooling resize (32-wide grid →
+    // 8×8): per output pixel, the covered source block's truncating
+    // byte mean, re-encoded to the same uppercase hex Spark's hex()
+    // emits — the mm_feature_stub hex-decode discipline
+    "mm_resize_stub" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |px AS (SELECT doc_id, h, n, greatest(1, (n + 31) // 32) AS srch,
+        |              unnest(range(0, 64)) AS p FROM t),
+        |blk AS (SELECT doc_id, h, n, p,
+        |          (p % 8) * 32 // 8 AS x0,
+        |          greatest((p % 8) * 32 // 8 + 1, ((p % 8) + 1) * 32 // 8) AS x1,
+        |          (p // 8) * srch // 8 AS y0,
+        |          greatest((p // 8) * srch // 8 + 1, ((p // 8) + 1) * srch // 8) AS y1
+        |        FROM px),
+        |cell AS (SELECT doc_id, h, n, p,
+        |           list_filter(flatten(list_transform(range(y0, y1),
+        |             yy -> list_transform(range(x0, x1), xx -> yy * 32 + xx))),
+        |             i -> i < n) AS idx
+        |         FROM blk),
+        |pix AS (SELECT doc_id, n, p,
+        |          CASE WHEN len(idx) = 0 THEN 0
+        |               ELSE CAST(list_sum(list_transform(idx,
+        |                      i -> 16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) - 1)
+        |                           + (strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS INT), 1)) - 1))) AS BIGINT)
+        |                    // len(idx) END AS v
+        |        FROM cell)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |       CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |       array_to_string(list_transform(list(v ORDER BY p),
+        |         b -> substring('0123456789ABCDEF', CAST(b // 16 + 1 AS INT), 1)
+        |              || substring('0123456789ABCDEF', CAST(b % 16 + 1 AS INT), 1)), '') AS out_hex
+        |FROM pix GROUP BY doc_id, n""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

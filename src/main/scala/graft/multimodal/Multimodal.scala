@@ -9,6 +9,11 @@ case class BinaryDoc(doc_id: Long, payload: Array[Byte])
 /** Fixed-shape feature record produced by the (stubbed) decoder. */
 case class DocFeatures(doc_id: Long, n_bytes: Long, features: Array[Double])
 
+/** Output record of the stubbed resize: source size, target dims, and
+  * the resized binary payload. */
+case class ResizedDoc(doc_id: Long, n_bytes: Long, out_w: Int, out_h: Int,
+    out_payload: Array[Byte])
+
 /** Multimodal-column operators (SURVEY §2 group 6).
   *
   * The pattern for image/audio/video at 100 TB: an opaque `binary`
@@ -89,6 +94,60 @@ object Multimodal {
         md5(col("text").substr((col("frame_idx") * frameBytes + 1).cast("int"),
           lit(frameBytes)).cast("binary")).as("frame_sig"),
         col("n_frames"))
+  }
+
+  /** AREA-POOLING RESIZE stub (r15 — the remaining multimodal member:
+    * decode → transform → re-encode): the payload is interpreted as a
+    * `srcW`-byte-wide grayscale grid (H = ceil(n/srcW)) and resized to
+    * `outW`×`outH` by block-mean pooling — each output pixel averages
+    * the exact source block it covers (integer index arithmetic,
+    * truncating mean: deterministic on any JVM). A real deployment
+    * swaps the pooling kernel for a codec-backed resize; the
+    * Spark-side shape — typed Dataset, partition-parallel
+    * mapPartitions, fixed output schema with a BINARY output payload,
+    * zero shuffle — is the production pattern and is what the spec
+    * pins. Output ∝ outW·outH per doc regardless of payload size: the
+    * thumbnail pipeline's bandwidth story. */
+  def resizeStub(docs: DataFrame, srcW: Int, outW: Int,
+      outH: Int): DataFrame = {
+    require(srcW >= 1 && outW >= 1 && outH >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds: Dataset[BinaryDoc] = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+    ds.mapPartitions { it =>
+      it.map { d =>
+        val n = d.payload.length
+        val srcH = math.max(1L, (n.toLong + srcW - 1) / srcW)
+        val out = new Array[Byte](outW * outH)
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            val x0 = x.toLong * srcW / outW
+            val x1 = math.max(x0 + 1, (x + 1).toLong * srcW / outW)
+            val y0 = y.toLong * srcH / outH
+            val y1 = math.max(y0 + 1, (y + 1).toLong * srcH / outH)
+            var s = 0L; var c = 0L
+            var yy = y0
+            while (yy < y1) {
+              var xx = x0
+              while (xx < x1) {
+                val idx = yy * srcW + xx
+                if (idx < n) { s += d.payload(idx.toInt) & 0xff; c += 1 }
+                xx += 1
+              }
+              yy += 1
+            }
+            out((y * outW + x).toInt) = (if (c == 0) 0L else s / c).toByte
+            x += 1
+          }
+          y += 1
+        }
+        ResizedDoc(d.doc_id, n.toLong, outW, outH, out)
+      }
+    }.toDF()
   }
 
   /** Partition-parallel "decode" of the binary payload into a

@@ -42,4 +42,40 @@ class MultimodalSpec extends SparkSpec {
     assert(d1 == d2)
     assert(Multimodal.stubDecode(Array.emptyByteArray, 8).toSeq == Seq.fill(8)(0.0))
   }
+
+  test("resizeStub: area-pooling matches a naive recompute, fixed output " +
+      "shape, no shuffle (r15)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val (srcW, outW, outH) = (32, 8, 8)
+    val got = Multimodal.resizeStub(docs, srcW, outW, outH).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4).toSeq))
+      .toMap
+    assert(got.values.forall { case (_, w, h, px) =>
+      w == outW && h == outH && px.length == outW * outH })
+    // naive recompute on a handful of payloads
+    val sample = docs.limit(5).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+    sample.foreach { case (id, bytes) =>
+      val n = bytes.length
+      val srcH = math.max(1L, (n.toLong + srcW - 1) / srcW)
+      val want = for (y <- 0 until outH; x <- 0 until outW) yield {
+        val x0 = x.toLong * srcW / outW
+        val x1 = math.max(x0 + 1, (x + 1).toLong * srcW / outW)
+        val y0 = y.toLong * srcH / outH
+        val y1 = math.max(y0 + 1, (y + 1).toLong * srcH / outH)
+        val idx = for (yy <- y0 until y1; xx <- x0 until x1;
+          i = yy * srcW + xx if i < n) yield i
+        if (idx.isEmpty) 0.toByte
+        else (idx.map(i => (bytes(i.toInt) & 0xff).toLong).sum / idx.size).toByte
+      }
+      assert(got(id)._4 == want, s"doc $id")
+      assert(got(id)._1 == n.toLong)
+    }
+    // the transform is narrow: no exchange anywhere in the plan
+    val plan = Multimodal.resizeStub(docs, srcW, outW, outH)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "resize must not shuffle")
+  }
 }
