@@ -4373,10 +4373,12 @@ object SparkEntry {
          |         ON (a.doc_id < b2.doc_id OR (a.doc_id = b2.doc_id AND a.pidx < b2.pidx))
          |         WHERE len(a.sh) > 0 AND len(b2.sh) > 0 AND $paraJaccardSql >= $paraTau),
          |st5 AS (SELECT doc_id, list(DISTINCT pidx) AS sps FROM ppr5 GROUP BY doc_id),
-         |keep5 AS (SELECT t.doc_id, t.source,
+         |keep5 AS (SELECT * FROM (
+         |        SELECT t.doc_id, t.source,
          |        array_to_string(list_filter(t.toks, (x, i) -> NOT list_contains(coalesce(st5.sps, []), (i - 1) // $paraTokens)), ' ') AS text,
          |        CAST(len(coalesce(st5.sps, [])) AS BIGINT) AS n_para_stripped
-         |        FROM tkp t LEFT JOIN st5 USING (doc_id))""".stripMargin +
+         |        FROM tkp t LEFT JOIN st5 USING (doc_id))
+         |        WHERE text <> '')""".stripMargin +
       manifestTailSql("keep5", ", n_para_stripped",
         ", CAST(n_para_stripped AS BIGINT) AS n_para_stripped")
 

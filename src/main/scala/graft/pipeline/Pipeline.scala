@@ -281,7 +281,12 @@ object Pipeline {
       tau: Double = 0.8, cosTau: Double = 0.45,
       paraTokens: Int = 32, paraTau: Double = 0.8): DataFrame = {
     val keepers = v3Keepers(docs, emb, benchmarkSources, tau, cosTau)
+    // a doc whose every paragraph stripped is entirely duplicate
+    // content — it leaves the release (and its empty text would
+    // divide-by-zero the quality gate: caught by the r15 sf1 probe,
+    // where the denser corpus produces fully-stripped docs)
     val stripped = stripDuplicateParagraphs(keepers, paraTokens, paraTau)
+      .filter(col("text") =!= "")
       .persist() // feeds the tail and the audit-column join
     val out = manifestTail(docs, stripped, benchmarkSources, n, minQuality)
       .join(stripped.select(col("doc_id"), col("n_para_stripped")), "doc_id")
