@@ -1662,6 +1662,11 @@ object SparkEntry {
       pipeline.Pipeline.releaseManifestV5(injectPii(Tables.documents(s, dir)),
         Tables.embeddings(s, dir), Seq("src0", "src1"), 4, 0.2)),
 
+    // per-source dataset card (r15): the release-audit statistics
+    // table — every column an integer count or exact sum
+    "pipe_dataset_card" -> ((s, dir) =>
+      pipeline.Pipeline.datasetCard(Tables.documents(s, dir), 0.2)),
+
     // deterministic epoch shuffle (r15): seeded-hash training order,
     // 3 epochs × first 50 positions — reproducible on any engine
     "pipe_epoch_shuffle" -> ((s, dir) =>
@@ -3529,6 +3534,8 @@ object SparkEntry {
     "pipe_release_manifest_v5" -> manifestV5Sql(32, 0.8),
 
     "pipe_epoch_shuffle" -> pipeline.Pipeline.epochShuffleSql(3, 50),
+
+    "pipe_dataset_card" -> pipeline.Pipeline.datasetCardSql(0.2),
 
     "dedup_paragraph" -> dedupParagraphSql(32, 0.8),
 

@@ -636,6 +636,79 @@ object Pipeline {
         md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
   }
 
+  /** Per-source DATASET CARD (r15): the release-audit statistics table
+    * a corpus publishes next to its shards — per source: doc count,
+    * exact char and BPE-token sums, docs clearing the quality floor,
+    * distinct languages, the dominant language (max count, lexicographic
+    * tiebreak), and the exact-fingerprint duplicate count. Every output
+    * is an INTEGER count or exact sum (no averaged doubles), so the
+    * card is engine-reproducible by construction. One corpus pass
+    * (narrow projections: quality metrics, BPE replace-chain, md5
+    * fingerprint), one map-side-combinable hash agg per grouping —
+    * the lang-mode needs a (source, lang) pre-agg, sized by
+    * sources × languages. */
+  def datasetCard(docs: DataFrame, minQuality: Double): DataFrame = {
+    import graft.text.{Bpe, TextOps}
+    val enriched = TextOps.quality(docs, keep = Seq("source", "lang", "text"))
+      .select(col("source"), col("lang"), col("n_chars"),
+        Bpe.tokenCount(col("text")).as("bpe"),
+        TextOps.fingerprintCol(col("text")).as("fp"),
+        (col("quality_score") >= minQuality).cast("long").as("q_ok"))
+      .persist()
+    val byLang = enriched.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+    val topLang = byLang
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("n").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val out = enriched.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("bpe")).as("sum_bpe_tokens"),
+        sum(col("q_ok")).as("n_quality_ok"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_fp_dup"))
+      .join(topLang, "source")
+      .localCheckpoint()
+    enriched.unpersist(blocking = false)
+    out
+  }
+
+  /** The DuckDB twin of [[datasetCard]] — quality formula, BPE
+    * replace chain, and fingerprint md5 all generated from the same
+    * shared definitions. */
+  def datasetCardSql(minQuality: Double): String = {
+    import graft.text.Bpe
+    raw"""WITH q AS (SELECT source, lang,
+         |        CAST(length(text) AS BIGINT) AS n_chars,
+         |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+         |        CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS stop_hits,
+         |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS punct_hits,
+         |        ${Bpe.tokenCountSql("text")} AS bpe,
+         |        md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+         |      FROM documents),
+         |e AS (SELECT source, lang, n_chars, bpe, fp,
+         |        CASE WHEN least(1.0, n_tokens / 100.0)
+         |               * (1.0 - CAST(punct_hits AS DOUBLE) / n_chars)
+         |               * (0.5 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)) >= $minQuality
+         |             THEN 1 ELSE 0 END AS q_ok
+         |      FROM q),
+         |bl AS (SELECT source, lang, count(*) AS n FROM e GROUP BY 1, 2),
+         |tl AS (SELECT source, lang AS top_lang FROM bl
+         |       QUALIFY row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) = 1)
+         |SELECT e.source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+         |       CAST(sum(q_ok) AS BIGINT) AS n_quality_ok,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_fp_dup,
+         |       any_value(tl.top_lang) AS top_lang
+         |FROM e JOIN tl ON e.source = tl.source
+         |GROUP BY e.source""".stripMargin
+  }
+
   /** Deterministic EPOCH SHUFFLE (r15): the training-order permutation
     * every pipeline runs per epoch, with the seed in the hash so each
     * epoch gets an independent, reproducible order — doc position =

@@ -355,6 +355,41 @@ class PipelineSpec extends SparkSpec {
     assert(m(20L) == (64L, 0L) && m(22L) == (40L, 0L))
   }
 
+  test("datasetCard: per-source counters match a naive recompute (r15)") {
+    import graft.text.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val got = Pipeline.datasetCard(docs, 0.2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    val rows = docs.select(col("source"), col("lang"), col("text"),
+        Bpe.tokenCount(col("text")).as("bpe")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (src, rs) =>
+      val (nDocs, sumChars, nQok, nLangs, nFpDup, topLang) = got(src)
+      assert(nDocs == rs.length)
+      assert(sumChars == rs.map(_._3.length.toLong).sum)
+      assert(nLangs == rs.map(_._2).distinct.length)
+      val fps = rs.map(r => r._3.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .distinct.sorted.mkString(" "))
+      // fingerprint dup = docs minus distinct token-set keys
+      assert(nFpDup == rs.length - fps.distinct.length)
+      val wantTop = rs.groupBy(_._2).view.mapValues(_.length).toSeq
+        .minBy { case (l, n) => (-n, l) }._1
+      assert(topLang == wantTop)
+      def score(t: String): Double = {
+        val nt = t.split("\\s+", -1).length.toDouble
+        val nc = t.length.toDouble
+        val stop = "\\b(the|a|and|of|to|in|is|for|on|with)\\b".r
+          .findAllIn(t.toLowerCase).length
+        val punct = t.count(c => !c.isLetterOrDigit && !c.isWhitespace)
+        math.min(1.0, nt / 100.0) * (1.0 - punct / nc) * (0.5 + 0.5 * (stop / nt))
+      }
+      assert(nQok == rs.count(r => score(r._3) >= 0.2))
+    }
+    assert(got.keySet == bySrc.keySet)
+  }
+
   test("epochShuffle: per-epoch orders are independent, reproducible, " +
       "and computed via TakeOrdered, not a global sort (r15)") {
     val docs = Tables.documents(spark, sfDir)
