@@ -1497,6 +1497,12 @@ object SparkEntry {
     "ann_int8_topk" -> ((s, dir) =>
       similarity.Ann.int8TopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // int8 candidates oversampled 4×, exact-cosine rescore of the
+    // survivors (the ES int8_hnsw + num_candidates search shape);
+    // both stages engine-exact → full hash oracle
+    "ann_int8_refined" -> ((s, dir) =>
+      similarity.Ann.int8RefinedTopK(Tables.embeddings(s, dir), 10, 5)),
+
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -3875,6 +3881,35 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY CAST(list_dot_product(qc, c.codes) AS DOUBLE) / (qs * c.scale) DESC, c.vec_id) AS rank
         |  FROM q JOIN cd c ON c.vec_id <> q.query_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_int8_refined" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0.0
+        |             THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+        |             ELSE 1.0 END AS scale
+        |      FROM e),
+        |cd AS (SELECT vec_id, scale,
+        |         list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS codes
+        |       FROM s),
+        |q AS (SELECT vec_id AS query_id, codes AS qc, scale AS qs FROM cd WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, c.vec_id AS cand_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY CAST(list_dot_product(qc, c.codes) AS DOUBLE) / (qs * c.scale) DESC, c.vec_id) AS r
+        |    FROM q JOIN cd c ON c.vec_id <> q.query_id) t
+        |  WHERE r <= 20),
+        |qe AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10)
+        |SELECT query_id, rank, cand_id, cos_sim FROM (
+        |  SELECT cand.query_id, cand.cand_id,
+        |         list_cosine_similarity(q_emb, c.emb) AS cos_sim,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, cand.cand_id) AS rank
+        |  FROM cand
+        |  JOIN e c ON c.vec_id = cand.cand_id
+        |  JOIN qe ON qe.query_id = cand.query_id) t
         |WHERE rank <= 5""".stripMargin,
 
     "ann_topk_agg" ->

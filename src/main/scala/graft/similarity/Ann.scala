@@ -104,31 +104,86 @@ object Ann {
     * floats — the 4× memory/bandwidth cut is the operator's point;
     * compose with the IVF index for the partition-pruned form. */
   def int8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val e64 = col("embedding").cast("array<double>")
-    val mx = array_max(transform(e64, x => abs(x)))
-    val scale = when(mx > lit(0.0), lit(127.0) / mx).otherwise(lit(1.0))
-    // the per-pair dot stays the zip_with/aggregate HOF fold: an A/B
-    // against the codegen'd DotProduct kernel measured the HOF form
-    // 4-5× FASTER here (0.44 vs 2.1 s warm, sf0.1) — the kernel pulls
-    // the non-codegen quantize transform into its per-pair projection
-    // while the HOF fold evaluates codes once per side
-    val coded = emb.select(col("vec_id"),
-      transform(e64, x => floor(x * scale + lit(0.5))).as("codes"),
-      scale.as("scale"))
+    val coded = int8Coded(emb)
     val q = coded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("codes").as("qc"),
         col("scale").as("qs"))
-    val dotL = aggregate(zip_with(col("qc"), col("codes"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
     coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"),
-        (dotL.cast("double") / (col("qs") * col("scale"))).as("dot_q"),
+        int8ScoreCol.as("dot_q"),
         col("vec_id").as("cand_id"))
       .groupBy("query_id")
       .agg(TopKPairs.topK(col("dot_q"), col("cand_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
       .select(col("query_id"), (col("i") + 1).as("rank"),
         col("s.id").as("cand_id"), col("s.score").as("dot_q"))
+  }
+
+  /** The int8 quantization frame shared by [[int8TopK]] and
+    * [[int8RefinedTopK]]: per-vector scale 127/max|e| (zero vectors
+    * take scale 1, codes 0), codes floor(x·scale + 0.5). */
+  private def int8Coded(emb: DataFrame): DataFrame = {
+    val e64 = col("embedding").cast("array<double>")
+    val mx = array_max(transform(e64, x => abs(x)))
+    val scale = when(mx > lit(0.0), lit(127.0) / mx).otherwise(lit(1.0))
+    emb.select(col("vec_id"),
+      transform(e64, x => floor(x * scale + lit(0.5))).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Scale-corrected quantized score over a joined (qc, qs) × (codes,
+    * scale) pair row. The per-pair dot stays the zip_with/aggregate
+    * HOF fold: an A/B against the codegen'd DotProduct kernel measured
+    * the HOF form 4-5× FASTER here (0.44 vs 2.1 s warm, sf0.1) — the
+    * kernel pulls the non-codegen quantize transform into its per-pair
+    * projection while the HOF fold evaluates codes once per side. */
+  private def int8ScoreCol: Column =
+    aggregate(zip_with(col("qc"), col("codes"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+      .cast("double") / (col("qs") * col("scale"))
+
+  /** INT8 quantized search with OVERSAMPLED candidates + exact rescore
+    * (r15 continuation — the shape ES 8.14+ actually executes for an
+    * `int8_hnsw` field: quantized similarity drives candidate
+    * collection with `num_candidates` > k oversampling, then the
+    * final page is re-scored against the full-precision vectors).
+    * Stage 1 ranks by the scale-corrected integer dot and keeps
+    * k·oversample candidates per query (bounded TopKPairs fold — at
+    * scale the shuffle carries k·oversample slim pairs per query per
+    * partition, never scored corpus rows). Stage 2 re-ranks ONLY those
+    * candidates by exact cosine against the float vectors: the
+    * candidate id frame (nQueries × k·oversample rows) BROADCASTS back
+    * to the embedding scan, so the refine is one point-lookup-shaped
+    * corpus pass with no corpus-side shuffle below the final bounded
+    * fold. Both stages are engine-exact (integer dot + the
+    * CosineSimilarity/list_cosine_similarity pairing), so unlike
+    * PQ/IVF the whole operator is hash-green against the DuckDB
+    * replay — quantized recall with refined exact scores. */
+  def int8RefinedTopK(emb: DataFrame, nQueries: Int, k: Int,
+      oversample: Int = 4): DataFrame = {
+    val coded = int8Coded(emb)
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("scale").as("qs"))
+    val cand = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), int8ScoreCol.as("dot_q"),
+        col("vec_id").as("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("dot_q"), col("cand_id"), k * oversample).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .join(broadcast(cand), "cand_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cos_sim"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
   }
 
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in

@@ -107,6 +107,42 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.8, s"int8 recall@5 $mean below floor")
   }
 
+  test("int8 refined top-k: exact-cosine scores, candidates from the " +
+      "quantized stage, recall@5 >= plain-int8's vs exact cosine (r15)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exactAll = Ann.bruteForceTopK(emb, 10, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exactTop = Ann.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Ann.int8RefinedTopK(emb, 10, 5).collect()
+    assert(got.nonEmpty)
+    // refined scores ARE the exact cosine (rescore stage, same expression)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactAll.get(key).foreach(v => assert(v == r.getDouble(3), s"$key"))
+    }
+    // every query: exactly k ranked rows, self excluded, ranks 1..k
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+    // refined set recall vs exact cosine clears the floor and the
+    // 4x-oversampled candidate pool can only help vs plain int8 top-5
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = gotSet.intersect(exactTop).size.toDouble / exactTop.size
+    val int8Set = Ann.int8TopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val int8Recall = int8Set.intersect(exactTop).size.toDouble / exactTop.size
+    info(f"refined recall@5 = $recall%.3f (plain int8 $int8Recall%.3f)")
+    assert(recall >= 0.8, s"refined recall@5 $recall below floor")
+    assert(recall >= int8Recall - 1e-9,
+      "oversample+rescore must not lose recall vs the unrefined page")
+    // empty corpus degrades to the typed empty frame
+    assert(Ann.int8RefinedTopK(
+      emb.filter(org.apache.spark.sql.functions.lit(false)), 10, 5).count() == 0)
+  }
+
   test("filteredKnn ranks only filter survivors; the filter binds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
