@@ -1503,6 +1503,11 @@ object SparkEntry {
     "ann_int8_refined" -> ((s, dir) =>
       similarity.Ann.int8RefinedTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // 1-bit BBQ-shape search: 64-bit sign sketch (256x compression),
+    // Hamming candidates oversampled 10x, exact-cosine rescore
+    "ann_binary_topk" -> ((s, dir) =>
+      similarity.Ann.binaryTopK(Tables.embeddings(s, dir), 10, 5)),
+
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -3882,6 +3887,8 @@ object SparkEntry {
         |           ORDER BY CAST(list_dot_product(qc, c.codes) AS DOUBLE) / (qs * c.scale) DESC, c.vec_id) AS rank
         |  FROM q JOIN cd c ON c.vec_id <> q.query_id) t
         |WHERE rank <= 5""".stripMargin,
+
+    "ann_binary_topk" -> similarity.Ann.binaryTopKSql(10, 5),
 
     "ann_int8_refined" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -171,6 +171,17 @@ object Ann {
       .groupBy("query_id")
       .agg(TopKPairs.topK(col("dot_q"), col("cand_id"), k * oversample).as("top"))
       .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+    exactCosineRefine(emb, cand, nQueries, k)
+  }
+
+  /** Shared rescore stage for the quantized-candidate searches: exact
+    * cosine over a (query_id, cand_id) candidate frame, top-k per
+    * query. The candidate frame is bounded (nQueries × k·oversample),
+    * so it BROADCASTS back to the embedding scan — the refine is one
+    * point-lookup-shaped corpus pass with no corpus-side shuffle below
+    * the final bounded fold. */
+  private def exactCosineRefine(emb: DataFrame, cand: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val qe = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
@@ -184,6 +195,76 @@ object Ann {
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
       .select(col("query_id"), (col("i") + 1).as("rank"),
         col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
+  }
+
+  /** 1-BIT (binary) quantized search — the ES 8.16 BBQ shape
+    * re-expressed: each vector packs to ONE 64-bit word (bit i =
+    * sign(e_i) > 0; 256× smaller than the float vector), candidates
+    * rank by Hamming similarity dim − popcount(q XOR c) — integer,
+    * exact, order-free — with heavy oversampling (ties are dense in
+    * Hamming space), then the survivors re-score by exact cosine
+    * ([[exactCosineRefine]]). Packing folds disjoint power-of-two
+    * terms with XOR (bit-pattern-safe at bit 63 where BIGINT addition
+    * would overflow-check on some engines); both stages are
+    * engine-exact, so the operator is hash-green against the DuckDB
+    * replay generated from the same constants.
+    *
+    * Scale: the candidate stage streams 8 bytes a vector — the whole
+    * corpus sketch for 10⁹ vectors is 8 GB, partition-local popcounts,
+    * shuffle bounded at k·oversample pairs per query per partition. */
+  def binaryTopK(emb: DataFrame, nQueries: Int, k: Int,
+      oversample: Int = 10, dim: Int = 64): DataFrame = {
+    val pows = typedlit(Array.tabulate(dim)(i => 1L << i).toList)
+    val e64 = col("embedding").cast("array<double>")
+    val packed = aggregate(
+      zip_with(e64, pows, (x, p) => when(x > lit(0.0), p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseXOR(x))
+    val pk = emb.select(col("vec_id"), packed.as("bits"))
+    val q = pk.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bits").as("qb"))
+    val hamSim = (lit(dim) - bit_count(col("qb").bitwiseXOR(col("bits")))).cast("double")
+    val cand = pk.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), hamSim.as("ham_sim"), col("vec_id").as("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("ham_sim"), col("cand_id"), k * oversample).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+    exactCosineRefine(emb, cand, nQueries, k)
+  }
+
+  /** The DuckDB packing + Hamming candidate SQL for [[binaryTopK]],
+    * generated from the same (dim, k, oversample) constants so the
+    * engines cannot drift: the same disjoint power-of-two XOR fold
+    * (1::BIGINT << i spelled per bit), bit_count(xor()) Hamming rank
+    * with the identical DESC/cand_id tie order, then the exact-cosine
+    * rescore replay. */
+  def binaryTopKSql(nQueries: Int, k: Int, oversample: Int = 10,
+      dim: Int = 64): String = {
+    val pack = (0 until dim).map { i =>
+      // DuckDB overflow-checks 1 << 63; spell the sign bit as MinValue
+      val bit = if (i == 63) "(-9223372036854775807::BIGINT - 1::BIGINT)"
+                else s"(1::BIGINT << $i)"
+      s"CASE WHEN emb[${i + 1}] > 0.0 THEN $bit ELSE 0::BIGINT END"
+    }.reduce((a, b) => s"xor($a, $b)")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pk AS (SELECT vec_id, $pack AS bits FROM e),
+       |q AS (SELECT vec_id AS query_id, bits AS qb FROM pk WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, c.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY CAST($dim - bit_count(xor(qb, c.bits)) AS DOUBLE) DESC, c.vec_id) AS r
+       |    FROM q JOIN pk c ON c.vec_id <> q.query_id) t
+       |  WHERE r <= ${k * oversample}),
+       |qe AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < $nQueries)
+       |SELECT query_id, rank, cand_id, cos_sim FROM (
+       |  SELECT cand.query_id, cand.cand_id,
+       |         list_cosine_similarity(q_emb, c.emb) AS cos_sim,
+       |         row_number() OVER (PARTITION BY cand.query_id
+       |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, cand.cand_id) AS rank
+       |  FROM cand
+       |  JOIN e c ON c.vec_id = cand.cand_id
+       |  JOIN qe ON qe.query_id = cand.query_id) t
+       |WHERE rank <= $k""".stripMargin
   }
 
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in

@@ -143,6 +143,47 @@ class AnnSpec extends SparkSpec {
       emb.filter(org.apache.spark.sql.functions.lit(false)), 10, 5).count() == 0)
   }
 
+  test("binary (1-bit) top-k: packed bits replay naively, refined sims " +
+      "exact, recall@5 clears the floor (r15)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    // naive replay of the sign packer over the engine's own frame
+    def pack(v: Array[Double]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > 0.0) acc ^ (1L << i) else acc }
+    import org.apache.spark.sql.functions.{col, lit, typedlit, when, zip_with, aggregate}
+    val pows = typedlit(Array.tabulate(64)(i => 1L << i).toList)
+    val packedCol = aggregate(
+      zip_with(col("embedding").cast("array<double>"), pows,
+        (x, p) => when(x > lit(0.0), p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseXOR(x))
+    emb.select(col("vec_id"), packedCol.as("bits")).collect().foreach { r =>
+      assert(r.getLong(1) == pack(vecs(r.getLong(0))), s"vec ${r.getLong(0)}")
+    }
+    val exactAll = Ann.bruteForceTopK(emb, 10, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exactTop = Ann.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Ann.binaryTopK(emb, 10, 5).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactAll.get(key).foreach(v => assert(v == r.getDouble(3), s"$key"))
+    }
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = gotSet.intersect(exactTop).size.toDouble / exactTop.size
+    info(f"binary recall@5 vs exact cosine = $recall%.3f")
+    assert(recall >= 0.5, s"binary recall@5 $recall below floor")
+    assert(Ann.binaryTopK(
+      emb.filter(org.apache.spark.sql.functions.lit(false)), 10, 5).count() == 0)
+  }
+
   test("filteredKnn ranks only filter survivors; the filter binds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
