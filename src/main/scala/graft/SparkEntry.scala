@@ -1628,6 +1628,12 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // threshold decontamination: contaminated when >= 10% of a doc's
+    // distinct 4-grams appear in the benchmark sources
+    "pipe_decontaminate_fuzzy" -> ((s, dir) =>
+      pipeline.Pipeline.decontaminateFuzzy(Tables.documents(s, dir),
+        Seq("src0", "src1"), 4, 10)),
+
     "pipe_redact" -> ((s, dir) =>
       pipeline.Pipeline.redact(injectPii(Tables.documents(s, dir)))),
 
@@ -4224,6 +4230,26 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_decontaminate_fuzzy" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        |raw AS (SELECT doc_id, source,
+        |               unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+        |                                     i -> array_to_string(words[i:i+3], ' '))) AS gram
+        |        FROM w),
+        |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
+        |b AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+        |t AS (SELECT doc_id, source, count(*) AS n_total
+        |      FROM g WHERE source NOT IN ('src0', 'src1') GROUP BY doc_id, source),
+        |sh AS (SELECT g.doc_id, count(*) AS n_shared
+        |       FROM g JOIN b USING (gram)
+        |       WHERE source NOT IN ('src0', 'src1') GROUP BY g.doc_id)
+        |SELECT t.doc_id, t.source,
+        |       CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_total AS BIGINT) AS n_total,
+        |       CAST(n_shared AS DOUBLE) / CAST(n_total AS DOUBLE) AS overlap_ratio
+        |FROM t JOIN sh USING (doc_id)
+        |WHERE n_shared * 100 >= 10 * n_total""".stripMargin,
 
     "pipe_weighted_mix" ->
       """WITH d AS (SELECT doc_id, source,

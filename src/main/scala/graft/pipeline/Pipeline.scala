@@ -61,6 +61,38 @@ object Pipeline {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Overlap-RATIO decontamination (r15 continuation — the GPT-3/Gopher
+    * rule): a doc is contaminated when ≥ `tauPct`% of its DISTINCT word
+    * `n`-grams appear in the benchmark set — the threshold form labs
+    * actually ship, where [[decontaminate]]'s any-overlap flag is the
+    * audit view. The per-doc gram total rides the exploded rows (one
+    * doc row pre-explode → `size(array_distinct(...))` is exact), so
+    * after the broadcast benchmark join ONLY matching rows reach the
+    * doc-id shuffle — the corpus never re-shuffles to learn its own
+    * totals. The threshold compares integer cross-multiplied
+    * (`n_shared·100 ≥ tauPct·n_total` — engine-exact); the reported
+    * ratio is one IEEE division. */
+  def decontaminateFuzzy(docs: DataFrame, benchmarkSources: Seq[String],
+      n: Int, tauPct: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    val benchGrams = grams.filter(col("source").isin(benchmarkSources: _*))
+      .select("gram").distinct()
+    docs.filter(!col("source").isin(benchmarkSources: _*))
+      .select(col("doc_id"), col("source"),
+        array_distinct(wordNgrams(col("text"), n)).as("grams"))
+      .select(col("doc_id"), col("source"),
+        size(col("grams")).cast("long").as("n_total"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"), col("source"), col("n_total"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") * lit(100L) >= lit(tauPct.toLong) * col("n_total"))
+      .select(col("doc_id"), col("source"), col("n_shared"), col("n_total"),
+        (col("n_shared").cast("double") / col("n_total").cast("double"))
+          .as("overlap_ratio"))
+  }
+
   /** The PII classes [[redact]] scrubs, as (name, pattern, replacement).
     * Patterns stay inside the regex subset Java regex and RE2 interpret
     * identically (char classes, {m,}, \b, \d — no lookaround, no

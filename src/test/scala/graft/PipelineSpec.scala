@@ -37,6 +37,45 @@ class PipelineSpec extends SparkSpec {
     assert(real.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("decontaminateFuzzy: ratios replay naively, the threshold binds " +
+      "both ways (r15)") {
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      (1L, "bench", "the quick brown fox jumps over the lazy dog today"),
+      // 10 words → 8 distinct 3-grams, 7 shared (87.5%) → flagged
+      (2L, "corpus", "so the quick brown fox jumps over the lazy dog"),
+      // one shared gram of 8 (12.5%) → under a 50% threshold
+      (3L, "corpus", "a very quick brown fox went somewhere else entirely now"),
+      (4L, "corpus", "nothing in common here at all with anything above")
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.decontaminateFuzzy(docs, Seq("bench"), 3, 50).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(2L))
+    val r = got.head
+    assert(r.getLong(2) == 7L && r.getLong(3) == 8L)
+    assert(r.getDouble(4) == 7.0 / 8.0)
+    // at a 10% threshold doc 3 crosses too; doc 4 never does
+    val loose = Pipeline.decontaminateFuzzy(docs, Seq("bench"), 3, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(2L, 3L))
+    // naive recompute over the real table agrees
+    val real = Tables.documents(spark, sfDir)
+    val rows = real.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String, n: Int): Set[String] =
+      t.split(" ", -1).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val bench = rows.filter(r => Set("src0", "src1")(r._2))
+      .flatMap(r => grams(r._3, 4)).toSet
+    val want = rows.filterNot(r => Set("src0", "src1")(r._2)).flatMap {
+      case (id, src, t) =>
+        val g = grams(t, 4); val sh = g.count(bench)
+        if (g.nonEmpty && sh * 100 >= 10 * g.size) Some(id -> (sh.toLong, g.size.toLong))
+        else None
+    }.toMap
+    val gotReal = Pipeline.decontaminateFuzzy(real, Seq("src0", "src1"), 4, 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(gotReal == want)
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
