@@ -1628,6 +1628,11 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // alpha=0.5 temperature-resampled source mixture (sqrt is the one
+    // engine-exact power); per-source audit frame, all-BIGINT output
+    "pipe_temperature_mix" -> ((s, dir) =>
+      pipeline.Pipeline.temperatureMix(Tables.documents(s, dir), 200L)),
+
     // threshold decontamination: contaminated when >= 10% of a doc's
     // distinct 4-grams appear in the benchmark sources
     "pipe_decontaminate_fuzzy" -> ((s, dir) =>
@@ -4230,6 +4235,8 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_temperature_mix" -> pipeline.Pipeline.temperatureMixSql(200L),
 
     "pipe_decontaminate_fuzzy" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),

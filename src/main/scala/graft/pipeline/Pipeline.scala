@@ -144,6 +144,82 @@ object Pipeline {
       .drop("__w_full", "__band")
   }
 
+  /** TEMPERATURE-sampled source mixture, α = 1/2 (r15 continuation —
+    * the multilingual/multi-source resampling rule: sampling weight
+    * p_s ∝ n_s^α flattens raw source proportions so small sources
+    * aren't drowned; α=0.5 is the classic mBERT/XLM-R setting and the
+    * one α whose power is ENGINE-EXACT, because IEEE-754 `sqrt` is
+    * correctly rounded on every platform where `pow` is not).
+    *
+    * All arithmetic after the sqrt is integer: weights
+    * floor(√n_s · 2²⁰), their BIGINT sum, per-source doc targets
+    * budget·w_s div W (capped at n_s — this mixture downsamples; pair
+    * with [[weightedMix]] for epoch upsampling), and a 24-bit
+    * selection band target·2²⁴ div n_s. A doc survives when its
+    * md5(doc_id) 6-hex prefix falls under the band — the
+    * [[weightedMix]] reproducible-selection discipline, so membership
+    * is independent of partitioning, engine, and row order. Domain
+    * bound: n_s·2²⁴ < 2⁶³ → n_s < 5.5·10¹¹ docs per source.
+    *
+    * Scale: one map-side-combined count per source, a broadcast of the
+    * (sources × 5)-row plan frame back to the scan, one narrow filter,
+    * one count — the corpus is read twice and shuffled never (both
+    * aggs combine map-side to |sources| rows). Output is the
+    * per-source audit frame (all BIGINT → hash-exact); the kept-doc
+    * frame is the same filter without the final count. */
+  def temperatureMix(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .withColumn("w",
+        floor(sqrt(col("n_total").cast("double")) * lit(1048576.0)).cast("long"))
+    // W via an unpartitioned window: the frame is |sources| rows (a
+    // bounded plan-side frame, not the corpus), so the single-reducer
+    // window is fine and avoids a self-join of the counts lineage
+    val plan = counts
+      .withColumn("w_tot", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("target", expr(s"(${budget}L * w) div w_tot"))
+      .withColumn("t_cap", least(col("target"), col("n_total")))
+      .withColumn("band", expr("(t_cap * 16777216L) div n_total"))
+      .withColumn("thr", lower(lpad(hex(col("band")), 6, "0")))
+    val kept = docs
+      .join(broadcast(plan.select("source", "band", "thr")), "source")
+      .filter(col("band") >= lit(16777216L) ||
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6) < col("thr"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    plan.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("w"), col("target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Generated DuckDB oracle for [[temperatureMix]] — same constants,
+    * same integer ladder (`//` ≡ Spark `div` on the positive domain),
+    * same md5 6-hex band. `sum(w)` must cast back from DuckDB's
+    * HUGEINT widening. */
+  def temperatureMixSql(budget: Long): String =
+    s"""WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+       |w AS (SELECT source, n_total,
+       |        CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+       |      FROM c),
+       |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+       |t AS (SELECT source, n_total, w,
+       |        ($budget * w) // tot AS target,
+       |        least(($budget * w) // tot, n_total) AS t_cap
+       |      FROM w, tw),
+       |t2 AS (SELECT source, n_total, w, target,
+       |         (t_cap * 16777216) // n_total AS band
+       |       FROM t),
+       |t3 AS (SELECT source, n_total, w, target, band,
+       |         lpad(lower(to_hex(band)), 6, '0') AS thr
+       |       FROM t2),
+       |k AS (SELECT d.source, count(*) AS n_kept
+       |      FROM documents d JOIN t3 USING (source)
+       |      WHERE band >= 16777216
+       |         OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) < thr
+       |      GROUP BY d.source)
+       |SELECT t3.source, CAST(n_total AS BIGINT) AS n_total, w, target,
+       |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+       |FROM t3 LEFT JOIN k ON k.source = t3.source""".stripMargin
+
   /** The full corpus-release chain, composed from the library's own
     * stages — what a user of this engine actually runs before shipping
     * a training corpus:

@@ -76,6 +76,48 @@ class PipelineSpec extends SparkSpec {
     assert(gotReal == want)
   }
 
+  test("temperatureMix: integer ladder replays naively, alpha=0.5 " +
+      "flattens proportions, budget binds (r15)") {
+    val real = Tables.documents(spark, sfDir)
+    val got = Pipeline.temperatureMix(real, 200L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // naive replay of the whole ladder from the raw table
+    val rows = real.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nBySrc = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val w = nBySrc.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong).toMap
+    val bigW = w.values.sum
+    def md5hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = nBySrc.map { case (src, n) =>
+      val target = 200L * w(src) / bigW
+      val tCap = math.min(target, n)
+      val band = tCap * 16777216L / n
+      val thr = f"${band}%06x".takeRight(6)
+      val kept = rows.filter(_._2 == src).count { case (id, _) =>
+        band >= 16777216L || md5hex(id).substring(0, 6) < thr }
+      src -> (n, w(src), target, kept.toLong)
+    }
+    assert(got == want)
+    // the temperature property: the smallest source keeps a strictly
+    // larger fraction of itself than the largest (unless capped equal)
+    val bySize = got.toSeq.sortBy(_._2._1)
+    val (smallN, smallKept) = (bySize.head._2._1, bySize.head._2._4)
+    val (bigN, bigKept) = (bySize.last._2._1, bySize.last._2._4)
+    if (smallN < bigN && bigKept > 0) {
+      assert(smallKept.toDouble / smallN >= bigKept.toDouble / bigN - 1e-9,
+        s"alpha=0.5 must not keep small sources at a lower rate: " +
+          s"$smallKept/$smallN vs $bigKept/$bigN")
+    }
+    // total kept respects the budget within per-source rounding slack
+    val totalKept = got.values.map(_._4).sum
+    val totalDocs = got.values.map(_._1).sum
+    assert(totalKept <= math.min(200L + got.size * 2L, totalDocs) + totalDocs / 8,
+      s"kept $totalKept far past budget")
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
