@@ -410,6 +410,10 @@ object SparkEntry {
     "q_terms_facet" -> ((s, dir) =>
       operators.Analytics.termsFacet(Tables.events(s, dir), "event_type", 10)),
 
+    // terms agg ordered by a sub-agg metric (avg desc), not doc_count
+    "q_terms_order_subagg" -> ((s, dir) =>
+      operators.Analytics.termsOrderBySubAgg(Tables.events(s, dir), "event_type", 5)),
+
     "q_date_histogram" -> ((s, dir) =>
       operators.Analytics.dateHistogram(Tables.events(s, dir))),
 
@@ -1905,6 +1909,13 @@ object SparkEntry {
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY event_type
         |ORDER BY n_docs DESC, event_type LIMIT 10""".stripMargin,
+
+    "q_terms_order_subagg" ->
+      """SELECT event_type, count(*) AS n_docs,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY avg_value DESC, event_type LIMIT 5""".stripMargin,
 
     "q_date_histogram" ->
       """SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,

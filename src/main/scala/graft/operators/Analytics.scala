@@ -131,6 +131,27 @@ object Analytics {
       .orderBy(col("n_docs").desc, col(termCol))
       .limit(k)
 
+  /** ES terms aggregation ORDERED BY A SUB-AGGREGATION metric (r15
+    * continuation — `"order": {"avg_value": "desc"}`, the second most
+    * common terms order after doc_count): buckets rank by the mean of
+    * a metric sub-agg instead of their size. The sort key is the
+    * deterministic [[Det.moneyAvg]] (exact decimal sum ÷ exact count,
+    * ONE double division — no order-dependent running mean), ties
+    * break on the term. Unlike ES — where non-doc_count orders are
+    * approximate under sharding (each shard returns its own top
+    * shard_size) — the distributed hash agg here ranks every bucket
+    * exactly; the shard-error analog is [[termsShardError]]'s bound.
+    * One shuffle (hash agg), then a bounded TakeOrdered — never a
+    * global sort. */
+  def termsOrderBySubAgg(events: DataFrame, termCol: String, k: Int): DataFrame =
+    events
+      .groupBy(termCol)
+      .agg(count(lit(1)).as("n_docs"),
+        Det.moneyAvg(col("value")).as("avg_value"),
+        Det.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("avg_value").desc, col(termCol))
+      .limit(k)
+
   /** ES date-histogram facet: per-UTC-day buckets with counts and value
     * sums. The day key derives from the µs timestamp by exact integer
     * division so both engines bucket identically. */

@@ -301,6 +301,38 @@ class NewOpsSpec extends SparkSpec {
     assert(got.forall(s => s._3 - s._2 + 1 >= k))
   }
 
+  test("termsOrderBySubAgg ranks buckets by the sub-agg mean, not " +
+      "doc_count (r15)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.termsOrderBySubAgg(ev, "event_type", 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // ordered by avg desc with term tie-break
+    got.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi._3 > lo._3 || (hi._3 == lo._3 && hi._1 < lo._1))
+      case _ =>
+    }
+    // the mean replays as exact-decimal-sum / count
+    val rows = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = rows.groupBy(_._1).view.mapValues { g =>
+      val cents = g.map(x => BigDecimal(x._2).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      (g.size.toLong, cents.toDouble / g.size)
+    }.toMap
+    got.foreach { case (t, n, avg) =>
+      assert(n == want(t)._1)
+      assert(avg == want(t)._2, s"$t: got $avg want ${want(t)._2}")
+    }
+    // and the order genuinely differs from the doc_count order at this
+    // SF (otherwise the operator is indistinguishable from terms_facet)
+    val byCount = Analytics.termsFacet(ev, "event_type", 5).collect()
+      .map(_.getString(0)).toSeq
+    assert(got.map(_._1).toSeq != byCount,
+      "fixture must separate avg order from doc_count order")
+  }
+
   test("percentileFacet picks the exact rank-selected values") {
     val ev = Tables.events(spark, sfDir)
     val got = Analytics.percentileFacet(ev, Seq(0.5)).collect()
