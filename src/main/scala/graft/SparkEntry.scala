@@ -1152,6 +1152,12 @@ object SparkEntry {
       text.TextOps.rankEval(Tables.documents(s, dir),
         Seq("dup", "query", "scan"), 20)),
 
+    // _rank_eval dcg metric (normalize: true -> NDCG@10) on the same
+    // BM25 page; discounts are a 10-literal ladder, no runtime ln
+    "q_rank_eval_dcg" -> ((s, dir) =>
+      text.TextOps.rankEvalDcg(Tables.documents(s, dir),
+        Seq("dup", "query", "scan"), 20)),
+
     // completion suggester served FROM the maintained vocab index
     // (TermsIndex — the ES index-time FST shape): corpus ingested as 3
     // disjoint batches, additive merges; query reads only the vocab
@@ -1776,6 +1782,53 @@ object SparkEntry {
         s"(1 + (n_docs - df$i + 0.5e0) / (df$i + 0.5e0))", s"idf$i")
     })
   private lazy val bm25IdfNest3: String = bm25IdfNest(3)
+
+  /** The shared BM25-page + judgment CTE prelude of the two _rank_eval
+    * oracles (page `pg`, judgments `j`, corpus relevant-count `t`). */
+  private lazy val rankEvalPageSql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+         |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+         |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+         |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+         |      FROM d),
+         |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+         |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
+         |st AS (SELECT * FROM ${bm25IdfNest3}),
+         |bm AS (SELECT doc_id,
+         |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+         |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
+         |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
+         |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |pg AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+         |j AS (SELECT doc_id, (tf0 > 0 AND tf1 > 0 AND tf2 > 0) AS rel FROM p),
+         |t AS (SELECT CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant FROM j)""".stripMargin
+
+  /** Generated NDCG oracle tail — the same [[graft.text.TextOps.dcgDiscounts]]
+    * constants as the Column program, rendered as shortest-round-trip
+    * double literals; the DCG sum is the identical left-assoc chain. */
+  private lazy val rankEvalDcgSql: String = {
+    val d = graft.text.TextOps.dcgDiscounts
+    val p = graft.text.TextOps.dcgIdealPrefix
+    val pivots = (1 to 10).map(r =>
+      s"coalesce(max(CASE WHEN rank = $r AND rel THEN ${d(r - 1)}e0 ELSE 0e0 END), 0e0) AS c$r")
+      .mkString(",\n        ")
+    val chain = (1 to 10).map(r => s"c$r").mkString(" + ")
+    val ideal = (1 to 10).map(r =>
+      s"WHEN least(n_relevant, 10) = $r THEN ${p(r - 1)}e0").mkString(" ")
+    s"""$rankEvalPageSql,
+       |m AS (SELECT
+       |        $pivots
+       |      FROM pg JOIN j USING (doc_id))
+       |SELECT n_relevant,
+       |       ($chain) AS dcg_at_10,
+       |       CASE WHEN n_relevant = 0 THEN NULL
+       |            ELSE ($chain) / (CASE $ideal END) END AS ndcg_at_10
+       |FROM m CROSS JOIN t""".stripMargin
+  }
 
   // shared by the exhaustive percolator AND its r13 term-index-
   // prefiltered twin — the stored set is one definition, the answer
@@ -4046,26 +4099,7 @@ object SparkEntry {
         |GROUP BY md5_hex HAVING count(*) > 1""".stripMargin,
 
     "q_rank_eval" ->
-      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-           |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-           |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
-           |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
-           |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
-           |      FROM d),
-           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
-           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM p),
-           |st AS (SELECT * FROM ${bm25IdfNest3}),
-           |bm AS (SELECT doc_id,
-           |    idf0 * (tf0 * (1.2e0 + 1)) / (tf0 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + idf1 * (tf1 * (1.2e0 + 1)) / (tf1 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs))))
-           |    + idf2 * (tf2 * (1.2e0 + 1)) / (tf2 + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / (CAST(total_toks AS DOUBLE) / n_docs)))) AS score
-           |  FROM p CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
-           |  ORDER BY score DESC, doc_id LIMIT 20),
-           |pg AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
-           |j AS (SELECT doc_id, (tf0 > 0 AND tf1 > 0 AND tf2 > 0) AS rel FROM p),
-           |t AS (SELECT CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant FROM j),
+      raw"""$rankEvalPageSql,
            |m AS (SELECT
            |        CAST(sum(CASE WHEN rel AND rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits5,
            |        CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
@@ -4079,6 +4113,8 @@ object SparkEntry {
            |            ELSE CAST(hitsN AS DOUBLE) / n_relevant END AS recall_at_20,
            |       coalesce(1.0e0 / first_rel, 0e0) AS mrr
            |FROM m CROSS JOIN t""".stripMargin,
+
+    "q_rank_eval_dcg" -> rankEvalDcgSql,
 
     // ----- river core -----
 

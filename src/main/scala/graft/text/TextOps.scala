@@ -1647,6 +1647,56 @@ object TextOps {
         coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
   }
 
+  /** The DCG discount ladder 1/log₂(r+1) for ranks 1..10 and its ideal
+    * prefix sums, computed ONCE driver-side and embedded as the same
+    * literal constants in both the Column program and the generated
+    * DuckDB oracle — the dual-compile discipline's answer to a
+    * transcendental that only ever takes 10 inputs (no cross-engine ln
+    * at data scale at all). */
+  val dcgDiscounts: IndexedSeq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  val dcgIdealPrefix: IndexedSeq[Double] =
+    dcgDiscounts.scanLeft(0.0)(_ + _).tail
+
+  /** ES _rank_eval `dcg` metric (`normalize: true` → NDCG@10) over the
+    * BM25 page (r15 continuation — the graded-ranking metric next to
+    * [[rankEval]]'s precision/recall/MRR row). Binary gains (the
+    * judgment proxy is binary), so DCG@10 = Σ_{r≤10, rel} 1/log₂(r+1)
+    * and IDCG@10 is a pure function of min(n_relevant, 10) — both come
+    * from the [[dcgDiscounts]] literal ladder. Per-rank contributions
+    * pivot to 10 bounded columns and the sum is a FIXED left-assoc
+    * chain (identical textual order in both engines — the r14
+    * association rule), so the whole metric is engine-exact. Scale
+    * shape identical to [[rankEval]]: everything beyond the BM25 pass
+    * is rank-bounded. */
+  def rankEvalDcg(docs: DataFrame, terms: Seq[String], n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && n >= 10)
+    val toks = split(lower(col("text")), "\\s+")
+    val relevant = terms.map(t =>
+      size(filter(toks, x => x === lit(t))) > 0).reduce(_ && _)
+    val judged = docs.select(col("doc_id"), relevant.as("rel"))
+    val page = bm25Search(docs, terms, n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .join(judged, "doc_id")
+    val totals = judged.agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_relevant"))
+    val contribs = (1 to 10).map { r =>
+      coalesce(max(when(col("rank") === r && col("rel"),
+        lit(dcgDiscounts(r - 1))).otherwise(lit(0.0))), lit(0.0)).as(s"c$r")
+    }
+    val dcg = (1 to 10).map(r => col(s"c$r")).reduce(_ + _)
+    val idcg = element_at(typedlit(dcgIdealPrefix.toList),
+      least(col("n_relevant"), lit(10L)).cast("int"))
+    page.agg(contribs.head, contribs.tail: _*)
+      .crossJoin(broadcast(totals))
+      .select(
+        col("n_relevant"),
+        dcg.as("dcg_at_10"),
+        when(col("n_relevant") === 0, lit(null).cast("double"))
+          .otherwise(dcg / idcg).as("ndcg_at_10"))
+  }
+
   /** ES terms lookup: a `terms` filter whose value list is fetched from
     * ANOTHER DOCUMENT's field at query time ("docs sharing a tag with
     * doc X" — the follower/related-items filter, distinct from

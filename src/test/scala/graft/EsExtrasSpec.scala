@@ -704,6 +704,40 @@ class EsExtrasSpec extends SparkSpec {
     assert(zero.getLong(0) == 0L && zero.isNullAt(3) && zero.getDouble(4) == 0.0)
   }
 
+  test("rankEvalDcg: NDCG@10 replays from the page with the literal " +
+      "discount ladder (r15)") {
+    val docs = Tables.documents(spark, sfDir)
+    val terms = Seq("dup", "query", "scan")
+    val row = TextOps.rankEvalDcg(docs, terms, 20).head()
+    val page = TextOps.bm25Search(docs, terms, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    val rel = docs.select("doc_id", "text").collect()
+      .filter { r =>
+        val t = r.getString(1).toLowerCase.split("\\s+")
+        terms.forall(q => t.contains(q))
+      }.map(_.getLong(0)).toSet
+    val d = TextOps.dcgDiscounts
+    // the exact left-assoc chain the engine computes: per-rank pivots
+    // (0.0 where irrelevant), summed rank 1 -> 10
+    val dcg = (1 to 10).map { r =>
+      page.lift(r - 1).filter(rel).map(_ => d(r - 1)).getOrElse(0.0)
+    }.reduce(_ + _)
+    val idcg = TextOps.dcgIdealPrefix(math.min(rel.size, 10) - 1)
+    assert(row.getLong(0) == rel.size.toLong)
+    assert(row.getDouble(1) == dcg)
+    assert(row.getDouble(2) == dcg / idcg)
+    assert(dcg > 0 && row.getDouble(2) <= 1.0 + 1e-12,
+      "NDCG must be non-vacuous and normalized")
+    // the discount ladder is what it claims: 1/log2(r+1), descending
+    (1 to 10).foreach(r =>
+      assert(d(r - 1) == 1.0 / (math.log(r + 1.0) / math.log(2.0))))
+    assert(d.sliding(2).forall(p => p(0) > p(1)))
+    // degenerate judgment set -> null NDCG, zero DCG, no crash
+    val zero = TextOps.rankEvalDcg(docs, Seq("dup", "query", "zzznothere"), 20).head()
+    assert(zero.getLong(0) == 0L && zero.getDouble(1) == 0.0 && zero.isNullAt(2))
+  }
+
   test("payloadDedup: byte-identical payloads group under one keeper") {
     val docs = docsDf(
       1L -> "same bytes here",
