@@ -1725,6 +1725,11 @@ object SparkEntry {
     "pipe_pack_sequences" -> ((s, dir) =>
       pipeline.Pipeline.packSequences(Tables.documents(s, dir), 1000L)),
 
+    // per-doc loss-mask span manifest over the packed concat stream
+    // (bin, offset, in-bin span length, overflow into later bins)
+    "pipe_loss_mask" -> ((s, dir) =>
+      pipeline.Pipeline.lossMaskManifest(Tables.documents(s, dir), 1000L)),
+
     "pipe_strip_spans" -> ((s, dir) =>
       pipeline.Pipeline.stripRepeatedSpans(Tables.documents(s, dir), 8)),
 
@@ -4328,6 +4333,18 @@ object SparkEntry {
         |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY bin""".stripMargin,
+
+    "pipe_loss_mask" ->
+      s"""WITH t AS (SELECT doc_id, ${text.Bpe.tokenCountSql("text")} AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |             CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) - n_tok AS start
+        |      FROM t)
+        |SELECT doc_id, n_tok,
+        |       start // 1000 AS bin,
+        |       start % 1000 AS offset_in_bin,
+        |       least(n_tok, 1000 - (start % 1000)) AS len_in_bin,
+        |       greatest(0, (start % 1000) + n_tok - 1000) AS n_overflow
+        |FROM c""".stripMargin,
 
     "ann_range_search" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -869,7 +869,21 @@ object Pipeline {
     * The partitioned RDD persists across the two jobs so both see the
     * same sampled range boundaries (same determinism argument as
     * River.assignBatches). No single-reducer window anywhere. */
-  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Long): DataFrame =
+    packedOffsets(docs)
+      .withColumn("bin", expr(s"start div ${budget}L"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  /** The concat-stream offset frame shared by [[packSequences]] and
+    * [[lossMaskManifest]]: (doc_id, n_tok, start) where `start` is the
+    * doc's global running-token offset in doc_id order (two-phase
+    * offsets, steps 1–3 above). Returned localCheckpointed — the RDD
+    * lineage's cached parent is released before returning. */
+  private def packedOffsets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // REAL token counts (merges-table BPE, round 11) — a packing run's
@@ -891,7 +905,7 @@ object Pipeline {
         var cum = offsets(i)
         it.map { case (id, t) =>
           val start = cum; cum += t
-          org.apache.spark.sql.Row(id, t, start / budget)
+          org.apache.spark.sql.Row(id, t, start)
         }
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -899,18 +913,34 @@ object Pipeline {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_tok",
           org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.StructField("start",
           org.apache.spark.sql.types.LongType, nullable = false)))
-      val df = spark.createDataFrame(packed, schema)
-      // aggregate per bin BEFORE unpersist: the action must run while
-      // the packed lineage's cached parent is alive
-      val out = df.groupBy("bin").agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("sum_tok"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      out.localCheckpoint()
+      // materialize BEFORE unpersist: the checkpoint action must run
+      // while the packed lineage's cached parent is alive
+      spark.createDataFrame(packed, schema).localCheckpoint()
     } finally rdd.unpersist(blocking = false)
+  }
+
+  /** LOSS-MASK manifest for packed sequences (r15 continuation — the
+    * per-doc span table a training loader consumes next to
+    * [[packSequences]]' bin inventory): for every document in the
+    * concat-stream packing, its bin, offset within the bin, the length
+    * of its in-bin span, and how many of its tokens overflow into
+    * later bins. The mask rule it encodes is the standard packed-causal
+    * one — position `offset_in_bin` (each doc's first token) takes no
+    * loss, cross-doc attention is cut at the span edges. Everything
+    * derives from `start` by exact integer division/remainder, so the
+    * whole manifest is engine-exact; scale cost is [[packedOffsets]]'
+    * two-phase pass plus a narrow projection. */
+  def lossMaskManifest(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0)
+    packedOffsets(docs)
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"start div ${budget}L").as("bin"),
+        (col("start") % budget).as("offset_in_bin"),
+        least(col("n_tok"), lit(budget) - (col("start") % budget)).as("len_in_bin"),
+        greatest(lit(0L), (col("start") % budget) + col("n_tok") - budget)
+          .as("n_overflow"))
   }
 
   /** Token-length inventory: per (source, width-bucketed BPE token

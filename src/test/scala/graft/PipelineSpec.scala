@@ -118,6 +118,39 @@ class PipelineSpec extends SparkSpec {
       s"kept $totalKept far past budget")
   }
 
+  test("lossMaskManifest: spans tile the concat stream and agree with " +
+      "packSequences (r15)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Pipeline.lossMaskManifest(docs, 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // contiguity: each doc starts where the previous ended
+    var expectStart = 0L
+    got.foreach { case (id, nTok, bin, off, lenIn, over) =>
+      val start = bin * 1000L + off
+      assert(start == expectStart, s"doc $id starts at $start, want $expectStart")
+      expectStart = start + nTok
+      // the in-bin span + overflow account for every token exactly
+      assert(lenIn == math.min(nTok, 1000L - off))
+      assert(over == math.max(0L, off + nTok - 1000L))
+      assert(lenIn + over == nTok || off + nTok <= 1000L)
+      assert(off >= 0 && off < 1000L && lenIn >= 0 && over >= 0)
+    }
+    // bin assignment matches packSequences' inventory
+    val bins = Pipeline.packSequences(docs, 1000L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val byBin = got.groupBy(_._3)
+    assert(byBin.keySet == bins.keySet)
+    byBin.foreach { case (b, rows) =>
+      assert(rows.length.toLong == bins(b)._1)
+      assert(rows.map(_._1).min == bins(b)._2 && rows.map(_._1).max == bins(b)._3)
+    }
+    // the fixture must exercise the overflow path (some doc crosses a cut)
+    assert(got.exists(_._6 > 0), "no doc crosses a bin boundary at this SF")
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
