@@ -1638,6 +1638,11 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // cross-source duplication audit: per source pair, fingerprints
+    // present in both (one shuffle, in-row pair expansion)
+    "pipe_cross_source_dup" -> ((s, dir) =>
+      pipeline.Pipeline.crossSourceDup(Tables.documents(s, dir))),
+
     // alpha=0.5 temperature-resampled source mixture (sqrt is the one
     // engine-exact power); per-source audit frame, all-BIGINT output
     "pipe_temperature_mix" -> ((s, dir) =>
@@ -4287,6 +4292,16 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_cross_source_dup" ->
+      raw"""WITH f AS (SELECT DISTINCT
+           |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp,
+           |    source
+           |  FROM documents)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |       CAST(count(*) AS BIGINT) AS n_shared
+           |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+           |GROUP BY 1, 2""".stripMargin,
 
     "pipe_temperature_mix" -> pipeline.Pipeline.temperatureMixSql(200L),
 

@@ -144,6 +144,33 @@ object Pipeline {
       .drop("__w_full", "__band")
   }
 
+  /** CROSS-SOURCE duplication audit (r15 continuation — the corpus
+    * governance question "which crawls/dumps overlap, and by how
+    * much?" that decides what to drop before spending dedup compute):
+    * for every source pair, how many content fingerprints
+    * ([[graft.text.TextOps.fingerprintCol]] — order/multiplicity-
+    * normalized token set) appear in BOTH.
+    *
+    * One shuffle, no self-join: the (fp, source) frame groups by
+    * fingerprint, sources collect to a SORTED distinct array (bounded
+    * by |sources|, not docs), pairs expand combinatorially inside the
+    * row — a fingerprint shared by s sources yields C(s,2) slim pair
+    * rows, and fingerprints in one source only are filtered before the
+    * expansion. The final count combines map-side to |sources|² rows. */
+  def crossSourceDup(docs: DataFrame): DataFrame = {
+    val srcs = col("srcs")
+    docs
+      .select(graft.text.TextOps.fingerprintCol(col("text")).as("fp"),
+        col("source"))
+      .groupBy("fp").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(srcs) >= 2)
+      .select(explode(flatten(transform(srcs, (a, i) =>
+        transform(slice(srcs, i + lit(2), size(srcs)),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** TEMPERATURE-sampled source mixture, α = 1/2 (r15 continuation —
     * the multilingual/multi-source resampling rule: sampling weight
     * p_s ∝ n_s^α flattens raw source proportions so small sources

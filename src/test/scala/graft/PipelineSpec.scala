@@ -151,6 +151,26 @@ class PipelineSpec extends SparkSpec {
     assert(got.exists(_._6 > 0), "no doc crosses a bin boundary at this SF")
   }
 
+  test("crossSourceDup: pair counts replay from a naive fingerprint " +
+      "self-join (r15)") {
+    val real = Tables.documents(spark, sfDir)
+    val got = Pipeline.crossSourceDup(real).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "fixture must contain cross-source duplicates")
+    // naive: fingerprint = sorted distinct lowercase token set
+    val fps = real.select("source", "text").collect().map { r =>
+      (r.getString(0),
+        r.getString(1).toLowerCase.split("\\s+").distinct.sorted.mkString(" "))
+    }.distinct
+    val bySrcs = fps.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val want = bySrcs.values.filter(_.length >= 2).flatMap { ss =>
+      for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    // ordering + asymmetry invariants
+    got.keys.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
