@@ -560,6 +560,12 @@ object SparkEntry {
       text.TextOps.matchBoolPrefix(Tables.documents(s, dir),
         Seq("dup", "query"), "sc", 25)),
 
+    // search_as_you_type: bool_prefix over root + _2gram + _3gram
+    // shingle subfields, integer hit-count score
+    "text_search_as_you_type" -> ((s, dir) =>
+      text.TextOps.searchAsYouType(Tables.documents(s, dir),
+        "part filter sm", 20)),
+
     // ES rescore (r13): BM25 top-30 window re-ranked by phrase
     // proximity of the query's own terms (query scan adjacency),
     // combined 1.0×first + 2.0×phrase_tf
@@ -2322,6 +2328,25 @@ object SparkEntry {
            |    + len(list_filter(toks, x -> x = 'query'))
            |    + len(list_filter(toks, x -> x LIKE 'sc%')) > 0
            |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "text_search_as_you_type" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, toks,
+           |  CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+           |       ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS sh2,
+           |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+           |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS sh3
+           |  FROM d),
+           |s AS (SELECT doc_id,
+           |    CAST(len(list_filter(toks, x -> x = 'part')) AS BIGINT)
+           |  + CAST(len(list_filter(toks, x -> x = 'filter')) AS BIGINT)
+           |  + CAST(len(list_filter(toks, x -> x LIKE 'sm%')) AS BIGINT)
+           |  + CAST(len(list_filter(sh2, x -> x = 'part filter')) AS BIGINT)
+           |  + CAST(len(list_filter(sh2, x -> x LIKE 'filter sm%')) AS BIGINT)
+           |  + CAST(len(list_filter(sh3, x -> x LIKE 'part filter sm%')) AS BIGINT) AS score
+           |  FROM g)
+           |SELECT doc_id, score FROM s WHERE score > 0
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_rescore" ->
       raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -335,6 +335,58 @@ object TextOps {
       .limit(k)
   }
 
+  /** ES search_as_you_type (r15 continuation — the dedicated field
+    * type behind type-ahead search boxes): a `multi_match` of type
+    * `bool_prefix` over the root field AND its shingle subfields
+    * `._2gram` / `._3gram`. Each granularity contributes its own
+    * clause set built from the query — full terms (and full shingles)
+    * match exactly, the trailing still-being-typed token (and the
+    * shingles ending in it) match as prefixes — and the score is the
+    * integer sum of all hit counts, so shingle-adjacent matches
+    * ("part filter" as a unit) outrank scattered term hits, which is
+    * the field type's whole point over plain [[matchBoolPrefix]].
+    * Shingles build per-row from one token array (no second
+    * tokenization pass); one narrow scan, bounded TakeOrdered; the
+    * score>0 filter sits ABOVE the limit (score is the primary DESC
+    * key, so zeros rank last — identical output, and the computed
+    * column is never alias-substituted into the scan). */
+  def searchAsYouType(docs: DataFrame, query0: String, k: Int): DataFrame = {
+    val parts = query0.toLowerCase.trim.split("\\s+").toSeq
+    require(parts.length >= 2, "search_as_you_type needs >= 2 tokens here")
+    val terms = parts.init
+    val prefix = parts.last
+    val toks = split(lower(col("text")), "\\s+")
+    def shingles(n: Int): Column =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+    def tfIn(c: Column, v: String): Column =
+      size(filter(c, x => x === lit(v))).cast("long")
+    def prefIn(c: Column, p: String): Column =
+      size(filter(c, x => x.startsWith(p))).cast("long")
+    // root: every full term exact + trailing token as prefix
+    val s0 = (terms.map(tfIn(toks, _)) :+ prefIn(toks, prefix)).reduce(_ + _)
+    // _2gram: full 2-shingles of the query exact + trailing 2-shingle
+    // ("last full term + prefix") as prefix
+    val sh2 = shingles(2)
+    val full2 = terms.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val s1 = (full2.map(tfIn(sh2, _)) :+
+      prefIn(sh2, s"${terms.last} $prefix")).reduce(_ + _)
+    // _3gram: same one size up (clauses only exist once the query is
+    // long enough — the shingle analyzer emits nothing below its size)
+    val sh3 = shingles(3)
+    val full3 = terms.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    val pre3 = if (terms.length >= 2)
+      Seq(prefIn(sh3, s"${terms.takeRight(2).mkString(" ")} $prefix"))
+    else Seq.empty
+    val s2 = (full3.map(tfIn(sh3, _)) ++ pre3)
+      .foldLeft(lit(0L))(_ + _)
+    docs.select(col("doc_id"), (s0 + s1 + s2).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .filter(col("score") > 0)
+  }
+
   /** ES rescore (round 13): two-phase ranking — the first pass takes
     * the top `window` docs by BM25 over `terms`, the second re-scores
     * ONLY that window with a phrase-proximity query (adjacent

@@ -738,6 +738,40 @@ class EsExtrasSpec extends SparkSpec {
     assert(zero.getLong(0) == 0L && zero.getDouble(1) == 0.0 && zero.isNullAt(2))
   }
 
+  test("searchAsYouType: shingle adjacency outranks scattered terms; " +
+      "naive replay agrees (r15)") {
+    val spark2 = spark; import spark2.implicits._
+    val crafted = Seq(
+      (1L, "part filter small end"),      // adjacent: all three granularities hit
+      (2L, "filter part smoke xx"),       // same terms scattered: root only
+      (3L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.searchAsYouType(crafted, "part filter sm", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 6L, s"adjacent doc: ${got.get(1L)}") // 3 root + 2 bigram + 1 trigram
+    assert(got(2L) == 3L, s"scattered doc: ${got.get(2L)}") // root only
+    assert(!got.contains(3L))
+    // naive replay over the real corpus
+    val real = Tables.documents(spark, sfDir)
+    def score(text: String): Long = {
+      val t = text.toLowerCase.split("\\s+").toSeq
+      val sh2 = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val sh3 = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      t.count(_ == "part") + t.count(_ == "filter") + t.count(_.startsWith("sm")) +
+        sh2.count(_ == "part filter") + sh2.count(_.startsWith("filter sm")) +
+        sh3.count(_.startsWith("part filter sm"))
+    }
+    val want = real.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), score(r.getString(1))))
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    val gotReal = TextOps.searchAsYouType(real, "part filter sm", 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }.toSeq
+    assert(gotReal == want)
+    assert(gotReal.nonEmpty)
+  }
+
   test("payloadDedup: byte-identical payloads group under one keeper") {
     val docs = docsDf(
       1L -> "same bytes here",
