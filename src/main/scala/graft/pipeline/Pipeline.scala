@@ -116,10 +116,13 @@ object Pipeline {
       size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
         .as(s"n_${name}s")
     }
-    val redacted = piiClasses.foldLeft(col("text")) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-    }
-    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+    docs.select(col("doc_id") +: counts :+ redactedCol.as("redacted"): _*)
+  }
+
+  /** The fixed-order PII scrub chain as a stateless Column over `text`
+    * (shared by [[redact]] and the streaming release gate). */
+  def redactedCol: Column = piiClasses.foldLeft(col("text")) {
+    case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
   }
 
   /** Weighted source mixing with epochs: each source carries a mixture
@@ -601,15 +604,9 @@ object Pipeline {
     * scan. All thresholds are integer cross-multiplications (see the
     * `Qr*` constants), so the bits are engine-exact. */
   def qualityRules(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), "\\s+")
-    val nWords = size(toks).cast("long")
-    val nWordChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
-    val nSymbols = size(regexp_extract_all(col("text"), lit(QrSymbolRe), lit(0))).cast("long")
-    val nAlphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
-    val nStop = size(regexp_extract_all(col("text"), lit(QrStopRe), lit(0))).cast("long")
-    val base = docs.select(col("doc_id"), nWords.as("n_words"),
-      nWordChars.as("n_word_chars"), nSymbols.as("n_symbols"),
-      nAlphaWords.as("n_alpha_words"), nStop.as("n_stop_hits"))
+    val base = docs.select(col("doc_id"), qrNWords.as("n_words"),
+      qrNWordChars.as("n_word_chars"), qrNSymbols.as("n_symbols"),
+      qrNAlphaWords.as("n_alpha_words"), qrNStop.as("n_stop_hits"))
     val f0 = col("n_words") < QrWordMin || col("n_words") > QrWordMax
     val f1 = lit(QrMeanLenMin) * col("n_words") > col("n_word_chars") ||
       col("n_word_chars") > lit(QrMeanLenMax) * col("n_words")
@@ -621,6 +618,30 @@ object Pipeline {
       .reduce(_ + _)
     base.withColumn("rules_failed", mask.cast("long"))
       .withColumn("pass", col("rules_failed") === 0L)
+  }
+
+  private def qrNWords = size(split(col("text"), "\\s+")).cast("long")
+  private def qrNWordChars =
+    length(regexp_replace(col("text"), "\\s", "")).cast("long")
+  private def qrNSymbols =
+    size(regexp_extract_all(col("text"), lit(QrSymbolRe), lit(0))).cast("long")
+  private def qrNAlphaWords =
+    size(filter(split(col("text"), "\\s+"), t => t.rlike("[a-zA-Z]"))).cast("long")
+  private def qrNStop =
+    size(regexp_extract_all(col("text"), lit(QrStopRe), lit(0))).cast("long")
+
+  /** The [[qualityRules]] pass verdict as one stateless Column over
+    * `text` — the form a streaming micro-batch can filter on directly
+    * (shared definitions with the batch frame, so the gates cannot
+    * drift). */
+  def qualityPassCol: Column = {
+    val f0 = qrNWords < QrWordMin || qrNWords > QrWordMax
+    val f1 = lit(QrMeanLenMin) * qrNWords > qrNWordChars ||
+      qrNWordChars > lit(QrMeanLenMax) * qrNWords
+    val f2 = lit(QrSymbolDen) * qrNSymbols > qrNWords
+    val f3 = lit(QrAlphaDen) * qrNAlphaWords < lit(QrAlphaNum) * qrNWords
+    val f4 = qrNStop < QrStopMin
+    !f0 && !f1 && !f2 && !f3 && !f4
   }
 
   /** Generated DuckDB oracle for [[qualityRules]] — same `Qr*`

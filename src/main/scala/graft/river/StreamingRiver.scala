@@ -493,4 +493,59 @@ object StreamingRiver {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** STREAMING RELEASE GATE (r15 continuation — the batch release
+    * chain's ingest-time form: documents pass the gate as they arrive
+    * instead of in a nightly recompute). Stages, all from the batch
+    * pipeline's own shared column definitions so the two forms cannot
+    * drift:
+    *
+    *  1. quality gate — [[graft.pipeline.Pipeline.qualityPassCol]],
+    *     stateless narrow filter;
+    *  2. benchmark decontamination — the STATIC benchmark gram set
+    *     aggregates to a one-row array frame that stream-static
+    *     cross-joins (broadcast) into every micro-batch; the doc check
+    *     is one `arrays_overlap`, per-row, no stream-side shuffle
+    *     (eval sets are bounded — the percolator-forest discipline);
+    *  3. PII scrub — [[graft.pipeline.Pipeline.redactedCol]], narrow;
+    *  4. exact near-dup — streaming `dropDuplicates` on the content
+    *     fingerprint: the state store keeps one entry per distinct
+    *     fingerprint ever released, so re-ingests and cross-batch
+    *     duplicates drop exactly once. Keeper identity is
+    *     arrival-order (streaming semantics) — audits compare
+    *     fingerprint SETS, not keeper ids. In production bound the
+    *     state with dropDuplicatesWithinWatermark when the dup horizon
+    *     is known.
+    */
+  def streamingReleaseGate(docStream: DataFrame, benchGrams: DataFrame,
+      n: Int): DataFrame = {
+    val benchArr = benchGrams
+      .agg(collect_set(col("gram")).as("bench_grams"))
+    docStream
+      .filter(graft.pipeline.Pipeline.qualityPassCol)
+      .crossJoin(broadcast(benchArr))
+      .filter(!arrays_overlap(
+        array_distinct(graft.pipeline.Pipeline.wordNgrams(col("text"), n)),
+        col("bench_grams")))
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.fingerprintCol(col("text")).as("fingerprint"),
+        graft.pipeline.Pipeline.redactedCol.as("redacted"))
+      .dropDuplicates("fingerprint")
+  }
+
+  /** Run the streaming release gate over a bounded doc stream into an
+    * in-memory sink and return every released row. */
+  def runReleaseGateToMemory(spark: SparkSession, docStream: DataFrame,
+      benchGrams: DataFrame, n: Int, queryName: String,
+      checkpointDir: String): DataFrame = {
+    val q = streamingReleaseGate(docStream, benchGrams, n).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -51,6 +51,44 @@ class StreamingOpsSpec extends SparkSpec {
       "streamed matches must equal the batch percolator exactly")
   }
 
+  test("streaming release gate: released fingerprints and redactions " +
+      "equal the batch recompute (r15)") {
+    import graft.pipeline.Pipeline
+    import graft.text.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val src = tmp("gate-src")
+    (0 until 3).foreach(b =>
+      docs.filter(col("doc_id") % 3 === b)
+        .write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val bench = docs.filter(col("source").isin("src0", "src1"))
+      .select(explode(array_distinct(Pipeline.wordNgrams(col("text"), 4))).as("gram"))
+      .distinct()
+    val got = StreamingRiver.runReleaseGateToMemory(
+      spark, stream, bench, 4, "gate_stream", tmp("gate-ckpt"))
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    // batch recompute with the same shared stages; keeper identity is
+    // arrival-order in the stream, so compare at fingerprint grain
+    val want = docs
+      .filter(Pipeline.qualityPassCol)
+      .crossJoin(broadcast(bench.agg(collect_set(col("gram")).as("bg"))))
+      .filter(!arrays_overlap(
+        array_distinct(Pipeline.wordNgrams(col("text"), 4)), col("bg")))
+      .select(TextOps.fingerprintCol(col("text")).as("fp"),
+        Pipeline.redactedCol.as("red"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // fingerprint sets equal; each released redaction is one of the
+    // batch redactions of its fingerprint group (keeper-independent)
+    val wantByFp = want.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == wantByFp.keySet,
+      s"released set diverges: ${got.size} vs ${wantByFp.size}")
+    got.foreach { case (fp, red) =>
+      assert(wantByFp(fp).contains(red), s"redaction not in batch set: $fp") }
+    assert(got.nonEmpty, "the gate must release something at this SF")
+    // the gate genuinely gates: something was dropped from the corpus
+    assert(got.size < docs.count(), "no doc was filtered or deduped")
+  }
+
   test("trending terms: streamed windowed counts equal the batch recompute") {
     val docs = Tables.documents(spark, sfDir)
     // deterministic synthetic timestamps: one doc per minute
