@@ -1644,6 +1644,11 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // tokenizer unigram profile: corpus frequency of every BPE piece
+    // (vocab-bounded output at any corpus size)
+    "pipe_vocab_freq" -> ((s, dir) =>
+      pipeline.Pipeline.vocabFreq(Tables.documents(s, dir))),
+
     // cross-source duplication audit: per source pair, fingerprints
     // present in both (one shuffle, in-row pair expansion)
     "pipe_cross_source_dup" -> ((s, dir) =>
@@ -4317,6 +4322,8 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_vocab_freq" -> text.Bpe.vocabFreqSql("text"),
 
     "pipe_cross_source_dup" ->
       raw"""WITH f AS (SELECT DISTINCT

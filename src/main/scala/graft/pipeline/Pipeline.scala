@@ -147,6 +147,19 @@ object Pipeline {
       .drop("__w_full", "__band")
   }
 
+  /** Tokenizer UNIGRAM PROFILE (r15 continuation — the tokenizer-QA
+    * read a pipeline runs after choosing/training a merges table: which
+    * pieces actually fire on this corpus, and how often; the input to
+    * fertility and compression-ratio checks). One narrow tokenize +
+    * explode, one map-side-combined count — the groups are the VOCAB
+    * (77 pieces here), so reduce output is vocab-bounded at any corpus
+    * size. Engine-exact: the DuckDB twin counts the merged text's
+    * symbol CHARS ([[graft.text.Bpe.vocabFreqSql]] — generated from
+    * the same merge table). */
+  def vocabFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.text.Bpe.tokenize(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
   /** CROSS-SOURCE duplication audit (r15 continuation — the corpus
     * governance question "which crawls/dumps overlap, and by how
     * much?" that decides what to drop before spending dedup compute):

@@ -135,6 +135,24 @@ object Bpe {
     s"CAST(length(regexp_replace(${mergeWordSql(s"lower($textExpr)")}, '$cls', '', 'g')) AS BIGINT)"
   }
 
+  /** Generated DuckDB replay of the token-frequency profile: merged
+    * text → strip non-token chars → per-CHAR unnest (every token is
+    * one symbol char by construction) → decode symbols back to token
+    * strings via a generated CASE over [[symbolToken]]. Counting
+    * characters of the merged text IS counting tokens — the symbol
+    * encoding makes the unigram profile a string-length problem. */
+  def vocabFreqSql(textExpr: String): String = {
+    val cls = nonTokenClass.replace("'", "''")
+    val whens = symbolToken.toSeq.sortBy(_._1)
+      .map { case (s, t) => s"WHEN '$s' THEN '${t.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""WITH m AS (SELECT regexp_replace(${mergeWordSql(s"lower($textExpr)")}, '$cls', '', 'g') AS s FROM documents),
+       |c AS (SELECT unnest(string_split(s, '')) AS ch FROM m WHERE s <> '')
+       |SELECT CASE ch $whens ELSE ch END AS token,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
   /** Distributed BPE merge TRAINING (r15) — the other half of the
     * tokenizer story: [[mergeTokens]] is the shape of a published
     * merges.txt, and this LEARNS one from the corpus (Sennrich's

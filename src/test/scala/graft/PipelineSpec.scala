@@ -171,6 +171,27 @@ class PipelineSpec extends SparkSpec {
     got.keys.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("vocabFreq: piece counts replay from tokenize, totals match " +
+      "tokenCount, output is vocab-bounded (r15)") {
+    import graft.text.Bpe
+    val real = Tables.documents(spark, sfDir)
+    val got = Pipeline.vocabFreq(real).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // totals: sum of piece counts == sum of per-doc token counts
+    val totalTok = real.select(sum(Bpe.tokenCount(col("text")))).head.getLong(0)
+    assert(got.values.sum == totalTok)
+    // naive replay from the tokenize column itself
+    val want = real.select(Bpe.tokenize(col("text")).as("t")).collect()
+      .flatMap(_.getSeq[String](0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+    // vocab bound: base alphabet + one piece per merge rule
+    assert(got.keySet.size <= 37 + Bpe.mergeTokens.size)
+    // multi-char merged pieces genuinely fire on the corpus
+    assert(got.keys.exists(_.length >= 2), "no merged piece fired")
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
