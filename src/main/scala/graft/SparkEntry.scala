@@ -329,6 +329,12 @@ object SparkEntry {
       river.Nested.nestedMatch(
         river.Nested.nestedDocs(Tables.events(s, dir)), "click", 15.0)),
 
+    // nested sort: parents ordered by min matching-item value,
+    // missing: _last (ES sort-by-nested-field semantics)
+    "q_nested_sort" -> ((s, dir) =>
+      river.Nested.nestedSort(
+        river.Nested.nestedDocs(Tables.events(s, dir)), "click", 25)),
+
     "q_nested_exists" -> ((s, dir) =>
       river.Nested.nestedExists(river.Nested.nestedDocs(Tables.events(s, dir)))),
 
@@ -4241,6 +4247,17 @@ object SparkEntry {
         |SELECT user_id, day_idx, count(*) AS n_items,
         |       count(CASE WHEN parent = 'click' AND value >= 15 THEN 1 END) AS n_match
         |FROM it GROUP BY 1, 2 HAVING n_match > 0""".stripMargin,
+
+    "q_nested_sort" ->
+      """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+        |                   CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+        |                        THEN NULL ELSE event_type END AS parent,
+        |                   value
+        |            FROM events)
+        |SELECT user_id, day_idx, count(*) AS n_items,
+        |       min(CASE WHEN parent = 'click' THEN value END) AS sort_value
+        |FROM it GROUP BY 1, 2
+        |ORDER BY sort_value ASC NULLS LAST, user_id, day_idx LIMIT 25""".stripMargin,
 
     "q_nested_inner_hits" ->
       """WITH it AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,

@@ -104,6 +104,24 @@ object Nested {
         col("hit.value").as("hit_value"))
   }
 
+  /** ES NESTED SORT (r15 continuation — `sort: [{items.value: {nested:
+    * {path: items, filter: {term: {items.parent: ...}}}, mode: min,
+    * missing: _last}}]`): parents order by the MINIMUM item value
+    * among the items matching the nested filter; parents with no
+    * matching item sort last (ES `missing: _last`), ties break on the
+    * parent key. The sort key is a per-row array fold (`array_min`
+    * over the filtered items — a min of doubles, no summation, so
+    * engine-exact), then one bounded TakeOrdered — zero exchange
+    * beyond the doc-assembly shuffle. */
+  def nestedSort(docs: DataFrame, parent: String, k: Int): DataFrame =
+    docs.select(col("user_id"), col("day_idx"),
+        size(col("items")).cast("long").as("n_items"),
+        array_min(transform(
+          filter(col("items"), it => it.getField("parent") === parent),
+          it => it.getField("value"))).as("sort_value"))
+      .orderBy(col("sort_value").asc_nulls_last, col("user_id"), col("day_idx"))
+      .limit(k)
+
   /** ES nested terms agg on the path field + reverse_nested: per term,
     * the nested-doc count, the reverse_nested parent-doc count, and an
     * exact-decimal value sum. */

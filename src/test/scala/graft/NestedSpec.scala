@@ -36,6 +36,24 @@ class NestedSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("nestedSort orders parents by min matching-item value with " +
+      "missing last (r15)") {
+    val got = Nested.nestedSort(docs, "click", 25).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.length == 25)
+    // naive: min over click items, None when absent, nulls-last order
+    val want = itemsLocal.toSeq.map { case (k, its) =>
+      val vs = its.filter(_.parent.contains("click")).map(_.value)
+      (k, its.size.toLong, if (vs.isEmpty) None else Some(vs.min))
+    }.sortBy { case ((u, d), _, sv) =>
+      (sv.isEmpty, sv.getOrElse(0.0), u, d)
+    }.take(25)
+    assert(got.toSeq == want)
+    // the fixture exercises real ordering (distinct sort keys present)
+    assert(got.flatMap(_._3).distinct.length > 1)
+  }
+
   test("per-element conjunction is load-bearing vs the flat cross-element form") {
     val nested = Nested.nestedMatch(docs, "click", 15.0).count()
     val flat = itemsLocal.values.count(its =>
