@@ -745,6 +745,10 @@ object SparkEntry {
     "q_filters_facet" -> ((s, dir) =>
       operators.Analytics.filtersFacet(Tables.events(s, dir))),
 
+    // filters agg with other_bucket: true — the residual _other_ slice
+    "q_filters_other_bucket" -> ((s, dir) =>
+      operators.Analytics.filtersFacetOther(Tables.events(s, dir))),
+
     "q_bucket_selector" -> ((s, dir) =>
       operators.Analytics.bucketSelector(Tables.events(s, dir))),
 
@@ -2835,6 +2839,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'early_users', count(*) FILTER (WHERE user_id < 500),
         |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE user_id < 500), 0) AS DOUBLE)
+        |FROM events""".stripMargin,
+
+    "q_filters_other_bucket" ->
+      """SELECT 'high_value' AS bucket, count(*) FILTER (WHERE value >= 90) AS n,
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value >= 90), 0) AS DOUBLE) AS sum_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'clicks', count(*) FILTER (WHERE event_type = 'click'),
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click'), 0) AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'early_users', count(*) FILTER (WHERE user_id < 500),
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE user_id < 500), 0) AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT '_other_',
+        |       count(*) FILTER (WHERE NOT (value >= 90) AND NOT (event_type = 'click') AND NOT (user_id < 500)),
+        |       CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+        |         FILTER (WHERE NOT (value >= 90) AND NOT (event_type = 'click') AND NOT (user_id < 500)), 0) AS DOUBLE)
         |FROM events""".stripMargin,
 
     "q_range_facet" ->

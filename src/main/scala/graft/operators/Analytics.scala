@@ -1228,6 +1228,34 @@ object Analytics {
           |  AS (bucket, n, sum_value)""".stripMargin))
   }
 
+  /** [[filtersFacet]] with ES `other_bucket: true` (r15 continuation):
+    * a fourth `_other_` bucket counts the docs matching NONE of the
+    * named filters — the residual every dashboard wants next to its
+    * named slices. Buckets overlap (a doc can hit several), so
+    * `_other_` is a real predicate, not `total − Σ named`. Same one
+    * map-side-combined aggregation pass. */
+  def filtersFacetOther(events: DataFrame): DataFrame = {
+    def bucket(cond: Column) = struct(
+      count(when(cond, 1)).as("n"),
+      coalesce(sum(when(cond, col("value")).cast(DecimalType(18, 2))),
+        lit(0).cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    val fHigh = col("value") >= 90
+    val fClick = col("event_type") === "click"
+    val fEarly = col("user_id") < 500
+    events
+      .agg(bucket(fHigh).as("high_value"),
+        bucket(fClick).as("clicks"),
+        bucket(fEarly).as("early_users"),
+        bucket(!fHigh && !fClick && !fEarly).as("other"))
+      .select(expr(
+        """stack(4,
+          |  'high_value',  high_value.n,  high_value.sum_value,
+          |  'clicks',      clicks.n,      clicks.sum_value,
+          |  'early_users', early_users.n, early_users.sum_value,
+          |  '_other_',     other.n,       other.sum_value)
+          |  AS (bucket, n, sum_value)""".stripMargin))
+  }
+
   /** ES range aggregation: arbitrary (non-uniform) explicit bucket edges
     * over `value` — [lo, hi) per bucket, open-ended last bucket. The
     * histogram facet's fixed-width cousin; a when-chain keyed bucket id

@@ -333,6 +333,40 @@ class NewOpsSpec extends SparkSpec {
       "fixture must separate avg order from doc_count order")
   }
 
+  test("filtersFacetOther: _other_ is the none-of predicate, not the " +
+      "count complement (r15)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = Analytics.filtersFacetOther(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet ==
+      Set("high_value", "clicks", "early_users", "_other_"))
+    // naive recompute of the residual
+    val rows = ev.select("value", "event_type", "user_id").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
+    val none = rows.filter { case (v, t, u) =>
+      !(v >= 90) && t != "click" && !(u < 500) }
+    assert(got("_other_")._1 == none.length.toLong)
+    val cents = none.map(x => BigDecimal(x._1)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(got("_other_")._2 == cents.toDouble)
+    // crafted frame: buckets overlap AND a residual row exists, so
+    // _other_ is provably the none-of predicate, not total − Σ named
+    val spark2 = spark; import spark2.implicits._
+    val crafted = Seq(
+      (1L, 95.0, "click"),  // high_value AND clicks (overlap)
+      (2L, 10.0, "view"),   // early only (user 2 < 500)
+      (600L, 10.0, "view"), // NONE -> _other_
+      (700L, 95.0, "view")  // high only
+    ).map { case (u, v, t) => (u, v, t) }
+      .toDF("user_id", "value", "event_type")
+    val g2 = Analytics.filtersFacetOther(crafted).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("_other_") == 1L)
+    // total − Σ named = 4 − (2 + 1 + 2) = −1 ≠ 1: predicate load-bearing
+    assert(4L - (g2("high_value") + g2("clicks") + g2("early_users")) !=
+      g2("_other_"))
+  }
+
   test("percentileFacet picks the exact rank-selected values") {
     val ev = Tables.events(spark, sfDir)
     val got = Analytics.percentileFacet(ev, Seq(0.5)).collect()
