@@ -1614,6 +1614,11 @@ object SparkEntry {
       multimodal.Multimodal.payloadDedup(docs.unionByName(reuploads))
     }),
 
+    // perceptual (average-hash) near-dup grouping over the same
+    // area-pooled 8x8 thumbnails as mm_resize_stub
+    "mm_ahash_dedup" -> ((s, dir) =>
+      multimodal.Multimodal.aHashDedup(Tables.documents(s, dir))),
+
     "mm_feature_stub" -> ((s, dir) =>
       // exploded to one scalar row per dimension so the result is
       // hashable/sortable by any downstream comparer (an array<double>
@@ -4118,6 +4123,39 @@ object SparkEntry {
     // 8×8): per output pixel, the covered source block's truncating
     // byte mean, re-encoded to the same uppercase hex Spark's hex()
     // emits — the mm_feature_stub hex-decode discipline
+    "mm_ahash_dedup" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |px AS (SELECT doc_id, h, n, greatest(1, (n + 31) // 32) AS srch,
+        |              unnest(range(0, 64)) AS p FROM t),
+        |blk AS (SELECT doc_id, h, n, p,
+        |          (p % 8) * 32 // 8 AS x0,
+        |          greatest((p % 8) * 32 // 8 + 1, ((p % 8) + 1) * 32 // 8) AS x1,
+        |          (p // 8) * srch // 8 AS y0,
+        |          greatest((p // 8) * srch // 8 + 1, ((p // 8) + 1) * srch // 8) AS y1
+        |        FROM px),
+        |cell AS (SELECT doc_id, h, n, p,
+        |           list_filter(flatten(list_transform(range(y0, y1),
+        |             yy -> list_transform(range(x0, x1), xx -> yy * 32 + xx))),
+        |             i -> i < n) AS idx
+        |         FROM blk),
+        |pix AS (SELECT doc_id, n, p,
+        |          CASE WHEN len(idx) = 0 THEN 0
+        |               ELSE CAST(list_sum(list_transform(idx,
+        |                      i -> 16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i+1 AS INT), 1)) - 1)
+        |                           + (strpos('0123456789ABCDEF', substring(h, CAST(2*i+2 AS INT), 1)) - 1))) AS BIGINT)
+        |                    // len(idx) END AS v
+        |        FROM cell),
+        |mn AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean FROM pix GROUP BY doc_id),
+        |hsh AS (SELECT pix.doc_id,
+        |         bit_xor(CASE WHEN v > mean THEN
+        |           CASE WHEN p = 63 THEN (-9223372036854775807::BIGINT - 1::BIGINT)
+        |                ELSE (1::BIGINT << CAST(p AS INT)) END
+        |           ELSE 0::BIGINT END) AS ahash
+        |        FROM pix JOIN mn USING (doc_id) GROUP BY pix.doc_id)
+        |SELECT ahash, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM hsh GROUP BY ahash HAVING count(*) >= 2""".stripMargin,
+
     "mm_resize_stub" ->
       """WITH t AS (SELECT doc_id, hex(encode(text)) AS h,
         |                  octet_length(encode(text)) AS n FROM documents),

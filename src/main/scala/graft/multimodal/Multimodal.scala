@@ -150,6 +150,38 @@ object Multimodal {
     }.toDF()
   }
 
+  /** PERCEPTUAL (average-hash) near-dup grouping (r15 continuation —
+    * the image-dedup step real multimodal pipelines run where exact
+    * [[payloadDedup]] misses re-encodes): every payload goes through
+    * the SAME area-pooling thumbnail as [[resizeStub]] (8×8), the
+    * aHash sets bit p when pixel p exceeds the truncating mean of the
+    * 64 pixels, and payloads sharing a hash group under one keeper.
+    * The hash computation rides the resize's typed mapPartitions (the
+    * sanctioned codec-stage pattern — a real deployment swaps in
+    * pHash/DCT over real pixels); grouping is one 8-byte-key shuffle,
+    * payloads never move. The whole chain is integer-deterministic, so
+    * unlike text SimHash this dedup is fully hash-green against the
+    * DuckDB pixel-reconstruction replay. */
+  def aHashDedup(docs: DataFrame, srcW: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashes = resizeStub(docs, srcW, 8, 8)
+      .select(col("doc_id"), col("out_payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, px) =>
+        val mean = px.map(b => (b & 0xff).toLong).sum / px.length
+        var h = 0L
+        var i = 0
+        while (i < px.length) {
+          if ((px(i) & 0xff) > mean) h ^= (1L << i)
+          i += 1
+        }
+        (id, h)
+      }).toDF("doc_id", "ahash")
+    hashes.groupBy("ahash")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Partition-parallel "decode" of the binary payload into a
     * fixed-shape feature vector. Narrow (no shuffle): each partition
     * streams its payloads through the decoder independently. */

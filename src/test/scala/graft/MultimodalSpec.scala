@@ -78,4 +78,36 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "resize must not shuffle")
   }
+
+  test("aHashDedup: hash replays from the resize output; identical " +
+      "payloads always group; groups are real (r15)") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Multimodal.aHashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "corpus must contain perceptual dupes")
+    // naive hash replay from the engine's own resize output
+    val px = Multimodal.resizeStub(docs, 32, 8, 8)
+      .select("doc_id", "out_payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    def ahash(p: Array[Byte]): Long = {
+      val mean = p.map(b => (b & 0xff).toLong).sum / p.length
+      p.zipWithIndex.foldLeft(0L) { case (h, (b, i)) =>
+        if ((b & 0xff) > mean) h ^ (1L << i) else h }
+    }
+    val byHash = px.map { case (id, p) => (ahash(p), id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = byHash.filter(_._2.length >= 2)
+      .map { case (h, ids) => (h, ids.min, ids.length.toLong) }.toSet
+    assert(got.toSet == want)
+    // byte-identical payloads (injected re-uploads, the payloadDedup
+    // fixture) necessarily land in one hash group with the low keeper
+    val reup = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(10000L))
+    val withDup = Multimodal.aHashDedup(docs.unionByName(reup)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hash0 = px.find(_._1 == 0L).map(p => ahash(p._2)).get
+    val g0 = withDup.find(_._1 == hash0).get
+    assert(g0._2 == 0L && g0._3 >= 2L,
+      "the re-upload must group under the original keeper")
+  }
 }
