@@ -1659,6 +1659,11 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // curriculum schedule head: cleanest docs first (quality-rule
+    // failure count as stage), seeded shuffle within stage
+    "pipe_curriculum" -> ((s, dir) =>
+      pipeline.Pipeline.curriculumOrder(Tables.documents(s, dir), 7, 100)),
+
     // tokenizer unigram profile: corpus frequency of every BPE piece
     // (vocab-bounded output at any corpus size)
     "pipe_vocab_freq" -> ((s, dir) =>
@@ -4400,6 +4405,8 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_curriculum" -> pipeline.Pipeline.curriculumOrderSql(7, 100),
 
     "pipe_vocab_freq" -> text.Bpe.vocabFreqSql("text"),
 

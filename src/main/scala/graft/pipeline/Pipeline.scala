@@ -643,19 +643,26 @@ object Pipeline {
   private def qrNStop =
     size(regexp_extract_all(col("text"), lit(QrStopRe), lit(0))).cast("long")
 
-  /** The [[qualityRules]] pass verdict as one stateless Column over
-    * `text` — the form a streaming micro-batch can filter on directly
-    * (shared definitions with the batch frame, so the gates cannot
-    * drift). */
-  def qualityPassCol: Column = {
+  /** The five rule-failure flags as one raw bitmask Column over `text`
+    * (bit i = rule i failed) — the stateless form shared by
+    * [[qualityPassCol]] and [[curriculumOrder]]'s stage. */
+  private def qrMask: Column = {
     val f0 = qrNWords < QrWordMin || qrNWords > QrWordMax
     val f1 = lit(QrMeanLenMin) * qrNWords > qrNWordChars ||
       qrNWordChars > lit(QrMeanLenMax) * qrNWords
     val f2 = lit(QrSymbolDen) * qrNSymbols > qrNWords
     val f3 = lit(QrAlphaDen) * qrNAlphaWords < lit(QrAlphaNum) * qrNWords
     val f4 = qrNStop < QrStopMin
-    !f0 && !f1 && !f2 && !f3 && !f4
+    Seq(f0, f1, f2, f3, f4).zipWithIndex
+      .map { case (f, i) => when(f, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
   }
+
+  /** The [[qualityRules]] pass verdict as one stateless Column over
+    * `text` — the form a streaming micro-batch can filter on directly
+    * (shared definitions with the batch frame, so the gates cannot
+    * drift). */
+  def qualityPassCol: Column = qrMask === 0L
 
   /** Generated DuckDB oracle for [[qualityRules]] — same `Qr*`
     * constants, same regexes (shared dialect subset), same
@@ -913,6 +920,43 @@ object Pipeline {
        |         row_number() OVER (PARTITION BY epoch ORDER BY h) AS pos
        |  FROM perms) t
        |WHERE pos <= $k""".stripMargin
+
+  /** CURRICULUM ORDER (r15 continuation — the easy-to-hard training
+    * schedule next to [[epochShuffle]]'s uniform permutation): docs
+    * order by STAGE first — the count of failed [[qualityRules]]
+    * heuristics, cleanest first — and by the seeded md5 hash within a
+    * stage, so each stage is internally shuffled but stages never
+    * interleave. The schedule key is (stage, hash, doc_id) and the
+    * full order at scale is one range-partitioned sort on it; this
+    * query form surfaces the head `k` positions via TakeOrdered
+    * (per-partition top-k, no global sort). Engine-exact: the stage is
+    * an integer rule-failure count (popcount of the cross-multiplied
+    * rule mask) and the hash is the same lowercase-hex md5. */
+  def curriculumOrder(docs: DataFrame, seed: Int, k: Int): DataFrame = {
+    require(k >= 1)
+    val stage = bit_count(qrMask).cast("long")
+    val h = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), stage.as("stage"), h.as("h"))
+      .orderBy(col("stage"), col("h"), col("doc_id"))
+      .limit(k)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("stage"), col("h"), col("doc_id"))).cast("long"))
+      .select(col("pos"), col("doc_id"), col("stage"))
+  }
+
+  /** The DuckDB twin of [[curriculumOrder]] — wraps the generated
+    * [[qualityRulesSql]] (same mask constants) and replays the
+    * (stage, hash, doc_id) schedule key. */
+  def curriculumOrderSql(seed: Int, k: Int): String =
+    s"""WITH q AS (${qualityRulesSql}),
+       |s AS (SELECT doc_id,
+       |        CAST(bit_count(rules_failed) AS BIGINT) AS stage,
+       |        md5('$seed:' || CAST(doc_id AS VARCHAR)) AS h
+       |      FROM q)
+       |SELECT CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT) AS pos,
+       |       doc_id, stage
+       |FROM (SELECT * FROM s ORDER BY stage, h, doc_id LIMIT $k) t""".stripMargin
 
   /** Token-budget sequence packing (concat-stream form): documents are
     * concatenated in doc_id order and the stream is cut every `budget`

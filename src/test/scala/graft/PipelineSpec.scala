@@ -192,6 +192,41 @@ class PipelineSpec extends SparkSpec {
     assert(got.keys.exists(_.length >= 2), "no merged piece fired")
   }
 
+  test("curriculumOrder: stages never interleave, within-stage order is " +
+      "the seeded hash, replay agrees (r15)") {
+    val real = Tables.documents(spark, sfDir)
+    val got = Pipeline.curriculumOrder(real, 7, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100)
+    // positions are 1..k and stages are non-decreasing along them
+    assert(got.map(_._1).sorted.toSeq == (1L to 100L))
+    val inOrder = got.sortBy(_._1)
+    inOrder.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3, "stages must not interleave")
+      case _ =>
+    }
+    // naive replay: stage = popcount of the rule mask from qualityRules
+    val mask = Pipeline.qualityRules(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = mask.toSeq.map { case (id, m) =>
+      (id, java.lang.Long.bitCount(m).toLong, md5hex(s"7:$id")) }
+      .sortBy { case (id, st, h) => (st, h, id) }.take(100)
+      .zipWithIndex.map { case ((id, st, _), i) => (i + 1L, id, st) }
+    assert(inOrder.toSeq == want)
+    // widen k past the cleanest stage so the schedule provably crosses
+    // a stage boundary (the head-100 can be single-stage at this SF)
+    val nStage0 = mask.values.count(m => java.lang.Long.bitCount(m) == 0)
+    val k2 = math.min(nStage0 + 10, mask.size)
+    val wide = Pipeline.curriculumOrder(real, 7, k2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(wide.map(_._2).distinct.length > 1, "schedule never staged")
+    assert(wide.take(nStage0).forall(_._2 == 0L),
+      "clean docs must fill the schedule head")
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
