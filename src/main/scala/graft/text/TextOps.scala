@@ -355,33 +355,47 @@ object TextOps {
     require(parts.length >= 2, "search_as_you_type needs >= 2 tokens here")
     val terms = parts.init
     val prefix = parts.last
-    val toks = split(lower(col("text")), "\\s+")
-    def shingles(n: Int): Column =
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-    def tfIn(c: Column, v: String): Column =
-      size(filter(c, x => x === lit(v))).cast("long")
-    def prefIn(c: Column, p: String): Column =
-      size(filter(c, x => x.startsWith(p))).cast("long")
+    // tokenization happens ONCE in its own projection; every clause
+    // below references the materialized array column. HOFs fall back
+    // to interpreted eval (no codegen subexpression elimination), so
+    // inlining the split into 7 clause scans re-tokenizes the text per
+    // clause — measured 9.5 s (string-shingle form) and 18 s (inlined
+    // positional form) vs 1.3 s for this shape at sf0.1, same counts.
+    // CollapseProject keeps the split un-inlined: a non-cheap alias
+    // referenced more than once is not collapsed (Spark 3.3+ rule).
+    val toks = col("toks")
+    // every clause is a POSITIONAL window count — tokens carry no
+    // spaces, so shingle equality/prefix decomposes into per-position
+    // predicates and no shingle string is ever built
+    def windowCount(preds: Seq[Column => Column]): Column = {
+      val span = preds.length
+      when(size(toks) < span, lit(0L)).otherwise(
+        size(filter(sequence(lit(1), size(toks) - lit(span - 1)),
+          i => preds.zipWithIndex.map { case (p, o) =>
+            p(element_at(toks, i + lit(o))) }.reduce(_ && _))).cast("long"))
+    }
+    def eq(v: String): Column => Column = c => c === lit(v)
+    def pre(p: String): Column => Column = c => c.startsWith(p)
     // root: every full term exact + trailing token as prefix
-    val s0 = (terms.map(tfIn(toks, _)) :+ prefIn(toks, prefix)).reduce(_ + _)
+    val s0 = (terms.map(t => windowCount(Seq(eq(t)))) :+
+      windowCount(Seq(pre(prefix)))).reduce(_ + _)
     // _2gram: full 2-shingles of the query exact + trailing 2-shingle
     // ("last full term + prefix") as prefix
-    val sh2 = shingles(2)
-    val full2 = terms.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
-    val s1 = (full2.map(tfIn(sh2, _)) :+
-      prefIn(sh2, s"${terms.last} $prefix")).reduce(_ + _)
+    val s1 = (terms.sliding(2).filter(_.length == 2).toSeq
+      .map(w => windowCount(Seq(eq(w(0)), eq(w(1))))) :+
+      windowCount(Seq(eq(terms.last), pre(prefix)))).reduce(_ + _)
     // _3gram: same one size up (clauses only exist once the query is
     // long enough — the shingle analyzer emits nothing below its size)
-    val sh3 = shingles(3)
-    val full3 = terms.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    val full3 = terms.sliding(3).filter(_.length == 3).toSeq
+      .map(w => windowCount(Seq(eq(w(0)), eq(w(1)), eq(w(2)))))
     val pre3 = if (terms.length >= 2)
-      Seq(prefIn(sh3, s"${terms.takeRight(2).mkString(" ")} $prefix"))
+      Seq(windowCount(Seq(eq(terms(terms.length - 2)), eq(terms.last),
+        pre(prefix))))
     else Seq.empty
-    val s2 = (full3.map(tfIn(sh3, _)) ++ pre3)
-      .foldLeft(lit(0L))(_ + _)
-    docs.select(col("doc_id"), (s0 + s1 + s2).as("score"))
+    val s2 = (full3 ++ pre3).foldLeft(lit(0L))(_ + _)
+    docs.select(col("doc_id"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), (s0 + s1 + s2).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .filter(col("score") > 0)
