@@ -81,8 +81,14 @@ object Pipeline {
     docs.filter(!col("source").isin(benchmarkSources: _*))
       .select(col("doc_id"), col("source"),
         array_distinct(wordNgrams(col("text"), n)).as("grams"))
+      // n_total is computed BEFORE the explode so the Generate prunes
+      // the array from its output — a post-explode size() would copy
+      // the whole array into every exploded row (O(g²) bytes per doc;
+      // neutral at this corpus's ~40 grams/doc, the difference is the
+      // point at web-document gram counts)
       .select(col("doc_id"), col("source"),
-        size(col("grams")).cast("long").as("n_total"),
+        size(col("grams")).cast("long").as("n_total"), col("grams"))
+      .select(col("doc_id"), col("source"), col("n_total"),
         explode(col("grams")).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"), col("source"), col("n_total"))
