@@ -1659,6 +1659,11 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // CCNet-style reference-LM perplexity score: add-1 bigram model
+    // over src0/src1, per-doc exact fixed-point nll sum via DetLn
+    "pipe_lm_score" -> ((s, dir) =>
+      pipeline.Pipeline.lmScore(Tables.documents(s, dir), Seq("src0", "src1"))),
+
     // curriculum schedule head: cleanest docs first (quality-rule
     // failure count as stage), seeded shuffle within stage
     "pipe_curriculum" -> ((s, dir) =>
@@ -4405,6 +4410,8 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_lm_score" -> pipeline.Pipeline.lmScoreSql(Seq("src0", "src1")),
 
     "pipe_curriculum" -> pipeline.Pipeline.curriculumOrderSql(7, 100),
 

@@ -927,6 +927,94 @@ object Pipeline {
        |  FROM perms) t
        |WHERE pos <= $k""".stripMargin
 
+  /** Reference-LM PERPLEXITY scoring (r15 continuation — the CCNet
+    * quality filter: score every corpus doc by how "natural" it reads
+    * under a language model trained on a trusted reference corpus;
+    * docs far above the reference's perplexity band are boilerplate/
+    * gibberish candidates). The LM is an add-1-smoothed BIGRAM model
+    * over the reference sources: per-bigram negative log-likelihood
+    * −ln p(w2|w1) = ln((c(w1) + V) / (c(w1,w2) + 1)) — the argument is
+    * ≥ 1 by construction (c12 ≤ c1, V ≥ 1), inside [[graft.util.DetLn]]'s
+    * domain, so the ln is the codegen'd bit-exact kernel. Per-doc
+    * aggregation is EXACT: each nll is floored to 1e-9 fixed point
+    * (DetLn is bit-identical cross-engine, so the floor is too) and
+    * summed as BIGINT — no order-dependent double summation anywhere;
+    * the reported avg is two IEEE ops off the integers.
+    *
+    * Scale: reference models are small by construction (an eval/seed
+    * set, not the corpus), so unigram+bigram counts and V all
+    * BROADCAST; the corpus side is one narrow pair-explode with no
+    * exchange below the per-doc count — the decontaminate shape with
+    * an LM lookup instead of a membership probe. */
+  def lmScore(docs: DataFrame, refSources: Seq[String]): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    // tokens materialize once per row (interpreted-HOF rule)
+    val tokd = docs.select(col("doc_id"), col("source"), toks.as("tk"))
+    val pairs = when(size(col("tk")) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2"))))
+    val refToks = tokd.filter(col("source").isin(refSources: _*))
+    val uni = refToks.select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.select(count(lit(1)).as("v")).limit(1)
+    val bi = refToks.select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val arg = (coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+      (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")
+    tokd.filter(!col("source").isin(refSources: _*))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(uni), Seq("w1"), "left")
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(graft.util.DetLn.lnExpr(arg) * lit(1.0e9)).cast("long").as("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("nll_fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_fp"),
+        ((col("nll_fp").cast("double") / lit(1.0e9)) /
+          col("n_bigrams").cast("double")).as("avg_nll"))
+  }
+
+  /** The DuckDB twin of [[lmScore]] — same smoothing constants, same
+    * DetLn program (nested-subquery form), same fixed-point floor. */
+  def lmScoreSql(refSources: Seq[String]): String = {
+    import graft.util.DetLn
+    val refs = refSources.map(s => s"'$s'").mkString(", ")
+    val base =
+      raw"""(WITH d AS (SELECT doc_id, source,
+           |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           |      FROM documents),
+           |uni AS (SELECT w1, count(*) AS c1 FROM (
+           |          SELECT unnest(tk) AS w1 FROM d WHERE source IN ($refs)) t
+           |        GROUP BY w1),
+           |vocab AS (SELECT count(*) AS v FROM uni),
+           |bi AS (SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c12 FROM (
+           |         SELECT unnest(list_transform(range(1, len(tk)),
+           |                  i -> {'w1': tk[i], 'w2': tk[i+1]})) AS p
+           |         FROM d WHERE source IN ($refs)) t
+           |       GROUP BY 1, 2),
+           |cp AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+           |         SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+           |                  i -> {'w1': tk[i], 'w2': tk[i+1]})) AS p
+           |         FROM d WHERE source NOT IN ($refs)) t)
+           |SELECT cp.doc_id,
+           |       CAST(coalesce(uni.c1, 0) + vocab.v AS DOUBLE)
+           |         / CAST(coalesce(bi.c12, 0) + 1 AS DOUBLE) AS __lm_arg
+           |FROM cp
+           |LEFT JOIN uni ON uni.w1 = cp.w1
+           |LEFT JOIN bi ON bi.w1 = cp.w1 AND bi.w2 = cp.w2
+           |CROSS JOIN vocab)""".stripMargin
+    val nested = DetLn.nestSql(base, DetLn.sqlItems("__lm_arg", "__lm_nll"))
+    s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(CAST(floor(__lm_nll * ${DetLn.dlit(1.0e9)}) AS BIGINT)) AS BIGINT) AS nll_fp,
+       |       (CAST(sum(CAST(floor(__lm_nll * ${DetLn.dlit(1.0e9)}) AS BIGINT)) AS DOUBLE) / ${DetLn.dlit(1.0e9)})
+       |         / CAST(count(*) AS DOUBLE) AS avg_nll
+       |FROM $nested q GROUP BY doc_id""".stripMargin
+  }
+
   /** CURRICULUM ORDER (r15 continuation — the easy-to-hard training
     * schedule next to [[epochShuffle]]'s uniform permutation): docs
     * order by STAGE first — the count of failed [[qualityRules]]

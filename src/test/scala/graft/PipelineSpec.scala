@@ -227,6 +227,50 @@ class PipelineSpec extends SparkSpec {
       "clean docs must fill the schedule head")
   }
 
+  test("lmScore: per-bigram nll replays through the DetLn replica; " +
+      "reference text scores lower than gibberish (r15)") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.util.DetLn
+    val crafted = Seq(
+      (1L, "ref", "the cat sat on the mat and the cat sat again"),
+      (2L, "corpus", "the cat sat on the mat"),       // in-distribution
+      (3L, "corpus", "zq xv qqq zzz vvv xxx www yyy") // all-OOV gibberish
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.lmScore(crafted, Seq("ref")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // naive replay with the plain-Scala DetLn replica
+    val refToks = "the cat sat on the mat and the cat sat again".split(" ").toSeq
+    val c1 = refToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = refToks.sliding(2).toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val v = c1.size.toLong
+    def nllFp(w1: String, w2: String): Long = {
+      val arg = (c1.getOrElse(w1, 0L) + v).toDouble /
+        (c12.getOrElse(Seq(w1, w2), 0L) + 1L).toDouble
+      math.floor(DetLn.lnScala(arg) * 1.0e9).toLong
+    }
+    def docFp(text: String): (Long, Long) = {
+      val pairs = text.split(" ").toSeq.sliding(2).filter(_.length == 2).toSeq
+      (pairs.length.toLong, pairs.map(p => nllFp(p(0), p(1))).sum)
+    }
+    Seq(2L -> "the cat sat on the mat",
+        3L -> "zq xv qqq zzz vvv xxx www yyy").foreach { case (id, t) =>
+      val (n, fp) = docFp(t)
+      assert(got(id)._1 == n, s"doc $id n_bigrams")
+      assert(got(id)._2 == fp, s"doc $id nll_fp")
+      assert(got(id)._3 == (fp.toDouble / 1.0e9) / n.toDouble, s"doc $id avg")
+    }
+    // the filter's point: in-distribution text scores well below gibberish
+    assert(got(2L)._3 < got(3L)._3,
+      s"in-distribution ${got(2L)._3} must be < gibberish ${got(3L)._3}")
+    // real-table smoke: every doc with >= 2 tokens scores, values finite
+    val real = Pipeline.lmScore(Tables.documents(spark, sfDir),
+      Seq("src0", "src1")).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(2) > 0 && !r.getDouble(3).isNaN))
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
