@@ -475,6 +475,11 @@ object SparkEntry {
       operators.JoinField.hasParentFacet(Tables.orders(s, dir),
         Tables.lineitem(s, dir), 300000.0, "1996-01-01", "1997-01-01")),
 
+    // parent_id query: children of one named parent (point lookup,
+    // predicate pushed to the child scan)
+    "q_parent_id" -> ((s, dir) =>
+      operators.JoinField.parentIdQuery(Tables.lineitem(s, dir), 7L)),
+
     // children agg (the aggregation-side complement of has_child):
     // parent buckets with child metrics via one parent-key equi-join
     "q_children_agg" -> ((s, dir) =>
@@ -2095,6 +2100,11 @@ object SparkEntry {
         |              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |              AND o.o_orderdate < TIMESTAMP '1997-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q_parent_id" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_orderkey = 7
+        |ORDER BY l_linenumber""".stripMargin,
 
     "q_children_agg" ->
       """SELECT o_orderpriority, count(*) AS n_children,

@@ -56,4 +56,17 @@ object JoinField {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         Det.moneySum(col("l_quantity")).as("sum_qty"))
+
+  /** ES `parent_id` query (r15 continuation — the third join-field
+    * query: fetch the children of ONE named parent): the child scan
+    * with an equality predicate on the join key, every non-projected
+    * column pruned. The predicate reaches the parquet scan
+    * (PushedFilters) — on a corpus bucketed/partitioned by the parent
+    * key this is a partition-prunable point lookup, which is exactly
+    * how ES serves it (routing to the parent's shard). */
+  def parentIdQuery(lineitem: DataFrame, orderKey: Long): DataFrame =
+    lineitem.filter(col("l_orderkey") === orderKey)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .orderBy(col("l_linenumber"))
 }

@@ -57,4 +57,20 @@ class JoinFieldSpec extends SparkSpec {
     assert(plan2.contains("GreaterThanOrEqual(o_totalprice,300000.0)"),
       "parent predicate must reach the orders scan's PushedFilters")
   }
+
+  test("parentIdQuery: exactly one parent's children, predicate pushed " +
+      "to the scan (r15)") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sfDir)
+    val df = graft.operators.JoinField.parentIdQuery(li, 7L)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) == 7L))
+    val want = li.filter(col("l_orderkey") === 7L).count()
+    assert(rows.length.toLong == want)
+    // the equality predicate reaches the parquet scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_orderkey,7)"),
+      "parent-key predicate must be pushed to the scan")
+  }
 }
