@@ -1094,6 +1094,11 @@ object SparkEntry {
       text.TextOps.matchQuery(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
 
+    // ids query: get-by-id-list; the In predicate reaches the scan
+    "q_ids" -> ((s, dir) =>
+      text.TextOps.idsQuery(Tables.documents(s, dir),
+        Seq(3L, 41L, 172L, 400L))),
+
     "text_tfidf" -> ((s, dir) =>
       text.TextOps.tfidfSearch(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
@@ -3324,6 +3329,10 @@ object SparkEntry {
            |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
            |  FROM documents) t
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_ids" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id IN (3, 41, 172, 400) ORDER BY doc_id""".stripMargin,
 
     "text_percolate" ->
       raw"""WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS term

@@ -92,6 +92,19 @@ object TextOps {
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"),
       size(array_distinct(split(lower(col("text")), "\\s+"))).cast("long").as("n_distinct_tokens"))
 
+  /** ES `ids` query (r15 continuation): fetch documents by an explicit
+    * id list. Trivial by construction and deliberately so — the point
+    * is the PLAN: the id set compiles to an `In` predicate that
+    * reaches the parquet scan (PushedFilters), so on an id-sorted/
+    * bucketed corpus this is row-group pruning + point lookups, the
+    * ES get-by-id serving shape, never a full scan that filters. */
+  def idsQuery(docs: DataFrame, ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty)
+    docs.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** ES match query: OR'd query terms scored by term frequency over the
     * token stream, top-k by score (tie → doc_id) — the relevance-ranked
     * text search the reference's sink serves. A single narrow scan per

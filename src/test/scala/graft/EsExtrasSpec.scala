@@ -772,6 +772,16 @@ class EsExtrasSpec extends SparkSpec {
     assert(gotReal.nonEmpty)
   }
 
+  test("idsQuery: exactly the requested ids, In predicate pushed (r15)") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = TextOps.idsQuery(docs, Seq(3L, 41L, 172L, 400L))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == got.sorted && got.toSet.subsetOf(Set(3L, 41L, 172L, 400L)))
+    assert(got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(doc_id"), "id set must be pushed to the scan")
+  }
+
   test("payloadDedup: byte-identical payloads group under one keeper") {
     val docs = docsDf(
       1L -> "same bytes here",
