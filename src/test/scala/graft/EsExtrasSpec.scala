@@ -778,7 +778,12 @@ class EsExtrasSpec extends SparkSpec {
     val got = df.collect().map(_.getLong(0)).toSeq
     assert(got == got.sorted && got.toSet.subsetOf(Set(3L, 41L, 172L, 400L)))
     assert(got.nonEmpty)
-    val plan = df.queryExecution.executedPlan.toString
+    // pushdown asserted on a FRESH read: when another suite has cached
+    // the documents relation, the plan serves from InMemoryRelation and
+    // PushedFilters legitimately never appears
+    val fresh = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = TextOps.idsQuery(fresh, Seq(3L, 41L, 172L, 400L))
+      .queryExecution.executedPlan.toString
     assert(plan.contains("In(doc_id"), "id set must be pushed to the scan")
   }
 
