@@ -1544,6 +1544,10 @@ object SparkEntry {
     "ann_binary_topk" -> ((s, dir) =>
       similarity.Ann.binaryTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // dense_vector similarity: dot_product (magnitude-aware ranking)
+    "ann_dot_topk" -> ((s, dir) =>
+      similarity.Ann.dotTopK(Tables.embeddings(s, dir), 10, 5)),
+
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -4064,6 +4068,17 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY CAST(list_dot_product(qc, c.codes) AS DOUBLE) / (qs * c.scale) DESC, c.vec_id) AS rank
         |  FROM q JOIN cd c ON c.vec_id <> q.query_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "ann_dot_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10)
+        |SELECT query_id, rank, cand_id, dot FROM (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |         list_dot_product(q_emb, c.emb) AS dot,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_dot_product(q_emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
         |WHERE rank <= 5""".stripMargin,
 
     "ann_binary_topk" -> similarity.Ann.binaryTopKSql(10, 5),

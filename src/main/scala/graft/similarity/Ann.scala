@@ -67,6 +67,27 @@ object Ann {
       .select("query_id", "rank", "cand_id", "dist")
   }
 
+  /** Exact DOT-PRODUCT top-k (r15 continuation — ES dense_vector
+    * `similarity: dot_product` / max_inner_product, the ranking used
+    * when embeddings carry magnitude information, e.g. unnormalized
+    * retrieval scores): the [[bruteForceTopKAgg]] shape with the
+    * codegen'd DotProduct kernel as the score. Same broadcast-queries /
+    * streamed-corpus plan, bounded TopKPairs fold. */
+  def dotTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"),
+        GraftFunctions.dotProduct(col("q_emb"), col("c_emb")).as("dot"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("dot"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("dot"))
+  }
+
   /** Exact cosine top-k via the bounded [[TopKPairs]] aggregate instead
     * of a window rank: map-side combine ships at most k pairs per query
     * per partition, where the window form must shuffle + sort every

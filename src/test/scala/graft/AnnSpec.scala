@@ -184,6 +184,42 @@ class AnnSpec extends SparkSpec {
       emb.filter(org.apache.spark.sql.functions.lit(false)), 10, 5).count() == 0)
   }
 
+  test("dotTopK: scores are the sequential left-to-right dot, ordering " +
+      "differs from cosine where magnitudes differ (r15)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray)).toMap
+    val got = Ann.dotTopK(emb, 10, 5).collect()
+    assert(got.length == 50)
+    // naive sequential accumulation in index order — the kernel's
+    // documented order (and DuckDB's)
+    got.foreach { r =>
+      val (q, c) = (vecs(r.getLong(0)), vecs(r.getLong(2)))
+      var d = 0.0; var i = 0
+      while (i < q.length) { d += q(i).toDouble * c(i).toDouble; i += 1 }
+      assert(r.getDouble(3) == d, s"(${r.getLong(0)},${r.getLong(2)})")
+    }
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+    // magnitude-awareness on a crafted frame (the corpus embeddings are
+    // near-equal-norm, so its dot and cosine pages coincide): the query
+    // aligns exactly with a small vector, but a slightly-misaligned
+    // LARGE vector wins the dot ranking
+    val spark2 = spark; import spark2.implicits._
+    val base = Array.fill(64)(0.0f)
+    val q0 = base.clone(); q0(0) = 1.0f
+    val aligned = base.clone(); aligned(0) = 0.5f
+    val big = base.clone(); big(0) = 3.0f; big(1) = 3.0f
+    val crafted = Seq((0L, q0.toSeq), (1L, aligned.toSeq), (2L, big.toSeq))
+      .toDF("vec_id", "embedding")
+    val dotTop = Ann.dotTopK(crafted, 1, 1).head()
+    val cosTop = Ann.bruteForceTopK(crafted, 1, 1).head()
+    assert(dotTop.getLong(2) == 2L, "dot must prefer the large vector")
+    assert(cosTop.getLong(2) == 1L, "cosine must prefer the aligned vector")
+  }
+
   test("filteredKnn ranks only filter survivors; the filter binds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
