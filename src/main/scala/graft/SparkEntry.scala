@@ -1673,6 +1673,11 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // T5-style span-corruption mask plan (stratified LCG placement,
+    // ~15% corruption at span length 3, all-BIGINT deterministic)
+    "pipe_span_corruption" -> ((s, dir) =>
+      pipeline.Pipeline.spanCorruption(Tables.documents(s, dir))),
+
     // CCNet-style reference-LM perplexity score: add-1 bigram model
     // over src0/src1, per-doc exact fixed-point nll sum via DetLn
     "pipe_lm_score" -> ((s, dir) =>
@@ -4444,6 +4449,8 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_span_corruption" -> pipeline.Pipeline.spanCorruptionSql(),
 
     "pipe_lm_score" -> pipeline.Pipeline.lmScoreSql(Seq("src0", "src1")),
 

@@ -927,6 +927,60 @@ object Pipeline {
        |  FROM perms) t
        |WHERE pos <= $k""".stripMargin
 
+  /** SPAN-CORRUPTION mask plan (r15 continuation — the T5/UL2
+    * denoising objective's preprocessing: which token spans of each
+    * doc get replaced by sentinel tokens). One span of `spanLen`
+    * tokens per `everyTok` tokens (defaults: 3 per 20 ≈ 15%
+    * corruption at mean span 3 — the T5 setting), placed
+    * STRATIFIED-DETERMINISTIC: the doc's token stream divides into
+    * n_spans equal strata and span k sits at an LCG-jittered offset
+    * inside stratum k — spans never overlap by construction, every
+    * doc's plan is a pure function of (doc_id, token count), and
+    * every step is BIGINT arithmetic, so the plan is engine-exact and
+    * reproducible across runs/partitionings (the property a resumable
+    * training job needs; real T5 Poisson sampling trades that away).
+    * Token counts are the real merges-table BPE. Narrow: one count +
+    * one bounded explode; no shuffle at all. Domain bound: doc_id
+    * folds mod 2³¹ before the LCG so the multiply stays in BIGINT. */
+  def spanCorruption(docs: DataFrame, spanLen: Int = 3,
+      everyTok: Int = 20): DataFrame = {
+    require(spanLen >= 1 && everyTok >= spanLen)
+    docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
+      .withColumn("n_spans", expr(s"n_tok div ${everyTok}L"))
+      .filter(col("n_spans") > 0)
+      .withColumn("span_id", explode(sequence(lit(0L), col("n_spans") - 1)))
+      .withColumn("stratum", expr("n_tok div n_spans"))
+      .withColumn("room",
+        greatest(lit(1L), col("stratum") - lit((spanLen - 1).toLong)))
+      .withColumn("jitter",
+        ((col("doc_id") % lit(2147483647L)) * lit(1103515245L) +
+          col("span_id") * lit(12345L)) % col("room"))
+      .withColumn("start_tok", col("span_id") * col("stratum") + col("jitter"))
+      .select(col("doc_id"), col("span_id"), col("start_tok"),
+        least(lit(spanLen.toLong), col("n_tok") - col("start_tok")).as("len_tok"))
+  }
+
+  /** The DuckDB twin of [[spanCorruption]] — same BPE count SQL, same
+    * LCG constants, same stratified placement. */
+  def spanCorruptionSql(spanLen: Int = 3, everyTok: Int = 20): String =
+    s"""WITH t AS (SELECT doc_id, ${graft.text.Bpe.tokenCountSql("text")} AS n_tok FROM documents),
+       |s AS (SELECT doc_id, n_tok, n_tok // $everyTok AS n_spans FROM t
+       |      WHERE n_tok // $everyTok > 0),
+       |e AS (SELECT doc_id, n_tok, n_spans,
+       |             unnest(range(0, n_spans)) AS span_id FROM s),
+       |c AS (SELECT doc_id, span_id, n_tok,
+       |             n_tok // n_spans AS stratum,
+       |             greatest(1, n_tok // n_spans - ${spanLen - 1}) AS room
+       |      FROM e),
+       |j AS (SELECT doc_id, span_id, n_tok, stratum,
+       |             ((doc_id % 2147483647) * 1103515245 + span_id * 12345) % room AS jitter
+       |      FROM c)
+       |SELECT doc_id, span_id,
+       |       span_id * stratum + jitter AS start_tok,
+       |       least($spanLen, n_tok - (span_id * stratum + jitter)) AS len_tok
+       |FROM j""".stripMargin
+
   /** Reference-LM PERPLEXITY scoring (r15 continuation — the CCNet
     * quality filter: score every corpus doc by how "natural" it reads
     * under a language model trained on a trusted reference corpus;

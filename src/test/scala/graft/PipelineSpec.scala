@@ -271,6 +271,43 @@ class PipelineSpec extends SparkSpec {
     real.foreach(r => assert(r.getLong(2) > 0 && !r.getDouble(3).isNaN))
   }
 
+  test("spanCorruption: spans are in-bounds, non-overlapping, ~15% of " +
+      "tokens, and a pure function of (doc_id, n_tok) (r15)") {
+    import graft.text.Bpe
+    val real = Tables.documents(spark, sfDir)
+    val got = Pipeline.spanCorruption(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val nTok = real.select(col("doc_id"), Bpe.tokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive replay of the whole placement
+    val want = nTok.toSeq.flatMap { case (id, n) =>
+      val spans = n / 20
+      (0L until spans).map { k =>
+        val stratum = n / spans
+        val room = math.max(1L, stratum - 2L)
+        val jitter = ((id % 2147483647L) * 1103515245L + k * 12345L) % room
+        val start = k * stratum + jitter
+        (id, k, start, math.min(3L, n - start))
+      }
+    }.toSet
+    assert(got.toSet == want)
+    // structural invariants per doc: sorted spans never overlap, all
+    // in-bounds, full length, corruption mass ≈ n/20 spans
+    got.groupBy(_._1).foreach { case (id, ss) =>
+      val n = nTok(id)
+      assert(ss.length.toLong == n / 20)
+      val sorted = ss.sortBy(_._3)
+      sorted.foreach { case (_, _, st, ln) =>
+        assert(st >= 0 && st + ln <= n && ln == 3L, s"doc $id span $st")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 <= b._3, s"overlap in doc $id")
+        case _ =>
+      }
+    }
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
