@@ -1673,6 +1673,11 @@ object SparkEntry {
       pipeline.Pipeline.decontaminate(Tables.documents(s, dir),
         Seq("src0", "src1"), 4)),
 
+    // content-stable train/val/test split audit (md5 bands; per
+    // (split, source) counts catch a source missing from val)
+    "pipe_holdout_split" -> ((s, dir) =>
+      pipeline.Pipeline.holdoutSplit(Tables.documents(s, dir))),
+
     // T5-style span-corruption mask plan (stratified LCG placement,
     // ~15% corruption at span length 3, all-BIGINT deterministic)
     "pipe_span_corruption" -> ((s, dir) =>
@@ -4449,6 +4454,14 @@ object SparkEntry {
         |FROM g JOIN b USING (gram)
         |WHERE source NOT IN ('src0', 'src1')
         |GROUP BY doc_id, source""".stripMargin,
+
+    "pipe_holdout_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '03' THEN 'test'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '06' THEN 'val'
+        |            ELSE 'train' END AS split,
+        |       source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "pipe_span_corruption" -> pipeline.Pipeline.spanCorruptionSql(),
 

@@ -927,6 +927,27 @@ object Pipeline {
        |  FROM perms) t
        |WHERE pos <= $k""".stripMargin
 
+  /** Deterministic TRAIN/VAL/TEST holdout split audit (r15
+    * continuation — every run needs a held-out slice, and it must be
+    * CONTENT-STABLE: re-runs, re-partitions, and incremental ingests
+    * must put the same doc in the same split or eval numbers silently
+    * leak). Membership is the md5(doc_id) 2-hex band (the weightedMix
+    * reproducible-selection discipline): band < '03' → test (~1.2%),
+    * < '06' → val, else train. Output is the per-(split, source)
+    * audit frame — doc counts and exact char sums — the table that
+    * catches a source missing from val. One narrow projection + one
+    * map-side-combined agg; output bounded at 3 × |sources| rows. */
+  def holdoutSplit(docs: DataFrame): DataFrame = {
+    val band = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    docs.select(
+        when(band < "03", lit("test"))
+          .when(band < "06", lit("val"))
+          .otherwise(lit("train")).as("split"),
+        col("source"), col("n_chars"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** SPAN-CORRUPTION mask plan (r15 continuation — the T5/UL2
     * denoising objective's preprocessing: which token spans of each
     * doc get replaced by sentinel tokens). One span of `spanLen`

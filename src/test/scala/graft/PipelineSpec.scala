@@ -308,6 +308,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("holdoutSplit: disjoint+complete, content-stable, and stable " +
+      "under re-partitioning (r15)") {
+    val real = Tables.documents(spark, sfDir)
+    val got = Pipeline.holdoutSplit(real).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // complete: totals equal the corpus
+    assert(got.values.map(_._1).sum == real.count())
+    // naive replay of the band rule
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = real.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy { case (id, src, _) =>
+      val b = md5hex(id).substring(0, 2)
+      (if (b < "03") "test" else if (b < "06") "val" else "train", src)
+    }.map { case (k, g) => k -> (g.length.toLong, g.map(_._3).sum) }
+    assert(got == want)
+    // every split is populated at this SF
+    assert(Set("train", "val", "test").subsetOf(got.keySet.map(_._1)))
+    // partition-invariance: same audit after a violent repartition
+    val re = Pipeline.holdoutSplit(real.repartition(17)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(re == got)
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
