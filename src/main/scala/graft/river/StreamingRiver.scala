@@ -533,6 +533,36 @@ object StreamingRiver {
       .dropDuplicates("fingerprint")
   }
 
+  /** STREAMING MASK PLANNER (r15 continuation — the training-plan
+    * stage run at ingest: documents that pass the quality gate get
+    * their span-corruption plan computed as they arrive, so the
+    * training job reads precomputed plans instead of re-deriving them
+    * per epoch). Both stages are stateless narrow transforms
+    * ([[graft.pipeline.Pipeline.qualityPassCol]] filter +
+    * [[graft.pipeline.Pipeline.spanCorruption]]'s arithmetic explode
+    * — no aggregation, no join, no state store), so the composition
+    * runs in append mode with per-batch latency at any corpus rate,
+    * and the plan for a doc is identical whether it arrived streamed
+    * or batch (the spanCorruption determinism contract). */
+  def streamingMaskPlanner(docStream: DataFrame): DataFrame =
+    graft.pipeline.Pipeline.spanCorruption(
+      docStream.filter(graft.pipeline.Pipeline.qualityPassCol))
+
+  /** Run the streaming mask planner over a bounded doc stream into an
+    * in-memory sink and return every emitted plan row. */
+  def runMaskPlannerToMemory(spark: SparkSession, docStream: DataFrame,
+      queryName: String, checkpointDir: String): DataFrame = {
+    val q = streamingMaskPlanner(docStream).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run the streaming release gate over a bounded doc stream into an
     * in-memory sink and return every released row. */
   def runReleaseGateToMemory(spark: SparkSession, docStream: DataFrame,

@@ -89,6 +89,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size < docs.count(), "no doc was filtered or deduped")
   }
 
+  test("streaming mask planner: streamed plans equal the batch " +
+      "recompute exactly (r15)") {
+    import graft.pipeline.Pipeline
+    val docs = Tables.documents(spark, sfDir)
+    val src = tmp("plan-src")
+    (0 until 3).foreach(b =>
+      docs.filter(col("doc_id") % 3 === b)
+        .write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val got = StreamingRiver.runMaskPlannerToMemory(
+      spark, stream, "plan_stream", tmp("plan-ckpt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = Pipeline.spanCorruption(docs.filter(Pipeline.qualityPassCol))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == batch && got.nonEmpty,
+      "streamed plans must equal the batch planner exactly")
+  }
+
   test("trending terms: streamed windowed counts equal the batch recompute") {
     val docs = Tables.documents(spark, sfDir)
     // deterministic synthetic timestamps: one doc per minute
