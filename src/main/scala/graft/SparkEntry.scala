@@ -325,6 +325,11 @@ object SparkEntry {
           col("__p.leaf").as("leaf"), col("value"))
     }),
 
+    // dynamic-mapping drift: fields first appearing after the mapping
+    // bootstrap slice (the ES mapping-explosion audit)
+    "river_mapping_drift" -> ((s, dir) =>
+      river.River.mappingDrift(Tables.events(s, dir), 200L)),
+
     "q_nested_match" -> ((s, dir) =>
       river.Nested.nestedMatch(
         river.Nested.nestedDocs(Tables.events(s, dir)), "click", 15.0)),
@@ -4348,6 +4353,21 @@ object SparkEntry {
         |SELECT event_id, qualifier, split_part(qualifier, '-', 1) AS parent,
         |       split_part(qualifier, '-', 2) AS leaf, value
         |FROM t""".stripMargin,
+
+    "river_mapping_drift" ->
+      raw"""WITH t AS (SELECT event_id,
+           |    regexp_replace(lower(split_part(event_type || '-' || json_extract_string(props, '$$.k'), '-', 1)), '[^a-z0-9\-_]', '', 'g') AS p0,
+           |    regexp_replace(lower(split_part(event_type || '-' || json_extract_string(props, '$$.k'), '-', 2)), '[^a-z0-9\-_]', '', 'g') AS l0
+           |  FROM events),
+           |f AS (SELECT event_id,
+           |        CASE WHEN l0 = '' OR l0 IS NULL THEN p0 ELSE p0 || '.' || l0 END AS full_path
+           |      FROM t),
+           |known AS (SELECT DISTINCT full_path FROM f WHERE event_id < 200)
+           |SELECT full_path, min(event_id) AS first_seen, count(*) AS n_rows
+           |FROM f
+           |WHERE event_id >= 200
+           |  AND full_path NOT IN (SELECT full_path FROM known)
+           |GROUP BY full_path""".stripMargin,
 
     // Nested-surface oracles replay the ES nested semantics on the FLAT
     // item rows — exactly equivalent because collect_list → filter/size

@@ -197,6 +197,33 @@ object River {
       array_join(norm, ".").as("full_path"))
   }
 
+  /** DYNAMIC-MAPPING DRIFT report (r15 continuation — the ES behavior
+    * the reference's mapping bootstrap feeds: with dynamic mapping on,
+    * every unseen field the river ships silently ADDS a mapping entry,
+    * and unbounded qualifier spaces explode the index mapping — the
+    * classic ES incident). The registered mapping is the distinct
+    * full-path set of the bootstrap slice (event_id < `bootstrapMaxId`
+    * — the analog of HBaseRiver's initial mapping read); the report is
+    * every path that first appears AFTER it, with first-seen id and
+    * row count — what an operator alerts on before the mapping hits
+    * the field limit. Paths derive from [[parseQualifier]] (the same
+    * normalize + separator semantics as the ingest path, so the audit
+    * can never disagree with the parser). The known set is
+    * path-distinct (bounded by the mapping size, not the corpus) and
+    * BROADCASTS to an anti-join; one hash agg on the drifting rows. */
+  def mappingDrift(events: DataFrame, bootstrapMaxId: Long): DataFrame = {
+    val q = concat(col("event_type"), lit("-"), extractId(col("props"), "k"))
+    val withPath = events
+      .withColumn("full_path", parseQualifier(q, "-").getField("full_path"))
+      .select(col("event_id"), col("full_path"))
+    val known = withPath.filter(col("event_id") < bootstrapMaxId)
+      .select("full_path").distinct()
+    withPath.filter(col("event_id") >= bootstrapMaxId)
+      .join(broadcast(known), Seq("full_path"), "left_anti")
+      .groupBy("full_path")
+      .agg(min(col("event_id")).as("first_seen"), count(lit(1)).as("n_rows"))
+  }
+
   /** Delete-set derivation for `deleteOld` (HBaseParser.java:176-180):
     * scanned keys minus failed keys — an anti-join, so it stays a
     * distributed set op instead of a driver-side map. */

@@ -78,4 +78,27 @@ class RiverSpec extends SparkSpec {
     assert(sizes.forall(_ <= 100), "no batch may exceed batchSize")
     assert(sizes.sum == ev.count())
   }
+
+  test("mappingDrift: exactly the paths absent from the bootstrap slice, " +
+      "with correct first-seen ids (r15)") {
+    val ev = Tables.events(spark, sfDir)
+    val got = River.mappingDrift(ev, 200L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty, "fixture must drift")
+    // naive replay over the parsed paths
+    val paths = ev.select(col("event_id"),
+        River.parseQualifier(concat(col("event_type"), lit("-"),
+          River.extractId(col("props"), "k")), "-").getField("full_path"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val known = paths.filter(_._1 < 200L).map(_._2).toSet
+    val want = paths.filter(p => p._1 >= 200L && !known(p._2))
+      .groupBy(_._2).view
+      .mapValues(g => (g.map(_._1).min, g.length.toLong)).toMap
+    assert(got == want)
+    // invariants: no drift path is in the bootstrap mapping; every
+    // first_seen is past the bootstrap edge
+    got.foreach { case (p, (first, n)) =>
+      assert(!known(p) && first >= 200L && n >= 1L, p)
+    }
+  }
 }
