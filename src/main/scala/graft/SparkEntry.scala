@@ -1713,6 +1713,12 @@ object SparkEntry {
     "pipe_temperature_mix" -> ((s, dir) =>
       pipeline.Pipeline.temperatureMix(Tables.documents(s, dir), 200L)),
 
+    // contamination attribution: which benchmark doc each contaminated
+    // doc overlaps most, and how many it touches
+    "pipe_contamination_report" -> ((s, dir) =>
+      pipeline.Pipeline.contaminationReport(Tables.documents(s, dir),
+        Seq("src0", "src1"), 4)),
+
     // threshold decontamination: contaminated when >= 10% of a doc's
     // distinct 4-grams appear in the benchmark sources
     "pipe_decontaminate_fuzzy" -> ((s, dir) =>
@@ -4502,6 +4508,27 @@ object SparkEntry {
            |GROUP BY 1, 2""".stripMargin,
 
     "pipe_temperature_mix" -> pipeline.Pipeline.temperatureMixSql(200L),
+
+    "pipe_contamination_report" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+        |raw AS (SELECT doc_id, source,
+        |               unnest(list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+        |                                     i -> array_to_string(words[i:i+3], ' '))) AS gram
+        |        FROM w),
+        |g AS (SELECT DISTINCT doc_id, source, gram FROM raw),
+        |b AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE source IN ('src0', 'src1')),
+        |p AS (SELECT g.doc_id, b.bench_id, count(*) AS n_shared
+        |      FROM g JOIN b USING (gram)
+        |      WHERE g.source NOT IN ('src0', 'src1')
+        |      GROUP BY 1, 2),
+        |r AS (SELECT doc_id, bench_id, n_shared,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, bench_id) AS rn,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_bench_docs
+        |      FROM p)
+        |SELECT doc_id, bench_id AS top_bench_id,
+        |       CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_bench_docs AS BIGINT) AS n_bench_docs
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "pipe_decontaminate_fuzzy" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),

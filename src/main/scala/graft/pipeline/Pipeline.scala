@@ -99,6 +99,40 @@ object Pipeline {
           .as("overlap_ratio"))
   }
 
+  /** Contamination ATTRIBUTION (r15 continuation — the audit after
+    * [[decontaminate]] flags: WHICH benchmark document does each
+    * contaminated doc overlap, and is it one eval item or many? The
+    * answer decides between "drop the doc" and "the benchmark leaked
+    * wholesale"). For every contaminated corpus doc: the benchmark doc
+    * sharing the most distinct `n`-grams (ties → smaller bench id),
+    * that count, and how many bench docs it touches at all.
+    *
+    * Scale: the benchmark side broadcasts WITH its doc ids (still an
+    * eval set); a corpus gram row multiplies by at most the bench docs
+    * containing that gram, and only matching rows reach the
+    * (doc, bench) count. The argmax window runs on the
+    * contamination-bounded pair frame, not the corpus. */
+  def contaminationReport(docs: DataFrame, benchmarkSources: Seq[String],
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    val bench = grams.filter(col("source").isin(benchmarkSources: _*))
+      .select(col("doc_id").as("bench_id"), col("gram")).distinct()
+    val pairs = grams.filter(!col("source").isin(benchmarkSources: _*))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("doc_id")
+    pairs
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_shared").desc, col("bench_id"))))
+      .withColumn("n_bench_docs", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id").as("top_bench_id"),
+        col("n_shared"), col("n_bench_docs"))
+  }
+
   /** The PII classes [[redact]] scrubs, as (name, pattern, replacement).
     * Patterns stay inside the regex subset Java regex and RE2 interpret
     * identically (char classes, {m,}, \b, \d — no lookaround, no

@@ -336,6 +336,36 @@ class PipelineSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("contaminationReport: argmax attribution replays naively and " +
+      "covers exactly the decontaminate-flagged docs (r15)") {
+    val real = Tables.documents(spark, sfDir)
+    val got = Pipeline.contaminationReport(real, Seq("src0", "src1"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    // attribution rows are exactly the any-overlap flagged docs
+    val flagged = Pipeline.decontaminate(real, Seq("src0", "src1"), 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == flagged)
+    // naive argmax replay
+    val rows = real.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    val bench = rows.filter(r => Set("src0", "src1")(r._2))
+      .map(r => r._1 -> grams(r._3))
+    rows.filterNot(r => Set("src0", "src1")(r._2)).foreach { case (id, _, t) =>
+      val g = grams(t)
+      val hits = bench.map { case (bid, bg) => (bid, (g & bg).size.toLong) }
+        .filter(_._2 > 0)
+      if (hits.nonEmpty) {
+        val top = hits.minBy { case (bid, n) => (-n, bid) }
+        assert(got(id) == ((top._1, top._2, hits.length.toLong)), s"doc $id")
+      } else assert(!got.contains(id))
+    }
+  }
+
   test("redact scrubs every PII class and reports pre-scrub counts") {
     val spark2 = spark; import spark2.implicits._
     val docs = Seq(
