@@ -1553,6 +1553,11 @@ object SparkEntry {
     "ann_dot_topk" -> ((s, dir) =>
       similarity.Ann.dotTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // MMR diversity rerank of the exact top-20 pool (lambda=0.7),
+    // k-1 bounded distributed greedy rounds
+    "ann_mmr_rerank" -> ((s, dir) =>
+      similarity.Ann.mmrRerank(Tables.embeddings(s, dir), 10)),
+
     "ann_lsh_topk" -> ((s, dir) =>
       similarity.Ann.lshTopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -4090,6 +4095,8 @@ object SparkEntry {
         |           ORDER BY CAST(list_dot_product(qc, c.codes) AS DOUBLE) / (qs * c.scale) DESC, c.vec_id) AS rank
         |  FROM q JOIN cd c ON c.vec_id <> q.query_id) t
         |WHERE rank <= 5""".stripMargin,
+
+    "ann_mmr_rerank" -> similarity.Ann.mmrRerankSql(10),
 
     "ann_dot_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

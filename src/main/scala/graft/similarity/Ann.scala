@@ -288,6 +288,116 @@ object Ann {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** MMR (Maximal Marginal Relevance) DIVERSITY RERANK (r15
+    * continuation — the post-retrieval step that stops a result page
+    * being five near-copies of the best hit; the standard λ-tradeoff
+    * used by RAG retrievers): greedily select `k` of the exact-cosine
+    * top-`pool` candidates, each round scoring the remaining pool by
+    * λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s) and taking the
+    * argmax (round 1 is pure relevance; ties → smaller cand_id).
+    *
+    * The greedy recurrence is inherently sequential IN ROUNDS but each
+    * round is a fully distributed plan over the POOL-BOUNDED frames
+    * (nQueries × pool rows): an anti-join drops selected candidates, a
+    * join+max computes the diversity penalty against the selected set,
+    * a window argmax picks per query — the dedup_clusters iterative
+    * discipline, k−1 bounded rounds, never a driver-side loop. Every
+    * number is the engine-exact cosine / max / two-literal arithmetic
+    * in mirrored textual order, so the WHOLE rerank is hash-green
+    * against a DuckDB replay generated from the same (k, pool, λ)
+    * constants ([[mmrRerankSql]] — unrolled greedy rounds as CTEs). */
+  def mmrRerank(emb: DataFrame, nQueries: Int, k: Int = 5,
+      pool: Int = 20, lam: Double = 0.7): DataFrame = {
+    require(k >= 1 && pool >= k)
+    val cand = bruteForceTopKAgg(emb, nQueries, pool)
+      .select(col("query_id"), col("cand_id"), col("cos_sim").as("rel"))
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+        "cand_id")
+      .select(col("query_id"), col("cand_id"), col("rel"), col("c_emb"))
+      .localCheckpoint()
+    // round 1: pure relevance
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    var selected = cand
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id").as("sel_id"),
+        col("c_emb").as("sel_emb"), lit(1).as("pos"), col("rel").as("mmr_score"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("sel_id").as("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored = remaining.join(selected.select("query_id", "sel_emb"), "query_id")
+        .groupBy(col("query_id"), col("cand_id"), col("rel"))
+        .agg(max(GraftFunctions.cosineSim(col("c_emb"), col("sel_emb"))).as("msim"))
+        .withColumn("score", lit(lam) * col("rel") - lit(1 - lam) * col("msim"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("score").desc, col("cand_id"))))
+        .filter(col("rn") === 1)
+      val picked = scored
+        .join(cand.select(col("query_id"), col("cand_id"), col("c_emb")),
+          Seq("query_id", "cand_id"))
+        .select(col("query_id"), col("cand_id").as("sel_id"),
+          col("c_emb").as("sel_emb"), lit(r).as("pos"),
+          col("score").as("mmr_score"))
+      selected = selected.unionByName(picked).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("pos").cast("long").as("pos"),
+      col("sel_id").as("cand_id"), col("mmr_score"))
+  }
+
+  /** The DuckDB twin of [[mmrRerank]]: the same greedy recurrence
+    * UNROLLED as k rounds of CTEs, generated from the same constants. */
+  def mmrRerankSql(nQueries: Int, k: Int = 5, pool: Int = 20,
+      lam: Double = 0.7): String = {
+    val lamS = graft.util.DetLn.dlit(lam)
+    val oneMinus = graft.util.DetLn.dlit(1 - lam)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < $nQueries),
+         |cand AS (
+         |  SELECT query_id, cand_id, rel, emb AS c_emb FROM (
+         |    SELECT query_id, c.vec_id AS cand_id,
+         |           list_cosine_similarity(q_emb, c.emb) AS rel, c.emb,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN e c ON c.vec_id <> q.query_id) t
+         |  WHERE rnk <= $pool),
+         |sel1 AS (
+         |  SELECT query_id, cand_id AS sel_id, c_emb AS sel_emb, 1 AS pos, rel AS mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY rel DESC, cand_id) AS rn FROM cand) t
+         |  WHERE rn = 1)""".stripMargin)
+    for (r <- 2 to k) {
+      val prev = s"sel${r - 1}"
+      sb.append(s""",
+         |pick$r AS (
+         |  SELECT query_id, cand_id, score FROM (
+         |    SELECT m.query_id, m.cand_id,
+         |           $lamS * m.rel - $oneMinus * m.msim AS score,
+         |           row_number() OVER (PARTITION BY m.query_id
+         |             ORDER BY $lamS * m.rel - $oneMinus * m.msim DESC, m.cand_id) AS rn
+         |    FROM (SELECT c.query_id, c.cand_id, c.rel,
+         |                 max(list_cosine_similarity(c.c_emb, s.sel_emb)) AS msim
+         |          FROM cand c JOIN $prev s ON s.query_id = c.query_id
+         |          WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                            WHERE x.query_id = c.query_id AND x.sel_id = c.cand_id)
+         |          GROUP BY c.query_id, c.cand_id, c.rel) m) t
+         |  WHERE rn = 1),
+         |sel$r AS (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT p.query_id, p.cand_id AS sel_id, c.c_emb AS sel_emb, $r AS pos, p.score AS mmr_score
+         |  FROM pick$r p JOIN cand c ON c.query_id = p.query_id AND c.cand_id = p.cand_id)""".stripMargin)
+    }
+    sb.append(s"""
+         |SELECT query_id, CAST(pos AS BIGINT) AS pos, sel_id AS cand_id, mmr_score
+         |FROM sel$k""".stripMargin)
+    sb.toString
+  }
+
   /** LSH-bucketed ANN top-k: candidates share a bucket with the query in
     * at least one of `tables` hyperplane tables; exact cosine re-rank.
     * Defaults suit the test corpus (~10^2.5 docs); at production scale

@@ -220,6 +220,66 @@ class AnnSpec extends SparkSpec {
     assert(cosTop.getLong(2) == 1L, "cosine must prefer the aligned vector")
   }
 
+  test("mmrRerank: greedy recurrence replays naively; the penalty " +
+      "genuinely diversifies a near-dup pool (r15)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Ann.mmrRerank(emb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 50)
+    // naive greedy replay (engine sims come from the shared expression,
+    // so compare SELECTION, not raw doubles)
+    val pool = Ann.bruteForceTopK(emb, 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val cands = pool(q)
+      var selected = List.empty[Long]
+      val wantOrder = (1 to 5).map { r =>
+        val remaining = cands.filterNot(c => selected.contains(c._1))
+        val pick =
+          if (r == 1) remaining.minBy { case (id, rel) => (-rel, id) }
+          else remaining.minBy { case (id, rel) =>
+            val msim = selected.map(s => cos(vecs(id), vecs(s))).max
+            (-(0.7 * rel - 0.3 * msim), id)
+          }
+        selected = selected :+ pick._1
+        pick._1
+      }
+      val gotOrder = rows.sortBy(_._2).map(_._3).toSeq
+      assert(gotOrder == wantOrder, s"query $q")
+    }
+    // diversification binds on a crafted pool: a near-copy of the best
+    // hit loses its slot to an equally-query-relevant but DISSIMILAR
+    // direction (doc 3 sits across the e1 axis: rel ≈ 0.70 to the
+    // query but ≈ 0 similarity to the selected e0+e1 hit)
+    val spark2 = spark; import spark2.implicits._
+    def mk(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val crafted = Seq(
+      (0L, mk(0 -> 1.0)),                 // query: axis 0
+      (1L, mk(0 -> 1.0, 1 -> 1.0)),       // best hit
+      (2L, mk(0 -> 1.0, 1 -> 1.0, 2 -> 0.01)), // near-dup of best
+      (3L, mk(0 -> 0.98, 1 -> -1.0))      // relevant but anti-correlated on e1
+    ).toDF("vec_id", "embedding")
+    val page = Ann.mmrRerank(crafted, 1, k = 2, pool = 3).collect()
+      .sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    val plain = Ann.bruteForceTopK(crafted, 1, 2).collect()
+      .sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(plain == Seq(1L, 2L), s"plain top-2 must be the near-dups: $plain")
+    assert(page == Seq(1L, 3L),
+      s"MMR must swap the near-dup for the distinct direction: $page")
+  }
+
   test("filteredKnn ranks only filter survivors; the filter binds") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
