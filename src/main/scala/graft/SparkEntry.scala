@@ -2063,11 +2063,11 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_date_histogram_calendar" ->
-      operators.Analytics.calendarHistogramSql("month", "America/New_York"),
+      operators.Analytics.calendarHistogramSql("month", "America/New_York", 2023, 2027),
     "q_date_histogram_calquarter" ->
-      operators.Analytics.calendarHistogramSql("quarter", "America/New_York"),
+      operators.Analytics.calendarHistogramSql("quarter", "America/New_York", 2023, 2027),
     "q_date_histogram_calweek" ->
-      operators.Analytics.calendarHistogramSql("week", "America/New_York"),
+      operators.Analytics.calendarHistogramSql("week", "America/New_York", 2023, 2027),
 
     "q_date_histogram_filled" ->
       operators.Analytics.dateHistogramFilledSql(

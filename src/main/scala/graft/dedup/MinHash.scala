@@ -140,9 +140,16 @@ object MinHash {
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       tau: Double = 0.8): DataFrame = {
     val cap = 1L << ParaIdxBits
-    val uid = when(col("para_idx") >= cap,
-        expr(s"raise_error(concat('paragraph index overflow at doc ', " +
-          s"CAST(doc_id AS STRING)))").cast("bigint"))
+    // doc_id shares the encoding's upper bits: outside [0, 2^43) the
+    // shiftleft overflows (and a negative doc_id breaks the
+    // shiftright/% decode ordering SILENTLY) — same fail-loud guard
+    // as the para_idx cap (ADVICE r15)
+    val docCap = 1L << (63 - ParaIdxBits)
+    val uid = when(col("para_idx") >= cap ||
+        col("doc_id") < 0 || col("doc_id") >= docCap,
+        expr(s"raise_error(concat('unit-id encoding overflow at doc ', " +
+          s"CAST(doc_id AS STRING), ' para ', CAST(para_idx AS STRING)))")
+          .cast("bigint"))
       .otherwise(shiftleft(col("doc_id"), ParaIdxBits) + col("para_idx"))
     val units = paragraphUnits(docs, paraTokens, n)
       .select(uid.as("doc_id"), shinglesFromTokenHashes(col("pth"), n).as("sh"))

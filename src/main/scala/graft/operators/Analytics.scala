@@ -191,6 +191,17 @@ object Analytics {
     }.toIndexedSeq
   }
 
+  /** The coverage window's END instant (epoch µs): the first `unit`
+    * start at/after Jan 1 `toYear` — i.e. the ladder element that
+    * would follow [[calendarEdgesUs]]'s last edge. Events at/after it
+    * are out-of-window and key to NULL (they must not silently fold
+    * into the final real bucket — ADVICE r15). */
+  def calendarWindowEndUs(unit: String, tz: String, fromYear: Int,
+      toYear: Int): Long = {
+    val edges = calendarEdgesUs(unit, tz, fromYear, toYear)
+    calendarEdgesUs(unit, tz, fromYear, toYear + 1).find(_ > edges.last).get
+  }
+
   /** ES date_histogram with `calendar_interval` month/quarter/week/day
     * in a real timezone (the Kibana default view): buckets start at
     * CALENDAR edges in `tz` — variable-width instants (a NY month is
@@ -200,17 +211,22 @@ object Analytics {
     * metadata, O(|ladder|) per row with the ladder bounded by the
     * coverage window (set fromYear/toYear to the retention window at
     * scale), zero joins, one hash aggregation. Events outside the
-    * coverage window key to NULL (a visible bucket, not silent drop).
-    * The DuckDB oracle is an INDEPENDENT replay — ICU `date_trunc AT
-    * TIME ZONE` against java.time's ladder, two IANA tzdb
-    * implementations agreeing — see [[calendarHistogramSql]]. */
+    * coverage window — BOTH sides (ADVICE r15: before the first edge
+    * AND at/after the last edge's unit-end) — key to NULL (a visible
+    * bucket, not silent drop, and not a silent fold into the final
+    * real bucket). The DuckDB oracle is an INDEPENDENT replay — ICU
+    * `date_trunc AT TIME ZONE` against java.time's ladder, two IANA
+    * tzdb implementations agreeing (the window-clip bounds are shared
+    * constants; the bucket MAPPING stays independent) — see
+    * [[calendarHistogramSql]]. */
   def calendarDateHistogram(events: DataFrame, unit: String, tz: String,
       fromYear: Int = 2020, toYear: Int = 2030): DataFrame = {
     val edges = calendarEdgesUs(unit, tz, fromYear, toYear)
+    val endUs = calendarWindowEndUs(unit, tz, fromYear, toYear)
     val tsUs = Det.tsMicrosOf(events, "ts")
     val bucketOf = (c: Column) =>
-      array_max(filter(typedlit(edges), e => e <= c))
-    if (edges.forall(_ % 3600000000L == 0)) {
+      when(c < lit(endUs), array_max(filter(typedlit(edges), e => e <= c)))
+    if ((edges :+ endUs).forall(_ % 3600000000L == 0)) {
       // every edge sits on a whole UTC hour (true for whole-hour-offset
       // zones like America/New_York): pre-aggregate at HOUR grain first
       // — a codegen'd integer division and one map-side-combinable hash
@@ -242,15 +258,24 @@ object Analytics {
 
   /** The DuckDB twin of [[calendarDateHistogram]]: `ts AT TIME ZONE
     * 'UTC' AT TIME ZONE tz` → local wall time, ICU date_trunc to the
-    * unit start, back to an instant, epoch µs. Independent of the
-    * Spark ladder by construction. (Bucket starts — 00:00 on a
+    * unit start, back to an instant, epoch µs; out-of-window instants
+    * (before the first edge / at-or-after the window end) key to NULL
+    * exactly like the engine. The bucket MAPPING is independent of
+    * the Spark ladder by construction; only the two window-clip
+    * constants are shared. (Bucket starts — 00:00 on a
     * month/quarter/Monday edge — are never inside a US DST gap, so
     * the local→instant step is unambiguous.) */
-  def calendarHistogramSql(unit: String, tz: String): String =
-    s"""SELECT epoch_us(date_trunc('$unit', ts AT TIME ZONE 'UTC' AT TIME ZONE '$tz') AT TIME ZONE '$tz') AS bucket_start_us,
+  def calendarHistogramSql(unit: String, tz: String,
+      fromYear: Int = 2020, toYear: Int = 2030): String = {
+    val firstUs = calendarEdgesUs(unit, tz, fromYear, toYear).head
+    val endUs = calendarWindowEndUs(unit, tz, fromYear, toYear)
+    s"""SELECT CASE WHEN epoch_us(ts) >= $firstUs AND epoch_us(ts) < $endUs
+       |            THEN epoch_us(date_trunc('$unit', ts AT TIME ZONE 'UTC' AT TIME ZONE '$tz') AT TIME ZONE '$tz')
+       |       END AS bucket_start_us,
        |       count(*) AS n,
        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1""".stripMargin
+  }
 
   /** ES date_histogram with `offset`, `min_doc_count: 0` and
     * `extended_bounds` (r15 — the Kibana sparse-series behavior the
@@ -263,27 +288,29 @@ object Analytics {
     * frame is `spark.range` over the bucket index range (bucket-count
     * rows, not data rows) left-joining the aggregated counts — at any
     * corpus scale the join is broadcast-sized on both sides because
-    * aggregation happened first. Requires boundsLo ≥ offset so integer
-    * `div` truncation IS floor division. */
+    * aggregation happened first. Bucket indexing is TRUE floor
+    * division (pmod-based), so events below epoch+offset bucket at
+    * negative indices — ES's actual offset semantics — instead of
+    * silently vanishing (ADVICE r15); the fill range extends to cover
+    * them like any other data bucket. */
   def dateHistogramFilled(events: DataFrame, intervalUs: Long,
       offsetUs: Long, boundsLoUs: Long, boundsHiUs: Long): DataFrame = {
-    require(intervalUs > 0 && offsetUs >= 0 && boundsLoUs >= offsetUs &&
-      boundsHiUs >= boundsLoUs)
+    require(intervalUs > 0 && offsetUs >= 0 && boundsHiUs >= boundsLoUs)
     val spark = events.sparkSession
     val us = Det.tsMicrosOf(events, "ts")
-    // exact bucket index: subtract the remainder first so the double
-    // division is of an exact multiple (IEEE-exact) — a raw
+    // exact bucket index: subtract the POSITIVE remainder (pmod) first
+    // so the double division is of an exact multiple (IEEE-exact) AND
+    // the truncation is floor for negative shifted values — a raw
     // (us-off)/interval double division can edge-misbucket at µs scale
     val shifted = us - lit(offsetUs)
     val idxCol = ((shifted - pmod(shifted, lit(intervalUs))) / lit(intervalUs))
       .cast("long")
     val d = events.select(idxCol.as("idx"), col("value"))
-      .filter(us >= offsetUs) // div-is-floor domain; no data below epoch+offset
     val agg = d.groupBy("idx")
       .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sv"))
     val span = d.agg(min(col("idx")), max(col("idx"))).collect()(0)
-    val loIdx = (boundsLoUs - offsetUs) / intervalUs
-    val hiIdx = (boundsHiUs - offsetUs) / intervalUs
+    val loIdx = Math.floorDiv(boundsLoUs - offsetUs, intervalUs)
+    val hiIdx = Math.floorDiv(boundsHiUs - offsetUs, intervalUs)
     val (mn, mx) =
       if (span.isNullAt(0)) (loIdx, hiIdx)
       else (math.min(loIdx, span.getLong(0)), math.max(hiIdx, span.getLong(1)))
@@ -298,10 +325,15 @@ object Analytics {
     * same constants. */
   def dateHistogramFilledSql(intervalUs: Long, offsetUs: Long,
       boundsLoUs: Long, boundsHiUs: Long): String = {
-    val loIdx = (boundsLoUs - offsetUs) / intervalUs
-    val hiIdx = (boundsHiUs - offsetUs) / intervalUs
-    s"""WITH d AS (SELECT (epoch_us(ts) - $offsetUs) // $intervalUs AS idx, value
-       |           FROM events WHERE epoch_us(ts) >= $offsetUs),
+    val loIdx = Math.floorDiv(boundsLoUs - offsetUs, intervalUs)
+    val hiIdx = Math.floorDiv(boundsHiUs - offsetUs, intervalUs)
+    // DuckDB `//` TRUNCATES toward zero (measured: -5 // 3 = -1), so
+    // floor division is spelled pmod-style: subtract the positive
+    // remainder, then divide the exact multiple — mirrors the engine
+    s"""WITH d AS (SELECT (epoch_us(ts) - $offsetUs
+       |             - (((epoch_us(ts) - $offsetUs) % $intervalUs + $intervalUs) % $intervalUs))
+       |             // $intervalUs AS idx, value
+       |           FROM events),
        |agg AS (SELECT idx, count(*) AS n,
        |               sum(CAST(value AS DECIMAL(18,2))) AS sv
        |        FROM d GROUP BY 1),

@@ -240,7 +240,15 @@ object Ann {
     val packed = aggregate(
       zip_with(e64, pows, (x, p) => when(x > lit(0.0), p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseXOR(x))
-    val pk = emb.select(col("vec_id"), packed.as("bits"))
+    // a vector longer than `dim` null-pads the zip_with and the XOR
+    // fold turns the whole word NULL — that vector would silently rank
+    // nowhere instead of failing loudly (ADVICE r15); same fail-loud
+    // guard discipline as the MinHash unit-id cap
+    val guarded = when(size(e64) === dim, packed)
+      .otherwise(expr(s"raise_error(concat('binaryTopK: embedding dim ', " +
+        s"CAST(size(embedding) AS STRING), ' != $dim at vec ', " +
+        s"CAST(vec_id AS STRING)))").cast("bigint"))
+    val pk = emb.select(col("vec_id"), guarded.as("bits"))
     val q = pk.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bits").as("qb"))
     val hamSim = (lit(dim) - bit_count(col("qb").bitwiseXOR(col("bits")))).cast("double")

@@ -152,9 +152,18 @@ object AnnIndex {
     // `_SUCCESS` + data files non-atomically, so a reader that passed
     // the committedIngests check just before the overwrite could still
     // see a torn partition. With rename-aside (the StreamingRiver
-    // upsertBatch discipline) an ingest partition is only ever
-    // atomically swapped: readers see the old complete batch or the
-    // new complete batch, never a mix.
+    // upsertBatch discipline) a reader sees a COMPLETE batch whenever
+    // it sees one at all — never a mix. Known residual window (ADVICE
+    // r15): between rename(dest → old) and rename(staging → dest) the
+    // ingest partition exists under NEITHER name, so a concurrent
+    // committedIngests listing taken in that instant misses the whole
+    // batch (reads the index as-of before this ingest — stale, not
+    // torn). Replays re-write identical content, so staleness
+    // self-heals on the next listing; closing the window entirely
+    // needs a version-suffixed directory + pointer-file flip (the
+    // DedupIndex snapshot scheme) — deliberately not paid here because
+    // ingest=N directories are append-only identities, not mutating
+    // snapshots.
     // staging/old names must NOT start with "ingest=" or
     // committedIngests would list a half-swapped replay twice
     val dest = new Path(s"${assignDir(root)}/cv=$v/ingest=$batchId")

@@ -1109,6 +1109,39 @@ class EsAggsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("calendarDateHistogram: out-of-window events key to NULL on " +
+      "BOTH sides (ADVICE r15 — no silent fold into the final bucket)") {
+    import spark.implicits._
+    val mo = Analytics.calendarEdgesUs("month", "America/New_York", 2023, 2027)
+    val endUs = Analytics.calendarWindowEndUs("month", "America/New_York", 2023, 2027)
+    assert(endUs > mo.last, "window end must follow the last edge")
+    // one event before the window, one inside, one at the end edge,
+    // one far past it
+    val ev = Seq(mo.head - 1L, mo.head + 5L, endUs, endUs + 86400000000L)
+      .map(us => (us, 1.0)).toDF("us", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = Analytics.calendarDateHistogram(ev, "month",
+      "America/New_York", 2023, 2027).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+      .toMap
+    assert(got == Map(None -> 3L, Some(mo.head) -> 1L),
+      s"pre-window + at-end + past-end must all key NULL, got $got")
+  }
+
+  test("dateHistogramFilled: events below epoch+offset bucket at " +
+      "negative indices (true floor division), never silently drop") {
+    import spark.implicits._
+    val (itv, off) = (1000000L, 500000L)
+    // us=100000 → shifted −400000 → floor idx −1; us=1600000 → idx 1
+    val ev = Seq(100000L, 1600000L).map(us => (us, 2.0)).toDF("us", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = Analytics.dateHistogramFilled(ev, itv, off, off, off)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // fill spans idx −1..1 (data extends both sides of the 1-bucket bounds)
+    assert(got.map(_._1).toSeq == Seq(-500000L, 500000L, 1500000L), got.toSeq)
+    assert(got.map(_._2).toSeq == Seq(1L, 0L, 1L), got.toSeq)
+  }
+
   test("dateHistogramFilled: empty buckets materialize to the extended " +
       "bounds, offset shifts edges, data outside bounds still buckets") {
     val ev = Tables.events(spark, sfDir)
