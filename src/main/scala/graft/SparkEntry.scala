@@ -886,6 +886,13 @@ object SparkEntry {
       operators.Analytics.fieldValueFactor(Tables.orders(s, dir),
         0.125, 1.5, 15)),
 
+    // function_score with script_score-class functions (r16): sealed
+    // score AST (DetLn log1p, saturation, clamp arithmetic) under
+    // score_mode=sum / boost_mode=multiply — one tree compiles both
+    // engines (ScoreAst.wiredBase/wiredFuncs)
+    "q_function_score_script" -> ((s, dir) =>
+      operators.ScoreAst.wiredQuery(Tables.orders(s, dir))),
+
     // ----- geo surface (SURVEY §2, round 11): deterministic lat/lon
     // derived from user_id/event_id (Geo.withCoords — exact modulo +
     // one double division, IEEE-identical in DuckDB) -----
@@ -3006,6 +3013,9 @@ object SparkEntry {
 
     "q_function_score_fvf" ->
       operators.Analytics.fieldValueFactorSql(0.125, 1.5, 15),
+
+    "q_function_score_script" ->
+      operators.ScoreAst.wiredSql(),
 
     // geo: coordinate derivation + geohash bit math generated from the
     // SAME Scala parameters as the Spark side (Geo.coordsSql /
