@@ -33,6 +33,23 @@ import scala.collection.mutable
   *    lineitem) disarms the guard for that bracket rather than
   *    contaminating the suite.
   *
+  * v4 (r16 verdict #3): the v3 bracket rule cannot see a stall
+  * SHORTER than one calibration segment — it inflates mid-segment
+  * queries while both bracketing calibrations read clean (four >2×
+  * phantom movers shipped in BENCH_r16 that way). Two changes:
+  *
+  *  - segSize 15 → 8: halves the blind window a sub-segment stall
+  *    can hide in (calibration overhead stays <2% of the suite);
+  *  - a cross-round REFERENCE pass ([[BenchGuard.refOutliers]]):
+  *    after the suite, every reading is compared against its
+  *    committed reference (tools/bench_ref.json — written by a clean
+  *    local run via SPARK_GRAFT_WRITE_REF, floor-normalized to this
+  *    host by the calibration ratio); readings past 1.8× re-time
+  *    ISOLATED (bracketed by calibrations) before the file stamps,
+  *    and anything STILL past the factor ships named in
+  *    `ref_outliers` — a candidate real regression for the movers
+  *    table, not silent garbage.
+  *
   * Residual risk, on record: a stall spanning EVERY calibration of the
   * suite inflates ref itself and passes undetected — that is only
   * catchable against an external reference (set SPARK_GRAFT_CALIB_REF)
@@ -41,7 +58,8 @@ import scala.collection.mutable
 object Bench {
 
   private val calibQuery = "q6_revenue_delta"
-  private val segSize = 15
+  private val segSize = 8
+  private val refFactor = 1.8
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,8 +140,7 @@ object Bench {
       val all: Seq[Double] = envRef.toSeq ++ calibs
       all.reduceOption(_ min _)
     }
-    def dirtyCalib(c: Double): Boolean =
-      c >= 0 && ref.exists(c > 2 * _)
+    def dirtyCalib(c: Double): Boolean = BenchGuard.dirtyCalib(c, ref)
 
     // untimed warm pass of the calibration query: the very first
     // execution pays whole-stage-codegen JIT (~1 s), which would trip
@@ -152,45 +169,69 @@ object Bench {
     // every recorded bracket against the FINAL ref after the loop, so a
     // stall that inflates an early reading can't whitewash its own
     // segment even when a later pass lowers ref retroactively.
-    def pass(todo: Seq[String]): Seq[(Seq[String], Double, Double)] = {
-      val out = mutable.ArrayBuffer[(Seq[String], Double, Double)]()
+    def pass(todo: Seq[String]): Seq[BenchGuard.Bracket] = {
+      val out = mutable.ArrayBuffer[BenchGuard.Bracket]()
       var cPrev = calibrate("seg-start")
       for (seg <- todo.grouped(segSize)) {
         seg.foreach(n => record(n, timed(n)))
         val cNext = calibrate("seg-end")
-        out += ((seg, cPrev, cNext))
+        out += BenchGuard.Bracket(seg, cPrev, cNext)
         cPrev = cNext
       }
       out.toSeq
     }
+    def dirtyOf(bs: Seq[BenchGuard.Bracket]): Seq[String] =
+      bs.filter(b => dirtyCalib(b.calibBefore) || dirtyCalib(b.calibAfter))
+        .flatMap(b => b.queries)
 
     var attempts = 1
-    val allBrackets = mutable.ArrayBuffer[(Seq[String], Double, Double)]()
+    val allBrackets = mutable.ArrayBuffer[BenchGuard.Bracket]()
     var brackets = pass(names)
     allBrackets ++= brackets
-    var pending = brackets
-      .filter { case (_, c0, c1) => dirtyCalib(c0) || dirtyCalib(c1) }
-      .flatMap(_._1)
+    var pending = dirtyOf(brackets)
     while (pending.nonEmpty && attempts < 3) {
       System.err.println(
         s"[bench-calib] ${pending.size} queries in dirty segments — re-timing")
       attempts += 1
       brackets = pass(pending)
       allBrackets ++= brackets
-      pending = brackets
-        .filter { case (_, c0, c1) => dirtyCalib(c0) || dirtyCalib(c1) }
-        .flatMap(_._1)
+      pending = dirtyOf(brackets)
     }
+
+    // v4 cross-round reference pass: the bracket rule above cannot see
+    // a stall SHORTER than a segment — compare every reading against
+    // its committed cross-round reference (floor-normalized) and
+    // re-time outliers ISOLATED, bracketed, before the file stamps
+    val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_ref.json")
+    val committedRef: Option[(Double, Map[String, Double])] = {
+      val p = java.nio.file.Paths.get(refFile)
+      if (java.nio.file.Files.exists(p))
+        BenchGuard.parseRef(new String(java.nio.file.Files.readAllBytes(p)))
+      else None
+    }
+    def outliersNow: Seq[String] = (committedRef, ref) match {
+      case (Some((rf, rq)), Some(cur)) if rf > 0 && cur > 0 =>
+        BenchGuard.refOutliers(best.toMap, rq, rf, cur, refFactor)
+      case _ => Seq.empty
+    }
+    var refOut = outliersNow
+    var refPasses = 0
+    while (refOut.nonEmpty && refPasses < 2) {
+      refPasses += 1
+      System.err.println(s"[bench-ref] ${refOut.size} readings past " +
+        s"${refFactor}x their committed reference — isolated re-time: " +
+        refOut.mkString(", "))
+      allBrackets ++= pass(refOut) // records mins; brackets join the v3 verdict
+      refOut = outliersNow
+    }
+
     // Final dirty verdict against the FINAL ref: a later pass can lower
     // ref below what an earlier pass's filter saw, so every recorded
     // bracket is re-evaluated here — a query is clean only if at least
     // one of its brackets is clean under the final (lowest) ref, which
     // closes the retroactively-dirty-segment hole the in-loop filter
     // (a re-queue heuristic, nothing more) cannot see.
-    val cleanlyTimed = allBrackets
-      .filter { case (_, c0, c1) => !dirtyCalib(c0) && !dirtyCalib(c1) }
-      .flatMap(_._1).toSet
-    val dirtyNames = names.filterNot(cleanlyTimed).sorted
+    val dirtyNames = BenchGuard.dirtyQueries(allBrackets.toSeq, names, ref)
     val contaminated = dirtyNames.nonEmpty
 
     // The driver captures only the last 2000 chars of the build log
@@ -221,7 +262,17 @@ object Bench {
       if (calibs.isEmpty) "\"calib_min\":null,\"calib_max\":null"
       else s""""calib_min":${f3(calibs.min)},"calib_max":${f3(calibs.max)}"""
     val dirtyJson = dirtyNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","calib_ref":${ref.map(f3).getOrElse("null")},$calibStats,"n_calibs":${calibs.size},"n_dirty":${dirtyNames.size},"dirty":$dirtyJson,"n_errored":${errored.size},"contaminated":$contaminated,"attempts":$attempts}""")
+    val refOutJson = refOut.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","calib_ref":${ref.map(f3).getOrElse("null")},$calibStats,"n_calibs":${calibs.size},"n_dirty":${dirtyNames.size},"dirty":$dirtyJson,"n_errored":${errored.size},"contaminated":$contaminated,"attempts":$attempts,"ref_armed":${committedRef.nonEmpty},"n_ref_outliers":${refOut.size},"ref_outliers":$refOutJson}""")
+    // SPARK_GRAFT_WRITE_REF=<path>: commit this (clean local) run as the
+    // cross-round reference the v4 guard compares against
+    sys.env.get("SPARK_GRAFT_WRITE_REF").foreach { p =>
+      val qs = results.filter(_._2 >= 0)
+      val body = s"""{"calib_ref":${ref.map(f3).getOrElse("null")},"sf":"$sfDir","queries":${jmap(qs)}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        body.getBytes("UTF-8"))
+      System.err.println(s"[bench-ref] wrote reference ($p, ${qs.size} queries)")
+    }
     spark.stop()
   }
 }

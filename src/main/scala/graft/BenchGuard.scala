@@ -1,0 +1,82 @@
+package graft
+
+/** Pure decision logic for [[Bench]]'s host-noise guard, factored out
+  * so the guard itself is spec-testable (v4 — r16 verdict #3: two
+  * consecutive driver artifacts shipped >2× phantom movers past the
+  * v3 bracket guard because a host stall SHORTER than one calibration
+  * segment inflates mid-segment queries while both bracketing
+  * calibrations read clean).
+  *
+  * Two independent detectors:
+  *
+  *  - [[dirtyQueries]]: the v3 bracket rule — a query is clean iff at
+  *    least one of its recorded (calib-before, calib-after) brackets
+  *    has both calibrations ≤ 2× the final idle-floor estimate. Run
+  *    against the FINAL ref so a later pass lowering ref retroactively
+  *    dirties earlier segments. Catches stalls LONGER than a segment.
+  *  - [[refOutliers]]: the v4 cross-round rule — compare each reading
+  *    against its committed cross-round reference (tools/bench_ref
+  *    .json, floor-normalized to this host via the calibration ratio);
+  *    readings past `factor`× the scaled reference re-time ISOLATED
+  *    before the artifact stamps. Catches the sub-segment stalls the
+  *    brackets cannot see — exactly the four r16 phantoms
+  *    (hbase_source_scan ×6.6 … q_geohash_grid ×2.2, all judge-re-timed
+  *    clean). A reading still past the factor AFTER re-timing is
+  *    reported in the JSON (`ref_outliers`) — a candidate real
+  *    regression for the movers table, not silent garbage.
+  *
+  * BenchGuardSpec replays a synthetic mid-segment stall through both
+  * detectors: the bracket rule misses it, the reference rule flags it.
+  */
+object BenchGuard {
+
+  /** One recorded calibration bracket: the segment's query names plus
+    * the calibration readings taken immediately before and after. */
+  final case class Bracket(queries: Seq[String], calibBefore: Double,
+      calibAfter: Double)
+
+  def dirtyCalib(c: Double, ref: Option[Double]): Boolean =
+    c >= 0 && ref.exists(c > 2 * _)
+
+  /** Names with NO clean bracket under the final ref (v3 rule). */
+  def dirtyQueries(all: Seq[Bracket], names: Seq[String],
+      ref: Option[Double]): Seq[String] = {
+    val clean = all
+      .filter(b => !dirtyCalib(b.calibBefore, ref) && !dirtyCalib(b.calibAfter, ref))
+      .flatMap(_.queries).toSet
+    names.filterNot(clean).sorted
+  }
+
+  /** Queries whose reading exceeds `factor` × their committed
+    * cross-round reference, after normalizing the reference to this
+    * host by the calibration-floor ratio (the SCALING.md estimator's
+    * same-host discipline, applied cross-host via the floor). Queries
+    * absent from the reference (new this round) are skipped — they
+    * join the file next refresh. */
+  def refOutliers(best: Map[String, Double],
+      refTimes: Map[String, Double], refFloor: Double,
+      currentFloor: Double, factor: Double = 1.8): Seq[String] = {
+    require(refFloor > 0 && currentFloor > 0)
+    val scale = currentFloor / refFloor
+    best.toSeq.collect {
+      case (n, t) if t >= 0 && refTimes.get(n).exists(r => t > factor * r * scale) => n
+    }.sorted
+  }
+
+  /** Parse the committed reference file: {"calib_ref":f,"queries":{..}}.
+    * Minimal flat-JSON field extraction — the file is machine-written
+    * by Bench itself (`SPARK_GRAFT_WRITE_REF`), not hand-edited. */
+  def parseRef(json: String): Option[(Double, Map[String, Double])] = {
+    val floorRe = """"calib_ref"\s*:\s*([0-9.eE+-]+)""".r
+    val qRe = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+    floorRe.findFirstMatchIn(json).map { m =>
+      val floor = m.group(1).toDouble
+      val qs = json.indexOf("\"queries\"") match {
+        case -1 => Map.empty[String, Double]
+        case i => qRe.findAllMatchIn(json.substring(i + 9))
+          .map(q => q.group(1) -> q.group(2).toDouble).toMap
+      }
+      (floor, qs)
+    }
+  }
+}

@@ -173,7 +173,14 @@ object ScoreAst {
     }
     def lnItems: Seq[(String, String)] = nodes.zipWithIndex.flatMap {
       case (f, i) =>
-        val arg = s"1.0e0 + ${DetLn.dlit(f.factor)} * CAST(${f.field.name} AS DOUBLE)"
+        // mirror the Spark side's fail-loud negative-domain guard
+        // (ADVICE r16): a DuckDB-only replay of out-of-domain data must
+        // error like the Column compile does, not silently compute the
+        // DetLn ladder on a sub-1 argument
+        val fld = s"CAST(${f.field.name} AS DOUBLE)"
+        val arg = s"(CASE WHEN $fld >= 0.0e0 THEN 1.0e0 + ${DetLn.dlit(f.factor)} * $fld " +
+          s"ELSE error('function_score log1p: negative field ${f.field.name} value ' || " +
+          s"CAST(${f.field.name} AS VARCHAR) || ' is below the ln(1+x) domain') END)"
         DetLn.sqlItems(arg, s"__fs_ln$i")
     }
   }
@@ -191,7 +198,11 @@ object ScoreAst {
 
   private def predSql(p: Pred): String = p match {
     case GtNum(f, v) => s"CAST($f AS DOUBLE) > ${DetLn.dlit(v)}"
-    case EqStr(f, v) => s"$f = '$v'"
+    // single quotes in the value double per the SQL string-literal
+    // grammar (ADVICE r16: a raw interpolation would break — or
+    // inject into — the generated oracle for values like O'Brien;
+    // the Spark side's col === lit needs no escaping)
+    case EqStr(f, v) => s"$f = '${v.replace("'", "''")}'"
     case AlwaysTrue => "TRUE"
   }
 

@@ -98,6 +98,24 @@ class ScoreAstSpec extends SparkSpec {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("generated SQL escapes single quotes in EqStr values and " +
+      "mirrors the log1p negative-domain guard (ADVICE r16)") {
+    val sql = ScoreAst.functionScoreSql("orders", "o_orderkey",
+      Num(1.0),
+      Seq(Func(EqStr("o_comment", "O'Brien's"),
+        Log1p(0.125, Field("o_totalprice")), 1.0)),
+      "sum", "replace", 5)
+    // the string literal must double its quotes per the SQL grammar —
+    // a raw interpolation would break (or inject into) the oracle
+    assert(sql.contains("o_comment = 'O''Brien''s'"), sql)
+    assert(!sql.contains("= 'O'Brien"), sql)
+    // the ln argument must carry the same fail-loud domain guard the
+    // Column compile has, so a DuckDB-only replay of out-of-domain
+    // data errors instead of silently computing a wrong ln
+    assert(sql.contains("WHEN CAST(o_totalprice AS DOUBLE) >= 0.0e0"), sql)
+    assert(sql.contains("ELSE error("), sql)
+  }
+
   test("empty input degrades to the typed empty page") {
     val empty = Tables.orders(spark, sfDir).limit(0)
     val got = ScoreAst.wiredQuery(empty, 50)
