@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ann, AnnIndex}
+
+/** ≥10⁵-vector validation of the ANN family (VERDICT r17 #1 — carried
+  * from r15 #2: every recall / candidate-ratio / occupancy claim in
+  * SURVEY §2 was measured on the 500-vector verify corpus, where a
+  * probe cannot separate quantizer noise from design error).
+  *
+  * Synthesizes a deterministic unit-norm corpus (hash-seeded Gaussian
+  * per vec_id — partitioning-independent, no RNG state; uniform
+  * directions = the quantizer WORST case, so every floor measured here
+  * is conservative) plus PLANTED near-duplicate pairs for the dedup
+  * branch (noisy copies with known exact cosine — the only tractable
+  * ground truth at 10⁵: the all-pairs exact near-dup baseline is 5·10⁹
+  * cosines), then re-measures, at nCentroids ∝ √n:
+  *
+  *  - IVF recall@5 + rank-1 exactness + candidate ratio per nprobe;
+  *  - flat-PQ recall@5, codebooks trained FULL vs on a 10% SAMPLE
+  *    (the faiss discipline §2 promises at scale);
+  *  - IVFADC (maintained index) recall@5 + probed-candidate ratio;
+  *  - int8 / int8-refined / binary-BBQ recall@5 vs their spec floors;
+  *  - the LSH-vs-IVF τ-dispatch boundary on planted-pair recall and
+  *    wall time.
+  *
+  * Results land in SCALING.md ("ANN at 10⁵ vectors", r17). Probe-only
+  * code: correctness still gates on the driver's parquet via Verify.
+  *
+  * Usage: runMain graft.AnnScaleProbe <n> [probe...]
+  *   probes: ivf pq ivfadc quant dedup (default: all)
+  */
+object AnnScaleProbe {
+
+  private val Dim = 64
+  private val NQueries = 100
+  private val K = 5
+
+  /** splitmix64 — deterministic per-(id, lane) stream seed. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Unit-norm deterministic Gaussian direction for one id. */
+  private def unitVec(id: Long, lane: Long): Array[Float] = {
+    val rnd = new java.util.Random(mix(id * 1315423911L + lane))
+    val v = Array.fill(Dim)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  /** The noisy twin of base vector `baseId` — ONE definition shared by
+    * the Spark-side generator and the driver-side planted-pair ground
+    * truth, so the cosines are bit-exact by construction. */
+  private def twinVec(baseId: Long, eps: Double): Array[Float] = {
+    val v = unitVec(baseId, 0)
+    val rnd = new java.util.Random(mix(baseId * 7778777L + 5))
+    val noisy = v.map(x => x.toDouble + eps * rnd.nextGaussian())
+    val nn = math.sqrt(noisy.map(x => x * x).sum)
+    noisy.map(x => (x / nn).toFloat)
+  }
+
+  /** Graded twin noise: eps(j) spans ~[0.03, 0.15] so planted cosines
+    * spread ≈ 0.97 … 0.6 (cos ≈ 1/√(1+dim·eps²)) — the near-dup
+    * hardness range a real corpus carries, not a single point. */
+  private def epsOf(j: Long, planted: Int): Double =
+    0.03 + 0.12 * j.toDouble / math.max(1, planted - 1)
+
+  /** n uniform unit vectors + `planted` noisy twins: twin j (vec_id
+    * n+j) copies base j·(n/planted) with graded Gaussian noise
+    * (re-normalized). */
+  private def corpus(spark: SparkSession, n: Long, planted: Int): DataFrame = {
+    import spark.implicits._
+    val step = n / math.max(1, planted)
+    val base = spark.range(0, n, 1, 32)
+      .map(id => (id.longValue, unitVec(id.longValue, 0).toSeq))
+    val twins = spark.range(0, planted.toLong, 1, 8).map { j =>
+      (n + j.longValue, twinVec(j.longValue * step, epsOf(j.longValue, planted)).toSeq)
+    }
+    base.union(twins).toDF("vec_id", "embedding")
+  }
+
+  /** Planted (a_id, b_id, exact cosine) triples — cosine computed on
+    * the SAME float arrays the corpus stores, in double (the engines'
+    * cosine domain). */
+  private def plantedPairs(n: Long, planted: Int): Seq[(Long, Long, Double)] = {
+    val step = n / math.max(1, planted)
+    (0 until planted).map { j =>
+      val baseId = j * step
+      val vf = unitVec(baseId, 0).map(_.toDouble)
+      val wf = twinVec(baseId, epsOf(j.toLong, planted)).map(_.toDouble)
+      val dot = vf.zip(wf).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(vf.map(x => x * x).sum)
+      val nb = math.sqrt(wf.map(x => x * x).sum)
+      (baseId, n + j, dot / (na * nb))
+    }
+  }
+
+  private def groundTruth(emb: DataFrame): Map[Long, Set[Long]] =
+    Ann.bruteForceTopKAgg(emb, NQueries, K).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  private def recallOf(got: DataFrame, truth: Map[Long, Set[Long]]): Double = {
+    val g = got.select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = truth.toSeq.map { case (q, t) =>
+      g.getOrElse(q, Set.empty).count(t) }.sum
+    hits.toDouble / (truth.size * K)
+  }
+
+  private def rank1Of(got: DataFrame, emb: DataFrame): Double = {
+    val exact1 = Ann.bruteForceTopKAgg(emb, NQueries, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got1 = got.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    exact1.count { case (q, c) => got1.get(q).contains(c) }.toDouble / exact1.size
+  }
+
+  private def timeIt[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val probes = if (args.length > 1) args.drop(1).toSet
+      else Set("ivf", "pq", "ivfadc", "quant", "dedup")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ann-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 20)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def log(s: String): Unit = println(s"[annscale] $s")
+
+    val planted = 500
+    val dir = s"/tmp/annscale/v2u$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      corpus(spark, n, planted).write.mode("overwrite").parquet(dir)
+      log(s"corpus written: $n uniform + $planted planted twins -> $dir")
+    }
+    val emb = spark.read.parquet(dir).persist()
+    log(s"corpus rows: ${emb.count()}")
+
+    val nCent = math.ceil(math.sqrt(n.toDouble)).toInt // ∝ √n — the §2 discipline
+    lazy val truth = groundTruth(emb)
+
+    if (probes("ivf")) {
+      log(s"--- IVF: nCentroids=$nCent (=ceil sqrt n), Lloyd 3 rounds ---")
+      for (nprobe <- Seq(4, 8, 16)) {
+        val (got, t) = timeIt(
+          Ann.ivfTopK(emb, NQueries, K, nCent, nprobe, 3).persist())
+        got.count()
+        val r = recallOf(got, truth)
+        val r1 = rank1Of(got, emb)
+        log(f"ivf nprobe=$nprobe%2d expected-cand-ratio=${nprobe.toDouble / nCent}%.4f recall@5=$r%.3f rank1=$r1%.3f wall=${t}%.1f s")
+        got.unpersist()
+      }
+    }
+
+    if (probes("pq")) {
+      log("--- flat PQ: parameterization sweep at scale ---")
+      // 10% sample, ids remapped dense so the deterministic seeding
+      // keeps its ks seeds (vec_id < ks must exist in the sample)
+      val sample = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", (col("vec_id") / 10).cast("long"))
+      for ((label, ks, refine, trainOn) <- Seq(
+          ("m16 ks16  refine10 full   ", 16, 10, null: DataFrame),
+          ("m16 ks16  refine10 sampled", 16, 10, sample),
+          ("m16 ks16  refine40 full   ", 16, 40, null: DataFrame),
+          ("m16 ks256 refine10 full   ", 256, 10, null: DataFrame),
+          ("m16 ks256 refine10 sampled", 256, 10, sample))) {
+        val (got, t) = timeIt(Ann.pqTopK(emb, NQueries, K, ks = ks,
+          refine = refine, trainOn = trainOn).persist())
+        got.count()
+        log(f"pq $label recall@5=${recallOf(got, truth)}%.3f wall=$t%.1f s")
+        got.unpersist()
+      }
+    }
+
+    if (probes("ivfadc")) {
+      log(s"--- IVFADC maintained index: nCentroids=$nCent, pqM=16, 3 ingest batches ---")
+      val root = s"/tmp/annscale/idx$n"
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val (_, tTrain) = timeIt(
+        AnnIndex.trainCentroids(emb, 0L, root, nCent, 3, pqM = 16))
+      val (_, tIngest) = timeIt(
+        (0L until 3L).foreach(b =>
+          AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, root)))
+      log(f"index build: train=$tTrain%.1f s ingest(3 batches)=$tIngest%.1f s")
+      val sizes = AnnIndex.assignments(spark, root)
+        .groupBy("cent_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = sizes.values.sum
+      for ((nprobe, refine) <- Seq((8, 10), (16, 10), (8, 40), (16, 40))) {
+        val (got, t) = timeIt(
+          AnnIndex.ivfpqTopKIndexed(spark, root, emb, NQueries, K,
+            nprobe, refine).persist())
+        got.count()
+        val ratio = nprobe.toDouble / nCent // expected probed-list mass / corpus
+        log(f"ivfadc nprobe=$nprobe%2d refine=$refine%2d recall@5=${recallOf(got, truth)}%.3f cand-ratio≈$ratio%.4f wall=$t%.1f s (corpus mass $total)")
+        got.unpersist()
+      }
+      // sampled-CODEBOOK variant (the faiss discipline): coarse
+      // centroids still train on the full frame, only the PQ codebooks
+      // train on the 10% sample — r17 round-1 probe trained BOTH on
+      // the sample and halved recall (centroid under-training, 31
+      // vectors a list; recorded in SCALING.md)
+      val sample = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", (col("vec_id") / 10).cast("long"))
+      val rootS = s"/tmp/annscale/idxs$n"
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(rootS), true)
+      AnnIndex.trainCentroids(emb, 0L, rootS, nCent, 3, pqM = 16,
+        pqTrainOn = sample)
+      (0L until 3L).foreach(b =>
+        AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, rootS))
+      val (gotS, tS) = timeIt(
+        AnnIndex.ivfpqTopKIndexed(spark, rootS, emb, NQueries, K, 8,
+          40).persist())
+      gotS.count()
+      log(f"ivfadc sampled-CODEBOOKS nprobe=8 refine=40 recall@5=${recallOf(gotS, truth)}%.3f wall=$tS%.1f s")
+      gotS.unpersist()
+    }
+
+    if (probes("quant")) {
+      log("--- scalar/binary quantization floors ---")
+      val (i8, t8) = timeIt(Ann.int8TopK(emb, NQueries, K).persist())
+      i8.count()
+      log(f"int8 (no refine)      recall@5=${recallOf(i8, truth)}%.3f wall=$t8%.1f s (floor 0.8)")
+      i8.unpersist()
+      val (i8r, t8r) = timeIt(Ann.int8RefinedTopK(emb, NQueries, K).persist())
+      i8r.count()
+      log(f"int8 refined (x4)     recall@5=${recallOf(i8r, truth)}%.3f wall=$t8r%.1f s")
+      i8r.unpersist()
+      for (os <- Seq(10, 50, 200)) {
+        val (b, tb) = timeIt(Ann.binaryTopK(emb, NQueries, K, os).persist())
+        b.count()
+        log(f"binary BBQ osample=$os%3d recall@5=${recallOf(b, truth)}%.3f wall=$tb%.1f s (r16 floor 0.5 at x10)")
+        b.unpersist()
+      }
+    }
+
+    if (probes("dedup")) {
+      log("--- LSH-vs-IVF τ dispatch on planted twins ---")
+      val pairs = plantedPairs(n, planted)
+      log(f"planted cosines: min=${pairs.map(_._3).min}%.3f max=${pairs.map(_._3).max}%.3f")
+      def plantedRecall(got: DataFrame, tau: Double): (Double, Long) = {
+        val eligible = pairs.filter(_._3 >= tau)
+        val gotSet = got.select("a_id", "b_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hit = eligible.count(p => gotSet((p._1, p._2)))
+        (hit.toDouble / math.max(1, eligible.size), eligible.size.toLong)
+      }
+      for (tau <- Seq(0.45, 0.6, 0.8)) {
+        for (np <- Seq(2, 4)) {
+          val (ivf, tIvf) = timeIt(
+            graft.dedup.Dedup.embeddingNearDupIvf(emb, tau, nprobe = np).persist())
+          val nIvf = ivf.count()
+          val (rI, elig) = plantedRecall(ivf, tau)
+          log(f"tau=$tau IVF np=$np planted-recall=$rI%.3f ($elig eligible) pairs-out=$nIvf wall=$tIvf%.1f s")
+          ivf.unpersist()
+        }
+        val (lsh, tLsh) = timeIt(
+          graft.dedup.Dedup.embeddingNearDupLsh(emb, tau).persist())
+        val nLsh = lsh.count()
+        val (rL, _) = plantedRecall(lsh, tau)
+        log(f"tau=$tau LSH  planted-recall=$rL%.3f pairs-out=$nLsh wall=$tLsh%.1f s")
+        lsh.unpersist()
+      }
+    }
+
+    spark.stop()
+  }
+}

@@ -893,6 +893,14 @@ object SparkEntry {
     "q_function_score_script" -> ((s, dir) =>
       operators.ScoreAst.wiredQuery(Tables.orders(s, dir))),
 
+    // function_score with the DECAY kernels as AST nodes (r17,
+    // VERDICT r16 #7): gauss + exp decay grids × saturation under
+    // score_mode sum / boost_mode multiply — the composition ES users
+    // write; the floor-grid margin proofs of q_decay_gauss/exp carry
+    // over (same constants, same field), so the page is hash-green
+    "q_function_score_decay" -> ((s, dir) =>
+      operators.ScoreAst.wiredDecayQuery(Tables.events(s, dir))),
+
     // ----- geo surface (SURVEY §2, round 11): deterministic lat/lon
     // derived from user_id/event_id (Geo.withCoords — exact modulo +
     // one double division, IEEE-identical in DuckDB) -----
@@ -1285,6 +1293,14 @@ object SparkEntry {
       text.TextOps.bm25Search(Tables.documents(s, dir),
         Seq("dup", "query", "scan"), 15)),
 
+    // ES _explain: the per-doc PER-TERM BM25 score decomposition of
+    // the text_bm25 page (tf, df, DetLn idf, saturation×length-norm
+    // factor, term weight, doc score = Σ weights bit-for-bit) —
+    // page-sized output, hash-green dual-SF (r16 verdict #5)
+    "q_explain" -> ((s, dir) =>
+      text.TextOps.bm25Explain(Tables.documents(s, dir),
+        Seq("dup", "query", "scan"), 15)),
+
     "text_percolate" -> ((s, dir) =>
       text.TextOps.percolate(Tables.documents(s, dir), Map(
         "q_hashjoin" -> Seq("hash", "join"),
@@ -1560,6 +1576,26 @@ object SparkEntry {
     "ann_dot_topk" -> ((s, dir) =>
       similarity.Ann.dotTopK(Tables.embeddings(s, dir), 10, 5)),
 
+    // MMR rerank SERVED FROM THE MAINTAINED IVF INDEX (r16 verdict
+    // #1): the candidate pool comes from the versioned index probe —
+    // partition-pruned to the probed cent_id lists, never a full
+    // corpus scan per query batch — and the greedy rounds are the
+    // identical distributed recurrence. Shares ann_ivf_indexed's
+    // memoized index. nprobe=8 of 16 lists (recall-first pool build;
+    // the pool stage only moves WHICH candidates rerank, the λ-greedy
+    // math is pool-source-invariant — equivalence spec in AnnIndexSpec).
+    // rows-only gate: the pool is index-approximate by design.
+    "ann_mmr_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val root = indexRoot("ann", dir) { r =>
+        similarity.AnnIndex.trainCentroids(emb.filter(col("vec_id") % 3 === 0), 0L, r)
+        (0L until 3L).foreach(b =>
+          similarity.AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, r))
+      }
+      similarity.Ann.mmrRerank(emb, 10, poolSource = (e, nq, p) =>
+        similarity.AnnIndex.ivfTopKIndexed(s, root, e, nq, p, nprobe = 8))
+    }),
+
     // MMR diversity rerank of the exact top-20 pool (lambda=0.7),
     // k-1 bounded distributed greedy rounds
     "ann_mmr_rerank" -> ((s, dir) =>
@@ -1786,6 +1822,26 @@ object SparkEntry {
     // table — every column an integer count or exact sum
     "pipe_dataset_card" -> ((s, dir) =>
       pipeline.Pipeline.datasetCard(Tables.documents(s, dir), 0.2)),
+
+    // embedding-space topic clustering (r17, VERDICT r16 #6): Lloyd
+    // k-means over the document embeddings (the IVF machinery
+    // verbatim), then the per-cluster dataset card — docs, tokens,
+    // dominant source/lang, top term by lift. Rows-only (Lloyd means
+    // aren't SQL-expressible); ClusterTopicsSpec pins assignment ==
+    // nearest-centroid recompute + stats == the frozen-centroid
+    // program's stats on the same assignment.
+    "pipe_cluster_topics" -> ((s, dir) =>
+      pipeline.Pipeline.clusterTopics(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), 8)),
+
+    // the hash-green half of the pair: the SAME per-cluster card
+    // program under FROZEN seeded data-free centroids, so the whole
+    // stats pipeline — cosine argmax assignment included — replays
+    // exactly in DuckDB (generated from the one frozenCentroids
+    // definition)
+    "pipe_cluster_card" -> ((s, dir) =>
+      pipeline.Pipeline.clusterCard(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), 4)),
 
     // deterministic epoch shuffle (r15): seeded-hash training order,
     // 3 epochs × first 50 positions — reproducible on any engine
@@ -3017,6 +3073,9 @@ object SparkEntry {
     "q_function_score_script" ->
       operators.ScoreAst.wiredSql(),
 
+    "q_function_score_decay" ->
+      operators.ScoreAst.wiredDecaySql(),
+
     // geo: coordinate derivation + geohash bit math generated from the
     // SAME Scala parameters as the Spark side (Geo.coordsSql /
     // Geo.geohashSql) so the two engines cannot drift
@@ -3544,6 +3603,45 @@ object SparkEntry {
            |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0) t
            |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
+    // the _explain twin: text_bm25's page CTE carrying its stats, then
+    // one UNION ALL leg per term with the weight/tf_part formulas in
+    // the IDENTICAL textual association as the Column program
+    "q_explain" -> {
+      val avg = "(CAST(total_toks AS DOUBLE) / n_docs)"
+      def den(i: Int) =
+        s"(tf$i + 1.2e0 * ((1 - 0.75e0) + 0.75e0 * (dl / $avg)))"
+      def w(i: Int) = s"idf$i * (tf$i * (1.2e0 + 1)) / ${den(i)}"
+      val legs = Seq("dup", "query", "scan").zipWithIndex.map { case (t, i) =>
+        s"""SELECT doc_id, '$t' AS term, dl, tf$i AS tf,
+           |       CAST(df$i AS BIGINT) AS df, idf$i AS idf,
+           |       tf$i * (1.2e0 + 1) / ${den(i)} AS tf_part,
+           |       ${w(i)} AS weight, score
+           |FROM pg WHERE tf$i > 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+           |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |        CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf0,
+           |        CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf1,
+           |        CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf2
+           |      FROM d),
+           |st0 AS (SELECT count(*) AS n_docs, sum(dl) AS total_toks,
+           |        sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |        sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |        sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           |      FROM p),
+           |st AS (SELECT * FROM ${bm25IdfNest3}),
+           |pg AS (
+           |  SELECT doc_id, dl, tf0, tf1, tf2, df0, df1, df2,
+           |         idf0, idf1, idf2, n_docs, total_toks,
+           |    ${w(0)}
+           |    + ${w(1)}
+           |    + ${w(2)} AS score
+           |  FROM p CROSS JOIN st
+           |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+           |  ORDER BY score DESC, doc_id LIMIT 15)
+           |$legs""".stripMargin
+    },
+
     "text_significant_terms" ->
       raw"""WITH tok AS (SELECT source, term FROM (
            |        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
@@ -3765,6 +3863,8 @@ object SparkEntry {
     "pipe_epoch_shuffle" -> pipeline.Pipeline.epochShuffleSql(3, 50),
 
     "pipe_dataset_card" -> pipeline.Pipeline.datasetCardSql(0.2),
+
+    "pipe_cluster_card" -> pipeline.Pipeline.clusterCardSql(4),
 
     "dedup_paragraph" -> dedupParagraphSql(32, 0.8),
 

@@ -70,6 +70,30 @@ object ScoreAst {
   /** field / (field + pivot) — the rank_feature saturation kernel
     * (two roundings, identical everywhere). */
   final case class Saturation(field: Field, pivot: Double) extends Expr
+  /** Gauss decay ON ITS PROVEN FLOOR GRID (r17, VERDICT r16 #7 — the
+    * decay kernels as AST nodes, so decay × saturation compositions
+    * under score_mode are expressible): evaluates to
+    * floor(exp(−d²/2σ²)·M) — the [[Analytics.gaussDecayScore]] program
+    * verbatim, whose grid constant M carries the exhaustive margin
+    * proof that a 1-ulp cross-libm exp drift cannot cross a floor
+    * boundary on the events.value domain. The node's value is the
+    * (exactly double-representable) grid INTEGER, so every downstream
+    * AST composition — power-of-two weights, sums, min/max, products
+    * with exact factors — stays hash-green: the only libm call is
+    * sealed inside the floor. Constants must be a (origin, scale,
+    * decay, field-domain) tuple with a proof on record
+    * (`EsAggsSpec` re-runs the wired ones exhaustively). */
+  final case class DecayGauss(field: Field, origin: Double, scale: Double,
+      decay: Double) extends Expr {
+    require(scale > 0 && decay > 0 && decay < 1)
+  }
+  /** Exp decay on its proven floor grid — floor(exp(−λ·d)·M), the
+    * [[Analytics.expDecayScore]] program; same sealed-libm contract
+    * as [[DecayGauss]]. */
+  final case class DecayExp(field: Field, origin: Double, scale: Double,
+      decay: Double) extends Expr {
+    require(scale > 0 && decay > 0 && decay < 1)
+  }
 
   /** Filter predicates a function can carry (the ES `filter` clause
     * of a function_score function). */
@@ -106,6 +130,18 @@ object ScoreAst {
     case MaxOf(l, r) => greatest(toColumn(l), toColumn(r))
     case f: Log1p => DetLn.lnExpr(lnArg(f))
     case Saturation(f, p) => toColumn(f) / (toColumn(f) + lit(p))
+    case DecayGauss(f, o, sc, dec) =>
+      // the gaussDecayScore program verbatim (association order and
+      // all); Spark floor returns LONG — cast back to the Expr double
+      // domain (grid ≤ M < 2^53, exact)
+      val twoSigmaSq = sc * sc / math.log(1 / dec)
+      val d = abs(col(f.name) - lit(o))
+      floor(exp(-(d * d) / lit(twoSigmaSq)) * lit(Analytics.GaussGridM))
+        .cast("double")
+    case DecayExp(f, o, sc, dec) =>
+      val lambda = math.log(1 / dec) / sc
+      val d = abs(col(f.name) - lit(o))
+      floor(exp(-(d * lit(lambda))) * lit(Analytics.ExpGridM)).cast("double")
   }
 
   def predColumn(p: Pred): Column = p match {
@@ -194,6 +230,16 @@ object ScoreAst {
     case f: Log1p => ctx.lnName(f)
     case Saturation(f, p) =>
       s"(${toSql(f, ctx)} / (${toSql(f, ctx)} + ${DetLn.dlit(p)}))"
+    case DecayGauss(f, o, sc, dec) =>
+      // the gaussDecaySql text form (same association); DuckDB floor
+      // stays DOUBLE — no cast needed
+      val twoSigmaSq = sc * sc / math.log(1 / dec)
+      val d = s"(abs(${f.name} - ${DetLn.dlit(o)}))"
+      s"floor(exp(-($d * $d) / ${DetLn.dlit(twoSigmaSq)}) * ${DetLn.dlit(Analytics.GaussGridM)})"
+    case DecayExp(f, o, sc, dec) =>
+      val lambda = math.log(1 / dec) / sc
+      val d = s"(abs(${f.name} - ${DetLn.dlit(o)}))"
+      s"floor(exp(-($d * ${DetLn.dlit(lambda)})) * ${DetLn.dlit(Analytics.ExpGridM)})"
   }
 
   private def predSql(p: Pred): String = p match {
@@ -282,5 +328,38 @@ object ScoreAst {
 
   def wiredSql(k: Int = 50): String =
     functionScoreSql("orders", "o_orderkey", wiredBase, wiredFuncs,
+      "sum", "multiply", k)
+
+  /** The decay-composition wiring (r17, VERDICT r16 #7 — how ES users
+    * actually combine function_score members: decay × saturation under
+    * score_mode) on `events`, reusing q_decay_gauss/q_decay_exp's
+    * EXACT (origin=50, scale=80, decay=0.5) constants so their
+    * exhaustive floor-grid margin proofs (EsAggsSpec) carry over
+    * verbatim:
+    *  - base: rank_feature saturation of value (pivot 2¹⁰);
+    *  - f1 (value > 250): gauss decay grid, weight 2¹⁶ — a power of
+    *    two, so the product with the grid integer is EXACT (≤ 5·10¹³
+    *    < 2⁵³), and big enough that the rare far-from-origin band
+    *    provably outranks the exp-decay rows (each function binds the
+    *    page — the ScoreAstSpec removal test);
+    *  - f2 (event_type = 'click'): exp decay grid, weight 2⁻¹;
+    *  - f3 (unfiltered): saturation pivot 2⁸, weight 1.
+    * score_mode sum, boost_mode multiply — every combination op is an
+    * IEEE operation on deterministic inputs, so the page hash-matches
+    * the generated DuckDB twin. */
+  val wiredDecayBase: Expr = Saturation(Field("value"), 1024.0)
+  val wiredDecayFuncs: Seq[Func] = Seq(
+    Func(GtNum("value", 250.0),
+      DecayGauss(Field("value"), 50.0, 80.0, 0.5), 65536.0),
+    Func(EqStr("event_type", "click"),
+      DecayExp(Field("value"), 50.0, 80.0, 0.5), 0.5),
+    Func(AlwaysTrue, Saturation(Field("value"), 256.0), 1.0))
+
+  def wiredDecayQuery(events: DataFrame, k: Int = 40): DataFrame =
+    functionScore(events, "event_id", wiredDecayBase, wiredDecayFuncs,
+      "sum", "multiply", k)
+
+  def wiredDecaySql(k: Int = 40): String =
+    functionScoreSql("events", "event_id", wiredDecayBase, wiredDecayFuncs,
       "sum", "multiply", k)
 }

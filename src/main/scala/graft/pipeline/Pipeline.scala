@@ -1279,6 +1279,169 @@ object Pipeline {
     * offset. Output is the per-shard manifest (doc count, exact token
     * sum, heaviest/lightest doc) — what a release writes next to the
     * shard files. */
+  // ---------- embedding-space topic clustering (r17, VERDICT r16 #6 /
+  // r15 #8 — the "data map" read labs run before fixing a mixture) ----------
+
+  /** Per-cluster dataset-card stats given an `assigned` frame of
+    * (cluster, doc_id, text, lang, source): docs, whitespace tokens,
+    * dominant source/lang (count desc, name asc tie), and the top term
+    * by LIFT — (term share in cluster) / (term share in corpus), the
+    * text_significant_terms ratio computed as ONE exact-integer cross
+    * product per side and ONE IEEE division (hash-green discipline;
+    * terms under `minTermCount` occurrences in a cluster are noise and
+    * skipped). Every rule is mirrored in [[clusterCardSql]].
+    *
+    * Scale shape: token explode → two map-side-combinable hash aggs
+    * (cluster×term, term) + k-sized windows; nothing wider than the
+    * vocabulary ever shuffles, output is k rows. */
+  private def clusterStats(assigned: DataFrame, minTermCount: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    val byDoc = assigned.select(col("cluster"), col("doc_id"),
+      col("lang"), col("source"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val base = byDoc.groupBy("cluster").agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    def dominant(c: String, out: String) = byDoc.groupBy(col("cluster"), col(c))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("cnt").desc, col(c))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col(c).as(out))
+    val tok = assigned.select(col("cluster"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val a = tok.groupBy("cluster", "term").agg(count(lit(1)).as("a"))
+    val b = tok.groupBy("term").agg(count(lit(1)).as("b"))
+    val c = tok.groupBy("cluster").agg(count(lit(1)).as("c"))
+    val d = tok.agg(count(lit(1)).as("d"))
+    val topTerm = a.join(b, "term").join(c, "cluster").crossJoin(broadcast(d))
+      .filter(col("a") >= minTermCount)
+      .withColumn("lift", (col("a") * col("d")).cast("double") / (col("b") * col("c")))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("lift").desc, col("term"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("term").as("top_term"), col("lift").as("top_term_lift"))
+    base.join(dominant("source", "top_source"), "cluster")
+      .join(dominant("lang", "top_lang"), "cluster")
+      .join(topTerm, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"), col("n_docs"),
+        col("n_tokens"), col("top_source"), col("top_lang"),
+        col("top_term"), col("top_term_lift"))
+  }
+
+  /** Deterministic FROZEN centroids (seeded unit Gaussians, data-free):
+    * the one definition the Column program and the generated SQL both
+    * read, so the two assignment compiles cannot drift. */
+  private[graft] def frozenCentroids(k: Int, dim: Int): IndexedSeq[Array[Double]] =
+    (0 until k).map { i =>
+      val rnd = new java.util.Random(90210L + 31L * i)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+
+  /** First-index-wins argmax over per-centroid cosines — mirrored
+    * exactly in the SQL twin (chained >= comparisons in index order). */
+  private def assignFrozen(emb: Column, cents: IndexedSeq[Array[Double]]): Column = {
+    val sims = cents.map(cent =>
+      graft.functions.GraftFunctions.cosineSim(emb, typedlit(cent.toSeq)))
+    sims.indices.init.foldRight(lit(cents.size - 1): Column) { (i, rest) =>
+      when(sims.indices.drop(i + 1).map(j => sims(i) >= sims(j)).reduce(_ && _),
+        lit(i)).otherwise(rest)
+    }
+  }
+
+  /** Per-cluster dataset card under FROZEN centroids — the hash-green
+    * half of the topic-clustering pair (clusterTopics trains centroids
+    * with Lloyd and is rows-only; THIS query freezes assignment to a
+    * seeded data-free centroid set so the whole stats program —
+    * cosine argmax assignment included — replays exactly in DuckDB). */
+  def clusterCard(docs: DataFrame, emb: DataFrame, k: Int,
+      minTermCount: Long = 3L): DataFrame = {
+    val cents = frozenCentroids(k, 64)
+    val assigned = docs.join(
+      emb.select(col("vec_id").as("doc_id"),
+        assignFrozen(col("embedding"), cents).as("cluster")), "doc_id")
+    clusterStats(assigned, minTermCount)
+  }
+
+  /** The DuckDB twin of [[clusterCard]] — generated from the SAME
+    * frozen centroids and the same stats rules. */
+  def clusterCardSql(k: Int, minTermCount: Long = 3L): String = {
+    val cents = frozenCentroids(k, 64)
+    def lit(a: Array[Double]): String =
+      a.map(graft.util.DetLn.dlit).mkString("[", ", ", "]")
+    val sims = cents.indices.map(i =>
+      s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ${lit(cents(i))}) AS s$i")
+    val assign = cents.indices.init.foldRight(s"${cents.size - 1}") { (i, rest) =>
+      val ge = cents.indices.drop(i + 1).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"CASE WHEN $ge THEN $i ELSE $rest END"
+    }
+    raw"""WITH sim AS (SELECT e.vec_id AS doc_id, ${sims.mkString(", ")}
+         |             FROM embeddings e),
+         |asg AS (SELECT d.doc_id, ($assign) AS cluster, d.text, d.lang, d.source
+         |        FROM documents d JOIN sim USING (doc_id)),
+         |byd AS (SELECT cluster, doc_id, lang, source,
+         |          CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+         |        FROM asg),
+         |base AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |         FROM byd GROUP BY cluster),
+         |srcw AS (SELECT cluster, source AS top_source FROM (
+         |          SELECT cluster, source, row_number() OVER (PARTITION BY cluster
+         |            ORDER BY count(*) DESC, source) AS rn
+         |          FROM byd GROUP BY cluster, source) t WHERE rn = 1),
+         |lngw AS (SELECT cluster, lang AS top_lang FROM (
+         |          SELECT cluster, lang, row_number() OVER (PARTITION BY cluster
+         |            ORDER BY count(*) DESC, lang) AS rn
+         |          FROM byd GROUP BY cluster, lang) t WHERE rn = 1),
+         |tok AS (SELECT cluster, term FROM (
+         |          SELECT cluster, unnest(string_split_regex(lower(text), '\s+')) AS term
+         |          FROM asg) WHERE term <> ''),
+         |ta AS (SELECT cluster, term, count(*) AS a FROM tok GROUP BY 1, 2),
+         |tb AS (SELECT term, count(*) AS b FROM tok GROUP BY 1),
+         |tc AS (SELECT cluster, count(*) AS c FROM tok GROUP BY 1),
+         |td AS (SELECT count(*) AS d FROM tok),
+         |tt AS (SELECT cluster, term AS top_term, lift AS top_term_lift FROM (
+         |         SELECT ta.cluster, ta.term,
+         |                CAST(a * d AS DOUBLE) / (b * c) AS lift,
+         |                row_number() OVER (PARTITION BY ta.cluster
+         |                  ORDER BY CAST(a * d AS DOUBLE) / (b * c) DESC, ta.term) AS rn
+         |         FROM ta JOIN tb USING (term) JOIN tc USING (cluster) CROSS JOIN td
+         |         WHERE a >= $minTermCount) t WHERE rn = 1)
+         |SELECT CAST(base.cluster AS BIGINT) AS cluster, n_docs, n_tokens,
+         |       top_source, top_lang, top_term, top_term_lift
+         |FROM base JOIN srcw USING (cluster) JOIN lngw USING (cluster)
+         |LEFT JOIN tt USING (cluster)""".stripMargin
+  }
+
+  /** Embedding-space TOPIC CLUSTERING (k-means) with per-cluster
+    * dataset-card stats — the pre-mixing "data map": Lloyd-refined
+    * centroids over the document embeddings (the [[graft.similarity
+    * .Ann]] machinery verbatim: deterministic seeds, fixed rounds,
+    * TopCentroids codegen assignment — one tight per-row loop, no
+    * join/shuffle for assignment), then [[clusterStats]] per cluster.
+    * Rows-only by design (Lloyd means are not SQL-expressible);
+    * `ClusterTopicsSpec` pins assignment == nearest-centroid
+    * recompute, stats == the hash-green program's stats given the
+    * same assignment, and cluster-count/coverage invariants. */
+  def clusterTopics(docs: DataFrame, emb: DataFrame, k: Int,
+      lloydRounds: Int = 2, minTermCount: Long = 3L): DataFrame = {
+    import graft.similarity.Ann
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val cents = Ann.lloydCentroids(e, k, lloydRounds)
+    // empty corpus → empty card with the full schema (sweep contract),
+    // never an empty-centroid-matrix assignment
+    if (cents.isEmpty)
+      return clusterStats(docs.limit(0).withColumn("cluster", lit(0)),
+        minTermCount)
+    val assign = Ann.centroidAssigner(e.sparkSession, Ann.centMatrix(cents))
+    val assigned = docs.join(
+      e.select(col("vec_id").as("doc_id"),
+        assign(col("embedding"), 1).getItem(0).as("cluster")), "doc_id")
+    clusterStats(assigned, minTermCount)
+  }
+
   def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0)
     val spark = docs.sparkSession

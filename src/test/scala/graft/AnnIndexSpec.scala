@@ -77,6 +77,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("MMR pool-source equivalence (r16 #1): a full-probe index pool " +
+      "reproduces the brute-force MMR page exactly; the wired nprobe=8 " +
+      "pool keeps usable recall") {
+    val root = tmp("ann-mmr-idx")
+    buildIndex(root)
+    // nprobe = nCentroids: every list probed, so the index pool IS the
+    // exact pool — the greedy rounds must then emit the identical page
+    // (proves the rerank math is pool-source-invariant, the contract
+    // ann_mmr_indexed rides)
+    val viaIndexFull = Ann.mmrRerank(emb, 10, poolSource = (e, nq, p) =>
+        AnnIndex.ivfTopKIndexed(spark, root, e, nq, p, nprobe = 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val viaBrute = Ann.mmrRerank(emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(viaIndexFull == viaBrute && viaBrute.nonEmpty)
+    // the wired probe (nprobe=8 of 16): the approximate pool must still
+    // cover most of the exact pool (candidate recall — what the index
+    // trades), and the page shape stays nQueries x k
+    val exactPool = Ann.bruteForceTopKAgg(emb, 10, 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idxPool = AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 20, nprobe = 8)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactPool intersect idxPool).size.toDouble / exactPool.size
+    assert(recall >= 0.6, s"pool recall $recall")
+    val page = Ann.mmrRerank(emb, 10, poolSource = (e, nq, p) =>
+      AnnIndex.ivfTopKIndexed(spark, root, e, nq, p, nprobe = 8)).collect()
+    assert(page.length == 10 * 5)
+    assert(page.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 50)
+  }
+
   test("streaming maintenance converges to the batch-built index") {
     val root = tmp("ann-idx")
     val src = tmp("ann-idx-src")

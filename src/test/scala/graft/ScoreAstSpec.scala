@@ -116,6 +116,42 @@ class ScoreAstSpec extends SparkSpec {
     assert(sql.contains("ELSE error("), sql)
   }
 
+  test("decay AST nodes: the wired decay composition replays in plain " +
+      "Scala (grid integers sealed, every combination op exact)") {
+    val events = Tables.events(spark, sfDir)
+    val got = ScoreAst.wiredDecayQuery(events, 40).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val rows = events.select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val twoSigmaSq = 80.0 * 80.0 / math.log(1 / 0.5)
+    val lambda = math.log(1 / 0.5) / 80.0
+    val naive = rows.map { case (id, et, v) =>
+      val base = v / (v + 1024.0)
+      val dg = math.abs(v - 50.0)
+      val c1: Option[Double] = if (v > 250.0)
+        Some(65536.0 * math.floor(math.exp(-(dg * dg) / twoSigmaSq) *
+          graft.operators.Analytics.GaussGridM)) else None
+      val c2: Option[Double] = if (et == "click")
+        Some(0.5 * math.floor(math.exp(-(dg * lambda)) *
+          graft.operators.Analytics.ExpGridM)) else None
+      val c3 = Some(1.0 * (v / (v + 256.0)))
+      val comb = c1.getOrElse(0.0) + c2.getOrElse(0.0) + c3.getOrElse(0.0)
+      (id, base, comb, base * comb)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(40)
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("decay nodes are load-bearing in the fold: removing the gauss " +
+      "function changes the page") {
+    val events = Tables.events(spark, sfDir)
+    val without = ScoreAst.functionScore(events, "event_id",
+      ScoreAst.wiredDecayBase, ScoreAst.wiredDecayFuncs.tail,
+      "sum", "multiply", 40).collect().map(_.getLong(0)).toSeq
+    val withAll = ScoreAst.wiredDecayQuery(events, 40)
+      .collect().map(_.getLong(0)).toSeq
+    assert(without != withAll)
+  }
+
   test("empty input degrades to the typed empty page") {
     val empty = Tables.orders(spark, sfDir).limit(0)
     val got = ScoreAst.wiredQuery(empty, 50)

@@ -31,7 +31,8 @@ class SurveyBijectionSpec extends AnyFunSuite {
     "dedup_embedding_ivf", "dedup_embedding_indexed",
     "dedup_incremental_minhash", "dedup_incremental_minhash_indexed",
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed", "ann_pq_topk",
-    "ann_ivfpq_indexed", "pipe_bpe_train")
+    "ann_ivfpq_indexed", "ann_mmr_indexed", "pipe_bpe_train",
+    "pipe_cluster_topics")
 
   private lazy val section2: String = {
     val text = new String(
