@@ -131,7 +131,7 @@ object AnnScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
     val probes = if (args.length > 1) args.drop(1).toSet
-      else Set("ivf", "pq", "ivfadc", "quant", "dedup")
+      else Set("ivf", "pq", "ivfadc", "quant", "dedup", "cliff")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-ann-scale-probe")
@@ -248,6 +248,26 @@ object AnnScaleProbe {
         b.count()
         log(f"binary BBQ osample=$os%3d recall@5=${recallOf(b, truth)}%.3f wall=$tb%.1f s (r16 floor 0.5 at x10)")
         b.unpersist()
+      }
+    }
+
+    if (probes("cliff")) {
+      // TopCentroids literal-vs-broadcast dispatch (the
+      // TermIndexBroadcastMaxRows-class size cliff, maxLiteralValues =
+      // 1e6 doubles ≈ 15.6k dim-64 centroids): one full-corpus
+      // assignment pass under each dispatch — equality is AnnSpec's
+      // job, this measures the COST of each side at scale so the
+      // cliff's placement is a measurement, not a guess
+      val mat = emb.filter(col("vec_id") < nCent)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      for ((label, limit) <- Seq(("literal  ", Long.MaxValue), ("broadcast", 0L))) {
+        val assign = Ann.centroidAssigner(spark, mat, literalLimit = limit)
+        val (cnt, t) = timeIt(
+          emb.select(assign(col("embedding"), 1).getItem(0).as("c"))
+            .groupBy("c").count().count())
+        log(f"assign $label nCent=$nCent lists-hit=$cnt wall=$t%.1f s")
       }
     }
 

@@ -205,9 +205,22 @@ object Bench {
     val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_ref.json")
     val committedRef: Option[(Double, Map[String, Double])] = {
       val p = java.nio.file.Paths.get(refFile)
-      if (java.nio.file.Files.exists(p))
-        BenchGuard.parseRef(new String(java.nio.file.Files.readAllBytes(p)))
-      else None
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val body = new String(java.nio.file.Files.readAllBytes(p))
+        // the reference is only meaningful at ITS OWN scale factor:
+        // per-query cost is not floor-proportional across SFs (data
+        // grows 10x, the calib floor barely moves), so an sf0.1 ref
+        // against an sf1 run would flag the whole suite — disarm on
+        // mismatch (the calib-bracket rule still guards that run)
+        val refSf = """"sf"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(body).map(_.group(1))
+        if (refSf.exists(_ != sfDir)) {
+          System.err.println(s"[bench-ref] reference is for ${refSf.get}, " +
+            s"this run is $sfDir — reference guard disarmed")
+          None
+        } else BenchGuard.parseRef(body)
+      }
     }
     def outliersNow: Seq[String] = (committedRef, ref) match {
       case (Some((rf, rq)), Some(cur)) if rf > 0 && cur > 0 =>
