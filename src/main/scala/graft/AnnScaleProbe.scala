@@ -167,6 +167,15 @@ object AnnScaleProbe {
       }
     }
 
+    if (probes("pq40")) {
+      // the 10⁶ working-point rung alone: ks=256 codes + refine=40
+      val (got, t) = timeIt(Ann.pqTopK(emb, NQueries, K, ks = 256,
+        refine = 40).persist())
+      got.count()
+      log(f"pq m16 ks256 refine40 full    recall@5=${recallOf(got, truth)}%.3f wall=$t%.1f s")
+      got.unpersist()
+    }
+
     if (probes("pq")) {
       log("--- flat PQ: parameterization sweep at scale ---")
       // 10% sample, ids remapped dense so the deterministic seeding

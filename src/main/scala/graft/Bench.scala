@@ -40,6 +40,13 @@ import scala.collection.mutable
   *
   *  - segSize 15 → 8: halves the blind window a sub-segment stall
   *    can hide in (calibration overhead stays <2% of the suite);
+  *  - the BRACKET dirty rule gates on a DATA-INDEPENDENT host probe
+  *    (fixed-size range sum) instead of q6: q6's cost scales with the
+  *    SF, and at sf1 its idle-host spread reads ×3.5 — two full sf1
+  *    runs stamped contaminated on that gate artifact (r17). A real
+  *    stall inflates the range sum identically; data-volume variance
+  *    cannot. q6 stays as the cross-round floor (bench_ref
+  *    normalization + it sees I/O-path conditions);
   *  - a cross-round REFERENCE pass ([[BenchGuard.refOutliers]]):
   *    after the suite, every reading is compared against its
   *    committed reference (tools/bench_ref.json — written by a clean
@@ -120,6 +127,21 @@ object Bench {
       else best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
 
     val calibs = mutable.ArrayBuffer[Double]()
+    val hostCalibs = mutable.ArrayBuffer[Double]()
+    // Data-INDEPENDENT host probe (r17 sf1 follow-up): q6's cost
+    // scales with the SF — at sf1 its own spread reads ×3.5 on an
+    // idle host and the bracket gate false-positives (two full sf1
+    // runs stamped contaminated that way). A fixed-size range sum
+    // measures the HOST at any SF: a genuine stall inflates it the
+    // same way, data-volume variance cannot. The q6 calibration stays
+    // for the cross-round floor (bench_ref continuity + it also sees
+    // I/O-path conditions); the BRACKET dirty rule gates on this one.
+    def hostProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200_000_000L, 1L, cpus.toInt)
+        .selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     def calibrate(tag: String): Double = {
       // the calibration must measure the HOST, not the suite's own GC
       // debt: a heavy query block leaves enough garbage that the next
@@ -130,23 +152,28 @@ object Bench {
       System.gc()
       val t = timed(calibQuery)
       if (t >= 0) calibs += t
-      System.err.println(f"[bench-calib] $tag: $t%.3f s")
-      t
+      val h = math.min(hostProbe(), hostProbe()) // best-of-2, JIT-warm below
+      hostCalibs += h
+      System.err.println(f"[bench-calib] $tag: $t%.3f s host: $h%.3f s")
+      h
     }
     // the best calibration seen (plus the optional external reference)
-    // IS the idle-floor estimate; −1 readings (calib query unavailable)
-    // contribute nothing and disarm their bracket
+    // IS the idle-floor estimate — q6-based, used for the cross-round
+    // reference normalization and the JSON's calib_ref
     def ref: Option[Double] = {
       val all: Seq[Double] = envRef.toSeq ++ calibs
       all.reduceOption(_ min _)
     }
-    def dirtyCalib(c: Double): Boolean = BenchGuard.dirtyCalib(c, ref)
+    // the HOST floor gates the brackets (data-independent)
+    def hostRef: Option[Double] = hostCalibs.reduceOption(_ min _)
+    def dirtyCalib(c: Double): Boolean = BenchGuard.dirtyCalib(c, hostRef)
 
-    // untimed warm pass of the calibration query: the very first
-    // execution pays whole-stage-codegen JIT (~1 s), which would trip
-    // the gate and force pointless re-runs on a perfectly idle host
-    // (observed: cold 1.3 s → warm 0.22 s)
+    // untimed warm pass of the calibration query + host probe: the
+    // very first execution pays whole-stage-codegen JIT (~1 s), which
+    // would trip the gate and force pointless re-runs on a perfectly
+    // idle host (observed: cold 1.3 s → warm 0.22 s)
     once(calibQuery)
+    hostProbe()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
@@ -276,7 +303,10 @@ object Bench {
       else s""""calib_min":${f3(calibs.min)},"calib_max":${f3(calibs.max)}"""
     val dirtyJson = dirtyNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val refOutJson = refOut.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","calib_ref":${ref.map(f3).getOrElse("null")},$calibStats,"n_calibs":${calibs.size},"n_dirty":${dirtyNames.size},"dirty":$dirtyJson,"n_errored":${errored.size},"contaminated":$contaminated,"attempts":$attempts,"ref_armed":${committedRef.nonEmpty},"n_ref_outliers":${refOut.size},"ref_outliers":$refOutJson}""")
+    val hostStats =
+      if (hostCalibs.isEmpty) "\"host_ref\":null,\"host_max\":null"
+      else s""""host_ref":${f3(hostCalibs.min)},"host_max":${f3(hostCalibs.max)}"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jmap(results.filter(r => headline(r._1)))},"sf":"$sfDir","calib_ref":${ref.map(f3).getOrElse("null")},$calibStats,$hostStats,"n_calibs":${calibs.size},"n_dirty":${dirtyNames.size},"dirty":$dirtyJson,"n_errored":${errored.size},"contaminated":$contaminated,"attempts":$attempts,"ref_armed":${committedRef.nonEmpty},"n_ref_outliers":${refOut.size},"ref_outliers":$refOutJson}""")
     // SPARK_GRAFT_WRITE_REF=<path>: commit this (clean local) run as the
     // cross-round reference the v4 guard compares against
     sys.env.get("SPARK_GRAFT_WRITE_REF").foreach { p =>
