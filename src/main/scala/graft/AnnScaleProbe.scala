@@ -30,7 +30,11 @@ import graft.similarity.{Ann, AnnIndex}
   * code: correctness still gates on the driver's parquet via Verify.
   *
   * Usage: runMain graft.AnnScaleProbe <n> [probe...]
-  *   probes: ivf pq ivfadc quant dedup (default: all)
+  *   probes: ivf pq ivfadc quant dedup cliff
+  *     (default: all of the above)
+  *   extra, NOT in the default set (run by name): pq40 — the flat-PQ
+  *   ks=256/refine=40 working point alone, a cheap re-check without
+  *   the full `pq` grid.
   */
 object AnnScaleProbe {
 

@@ -265,13 +265,19 @@ object Bench {
       refOut = outliersNow
     }
 
-    // Final dirty verdict against the FINAL ref: a later pass can lower
-    // ref below what an earlier pass's filter saw, so every recorded
-    // bracket is re-evaluated here — a query is clean only if at least
-    // one of its brackets is clean under the final (lowest) ref, which
-    // closes the retroactively-dirty-segment hole the in-loop filter
-    // (a re-queue heuristic, nothing more) cannot see.
-    val dirtyNames = BenchGuard.dirtyQueries(allBrackets.toSeq, names, ref)
+    // Final dirty verdict against the FINAL floor: a later pass can
+    // lower the floor below what an earlier pass's filter saw, so every
+    // recorded bracket is re-evaluated here — a query is clean only if
+    // at least one of its brackets is clean under the final (lowest)
+    // floor, which closes the retroactively-dirty-segment hole the
+    // in-loop filter (a re-queue heuristic, nothing more) cannot see.
+    // The brackets record HOST-PROBE readings (calibrate returns the
+    // probe time), so the verdict must gate on hostRef — gating on the
+    // q6-based ref would compare a ~0.04 s probe against a ~0.13 s
+    // query floor and let host stalls up to ~2×(ref/hostRef) the probe
+    // floor stamp clean (and the gap widens with SF, since q6 scales
+    // with data and the probe does not).
+    val dirtyNames = BenchGuard.dirtyQueries(allBrackets.toSeq, names, hostRef)
     val contaminated = dirtyNames.nonEmpty
 
     // The driver captures only the last 2000 chars of the build log
@@ -311,7 +317,13 @@ object Bench {
     // cross-round reference the v4 guard compares against
     sys.env.get("SPARK_GRAFT_WRITE_REF").foreach { p =>
       val qs = results.filter(_._2 >= 0)
-      val body = s"""{"calib_ref":${ref.map(f3).getOrElse("null")},"sf":"$sfDir","queries":${jmap(qs)}}"""
+      // commit THIS RUN's measured q6 floor, not `ref`: ref folds in the
+      // external SPARK_GRAFT_CALIB_REF env floor, and committing that
+      // would misscale refOutliers' currentFloor/refFloor normalization
+      // on every later run (masking regressions or minting false
+      // outliers) whenever the env var was set at write time
+      val measuredFloor = calibs.reduceOption(_ min _)
+      val body = s"""{"calib_ref":${measuredFloor.map(f3).getOrElse("null")},"sf":"$sfDir","queries":${jmap(qs)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         body.getBytes("UTF-8"))
       System.err.println(s"[bench-ref] wrote reference ($p, ${qs.size} queries)")

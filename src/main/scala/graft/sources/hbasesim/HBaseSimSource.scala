@@ -261,16 +261,36 @@ object HBaseSimStats {
     // indexed map so min/max folds stay deterministic.
     val conf = new Configuration()
     val files = HBaseSimTable.dataFiles(path)
-    val blocks = files.zipWithIndex.toList.map { case (f, i) =>
-      (i, java.util.concurrent.CompletableFuture.supplyAsync(() => {
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(f), conf))
-        try {
-          val toUs = HBaseSimTable.tsToMicros(reader.getFooter.getFileMetaData.getSchema)
-          reader.getFooter.getBlocks.asScala.toList.map(b => (b, toUs))
-        } finally reader.close()
-      }))
-    }.sortBy(_._1).flatMap(_._2.join())
+    // dedicated bounded pool, NOT ForkJoinPool.commonPool: footer opens
+    // are blocking I/O, and at thousands of files they would starve the
+    // JVM-wide common pool every other library shares. 8 threads bounds
+    // driver-side fan-out regardless of file count; the pool is torn
+    // down before returning so repeated pushdowns don't leak threads.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val blocks =
+      try {
+        val futures = files.toList.map { f =>
+          java.util.concurrent.CompletableFuture.supplyAsync(() => {
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(f), conf))
+            try {
+              val toUs = HBaseSimTable.tsToMicros(reader.getFooter.getFileMetaData.getSchema)
+              reader.getFooter.getBlocks.asScala.toList.map(b => (b, toUs))
+            } finally reader.close()
+          }, pool)
+        }
+        // join() wraps task failures in CompletionException — rethrow the
+        // original cause so fromFooter keeps the same exception surface as
+        // the serial loop it replaced. List order already matches file
+        // order (map preserves it), so the fold stays deterministic.
+        futures.flatMap { fu =>
+          try fu.join()
+          catch {
+            case e: java.util.concurrent.CompletionException if e.getCause != null =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
     // zero row groups (empty table): decline the pushdown — Spark then
     // computes the aggregate itself over zero rows, producing the
     // correct NULL max/min and 0 count (footer stats cannot represent
