@@ -32,9 +32,11 @@ import graft.similarity.{Ann, AnnIndex}
   * Usage: runMain graft.AnnScaleProbe <n> [probe...]
   *   probes: ivf pq ivfadc quant dedup cliff
   *     (default: all of the above)
-  *   extra, NOT in the default set (run by name): pq40 — the flat-PQ
-  *   ks=256/refine=40 working point alone, a cheap re-check without
-  *   the full `pq` grid.
+  *   extra, NOT in the default set (run by name):
+  *     pq40      — the flat-PQ ks=256/refine=40 working point alone,
+  *                 a cheap re-check without the full `pq` grid;
+  *     ivfadc256 — the IVFADC ks=256-word rung (r17's named next
+  *                 step): full index build + probe sweep, expensive.
   */
 object AnnScaleProbe {
 
@@ -244,6 +246,36 @@ object AnnScaleProbe {
       gotS.count()
       log(f"ivfadc sampled-CODEBOOKS nprobe=8 refine=40 recall@5=${recallOf(gotS, truth)}%.3f wall=$tS%.1f s")
       gotS.unpersist()
+    }
+
+    if (probes("ivfadc256")) {
+      // the 10⁶ rung the r17 probe named: IVFADC with ks=256 words —
+      // flat PQ at 10⁶ needed ks=256 to hold 0.946 (ks=16 collapsed to
+      // 0.34), and the same word-count rung should lift IVFADC off its
+      // 10⁶ floor of 0.774 measured at ks=16. Codebooks train on the
+      // 10% sample (faiss discipline, decoupled from the full-frame
+      // coarse centroids via pqTrainOn).
+      log(s"--- IVFADC ks=256 rung: nCentroids=$nCent, pqM=16, sampled codebooks ---")
+      val sample256 = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", (col("vec_id") / 10).cast("long"))
+      val root256 = s"/tmp/annscale/idx256s$n"
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root256), true)
+      val (_, tTrain256) = timeIt(
+        AnnIndex.trainCentroids(emb, 0L, root256, nCent, 3, pqM = 16,
+          pqKs = 256, pqTrainOn = sample256))
+      val (_, tIngest256) = timeIt(
+        (0L until 3L).foreach(b =>
+          AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, root256)))
+      log(f"index build: train=$tTrain256%.1f s ingest(3 batches)=$tIngest256%.1f s")
+      for ((nprobe, refine) <- Seq((8, 10), (8, 40), (16, 40))) {
+        val (got, t) = timeIt(
+          AnnIndex.ivfpqTopKIndexed(spark, root256, emb, NQueries, K,
+            nprobe, refine).persist())
+        got.count()
+        log(f"ivfadc256 nprobe=$nprobe%2d refine=$refine%2d recall@5=${recallOf(got, truth)}%.3f wall=$t%.1f s")
+        got.unpersist()
+      }
     }
 
     if (probes("quant")) {

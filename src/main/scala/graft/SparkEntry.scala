@@ -746,6 +746,12 @@ object SparkEntry {
     "q_composite_agg" -> ((s, dir) =>
       operators.Analytics.compositeAgg(Tables.events(s, dir), "click", 0L, 20)),
 
+    // ES frequent_item_sets agg: size-2/3 itemsets over per-order
+    // brand baskets, minimum_support 1‰ (exact integer cross-multiply)
+    "q_frequent_item_sets" -> ((s, dir) =>
+      operators.Analytics.frequentItemSets(
+        Tables.lineitem(s, dir), Tables.part(s, dir))),
+
     "q_pipeline_aggs" -> ((s, dir) =>
       // first bucket's derivative → 0.0 sentinel (ES emits no value
       // there; null would trip the value-hash compare)
@@ -1740,6 +1746,12 @@ object SparkEntry {
     // over src0/src1, per-doc exact fixed-point nll sum via DetLn
     "pipe_lm_score" -> ((s, dir) =>
       pipeline.Pipeline.lmScore(Tables.documents(s, dir), Seq("src0", "src1"))),
+
+    // DSIR-style importance resampling toward the src0/src1 target:
+    // exact-integer unigram weight ratio, md5-band acceptance
+    "pipe_importance_resample" -> ((s, dir) =>
+      pipeline.Pipeline.importanceResample(Tables.documents(s, dir),
+        Seq("src0", "src1"))),
 
     // curriculum schedule head: cleanest docs first (quality-rule
     // failure count as stage), seeded shuffle within stage
@@ -2775,6 +2787,31 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING event_type > 'click' OR (event_type = 'click' AND user_bucket > 0)
         |ORDER BY event_type, user_bucket LIMIT 20""".stripMargin,
+
+    "q_frequent_item_sets" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM basket),
+        |pairs AS (
+        |  SELECT a.bk, a.item AS item1, b.item AS item2
+        |  FROM basket a JOIN basket b ON a.bk = b.bk AND a.item < b.item),
+        |p2 AS (SELECT 2 AS set_size, item1, item2,
+        |              CAST(NULL AS VARCHAR) AS item3, count(*) AS support
+        |       FROM pairs GROUP BY 1, 2, 3, 4),
+        |p3 AS (SELECT 3 AS set_size, p.item1, p.item2, c.item AS item3,
+        |              count(*) AS support
+        |       FROM pairs p JOIN basket c ON p.bk = c.bk AND c.item > p.item2
+        |       GROUP BY 1, 2, 3, 4),
+        |u AS (SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+        |f AS (SELECT u.*, nb.n_baskets FROM u, nb
+        |      WHERE u.support * 1000 >= nb.n_baskets * 1),
+        |r AS (SELECT f.*, row_number() OVER (PARTITION BY set_size
+        |        ORDER BY support DESC, item1, item2, item3) AS rk FROM f)
+        |SELECT CAST(set_size AS BIGINT) AS set_size, CAST(rk AS BIGINT) AS set_rank,
+        |       item1, item2, item3, CAST(support AS BIGINT) AS support,
+        |       CAST(support AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support_ratio
+        |FROM r WHERE rk <= 20""".stripMargin,
 
     "q_pipeline_aggs" ->
       """WITH day AS (
@@ -4609,6 +4646,9 @@ object SparkEntry {
     "pipe_span_corruption" -> pipeline.Pipeline.spanCorruptionSql(),
 
     "pipe_lm_score" -> pipeline.Pipeline.lmScoreSql(Seq("src0", "src1")),
+
+    "pipe_importance_resample" ->
+      pipeline.Pipeline.importanceResampleSql(Seq("src0", "src1")),
 
     "pipe_curriculum" -> pipeline.Pipeline.curriculumOrderSql(7, 100),
 

@@ -638,6 +638,62 @@ object Analytics {
       .orderBy("event_type", "user_bucket")
       .limit(size)
 
+  /** ES frequent_item_sets aggregation (the 8.x market-basket agg):
+    * mines itemsets of size 2 and 3 over per-order part-brand baskets,
+    * keeps sets whose SUPPORT (fraction of baskets containing the set)
+    * clears `minSupPermille`/1000 — ES's `minimum_support`, here an
+    * EXACT integer cross-multiply (support·1000 ≥ n_baskets·permille),
+    * never a float threshold — and pages the top `perSize` sets per
+    * size by (support desc, items): the agg's `size` knob, per set
+    * size so both rings stay exercised.
+    *
+    * Scale shape (a-priori, never all-pairs across baskets): the
+    * basket table shuffles ONCE on the basket key; pair and triple
+    * enumeration is per-basket local (baskets are bounded — ~4 lines
+    * an order at TPC-H ratios, and real-world baskets are user-session
+    * sized); the support counts ship slim (item,item[,item], 1) rows
+    * with map-side combine. The per-size page windows over the
+    * AGGREGATED itemset rows (item-vocabulary², not corpus, sized).
+    * `support_ratio` is one IEEE division of two exact integers. */
+  def frequentItemSets(lineitem: DataFrame, part: DataFrame,
+      minSupPermille: Int = 1, perSize: Int = 20): DataFrame = {
+    val basket = lineitem.select(col("l_orderkey").as("bk"), col("l_partkey"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("bk"), col("p_brand").as("item"))
+      .distinct()
+    val nB = basket.select(countDistinct(col("bk")).as("n_baskets"))
+    val pairs = basket.select(col("bk"), col("item").as("item1"))
+      .join(basket.select(col("bk"), col("item").as("item2")), Seq("bk"))
+      .filter(col("item1") < col("item2"))
+    val p2 = pairs.groupBy("item1", "item2")
+      .agg(count(lit(1)).as("support"))
+      .select(lit(2L).as("set_size"), col("item1"), col("item2"),
+        lit(null).cast("string").as("item3"), col("support"))
+    val p3 = pairs
+      .join(basket.select(col("bk"), col("item").as("item3")), Seq("bk"))
+      .filter(col("item3") > col("item2"))
+      .groupBy("item1", "item2", "item3")
+      .agg(count(lit(1)).as("support"))
+      .select(lit(3L).as("set_size"), col("item1"), col("item2"),
+        col("item3"), col("support"))
+    // rank window runs on the aggregated itemset rows only; item3 is
+    // all-NULL within size 2 and never NULL within size 3, so the
+    // engines' opposite NULL-sort defaults can never disagree here
+    val w = Window.partitionBy("set_size")
+      .orderBy(col("support").desc, col("item1"), col("item2"), col("item3"))
+    p2.unionByName(p3)
+      .crossJoin(broadcast(nB))
+      .filter(col("support") * lit(1000L) >=
+        col("n_baskets") * lit(minSupPermille.toLong))
+      .withColumn("set_rank", row_number().over(w).cast("long"))
+      .filter(col("set_rank") <= perSize)
+      .select(col("set_size"), col("set_rank"), col("item1"), col("item2"),
+        col("item3"), col("support"),
+        (col("support").cast("double") / col("n_baskets").cast("double"))
+          .as("support_ratio"))
+  }
+
   /** ES pipeline aggregations over a date_histogram: cumulative_sum,
     * derivative, and a 7-bucket moving average of the per-day value sum.
     * The parent histogram is a distributed exact-decimal aggregation;

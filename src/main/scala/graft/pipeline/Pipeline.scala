@@ -1124,6 +1124,116 @@ object Pipeline {
        |FROM $nested q GROUP BY doc_id""".stripMargin
   }
 
+  /** DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * targeted selection step between quality filtering and mixing):
+    * every corpus doc gets an importance weight estimating how
+    * target-like its unigram distribution is, and survives with
+    * probability min(1, w/`lambdaInv`), decided by the doc's md5 band
+    * so membership is reproducible across engines, runs, and
+    * partitionings (the [[weightedMix]] discipline, with a per-doc
+    * DATA-DEPENDENT band instead of a per-source constant one).
+    *
+    * The weight is a ratio of INTEGER sums — add-1-smoothed unigram
+    * masses under the target model vs the corpus model, total-count
+    * normalized: w = (Σ_tok(c_tgt+1) · T_all) / (Σ_tok(c_all+1) ·
+    * T_tgt) — so the acceptance band floor(w·2²⁴/λ⁻¹) is one exact
+    * integer division and both engines compute the identical band
+    * from identical BIGINTs. The wide products ride DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB): at 100 TB (T_all ~ 10¹³ tokens,
+    * 10³-token docs) the band numerator needs ~35 digits — inside
+    * both domains. Docs at band ≥ 2²⁴ always accept (the w·λ ≥ 1
+    * branch), mirrored explicitly on both engines because lpad-to-6
+    * would TRUNCATE 0x1000000 (the [[temperatureMix]] guard).
+    *
+    * Scale shape: the target unigram table is seed-sample sized
+    * (the [[lmScore]] discipline) and BROADCASTs; the corpus unigram
+    * table is vocabulary-sized — broadcast here, a slim (token,count)
+    * shuffle join past broadcast vocab sizes; either way the corpus
+    * side is one narrow token explode aggregated per doc with
+    * map-side combine, no corpus exchange below the per-doc weight
+    * rows. */
+  def importanceResample(docs: DataFrame, targetSources: Seq[String],
+      lambdaInv: Int = 2): DataFrame = {
+    require(lambdaInv >= 1)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    // tokens materialize once per row (interpreted-HOF rule)
+    val tokd = docs.select(col("doc_id"), col("source"), toks.as("tk"))
+    val uniT = tokd.filter(col("source").isin(targetSources: _*))
+      .select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val uniA = tokd.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ca"))
+    val totT = uniT.select(sum(col("ct")).as("t_tgt"))
+    val totA = uniA.select(sum(col("ca")).as("t_all"))
+    val scored = tokd.filter(!col("source").isin(targetSources: _*))
+      .select(col("doc_id"), explode(col("tk")).as("w"))
+      .join(broadcast(uniT), Seq("w"), "left")
+      .join(broadcast(uniA), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("ct"), lit(0L)) + lit(1L)).as("w_num"),
+        sum(coalesce(col("ca"), lit(0L)) + lit(1L)).as("w_den"))
+      .crossJoin(broadcast(totT))
+      .crossJoin(broadcast(totA))
+    // band = floor(w_num·t_all·2²⁴ / (w_den·t_tgt·λ⁻¹)), capped at 2²⁴
+    // BEFORE the divide so the quotient always fits the BIGINT `div`
+    // returns (uncapped it reaches ~2²⁴·T_all); cap condition reduces
+    // exactly to w_num·t_all ≥ w_den·t_tgt·λ⁻¹
+    val banded = scored.withColumn("band",
+      when(expr("CAST(w_num AS DECIMAL(38,0)) * CAST(t_all AS DECIMAL(38,0)) >= " +
+          s"CAST(w_den AS DECIMAL(38,0)) * CAST(t_tgt AS DECIMAL(38,0)) * $lambdaInv"),
+        lit(16777216L))
+      .otherwise(expr(
+        "(CAST(w_num AS DECIMAL(38,0)) * CAST(t_all AS DECIMAL(38,0)) * 16777216) div " +
+        s"(CAST(w_den AS DECIMAL(38,0)) * CAST(t_tgt AS DECIMAL(38,0)) * $lambdaInv)")))
+    banded
+      .filter(col("band") >= lit(16777216L) ||
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6) <
+          lower(lpad(hex(col("band")), 6, "0")))
+      .select(col("doc_id"), col("w_num"), col("w_den"),
+        col("band").cast("long").as("band"))
+  }
+
+  /** The DuckDB twin of [[importanceResample]] — same tokenizer, same
+    * smoothing, same HUGEINT band arithmetic, same md5 6-hex band. */
+  def importanceResampleSql(targetSources: Seq[String],
+      lambdaInv: Int = 2): String = {
+    val refs = targetSources.map(s => s"'$s'").mkString(", ")
+    raw"""WITH d AS (SELECT doc_id, source,
+         |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+         |      FROM documents),
+         |ut AS (SELECT w, count(*) AS ct FROM (
+         |         SELECT unnest(tk) AS w FROM d WHERE source IN ($refs)) t
+         |       GROUP BY w),
+         |ua AS (SELECT w, count(*) AS ca FROM (
+         |         SELECT unnest(tk) AS w FROM d) t
+         |       GROUP BY w),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tgt FROM ut),
+         |ta AS (SELECT CAST(sum(ca) AS BIGINT) AS t_all FROM ua),
+         |cw AS (SELECT doc_id, unnest(tk) AS w FROM d
+         |       WHERE source NOT IN ($refs)),
+         |s AS (SELECT cw.doc_id,
+         |        CAST(sum(coalesce(ut.ct, 0) + 1) AS BIGINT) AS w_num,
+         |        CAST(sum(coalesce(ua.ca, 0) + 1) AS BIGINT) AS w_den
+         |      FROM cw
+         |      LEFT JOIN ut ON ut.w = cw.w
+         |      LEFT JOIN ua ON ua.w = cw.w
+         |      GROUP BY cw.doc_id),
+         |b AS (SELECT doc_id, w_num, w_den,
+         |        CAST(CASE WHEN CAST(w_num AS HUGEINT) * t_all >=
+         |                       CAST(w_den AS HUGEINT) * t_tgt * $lambdaInv
+         |             THEN 16777216
+         |             ELSE (CAST(w_num AS HUGEINT) * t_all * 16777216)
+         |                  // (CAST(w_den AS HUGEINT) * t_tgt * $lambdaInv)
+         |        END AS BIGINT) AS band
+         |      FROM s, tt, ta)
+         |SELECT doc_id, w_num, w_den, band
+         |FROM b
+         |WHERE band >= 16777216
+         |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+         |      < lpad(lower(to_hex(band)), 6, '0')""".stripMargin
+  }
+
   /** CURRICULUM ORDER (r15 continuation — the easy-to-hard training
     * schedule next to [[epochShuffle]]'s uniform permutation): docs
     * order by STAGE first — the count of failed [[qualityRules]]

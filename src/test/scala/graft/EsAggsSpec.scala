@@ -17,6 +17,72 @@ class EsAggsSpec extends SparkSpec {
   private def money(d: Double): BigDecimal =
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
+  test("frequentItemSets: supports replay naively, the threshold and " +
+      "per-size page bind, and the a-priori property holds (r18)") {
+    val spark2 = spark; import spark2.implicits._
+    // 6 baskets over brands A..D; duplicate lineitem rows for the same
+    // (order, brand) must NOT double-count (the DISTINCT basket step)
+    val li = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 10L), // basket 1: A B C (dup A)
+      (2L, 10L), (2L, 11L), (2L, 12L),            // basket 2: A B C
+      (3L, 10L), (3L, 11L),                       // basket 3: A B
+      (4L, 10L), (4L, 11L),                       // basket 4: A B
+      (5L, 12L), (5L, 13L),                       // basket 5: C D
+      (6L, 13L)                                   // basket 6: D
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "A"), (11L, "B"), (12L, "C"), (13L, "D"))
+      .toDF("p_partkey", "p_brand")
+    // minimum_support 1/2 (500‰): pairs AB(4/6) CD... C,D together 1/6
+    // → only AB and the size-3 ABC(2/6) fall either side of it
+    val got = Analytics.frequentItemSets(li, part, minSupPermille = 500,
+        perSize = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getLong(5), r.getDouble(6)))
+    // naive replay: baskets → supports → threshold → per-size rank
+    val baskets = Map(1L -> Set("A", "B", "C"), 2L -> Set("A", "B", "C"),
+      3L -> Set("A", "B"), 4L -> Set("A", "B"), 5L -> Set("C", "D"),
+      6L -> Set("D"))
+    val n = baskets.size
+    def support(items: Set[String]): Int =
+      baskets.values.count(b => items.subsetOf(b))
+    val brands = Seq("A", "B", "C", "D")
+    val pairs = for {
+      i <- brands; j <- brands if i < j
+      s = support(Set(i, j)) if s * 1000 >= n * 500
+    } yield (2L, i, j, None: Option[String], s.toLong)
+    val triples = for {
+      i <- brands; j <- brands; k <- brands if i < j && j < k
+      s = support(Set(i, j, k)) if s * 1000 >= n * 500
+    } yield (3L, i, j, Some(k), s.toLong)
+    val expect = (pairs ++ triples).groupBy(_._1).toSeq.flatMap {
+      case (sz, rows) =>
+        rows.sortBy(r => (-r._5, r._2, r._3, r._4.getOrElse("")))
+          .zipWithIndex.map { case ((_, i1, i2, i3, s), rk) =>
+            (sz, rk + 1L, i1, i2, i3, s, s.toDouble / n.toDouble) }
+    }.toSet
+    assert(got.toSet == expect)
+    assert(got.exists(_._1 == 2L) && !got.exists(_._1 == 3L),
+      "the 500‰ threshold must keep AB (4/6) and drop every triple (≤ 2/6)")
+    // real-table run: per-size page bound respected, and the a-priori
+    // property — a triple's support never exceeds any of its sub-pairs'
+    val real = Analytics.frequentItemSets(
+      Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getLong(5)))
+    assert(real.nonEmpty)
+    val bySize = real.groupBy(_._1)
+    bySize.foreach { case (_, rows) => assert(rows.length <= 20) }
+    val pairSup = bySize.getOrElse(2L, Array.empty)
+      .map(r => (r._2, r._3) -> r._5).toMap
+    bySize.getOrElse(3L, Array.empty).foreach { case (_, i1, i2, i3o, s) =>
+      val i3 = i3o.get
+      Seq((i1, i2), (i1, i3), (i2, i3)).foreach { p =>
+        pairSup.get(p).foreach(ps => assert(s <= ps,
+          s"triple ($i1,$i2,$i3)=$s exceeds pair $p=$ps"))
+      }
+    }
+  }
+
   test("incrementalNgramJaccard == full self-join pairs touching a new doc") {
     val docs = Tables.documents(spark, sfDir)
     val oldD = docs.filter(col("doc_id") % 10 =!= 0)

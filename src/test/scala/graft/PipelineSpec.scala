@@ -271,6 +271,74 @@ class PipelineSpec extends SparkSpec {
     real.foreach(r => assert(r.getLong(2) > 0 && !r.getDouble(3).isNaN))
   }
 
+  test("importanceResample: weights and bands replay naively via BigInt, " +
+      "acceptance is the md5 band, target-like text out-bands gibberish (r18)") {
+    val spark2 = spark; import spark2.implicits._
+    val crafted = Seq(
+      (1L, "ref", "the cat sat on the mat and the cat sat again"),
+      (2L, "corpus", "the cat sat on the mat"),        // in-distribution
+      (3L, "corpus", "zq xv qqq zzz vvv xxx www yyy"), // all-OOV
+      (4L, "corpus", "the cat zq xv")                  // mixed
+    ).toDF("doc_id", "source", "text")
+    val got = Pipeline.importanceResample(crafted, Seq("ref"), lambdaInv = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // naive replay (BigInt arithmetic, scala md5)
+    val refToks = "the cat sat on the mat and the cat sat again".split(" ").toSeq
+    val corpusTexts = Map(
+      2L -> "the cat sat on the mat",
+      3L -> "zq xv qqq zzz vvv xxx www yyy",
+      4L -> "the cat zq xv")
+    val allToks = refToks ++ corpusTexts.values.flatMap(_.split(" "))
+    val ct = refToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tT = BigInt(refToks.size)
+    val tA = BigInt(allToks.size)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = corpusTexts.flatMap { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val num = BigInt(toks.map(w => ct.getOrElse(w, 0L) + 1L).sum)
+      val den = BigInt(toks.map(w => ca.getOrElse(w, 0L) + 1L).sum)
+      val band =
+        if (num * tA >= den * tT * 2) BigInt(16777216)
+        else (num * tA * 16777216) / (den * tT * 2)
+      val accept = band >= 16777216 ||
+        md5hex(id.toString).take(6) < f"${band.toLong}%06x"
+      if (accept) Some(id -> (num.toLong, den.toLong, band.toLong)) else None
+    }
+    assert(got == expect)
+    // the selector's point: in-distribution text gets a wider band
+    def bandOf(text: String): BigInt = {
+      val toks = text.split(" ").toSeq
+      val num = BigInt(toks.map(w => ct.getOrElse(w, 0L) + 1L).sum)
+      val den = BigInt(toks.map(w => ca.getOrElse(w, 0L) + 1L).sum)
+      if (num * tA >= den * tT * 2) BigInt(16777216)
+      else (num * tA * 16777216) / (den * tT * 2)
+    }
+    assert(bandOf(corpusTexts(2L)) > bandOf(corpusTexts(3L)),
+      "in-distribution band must exceed the OOV band")
+    // real-table smoke: only non-target docs, bands in range, and the
+    // rejected complement is exactly the docs whose md5 prefix clears
+    // the band (re-derivable from the emitted band)
+    val real = Pipeline.importanceResample(Tables.documents(spark, sfDir),
+      Seq("src0", "src1")).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val band = r.getLong(3)
+      assert(band >= 0L && band <= 16777216L)
+      assert(band >= 16777216L ||
+        md5hex(r.getLong(0).toString).take(6) < f"$band%06x")
+    }
+    val targetIds = Tables.documents(spark, sfDir)
+      .filter(col("source").isin("src0", "src1"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(real.forall(r => !targetIds(r.getLong(0))),
+      "target-source docs must never appear in the resampled output")
+  }
+
   test("spanCorruption: spans are in-bounds, non-overlapping, ~15% of " +
       "tokens, and a pure function of (doc_id, n_tok) (r15)") {
     import graft.text.Bpe
