@@ -970,6 +970,11 @@ object SparkEntry {
       operators.Geo.geotileGrid(
         operators.Geo.withCoords(Tables.events(s, dir)), 3, 20)),
 
+    // ES geohex_grid re-expressed: integer-exact two-offset-grid hexbin
+    // (hex Voronoi cells), count + exact value sum per cell, top-20
+    "q_geohex_grid" -> ((s, dir) =>
+      operators.Geo.geohexGrid(Tables.events(s, dir))),
+
     // ES geo_line: per-family track of the 20 earliest points in
     // (ts, id) order, exploded — bounded TopKPairs prefilter, final
     // rank on groups×20 survivors only (round 12)
@@ -1752,6 +1757,11 @@ object SparkEntry {
     "pipe_importance_resample" -> ((s, dir) =>
       pipeline.Pipeline.importanceResample(Tables.documents(s, dir),
         Seq("src0", "src1"))),
+
+    // tokenizer fertility audit: exact char/BPE-token sums and
+    // tokens-per-char by (lang, source)
+    "pipe_tokenizer_fertility" -> ((s, dir) =>
+      pipeline.Pipeline.tokenizerFertility(Tables.documents(s, dir))),
 
     // curriculum schedule head: cleanest docs first (quality-rule
     // failure count as stage), seeded shuffle within stage
@@ -3201,6 +3211,8 @@ object SparkEntry {
          |SELECT tile, count(*) AS n FROM t
          |GROUP BY tile ORDER BY n DESC, tile LIMIT 20""".stripMargin,
 
+    "q_geohex_grid" -> operators.Geo.geohexGridSql(),
+
     "q_geo_line" ->
       s"""WITH pts AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, ${operators.Geo.coordsSql} FROM events),
          |r AS (SELECT event_type, lat, lon,
@@ -4649,6 +4661,8 @@ object SparkEntry {
 
     "pipe_importance_resample" ->
       pipeline.Pipeline.importanceResampleSql(Seq("src0", "src1")),
+
+    "pipe_tokenizer_fertility" -> pipeline.Pipeline.tokenizerFertilitySql,
 
     "pipe_curriculum" -> pipeline.Pipeline.curriculumOrderSql(7, 100),
 

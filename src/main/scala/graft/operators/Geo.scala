@@ -257,6 +257,86 @@ object Geo {
       .orderBy(col("n").desc, col("geohash"))
       .limit(topN)
 
+  /** ES geohex_grid aggregation, re-expressed (completes the grid
+    * family next to geohash_grid and geotile_grid): per-hex-cell doc
+    * count + exact value sum, top-N page by count. H3's icosahedral
+    * cell INDEXING is a geodesy library, not an aggregation semantic —
+    * the re-expression keeps the agg (hexagonal cells, metrics per
+    * cell, count-ordered page) on an equirectangular hex lattice
+    * computed EXACTLY in integer centi-degree space: the classic
+    * two-offset-grid nearest-center hexbin algorithm (matplotlib's),
+    * where the plane is covered by grid A at (i·W, j·H) and grid B at
+    * ((i+½)W, (j+½)H) and each point joins its nearer center — the
+    * Voronoi cells of that centered-rectangular lattice are hexagons.
+    * Every step (the two candidate centers via floor-div, the two
+    * squared distances, the ≤ tie-break to grid A) is BIGINT
+    * arithmetic on the raw id-derived coordinates, so cell membership
+    * is bit-exact cross-engine; the display centers become doubles
+    * once, after aggregation. One map-side-combinable hash agg +
+    * bucket-bounded TakeOrdered — the geohash_grid scale shape. */
+  def geohexGrid(events: DataFrame, wCenti: Int = 300, hCenti: Int = 260,
+      topN: Int = 20): DataFrame = {
+    require(wCenti % 2 == 0 && hCenti % 2 == 0 && wCenti > 0 && hCenti > 0)
+    val (w2, h2) = (wCenti / 2, hCenti / 2)
+    // integer centi-degree coordinates — the SAME derivation as
+    // withCoords, pre-division (px ∈ [0, 36000), py ∈ [0, 17000))
+    val cand = events.select(
+      expr("user_id * 7919 % 17000").as("py"),
+      expr("event_id * 104729 % 36000").as("px"),
+      col("value"))
+      .select(col("px"), col("py"), col("value"),
+        expr(s"$wCenti * ((px + $w2) div $wCenti)").as("ax"),
+        expr(s"$hCenti * ((py + $h2) div $hCenti)").as("ay"),
+        expr(s"$wCenti * (px div $wCenti) + $w2").as("ox"),
+        expr(s"$hCenti * (py div $hCenti) + $h2").as("oy"))
+    val dA = (col("px") - col("ax")) * (col("px") - col("ax")) +
+      (col("py") - col("ay")) * (col("py") - col("ay"))
+    val dB = (col("px") - col("ox")) * (col("px") - col("ox")) +
+      (col("py") - col("oy")) * (col("py") - col("oy"))
+    cand.select(
+        when(dA <= dB, col("ax")).otherwise(col("ox")).as("hex_x"),
+        when(dA <= dB, col("ay")).otherwise(col("oy")).as("hex_y"),
+        col("value"))
+      .groupBy("hex_x", "hex_y")
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("n").desc, col("hex_x"), col("hex_y"))
+      .limit(topN)
+      .select(col("hex_x"), col("hex_y"),
+        (col("hex_x").cast("double") / lit(100.0) - lit(180.0)).as("lon_c"),
+        (col("hex_y").cast("double") / lit(100.0) - lit(85.0)).as("lat_c"),
+        col("n"), col("sum_value"))
+  }
+
+  /** The DuckDB twin of [[geohexGrid]] — generated from the same
+    * constants so the two integer programs cannot drift. */
+  def geohexGridSql(wCenti: Int = 300, hCenti: Int = 260,
+      topN: Int = 20): String = {
+    val (w2, h2) = (wCenti / 2, hCenti / 2)
+    s"""WITH p AS (SELECT user_id * 7919 % 17000 AS py,
+       |                  event_id * 104729 % 36000 AS px, value FROM events),
+       |c AS (SELECT px, py, value,
+       |        $wCenti * ((px + $w2) // $wCenti) AS ax,
+       |        $hCenti * ((py + $h2) // $hCenti) AS ay,
+       |        $wCenti * (px // $wCenti) + $w2 AS ox,
+       |        $hCenti * (py // $hCenti) + $h2 AS oy
+       |      FROM p),
+       |h AS (SELECT CASE WHEN (px-ax)*(px-ax) + (py-ay)*(py-ay)
+       |                    <= (px-ox)*(px-ox) + (py-oy)*(py-oy)
+       |             THEN ax ELSE ox END AS hex_x,
+       |             CASE WHEN (px-ax)*(px-ax) + (py-ay)*(py-ay)
+       |                    <= (px-ox)*(px-ox) + (py-oy)*(py-oy)
+       |             THEN ay ELSE oy END AS hex_y,
+       |             value
+       |      FROM c)
+       |SELECT CAST(hex_x AS BIGINT) AS hex_x, CAST(hex_y AS BIGINT) AS hex_y,
+       |       CAST(hex_x AS DOUBLE) / 100.0 - 180.0 AS lon_c,
+       |       CAST(hex_y AS DOUBLE) / 100.0 - 85.0 AS lat_c,
+       |       count(*) AS n,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM h GROUP BY h.hex_x, h.hex_y
+       |ORDER BY n DESC, hex_x, hex_y LIMIT $topN""".stripMargin
+  }
+
   /** ES geo_distance AGGREGATION (distance range rings around an
     * origin): doc count + exact value sum per ring. Rings are defined
     * on the squared planar distance (edges supplied pre-squared), so

@@ -1234,6 +1234,43 @@ object Pipeline {
          |      < lpad(lower(to_hex(band)), 6, '0')""".stripMargin
   }
 
+  /** TOKENIZER FERTILITY audit (round 18 — the tokenizer-eval table a
+    * lab reads before committing a tokenizer: tokens-per-character by
+    * language and source; high-fertility slices burn sequence budget
+    * and flag scripts the vocab under-serves): per (lang, source) the
+    * doc count, EXACT char and BPE-token sums (BIGINT — no
+    * order-dependent double summation), and fertility as one IEEE
+    * division of the two exact integers. Token counting is the
+    * broadcast merges-table BPE expression; the whole operator is one
+    * scan + one map-side-combinable hash agg, output bounded by
+    * lang × source cardinality at any corpus size. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"), col("n_chars"),
+        graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tok")).as("sum_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("sum_chars"),
+        col("sum_tokens"),
+        when(col("sum_chars") === 0L, lit(0.0))
+          .otherwise(col("sum_tokens").cast("double") /
+            col("sum_chars").cast("double")).as("fertility"))
+
+  /** The DuckDB twin of [[tokenizerFertility]] — same BPE token-count
+    * program, same BIGINT sums, same guarded division. */
+  def tokenizerFertilitySql: String =
+    s"""WITH t AS (SELECT lang, source, n_chars,
+       |        ${graft.text.Bpe.tokenCountSql("text")} AS n_tok
+       |      FROM documents)
+       |SELECT lang, source, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |       CASE WHEN sum(n_chars) = 0 THEN 0.0
+       |            ELSE CAST(sum(n_tok) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+       |       END AS fertility
+       |FROM t GROUP BY 1, 2""".stripMargin
+
   /** CURRICULUM ORDER (r15 continuation — the easy-to-hard training
     * schedule next to [[epochShuffle]]'s uniform permutation): docs
     * order by STAGE first — the count of failed [[qualityRules]]

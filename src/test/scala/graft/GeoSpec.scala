@@ -208,6 +208,54 @@ class GeoSpec extends SparkSpec {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("geohex grid: naive replay, and the two-candidate shortcut picks " +
+      "the TRUE nearest lattice center (Voronoi correctness) (r18)") {
+    val spark2 = spark; import spark2.implicits._
+    val (wc, hc) = (300, 260)
+    // crafted events: ids chosen to spread px/py over several cells
+    val ev = (1L to 400L).map(i => (i * 13L, i * 7L, (i % 10).toDouble))
+      .toDF("event_id", "user_id", "value")
+    val got = Geo.geohexGrid(ev, wc, hc, topN = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), BigDecimal(r.getDouble(5)))).toMap
+    // naive replay: per point, both candidate centers, nearest wins
+    def center(px: Long, py: Long): (Long, Long) = {
+      val ax = wc * ((px + wc / 2) / wc); val ay = hc * ((py + hc / 2) / hc)
+      val ox = wc * (px / wc) + wc / 2;   val oy = hc * (py / hc) + hc / 2
+      val dA = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+      val dB = (px - ox) * (px - ox) + (py - oy) * (py - oy)
+      if (dA <= dB) (ax, ay) else (ox, oy)
+    }
+    val pts = (1L to 400L).map { i =>
+      val (eid, uid, v) = (i * 13L, i * 7L, (i % 10).toDouble)
+      (eid * 104729L % 36000L, uid * 7919L % 17000L, v)
+    }
+    val expect = pts.groupBy(p => center(p._1, p._2)).map { case (c, ps) =>
+      c -> (ps.size.toLong, BigDecimal(ps.map(p => BigDecimal(p._3)).sum.toDouble))
+    }
+    assert(got == expect)
+    // Voronoi correctness of the shortcut: the chosen center must be
+    // the nearest among ALL lattice centers in a surrounding window
+    // (grid A at (iW, jH), grid B at ((i+½)W, (j+½)H))
+    pts.take(120).foreach { case (px, py, _) =>
+      val chosen = center(px, py)
+      val dChosen = (px - chosen._1) * (px - chosen._1) +
+        (py - chosen._2) * (py - chosen._2)
+      val all = for {
+        i <- (px / wc - 2) to (px / wc + 2)
+        j <- (py / hc - 2) to (py / hc + 2)
+        c <- Seq((i * wc, j * hc), (i * wc + wc / 2, j * hc + hc / 2))
+      } yield (px - c._1) * (px - c._1) + (py - c._2) * (py - c._2)
+      assert(all.min >= dChosen,
+        s"($px,$py): shortcut chose d2=$dChosen but lattice has ${all.min}")
+    }
+    // real-table smoke: the page is full and count-ordered
+    val real = Geo.geohexGrid(Tables.events(spark, sfDir)).collect()
+    assert(real.length == 20)
+    val ns = real.map(_.getLong(4))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("geohash grid cells cover every point exactly once") {
     val pts = Geo.withCoords(Tables.events(spark, sfDir))
     val grid = pts.withColumn("gh", Geo.geohash(col("lat"), col("lon"), 2))

@@ -339,6 +339,34 @@ class PipelineSpec extends SparkSpec {
       "target-source docs must never appear in the resampled output")
   }
 
+  test("tokenizerFertility: sums replay from per-doc counts, the " +
+      "zero-char guard binds (r18)") {
+    val spark2 = spark; import spark2.implicits._
+    // per-doc replay off the same token-count kernel (the kernel itself
+    // is pinned in BpeSpec; this pins the aggregation + division)
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        graft.text.Bpe.tokenCount(col("text")).as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = perDoc.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      val (ch, tk) = (rs.map(_._3).sum, rs.map(_._4).sum)
+      k -> (rs.length.toLong, ch, tk,
+        if (ch == 0) 0.0 else tk.toDouble / ch.toDouble)
+    }
+    val got = Pipeline.tokenizerFertility(Tables.documents(spark, sfDir))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got == expect)
+    // zero-char guard: an all-empty slice reports fertility 0.0, not NaN
+    val crafted = Seq((1L, "", "xx", "s", 0L), (2L, "", "xx", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g = Pipeline.tokenizerFertility(crafted).collect()
+    assert(g.length == 1 && g.head.getDouble(5) == 0.0 &&
+      !g.head.getDouble(5).isNaN)
+  }
+
   test("spanCorruption: spans are in-bounds, non-overlapping, ~15% of " +
       "tokens, and a pure function of (doc_id, n_tok) (r15)") {
     import graft.text.Bpe
