@@ -1175,10 +1175,18 @@ object Pipeline {
         sum(coalesce(col("ca"), lit(0L)) + lit(1L)).as("w_den"))
       .crossJoin(broadcast(totT))
       .crossJoin(broadcast(totA))
-    // band = floor(w_num·t_all·2²⁴ / (w_den·t_tgt·λ⁻¹)), capped at 2²⁴
-    // BEFORE the divide so the quotient always fits the BIGINT `div`
-    // returns (uncapped it reaches ~2²⁴·T_all); cap condition reduces
-    // exactly to w_num·t_all ≥ w_den·t_tgt·λ⁻¹
+    bandAccept(scored, lambdaInv)
+  }
+
+  /** Shared acceptance tail of [[importanceResample]] and
+    * [[importanceResampleFrozen]]: expects (doc_id, w_num, w_den,
+    * t_tgt, t_all) rows. band = floor(w_num·t_all·2²⁴ /
+    * (w_den·t_tgt·λ⁻¹)), capped at 2²⁴ BEFORE the divide so the
+    * quotient always fits the BIGINT `div` returns (uncapped it
+    * reaches ~2²⁴·T_all); the cap condition reduces exactly to
+    * w_num·t_all ≥ w_den·t_tgt·λ⁻¹. Stateless narrow projection +
+    * filter — streaming-safe in append mode. */
+  private def bandAccept(scored: DataFrame, lambdaInv: Int): DataFrame = {
     val banded = scored.withColumn("band",
       when(expr("CAST(w_num AS DECIMAL(38,0)) * CAST(t_all AS DECIMAL(38,0)) >= " +
           s"CAST(w_den AS DECIMAL(38,0)) * CAST(t_tgt AS DECIMAL(38,0)) * $lambdaInv"),
@@ -1192,6 +1200,45 @@ object Pipeline {
           lower(lpad(hex(col("band")), 6, "0")))
       .select(col("doc_id"), col("w_num"), col("w_den"),
         col("band").cast("long").as("band"))
+  }
+
+  /** FROZEN-MODEL importance resampling (the at-ingest form of
+    * [[importanceResample]]): the unigram models are trained ONCE on a
+    * seed corpus and shipped as plan literals, so scoring a document
+    * is a stateless narrow transform — two HOF folds over its token
+    * array against the frozen maps plus the shared [[bandAccept]]
+    * arithmetic, no join, no aggregation, no state store. That is what
+    * makes the STREAMING form possible (append mode, per-batch latency
+    * at any rate) and is also how a production selector runs: DSIR
+    * trains its importance model on samples, never on the corpus it
+    * filters. Output is IDENTICAL to [[importanceResample]] whenever
+    * the frozen maps equal the corpus-derived counts (spec-pinned).
+    *
+    * The maps are seed-vocabulary sized by construction — plan-literal
+    * territory; a corpus-scale vocabulary would need the broadcast-
+    * join form of [[importanceResample]] instead (the
+    * TermIndexBroadcastMaxRows-class size cliff). */
+  def importanceResampleFrozen(docs: DataFrame, targetSources: Seq[String],
+      ct: Map[String, Long], ca: Map[String, Long], tTgt: Long, tAll: Long,
+      lambdaInv: Int = 2): DataFrame = {
+    require(lambdaInv >= 1 && tTgt >= 0 && tAll >= 0)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val ctLit = typedlit(ct)
+    val caLit = typedlit(ca)
+    // tokens materialize once per row (interpreted-HOF rule); docs with
+    // zero tokens drop, mirroring the batch form's explode+groupBy
+    val tokd = docs.filter(!col("source").isin(targetSources: _*))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) > 0)
+    val scored = tokd.select(col("doc_id"),
+      aggregate(col("tk"), lit(0L),
+        (acc, w) => acc + coalesce(element_at(ctLit, w), lit(0L)) + lit(1L))
+        .as("w_num"),
+      aggregate(col("tk"), lit(0L),
+        (acc, w) => acc + coalesce(element_at(caLit, w), lit(0L)) + lit(1L))
+        .as("w_den"),
+      lit(tTgt).as("t_tgt"), lit(tAll).as("t_all"))
+    bandAccept(scored, lambdaInv)
   }
 
   /** The DuckDB twin of [[importanceResample]] — same tokenizer, same

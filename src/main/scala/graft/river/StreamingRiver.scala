@@ -578,4 +578,38 @@ object StreamingRiver {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** STREAMING IMPORTANCE RESAMPLING (round 18 — the at-ingest form of
+    * [[graft.pipeline.Pipeline.importanceResample]]): documents are
+    * scored against a FROZEN target/corpus unigram model (trained once
+    * on a seed sample, the DSIR discipline) as they arrive, and only
+    * the md5-band survivors flow downstream. Entirely stateless —
+    * two HOF folds over the token array against plan-literal maps plus
+    * integer band arithmetic, no join, no aggregation, no state store —
+    * so it runs in append mode with per-batch latency at any corpus
+    * rate, and a doc's verdict is identical whether it arrived streamed
+    * or batch (the frozen-model determinism contract, spec-pinned). */
+  def streamingResample(docStream: DataFrame, targetSources: Seq[String],
+      ct: Map[String, Long], ca: Map[String, Long], tTgt: Long, tAll: Long,
+      lambdaInv: Int = 2): DataFrame =
+    graft.pipeline.Pipeline.importanceResampleFrozen(docStream,
+      targetSources, ct, ca, tTgt, tAll, lambdaInv)
+
+  /** Run the streaming resampler over a bounded doc stream into an
+    * in-memory sink and return every accepted row. */
+  def runResampleToMemory(spark: SparkSession, docStream: DataFrame,
+      targetSources: Seq[String], ct: Map[String, Long],
+      ca: Map[String, Long], tTgt: Long, tAll: Long, queryName: String,
+      checkpointDir: String): DataFrame = {
+    val q = streamingResample(docStream, targetSources, ct, ca, tTgt, tAll)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -89,6 +89,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size < docs.count(), "no doc was filtered or deduped")
   }
 
+  test("streaming importance resampler: streamed verdicts equal the " +
+      "batch frozen form, which equals the full operator when the " +
+      "frozen model IS the corpus model (r18)") {
+    import graft.pipeline.Pipeline
+    val docs = Tables.documents(spark, sfDir)
+    val tgt = Seq("src0", "src1")
+    // freeze the model exactly as the batch operator derives it
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val tokd = docs.select(col("source"), explode(toks).as("w"))
+    val ct = tokd.filter(col("source").isin(tgt: _*))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ca = tokd.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (tT, tA) = (ct.values.sum, ca.values.sum)
+    val src = tmp("resample-src")
+    (0 until 3).foreach(b =>
+      docs.filter(col("doc_id") % 3 === b)
+        .write.mode("append").parquet(src))
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(StreamingRiver.runResampleToMemory(
+      spark, stream, tgt, ct, ca, tT, tA, "resample_stream",
+      tmp("resample-ckpt")))
+    val frozen = rows(Pipeline.importanceResampleFrozen(docs, tgt, ct, ca, tT, tA))
+    val full = rows(Pipeline.importanceResample(docs, tgt))
+    assert(streamed == frozen, "streamed verdicts must equal the batch frozen form")
+    assert(frozen == full,
+      "frozen form must equal the full operator under the corpus model")
+    assert(streamed.nonEmpty && streamed.size < docs.count(),
+      "the resampler must accept some docs and reject others at this SF")
+  }
+
   test("streaming mask planner: streamed plans equal the batch " +
       "recompute exactly (r15)") {
     import graft.pipeline.Pipeline
