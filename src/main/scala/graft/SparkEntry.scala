@@ -1563,6 +1563,11 @@ object SparkEntry {
     "ann_topk_agg" -> ((s, dir) =>
       similarity.Ann.bruteForceTopKAgg(Tables.embeddings(s, dir), 10, 5)),
 
+    // contrastive-retrieval hard negatives: most-similar candidates
+    // with a DIFFERENT label, per anchor
+    "pipe_hard_negatives" -> ((s, dir) =>
+      similarity.Ann.hardNegatives(Tables.embeddings(s, dir), 10, 5)),
+
     "ann_l2_topk" -> ((s, dir) =>
       similarity.Ann.l2TopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -4234,6 +4239,18 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rank
         |  FROM q JOIN e c ON c.vec_id <> q.query_id) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "pipe_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, label AS q_label
+        |      FROM e WHERE vec_id < 10)
+        |SELECT query_id, rank, cand_id, neg_label, cos_sim FROM (
+        |  SELECT query_id, c.vec_id AS cand_id, c.label AS neg_label,
+        |         list_cosine_similarity(q_emb, c.emb) AS cos_sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(q_emb, c.emb) DESC, c.vec_id) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id AND c.label <> q.q_label) t
         |WHERE rank <= 5""".stripMargin,
 
     "ann_int8_topk" ->

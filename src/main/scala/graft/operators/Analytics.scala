@@ -657,32 +657,45 @@ object Analytics {
     * `support_ratio` is one IEEE division of two exact integers. */
   def frequentItemSets(lineitem: DataFrame, part: DataFrame,
       minSupPermille: Int = 1, perSize: Int = 20): DataFrame = {
-    val basket = lineitem.select(col("l_orderkey").as("bk"), col("l_partkey"))
+    // ONE shuffle below the itemset counts: baskets aggregate to
+    // per-order sorted distinct item arrays (collect_set dedupes the
+    // (order, item) duplicates), and pair/triple enumeration is an
+    // in-row combination expansion — baskets are bounded, so the
+    // O(b³) blowup is per-row local, and it rides codegen'd Generate
+    // operators (posexplode over ascending slices), never interpreted
+    // HOF lambdas (the r15 hot-path rule). The r18 first cut expressed
+    // the enumeration as basket self-joins; the item1/item2 renames
+    // below those exchanges defeated ReuseExchange and the
+    // fact⨝dim+distinct subtree recomputed SIX times.
+    val baskets = lineitem.select(col("l_orderkey").as("bk"), col("l_partkey"))
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .select(col("bk"), col("p_brand").as("item"))
-      .distinct()
-    val nB = basket.select(countDistinct(col("bk")).as("n_baskets"))
-    val pairs = basket.select(col("bk"), col("item").as("item1"))
-      .join(basket.select(col("bk"), col("item").as("item2")), Seq("bk"))
-      .filter(col("item1") < col("item2"))
-    val p2 = pairs.groupBy("item1", "item2")
-      .agg(count(lit(1)).as("support"))
-      .select(lit(2L).as("set_size"), col("item1"), col("item2"),
-        lit(null).cast("string").as("item3"), col("support"))
-    val p3 = pairs
-      .join(basket.select(col("bk"), col("item").as("item3")), Seq("bk"))
-      .filter(col("item3") > col("item2"))
-      .groupBy("item1", "item2", "item3")
-      .agg(count(lit(1)).as("support"))
-      .select(lit(3L).as("set_size"), col("item1"), col("item2"),
-        col("item3"), col("support"))
+      .groupBy("bk")
+      .agg(sort_array(collect_set(col("p_brand"))).as("items"))
+    val nB = baskets.select(count(lit(1)).as("n_baskets"))
+    // slice(_, start, 100) = "the rest of the array" (baskets are far
+    // smaller than 100 items; slices past the end are empty, so the
+    // generates terminate combos exactly — no too-small-basket guard
+    // needed, unlike the sequence() form whose (1, 0) range DESCENDS)
+    val rest = lit(100)
+    val p1 = baskets.select(col("items"),
+      posexplode(col("items")).as(Seq("i", "item1")))
+    val p2 = p1.select(col("items"), col("i"), col("item1"),
+      posexplode(slice(col("items"), col("i") + 2, rest)).as(Seq("j0", "item2")))
+    val pairRows = p2.select(lit(2L).as("set_size"), col("item1"),
+      col("item2"), lit(null).cast("string").as("item3"))
+    val tripleRows = p2
+      .select(col("item1"), col("item2"),
+        explode(slice(col("items"), col("i") + col("j0") + 3, rest)).as("item3"))
+      .select(lit(3L).as("set_size"), col("item1"), col("item2"), col("item3"))
     // rank window runs on the aggregated itemset rows only; item3 is
     // all-NULL within size 2 and never NULL within size 3, so the
     // engines' opposite NULL-sort defaults can never disagree here
     val w = Window.partitionBy("set_size")
       .orderBy(col("support").desc, col("item1"), col("item2"), col("item3"))
-    p2.unionByName(p3)
+    pairRows.unionByName(tripleRows)
+      .groupBy("set_size", "item1", "item2", "item3")
+      .agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(nB))
       .filter(col("support") * lit(1000L) >=
         col("n_baskets") * lit(minSupPermille.toLong))

@@ -107,6 +107,41 @@ object Ann {
         col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
   }
 
+  /** HARD-NEGATIVE MINING (round 18 — the contrastive-retrieval
+    * training pattern, DPR/ANCE discipline: per anchor, the most
+    * SIMILAR candidates with a DIFFERENT label are the negatives that
+    * actually teach the model; random negatives are too easy and
+    * same-label neighbors are false negatives). The
+    * [[bruteForceTopKAgg]] shape with a label-mismatch join predicate:
+    * slim (query, cand, score) rows folded by the map-side-combinable
+    * TopKPairs (never a corpus window), survivors re-join their label
+    * at k·nQueries scale. At 10⁹ vectors the candidate stage swaps for
+    * the maintained IVF probe exactly like mmrRerank's poolSource —
+    * the predicate composes with any candidate generator. */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"))
+    val top = c.join(broadcast(q),
+        col("cand_id") =!= col("query_id") && col("c_label") =!= col("q_label"))
+      .select(col("query_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cos_sim"),
+        col("cand_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
+    // label decoration: k·nQueries survivor rows broadcast against the
+    // corpus projection — never the other way around
+    top.join(emb.select(col("vec_id").as("cand_id"),
+        col("label").as("neg_label")), Seq("cand_id"))
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("neg_label"), col("cos_sim"))
+  }
+
   /** INT8 scalar-quantized top-k (r15 — the Lucene/ES 8.14
     * `int8_hnsw` quantization primitive re-expressed): each vector
     * compresses 4× to per-dimension int8 codes with a per-vector

@@ -310,6 +310,48 @@ class AnnSpec extends SparkSpec {
     assert(got.map(_._1).toSet != unfiltered, "filter must reshape the top-k page")
   }
 
+  test("hardNegatives: naive replay, label predicate binds, and hard " +
+      "negatives are never easier than the unrestricted top-1 (r18)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Ann.hardNegatives(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (0L until 10L).flatMap { qid =>
+      rows.filter(r => r._1 != qid && r._3 != labels(qid))
+        .map { case (cid, v, l) => (cid, l, cos(vecs(qid), v)) }
+        .sortBy { case (cid, _, c) => (-c, cid) }.take(5)
+        .zipWithIndex
+        .map { case ((cid, l, c), i) => (qid, i + 1, cid, l, c) }
+    }.toSet
+    assert(got.toSet == expect)
+    // every mined negative crosses the label boundary
+    got.foreach { case (qid, _, cid, nl, _) =>
+      assert(nl != labels(qid) && cid != qid) }
+    // hard ≤ easy: the unrestricted top-1 similarity bounds the mined
+    // top-1 from above (equality only when the nearest neighbor already
+    // crosses labels)
+    val brute = Ann.bruteForceTopKAgg(emb, 10, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got.filter(_._2 == 1).foreach { case (qid, _, _, _, c) =>
+      assert(c <= brute(qid) + 1e-12) }
+    // the predicate must bite somewhere: some anchor's unrestricted
+    // nearest neighbor shares its label
+    val bruteIds = Ann.bruteForceTopKAgg(emb, 10, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 10L).exists(q => labels(bruteIds(q)) == labels(q)),
+      "crafted premise: at least one nearest neighbor is same-label")
+  }
+
   test("broadcast-backed TopCentroids equals the literal form; dispatcher switches on size") {
     import graft.functions.{GraftFunctions, TopCentroids}
     import org.apache.spark.sql.functions.col
