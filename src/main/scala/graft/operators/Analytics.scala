@@ -667,35 +667,69 @@ object Analytics {
     // the enumeration as basket self-joins; the item1/item2 renames
     // below those exchanges defeated ReuseExchange and the
     // fact⨝dim+distinct subtree recomputed SIX times.
+    // item vocabulary: a DIMENSION attribute's distinct values — 25
+    // brands at every TPC-H SF, bounded by the dim table, never the
+    // fact table, so the driver-side collect is scale-safe. Sorted
+    // assignment makes id order ≡ lexicographic item order, so
+    // ascending-id enumeration reproduces the oracle's item1<item2<
+    // item3 ordering exactly.
+    val vocab: IndexedSeq[String] = part.select("p_brand").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val v = vocab.size + 1L
+    require(v * v * v > 0 && vocab.size < 2_000_000,
+      s"item vocabulary ${vocab.size} overflows the v^3 BIGINT itemset key")
+    val idOf = typedlit(vocab.zipWithIndex.map { case (b, i) => b -> (i + 1L) }.toMap)
+    val decode = typedlit(vocab)
     val baskets = lineitem.select(col("l_orderkey").as("bk"), col("l_partkey"))
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("bk")
-      .agg(sort_array(collect_set(col("p_brand"))).as("items"))
+      .agg(sort_array(collect_set(element_at(idOf, col("p_brand")))).as("items"))
     val nB = baskets.select(count(lit(1)).as("n_baskets"))
     // slice(_, start, 100) = "the rest of the array" (baskets are far
     // smaller than 100 items; slices past the end are empty, so the
     // generates terminate combos exactly — no too-small-basket guard
-    // needed, unlike the sequence() form whose (1, 0) range DESCENDS)
+    // needed, unlike the sequence() form whose (1, 0) range DESCENDS).
+    // Each itemset travels as ONE encoded BIGINT ((b1·v + b2)·v + b3,
+    // b3 = 0 for pairs — the intervals-AST encoding trick): the
+    // data-scale shuffle into the support count carries 8-byte longs
+    // into a primitive hash agg instead of 3-string tuples (the string
+    // form read ×5 this one at sf1), and the strings decode AFTER the
+    // count on the itemset-vocabulary-sized frame.
     val rest = lit(100)
     val p1 = baskets.select(col("items"),
-      posexplode(col("items")).as(Seq("i", "item1")))
-    val p2 = p1.select(col("items"), col("i"), col("item1"),
-      posexplode(slice(col("items"), col("i") + 2, rest)).as(Seq("j0", "item2")))
-    val pairRows = p2.select(lit(2L).as("set_size"), col("item1"),
-      col("item2"), lit(null).cast("string").as("item3"))
-    val tripleRows = p2
-      .select(col("item1"), col("item2"),
-        explode(slice(col("items"), col("i") + col("j0") + 3, rest)).as("item3"))
-      .select(lit(3L).as("set_size"), col("item1"), col("item2"), col("item3"))
+      posexplode(col("items")).as(Seq("i", "b1")))
+    val p2 = p1.select(col("items"), col("i"),
+      ((col("b1") * v) * v).as("pairBase"),
+      posexplode(slice(col("items"), col("i") + 2, rest)).as(Seq("j0", "b2")))
+    // ONE generate pass emits the (i,j) pair key AND its triple
+    // extensions together (a union of two branches would recompute the
+    // basket agg and both generates — only the exchange below the agg
+    // is reusable): a literal 0 prepended to the ascending tail slice
+    // makes the pair just the b3=0 case of key = base + b3, so the
+    // whole enumeration is plain codegen'd Generate + arithmetic — no
+    // interpreted HOF lambda anywhere in the data-scale path
+    val keys = p2
+      .select((col("pairBase") + col("b2") * v).as("kb"),
+        explode(concat(array(lit(0L)),
+          slice(col("items"), col("i") + col("j0") + 3, rest))).as("b3"))
+      .select((col("kb") + col("b3")).as("key"))
+    def item(id: Column): Column = element_at(decode, id.cast("int"))
     // rank window runs on the aggregated itemset rows only; item3 is
     // all-NULL within size 2 and never NULL within size 3, so the
     // engines' opposite NULL-sort defaults can never disagree here
     val w = Window.partitionBy("set_size")
       .orderBy(col("support").desc, col("item1"), col("item2"), col("item3"))
-    pairRows.unionByName(tripleRows)
-      .groupBy("set_size", "item1", "item2", "item3")
+    keys
+      .groupBy("key")
       .agg(count(lit(1)).as("support"))
+      .select(
+        when(col("key") % v === 0, lit(2L)).otherwise(lit(3L)).as("set_size"),
+        item(expr(s"key div ${v * v}")).as("item1"),
+        item(expr(s"key div $v % $v")).as("item2"),
+        when(col("key") % v === 0, lit(null).cast("string"))
+          .otherwise(item(col("key") % v)).as("item3"),
+        col("support"))
       .crossJoin(broadcast(nB))
       .filter(col("support") * lit(1000L) >=
         col("n_baskets") * lit(minSupPermille.toLong))
