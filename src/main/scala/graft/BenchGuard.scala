@@ -35,8 +35,21 @@ object BenchGuard {
   final case class Bracket(queries: Seq[String], calibBefore: Double,
       calibAfter: Double)
 
+  /** Absolute slack added to the 2× ratio gate. The bracket floor is
+    * now the HOST PROBE (a ~0.04 s fixed-size range sum — r18 ADVICE
+    * fix: the final verdict previously compared probe readings against
+    * the much larger q6 floor and whitewashed everything), and a
+    * measurement that small has idle-host spread far past 2×: the r18
+    * clean-box distribution read min 0.040 / p50 0.060 / p90 0.110 /
+    * max 0.221 over 78 probes — a pure-ratio gate on it stamps probe
+    * NOISE as host dirt (80 phantom-dirty queries in the first r18
+    * full run). A reading is dirty only when it exceeds the floor by
+    * BOTH the ratio and this margin; genuine contention still trips it
+    * easily (the r18 leaked-JVM incident held the probe at ×3–10). */
+  val AbsMargin = 0.2
+
   def dirtyCalib(c: Double, ref: Option[Double]): Boolean =
-    c >= 0 && ref.exists(c > 2 * _)
+    c >= 0 && ref.exists(r => c > math.max(2 * r, r + AbsMargin))
 
   /** Names with NO clean bracket under the final ref (v3 rule). */
   def dirtyQueries(all: Seq[Bracket], names: Seq[String],

@@ -74,6 +74,23 @@ class BenchGuardSpec extends AnyFunSuite {
       Some(0.135)) == Seq("a", "c"))
   }
 
+  test("host-probe idle spread stays inside the bracket gate; genuine " +
+      "contention still trips it (r18 absolute margin)") {
+    val hostFloor = Some(0.040)
+    // the measured r18 clean-box probe distribution (max 0.221) must
+    // read CLEAN — a pure 2x ratio on a 0.04 s floor stamped 80
+    // phantom-dirty queries
+    Seq(0.040, 0.060, 0.110, 0.221).foreach(c =>
+      assert(!BenchGuard.dirtyCalib(c, hostFloor), s"idle probe $c flagged"))
+    // the leaked-JVM incident class (x3-10 the floor, > floor+margin)
+    Seq(0.30, 0.55, 2.0).foreach(c =>
+      assert(BenchGuard.dirtyCalib(c, hostFloor), s"stall $c missed"))
+    // the margin never LOOSENS a large-floor gate below its ratio:
+    // q6-class floors keep the 2x rule as the binding term
+    assert(BenchGuard.dirtyCalib(0.90, Some(0.30)))
+    assert(!BenchGuard.dirtyCalib(0.55, Some(0.30)))
+  }
+
   test("parseRef round-trips the machine-written reference file") {
     val json = """{"calib_ref":0.135,"sf":"/x/sf0.1","queries":{"q1":0.5,"dedup_exact":0.140}}"""
     val Some((floor, qs)) = BenchGuard.parseRef(json)
