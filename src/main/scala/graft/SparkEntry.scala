@@ -1870,6 +1870,12 @@ object SparkEntry {
       pipeline.Pipeline.clusterCard(Tables.documents(s, dir),
         Tables.embeddings(s, dir), 4)),
 
+    // SemDeDup under the frozen centroids: within-cluster cosine
+    // pruning, deterministic keeper rule, τ=0.4 (the dedup_embedding
+    // similarity band)
+    "pipe_semdedup" -> ((s, dir) =>
+      pipeline.Pipeline.semDedup(Tables.embeddings(s, dir), 8, 0.4)),
+
     // deterministic epoch shuffle (r15): seeded-hash training order,
     // 3 epochs × first 50 positions — reproducible on any engine
     "pipe_epoch_shuffle" -> ((s, dir) =>
@@ -3919,6 +3925,8 @@ object SparkEntry {
     "pipe_dataset_card" -> pipeline.Pipeline.datasetCardSql(0.2),
 
     "pipe_cluster_card" -> pipeline.Pipeline.clusterCardSql(4),
+
+    "pipe_semdedup" -> pipeline.Pipeline.semDedupSql(8, 0.4),
 
     "dedup_paragraph" -> dedupParagraphSql(32, 0.8),
 

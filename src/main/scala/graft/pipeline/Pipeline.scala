@@ -1609,6 +1609,78 @@ object Pipeline {
          |LEFT JOIN tt USING (cluster)""".stripMargin
   }
 
+  /** SemDeDup (round 18 — Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster
+    * the embedding space, then prune documents whose cosine similarity
+    * to a SAME-CLUSTER earlier document clears τ — the published
+    * recipe's point is that clustering bounds the pair search (pairs
+    * form within clusters, never across the corpus). This query form
+    * uses the FROZEN seeded centroids so the whole program — cosine
+    * argmax assignment included — replays exactly in DuckDB
+    * (the [[clusterCard]] discipline; Lloyd-trained centroids live in
+    * the rows-only [[clusterTopics]] path). Keeper rule is
+    * deterministic: a doc is pruned iff some lower-id cluster-mate
+    * clears τ, and its reported duplicate is the (max cosine, min id)
+    * mate via the TopKPairs fold — no corpus window. At scale k grows
+    * ∝ n (the paper's regime) so per-cluster pair counts stay bounded;
+    * the cross-cluster pair space is never enumerated. */
+  def semDedup(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+    val cents = frozenCentroids(k, 64)
+    val a = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"),
+      assignFrozen(col("embedding"), cents).as("cluster"))
+    val lo = a.select(col("cluster"), col("vec_id").as("lo_id"),
+      col("e").as("lo_emb"))
+    val hi = a.select(col("cluster"), col("vec_id").as("doc_id"),
+      col("e").as("hi_emb"))
+    hi.join(lo, Seq("cluster"))
+      .filter(col("lo_id") < col("doc_id"))
+      .select(col("cluster"), col("doc_id"),
+        graft.functions.GraftFunctions.cosineSim(col("hi_emb"), col("lo_emb"))
+          .as("cos_sim"),
+        col("lo_id"))
+      .filter(col("cos_sim") > tau)
+      .groupBy("doc_id", "cluster")
+      .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("lo_id"), 1)
+          .as("top"),
+        count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("cluster").cast("long").as("cluster"),
+        element_at(col("top"), 1).getField("id").as("dup_of"),
+        element_at(col("top"), 1).getField("score").as("cos_sim"),
+        col("n_dups"))
+  }
+
+  /** The DuckDB twin of [[semDedup]] — same frozen centroids, same
+    * argmax CASE chain, same (cos desc, id asc) duplicate pick. */
+  def semDedupSql(k: Int, tau: Double): String = {
+    val cents = frozenCentroids(k, 64)
+    def alit(a: Array[Double]): String =
+      a.map(graft.util.DetLn.dlit).mkString("[", ", ", "]")
+    val sims = cents.indices.map(i =>
+      s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ${alit(cents(i))}) AS s$i")
+    val assign = cents.indices.init.foldRight(s"${cents.size - 1}") { (i, rest) =>
+      val ge = cents.indices.drop(i + 1).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"CASE WHEN $ge THEN $i ELSE $rest END"
+    }
+    raw"""WITH asg AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |               ($assign) AS cluster
+         |             FROM (SELECT e.vec_id, e.embedding, ${sims.mkString(", ")}
+         |                   FROM embeddings e) t),
+         |p AS (SELECT hi.cluster, hi.vec_id AS doc_id, lo.vec_id AS lo_id,
+         |             list_cosine_similarity(hi.e, lo.e) AS cos_sim
+         |      FROM asg hi JOIN asg lo
+         |        ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+         |      WHERE list_cosine_similarity(hi.e, lo.e) > ${graft.util.DetLn.dlit(tau)}),
+         |r AS (SELECT doc_id, cluster, lo_id, cos_sim,
+         |             row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY cos_sim DESC, lo_id) AS rn,
+         |             count(*) OVER (PARTITION BY doc_id) AS n_dups
+         |      FROM p)
+         |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, lo_id AS dup_of,
+         |       cos_sim, CAST(n_dups AS BIGINT) AS n_dups
+         |FROM r WHERE rn = 1""".stripMargin
+  }
+
   /** Embedding-space TOPIC CLUSTERING (k-means) with per-cluster
     * dataset-card stats — the pre-mixing "data map": Lloyd-refined
     * centroids over the document embeddings (the [[graft.similarity

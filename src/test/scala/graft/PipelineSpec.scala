@@ -339,6 +339,52 @@ class PipelineSpec extends SparkSpec {
       "target-source docs must never appear in the resampled output")
   }
 
+  test("semDedup: pruned set replays naively under the frozen " +
+      "assignment; pruning is within-cluster only; keeper rule is " +
+      "(max cos, min id) (r18)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (k, tau) = (8, 0.4)
+    val got = Pipeline.semDedup(emb, k, tau).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    // naive replay: frozen assignment by cosine argmax, within-cluster
+    // lower-id pairs over tau, (max cos, min id) duplicate pick
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (0 until k).map { i =>
+      val rnd = new java.util.Random(90210L + 31L * i)
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def assign(e: Array[Double]): Int = {
+      val sims = cents.map(c => cos(e, c))
+      sims.indices.minBy(i => (-sims(i), i)) // first-index-wins argmax
+    }
+    val byCluster = rows.groupBy(r => assign(r._2))
+    val expect = byCluster.toSeq.flatMap { case (cl, members) =>
+      members.flatMap { case (id, e) =>
+        val dups = members.filter(_._1 < id)
+          .map { case (lid, le) => (lid, cos(e, le)) }
+          .filter(_._2 > tau)
+        if (dups.isEmpty) None
+        else {
+          val (dupOf, c) = dups.minBy { case (lid, cc) => (-cc, lid) }
+          Some(id -> (cl.toLong, dupOf, c, dups.size.toLong))
+        }
+      }
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "tau=0.4 must prune something at this SF")
+    // non-vacuous both ways: some docs survive
+    assert(got.size < rows.length, "semdedup must not prune everything")
+  }
+
   test("tokenizerFertility: sums replay from per-doc counts, the " +
       "zero-char guard binds (r18)") {
     val spark2 = spark; import spark2.implicits._
