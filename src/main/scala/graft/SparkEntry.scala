@@ -1768,6 +1768,11 @@ object SparkEntry {
     "pipe_tokenizer_fertility" -> ((s, dir) =>
       pipeline.Pipeline.tokenizerFertility(Tables.documents(s, dir))),
 
+    // fasttext-style hashed linear quality classifier INFERENCE with a
+    // frozen fixed-point model: exact BIGINT scores, md5-bucket hash
+    "pipe_quality_classifier" -> ((s, dir) =>
+      pipeline.Pipeline.qualityClassifier(Tables.documents(s, dir))),
+
     // curriculum schedule head: cleanest docs first (quality-rule
     // failure count as stage), seeded shuffle within stage
     "pipe_curriculum" -> ((s, dir) =>
@@ -4688,6 +4693,8 @@ object SparkEntry {
       pipeline.Pipeline.importanceResampleSql(Seq("src0", "src1")),
 
     "pipe_tokenizer_fertility" -> pipeline.Pipeline.tokenizerFertilitySql,
+
+    "pipe_quality_classifier" -> pipeline.Pipeline.qualityClassifierSql(),
 
     "pipe_curriculum" -> pipeline.Pipeline.curriculumOrderSql(7, 100),
 

@@ -1681,6 +1681,82 @@ object Pipeline {
          |FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** Hashed-feature LINEAR QUALITY CLASSIFIER inference (round 18 —
+    * the fasttext-style quality filter every web-scale corpus passes
+    * through: CCNet/GPT-3/LLaMA filter on a linear model over hashed
+    * word n-grams; this is the INFERENCE stage with a frozen model,
+    * which is how it runs in production — training happens offline on
+    * a labeled sample). Engine-exactness by construction: the frozen
+    * weights are seeded INTEGERS (fixed-point 2⁻²⁰ — every weight
+    * exactly representable, the per-doc score is a BIGINT sum, so
+    * summation order cannot matter, unlike a double-weight model),
+    * features hash by md5-prefix bucket (conv() on the Spark side, a
+    * strpos-ladder base-16 horner on the DuckDB side — same integer),
+    * and the reported score is ONE IEEE division off the integer.
+    * Scale shape: explode features → codegen'd hash + literal-array
+    * weight lookup → map-side-combinable per-doc BIGINT sum; the
+    * model is nBuckets longs of plan metadata, no join at all. */
+  def qualityClassifier(docs: DataFrame, nBuckets: Int = 1024,
+      seed: Long = 424242L): DataFrame = {
+    val w = frozenClassifierWeights(nBuckets, seed)
+    val wLit = typedlit(w)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val bigrams = when(size(col("tk")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(" "),
+          element_at(col("tk"), i + 1))))
+    val bucket = (conv(substring(md5(col("f").cast("binary")), 1, 6),
+      16, 10).cast("long") % nBuckets).cast("int")
+    docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        explode(concat(col("tk"), bigrams)).as("f"))
+      .select(col("doc_id"), element_at(wLit, bucket + 1).as("wt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("score_fp"))
+      .select(col("doc_id"), col("n_feats"), col("score_fp"),
+        (col("score_fp").cast("double") / lit(1048576.0)).as("score"),
+        when(col("score_fp") > 0L, lit("keep")).otherwise(lit("drop"))
+          .as("label"))
+  }
+
+  /** Frozen seeded classifier weights: integers in [−2¹⁹, 2¹⁹) — the
+    * one definition both compiles read. */
+  private[graft] def frozenClassifierWeights(nBuckets: Int,
+      seed: Long): IndexedSeq[Long] = {
+    val rnd = new java.util.Random(seed)
+    IndexedSeq.fill(nBuckets)((rnd.nextInt(1 << 20) - (1 << 19)).toLong)
+  }
+
+  /** The DuckDB twin of [[qualityClassifier]] — same weights, same
+    * md5-bucket hash (base-16 horner over strpos, ≡ Spark's conv). */
+  def qualityClassifierSql(nBuckets: Int = 1024,
+      seed: Long = 424242L): String = {
+    val w = frozenClassifierWeights(nBuckets, seed)
+    val wList = w.mkString("[", ", ", "]")
+    // base-16 horner over the 6-hex md5 prefix: strpos is 1-based
+    val hx = "0123456789abcdef"
+    val horner = (1 to 6).map(i =>
+      s"(strpos('$hx', substr(h, $i, 1)) - 1) * ${1L << (4 * (6 - i))}")
+      .mkString(" + ")
+    raw"""WITH d AS (SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+         |      FROM documents),
+         |f AS (SELECT doc_id, unnest(tk) AS f FROM d
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |               i -> tk[i] || ' ' || tk[i+1])) AS f
+         |      FROM d WHERE len(tk) >= 2),
+         |b AS (SELECT doc_id, ($horner) % $nBuckets AS bkt
+         |      FROM (SELECT doc_id, substr(md5(f), 1, 6) AS h FROM f) t),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |        CAST(sum(($wList)[bkt + 1]) AS BIGINT) AS score_fp
+         |      FROM b GROUP BY doc_id)
+         |SELECT doc_id, n_feats, score_fp,
+         |       CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
+         |       CASE WHEN score_fp > 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM s""".stripMargin
+  }
+
   /** Embedding-space TOPIC CLUSTERING (k-means) with per-cluster
     * dataset-card stats — the pre-mixing "data map": Lloyd-refined
     * centroids over the document embeddings (the [[graft.similarity

@@ -339,6 +339,42 @@ class PipelineSpec extends SparkSpec {
       "target-source docs must never appear in the resampled output")
   }
 
+  test("qualityClassifier: scores replay naively (md5 bucket, frozen " +
+      "fixed-point weights, unigram+bigram features); threshold binds " +
+      "both ways (r18)") {
+    val got = Pipeline.qualityClassifier(Tables.documents(spark, sfDir))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toMap
+    val w = {
+      val rnd = new java.util.Random(424242L)
+      IndexedSeq.fill(1024)((rnd.nextInt(1 << 20) - (1 << 19)).toLong)
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def wt(f: String): Long =
+      w((java.lang.Long.parseLong(md5hex(f).take(6), 16) % 1024).toInt)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = tk ++ tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      if (feats.isEmpty) None
+      else {
+        val fp = feats.map(wt).sum
+        Some(id -> (feats.size.toLong, fp, fp.toDouble / 1048576.0,
+          if (fp > 0) "keep" else "drop"))
+      }
+    }.toMap
+    assert(got == expect)
+    // the gate is non-vacuous: both labels occur at this SF
+    val labels = got.values.map(_._4).toSet
+    assert(labels == Set("keep", "drop"),
+      s"expected both labels under the seeded model, got $labels")
+  }
+
   test("semDedup: pruned set replays naively under the frozen " +
       "assignment; pruning is within-cluster only; keeper rule is " +
       "(max cos, min id) (r18)") {
