@@ -1121,6 +1121,11 @@ object SparkEntry {
     "text_top_terms" -> ((s, dir) =>
       text.TextOps.topTerms(Tables.documents(s, dir), 20)),
 
+    // RAKE keyword extraction: per-doc top-3 stopword-free phrases by
+    // exact fixed-point degree/freq scores
+    "text_rake_keywords" -> ((s, dir) =>
+      text.TextOps.rakeKeywords(Tables.documents(s, dir))),
+
     "text_match_query" -> ((s, dir) =>
       text.TextOps.matchQuery(Tables.documents(s, dir),
         Seq("hash", "join", "vector"), 15)),
@@ -3484,6 +3489,8 @@ object SparkEntry {
            |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
            |WHERE term <> ''
            |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "text_rake_keywords" -> text.TextOps.rakeKeywordsSql(),
 
     "text_match_query" ->
       raw"""SELECT doc_id, score, n_tokens FROM (

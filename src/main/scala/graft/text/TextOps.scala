@@ -2131,4 +2131,117 @@ object TextOps {
          |FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT $k)
          |WHERE score > 0""".stripMargin
   }
+
+  /** The RAKE stopword delimiter set (Rose et al. 2010 uses a full
+    * stoplist; this frozen subset is the union of the [[stopwords]]
+    * language lists — the one definition both compiles read). */
+  val rakeStops: Seq[String] =
+    stopwords.values.toSeq.sorted.flatMap(_.split("\\|")).distinct.sorted
+
+  /** RAKE keyword extraction (round 18 — Rose et al. 2010, "Automatic
+    * Keyword Extraction from Individual Documents"; the text-analysis
+    * step a corpus pipeline runs to tag documents with their salient
+    * phrases): candidate phrases are maximal stopword-free token runs,
+    * each word scores degree/freq over ITS OWN document's candidates
+    * (degree(w) = Σ length of candidate phrases containing w, freq(w)
+    * = occurrences in candidates), and a phrase scores the sum of its
+    * words' scores; top `perDoc` phrases per document.
+    *
+    * Engine-exact: word scores are ONE integer division at 10⁻⁶ fixed
+    * point ((degree·10⁶) div freq — exact BIGINTs), phrase scores are
+    * BIGINT sums of those — order-free; the display score is one IEEE
+    * division off the integer. Segmentation is array surgery (mark
+    * stopword tokens as delimiters, join, split), not multi-pass
+    * regex — chained stopwords segment identically on both engines by
+    * construction. Scale shape: everything is per-document (explode to
+    * (doc, phrase) and (doc, word) grains, two slim hash aggs, a
+    * rank window per doc over its OWN ≤dozens of candidates). */
+  def rakeKeywords(docs: DataFrame, perDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = typedlit(rakeStops)
+    val toks = filter(split(lower(col("text")), "[^a-z0-9']+"), t => t =!= "")
+    val marked = transform(col("tk"),
+      t => when(array_contains(stopArr, t), lit("|")).otherwise(t))
+    val phrases = filter(
+      transform(split(array_join(col("mk"), " "), "\\|"), p => trim(p)),
+      p => p =!= "")
+    val docPhrase = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), marked.as("mk"))
+      .select(col("doc_id"), explode(phrases).as("phrase"))
+    // one exploded (doc, phrase, word, plen) grain feeds both stats
+    val words = docPhrase
+      .select(col("doc_id"), col("phrase"),
+        size(split(col("phrase"), " ")).cast("long").as("plen"))
+      .select(col("doc_id"), col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+    // word scores ride a (doc, word) window instead of a groupBy +
+    // self-join: one exchange + sort against the join form's two
+    // exchanges + join, on the operator's only data-scale grain
+    val scored = words
+      .withColumn("wscore_fp", expr(
+        "(sum(plen) OVER (PARTITION BY doc_id, w) * 1000000) div " +
+        "count(*) OVER (PARTITION BY doc_id, w)"))
+      .groupBy("doc_id", "phrase")
+      .agg(sum(col("wscore_fp")).as("p_fp"),
+        count(lit(1)).as("n_occ")) // phrase occurrences × words
+    // a phrase occurring k times scores each occurrence identically:
+    // divide the grouped sum by the occurrence count k = n_occ / plen
+    val perPhrase = scored
+      .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
+      .withColumn("score_fp", expr("p_fp div (n_occ div plen)"))
+      .withColumn("n_occurrences", expr("n_occ div plen"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_fp").desc, col("phrase"))
+    perPhrase
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perDoc)
+      .select(col("doc_id"), col("rk").as("phrase_rank"), col("phrase"),
+        col("score_fp"), col("n_occurrences"),
+        (col("score_fp").cast("double") / lit(1.0e6)).as("score"))
+  }
+
+  /** The DuckDB twin of [[rakeKeywords]] — same stoplist, same array
+    * segmentation, same fixed-point arithmetic. */
+  def rakeKeywordsSql(perDoc: Int = 3): String = {
+    val stops = rakeStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    raw"""WITH d AS (SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS tk
+         |      FROM documents),
+         |m AS (SELECT doc_id,
+         |        list_transform(tk, t -> CASE WHEN list_contains($stops, t)
+         |                                     THEN '|' ELSE t END) AS mk
+         |      FROM d),
+         |dp AS (SELECT doc_id, p AS phrase FROM (
+         |         SELECT doc_id,
+         |                unnest(list_transform(string_split(array_to_string(mk, ' '), '|'),
+         |                  x -> trim(x))) AS p
+         |         FROM m) t WHERE p <> ''),
+         |wds AS (SELECT doc_id, phrase,
+         |          CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+         |          unnest(string_split(phrase, ' ')) AS w
+         |        FROM dp),
+         |ws AS (SELECT doc_id, w,
+         |         (CAST(sum(plen) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS wscore_fp
+         |       FROM wds GROUP BY doc_id, w),
+         |ps AS (SELECT wds.doc_id, wds.phrase,
+         |         CAST(sum(ws.wscore_fp) AS BIGINT) AS p_fp,
+         |         CAST(count(*) AS BIGINT) AS n_occ
+         |       FROM wds JOIN ws ON ws.doc_id = wds.doc_id AND ws.w = wds.w
+         |       GROUP BY wds.doc_id, wds.phrase),
+         |pp AS (SELECT doc_id, phrase, p_fp, n_occ,
+         |         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+         |       FROM ps),
+         |r AS (SELECT doc_id, phrase,
+         |         p_fp // (n_occ // plen) AS score_fp,
+         |         n_occ // plen AS n_occurrences,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY p_fp // (n_occ // plen) DESC, phrase) AS rk
+         |      FROM pp)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS phrase_rank, phrase,
+         |       CAST(score_fp AS BIGINT) AS score_fp,
+         |       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+         |       CAST(score_fp AS DOUBLE) / 1000000.0 AS score
+         |FROM r WHERE rk <= $perDoc""".stripMargin
+  }
 }

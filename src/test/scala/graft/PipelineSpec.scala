@@ -339,6 +339,56 @@ class PipelineSpec extends SparkSpec {
       "target-source docs must never appear in the resampled output")
   }
 
+  test("rakeKeywords: the textbook example scores exactly; repeated " +
+      "phrases keep their single-occurrence score; real-table replay (r18)") {
+    import graft.text.TextOps
+    val spark2 = spark; import spark2.implicits._
+    val crafted = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "quick brown fox and quick brown fox") // repeated candidate
+    ).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // doc 1: candidates "quick brown fox" (each word deg 3, freq 1 →
+    // 3e6; phrase 9e6) and "lazy dog" (deg 2 → 2e6 each; phrase 4e6)
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.toSeq == Seq(
+      (1L, 1L, "quick brown fox", 9000000L, 1L),
+      (1L, 2L, "lazy dog", 4000000L, 1L)))
+    // doc 2: the candidate occurs twice — degree 6, freq 2 per word →
+    // 3e6 each → phrase 9e6, n_occurrences 2 (same per-occurrence
+    // score as doc 1's single occurrence)
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 1L, "quick brown fox", 9000000L, 2L)))
+    // real-table replay: full naive RAKE over every doc
+    val stops = TextOps.rakeStops.toSet
+    val real = TextOps.rakeKeywords(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val tk = text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+      val phrases = tk.map(t => if (stops(t)) "|" else t).mkString(" ")
+        .split("\\|").map(_.trim).filter(_.nonEmpty).toSeq
+      if (phrases.isEmpty) Nil
+      else {
+        val wordRows = phrases.flatMap { p =>
+          val ws = p.split(" ").toSeq; ws.map(w => (w, ws.size.toLong)) }
+        val deg = wordRows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val frq = wordRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        def wfp(w: String) = deg(w) * 1000000L / frq(w)
+        val perPhrase = phrases.groupBy(identity).toSeq.map { case (p, os) =>
+          (p, p.split(" ").map(wfp).sum, os.size.toLong) }
+        perPhrase.sortBy { case (p, s, _) => (-s, p) }.take(3).zipWithIndex
+          .map { case ((p, s, n), i) => (id, i + 1L) -> (p, s, n) }
+      }
+    }.toMap
+    assert(real == expect)
+  }
+
   test("qualityClassifier: scores replay naively (md5 bucket, frozen " +
       "fixed-point weights, unigram+bigram features); threshold binds " +
       "both ways (r18)") {
