@@ -686,17 +686,18 @@ object Analytics {
       .groupBy("bk")
       .agg(sort_array(collect_set(element_at(idOf, col("p_brand")))).as("items"))
     val nB = baskets.select(count(lit(1)).as("n_baskets"))
-    // slice(_, start, 100) = "the rest of the array" (baskets are far
-    // smaller than 100 items; slices past the end are empty, so the
-    // generates terminate combos exactly — no too-small-basket guard
-    // needed, unlike the sequence() form whose (1, 0) range DESCENDS).
+    // slice(_, start, size(items)) = "the rest of the array" (slices
+    // past the end are empty, so the generates terminate combos
+    // exactly — no too-small-basket guard needed, unlike the
+    // sequence() form whose (1, 0) range DESCENDS; sizing by the
+    // array itself means NO basket cardinality silently truncates).
     // Each itemset travels as ONE encoded BIGINT ((b1·v + b2)·v + b3,
     // b3 = 0 for pairs — the intervals-AST encoding trick): the
     // data-scale shuffle into the support count carries 8-byte longs
     // into a primitive hash agg instead of 3-string tuples (the string
     // form read ×5 this one at sf1), and the strings decode AFTER the
     // count on the itemset-vocabulary-sized frame.
-    val rest = lit(100)
+    val rest = size(col("items"))
     val p1 = baskets.select(col("items"),
       posexplode(col("items")).as(Seq("i", "b1")))
     val p2 = p1.select(col("items"), col("i"),
