@@ -1886,6 +1886,12 @@ object SparkEntry {
     "pipe_semdedup" -> ((s, dir) =>
       pipeline.Pipeline.semDedup(Tables.embeddings(s, dir), 8, 0.4)),
 
+    // the dedup-cascade audit: per-stage removal counts for the
+    // exact → fuzzy → semantic pipeline order
+    "pipe_dedup_report" -> ((s, dir) =>
+      pipeline.Pipeline.dedupCascadeReport(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     // deterministic epoch shuffle (r15): seeded-hash training order,
     // 3 epochs × first 50 positions — reproducible on any engine
     "pipe_epoch_shuffle" -> ((s, dir) =>
@@ -3939,6 +3945,8 @@ object SparkEntry {
     "pipe_cluster_card" -> pipeline.Pipeline.clusterCardSql(4),
 
     "pipe_semdedup" -> pipeline.Pipeline.semDedupSql(8, 0.4),
+
+    "pipe_dedup_report" -> pipeline.Pipeline.dedupCascadeReportSql(),
 
     "dedup_paragraph" -> dedupParagraphSql(32, 0.8),
 

@@ -533,4 +533,25 @@ object Dedup {
       .filter(col("cos_sim") >= tau)
       .select("a_id", "b_id", "cos_sim")
   }
+
+  /** The [[ngramJaccard]] DuckDB twin (3-gram shingles, df-bounded
+    * min-shingle buckets, exact Jaccard confirm), parameterized by the
+    * (doc_id, text) source so the same program can run over the whole
+    * documents table (the `dedup_ngram_jaccard` oracle) or a cascade
+    * stage's survivor set (`pipe_dedup_report`). */
+  def ngramJaccardSql(src: String, tau: Double = 0.8,
+      maxDf: Long = 16): String =
+    raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+         |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM s) GROUP BY shingle HAVING count(*) > $maxDf),
+         |hotl AS (SELECT coalesce(list(shingle), CAST([] AS VARCHAR[])) AS hot FROM hs),
+         |b AS (SELECT doc_id, sh,
+         |        coalesce(list_aggregate(list_filter(sh, x -> NOT list_contains(hot, x)), 'min'),
+         |                 list_aggregate(sh, 'min')) AS bucket
+         |      FROM s CROSS JOIN hotl)
+         |SELECT a_id, b_id, jaccard FROM (
+         |  SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+         |         CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS jaccard
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+         |WHERE jaccard >= ${graft.util.DetLn.dlit(tau)}""".stripMargin
 }

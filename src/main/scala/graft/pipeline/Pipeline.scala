@@ -1651,8 +1651,11 @@ object Pipeline {
   }
 
   /** The DuckDB twin of [[semDedup]] — same frozen centroids, same
-    * argmax CASE chain, same (cos desc, id asc) duplicate pick. */
-  def semDedupSql(k: Int, tau: Double): String = {
+    * argmax CASE chain, same (cos desc, id asc) duplicate pick.
+    * `srcJoin` optionally restricts the embedding source (appended
+    * after `FROM embeddings e`) so the same program can score a
+    * cascade stage's survivor set (`pipe_dedup_report`). */
+  def semDedupSql(k: Int, tau: Double, srcJoin: String = ""): String = {
     val cents = frozenCentroids(k, 64)
     def alit(a: Array[Double]): String =
       a.map(graft.util.DetLn.dlit).mkString("[", ", ", "]")
@@ -1665,7 +1668,7 @@ object Pipeline {
     raw"""WITH asg AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          |               ($assign) AS cluster
          |             FROM (SELECT e.vec_id, e.embedding, ${sims.mkString(", ")}
-         |                   FROM embeddings e) t),
+         |                   FROM embeddings e $srcJoin) t),
          |p AS (SELECT hi.cluster, hi.vec_id AS doc_id, lo.vec_id AS lo_id,
          |             list_cosine_similarity(hi.e, lo.e) AS cos_sim
          |      FROM asg hi JOIN asg lo
@@ -1755,6 +1758,88 @@ object Pipeline {
          |       CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
          |       CASE WHEN score_fp > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM s""".stripMargin
+  }
+
+  /** DEDUP-CASCADE audit report (round 18 — the per-stage removal
+    * table a lab reads before a release: how much did exact, fuzzy,
+    * and semantic dedup each remove, in the order a production
+    * pipeline actually runs them). Three sequential stages over the
+    * library's own operators:
+    *
+    *  1. EXACT: one keeper (min doc_id) per content fingerprint;
+    *  2. FUZZY: among exact survivors, [[graft.dedup.Dedup.ngramJaccard]]
+    *     pairs at τ — a doc is removed iff it is the HIGHER id of any
+    *     confirmed pair (the semDedup keeper rule; full transitive
+    *     clustering is dedup_clusters' job, an audit counts pairs the
+    *     way the filter would apply them);
+    *  3. SEMANTIC: among fuzzy survivors with embeddings,
+    *     [[semDedup]]'s pruned set (frozen centroids — hash-green).
+    *
+    * Output: one row per stage (n_in, n_removed, n_out), BIGINT.
+    * This is a once-per-release audit: stage lineages recompute per
+    * count here (bounded at verify SFs); a production run materializes
+    * each survivor set — which it needs anyway as the stage output. */
+  def dedupCascadeReport(docs: DataFrame, emb: DataFrame, n: Int = 3,
+      jTau: Double = 0.8, semK: Int = 8, semTau: Double = 0.4): DataFrame = {
+    val all0 = docs.select(col("doc_id"), col("text"))
+    val keepers = all0
+      .select(col("doc_id"), graft.text.TextOps.fingerprintCol(col("text")).as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val s1 = all0.join(keepers, Seq("doc_id"))
+    val fzRemoved = graft.dedup.Dedup.ngramJaccard(s1, n, jTau)
+      .select(col("b_id").as("doc_id")).distinct()
+    val s2 = s1.select("doc_id").join(fzRemoved, Seq("doc_id"), "left_anti")
+    val semEmb = emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val semRemoved = semDedup(semEmb, semK, semTau).select("doc_id")
+    val gauges = all0.agg(count(lit(1)).as("n_in"))
+      .crossJoin(keepers.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(semRemoved.agg(count(lit(1)).as("r3")))
+    gauges.select(explode(array(
+        struct(lit("1_exact").as("stage"), col("n_in").as("n_in"),
+          (col("n_in") - col("n1")).as("n_removed"), col("n1").as("n_out")),
+        struct(lit("2_fuzzy").as("stage"), col("n1").as("n_in"),
+          (col("n1") - col("n2")).as("n_removed"), col("n2").as("n_out")),
+        struct(lit("3_semantic").as("stage"), col("n2").as("n_in"),
+          col("r3").as("n_removed"), (col("n2") - col("r3")).as("n_out"))))
+        .as("r"))
+      .select(col("r.stage"), col("r.n_in"), col("r.n_removed"), col("r.n_out"))
+  }
+
+  /** The DuckDB twin of [[dedupCascadeReport]] — assembled from the
+    * same stage generators (fingerprint, [[graft.dedup.Dedup
+    * .ngramJaccardSql]] over the s1 survivors, [[semDedupSql]] over
+    * the s2 survivors), so the stages cannot drift from their
+    * standalone query forms. */
+  def dedupCascadeReportSql(n: Int = 3, jTau: Double = 0.8, semK: Int = 8,
+      semTau: Double = 0.4): String = {
+    val fz = graft.dedup.Dedup.ngramJaccardSql("s1", jTau)
+    val sem = semDedupSql(semK, semTau,
+      srcJoin = "JOIN s2 ON s2.doc_id = e.vec_id")
+    raw"""WITH all0 AS (SELECT doc_id, text FROM documents),
+         |fpt AS (SELECT doc_id,
+         |          md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+         |        FROM all0),
+         |exk AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp),
+         |s1 AS (SELECT a.doc_id, a.text FROM all0 a JOIN exk USING (doc_id)),
+         |fzr AS (SELECT DISTINCT b_id AS doc_id FROM ($fz) fzq),
+         |s2 AS (SELECT s1.doc_id FROM s1 LEFT JOIN fzr USING (doc_id)
+         |       WHERE fzr.doc_id IS NULL),
+         |semr AS (SELECT doc_id FROM ($sem) smq),
+         |c AS (SELECT (SELECT count(*) FROM all0) AS n_in,
+         |             (SELECT count(*) FROM exk) AS n1,
+         |             (SELECT count(*) FROM s2) AS n2,
+         |             (SELECT count(*) FROM semr) AS r3)
+         |SELECT '1_exact' AS stage, CAST(n_in AS BIGINT) AS n_in,
+         |       CAST(n_in - n1 AS BIGINT) AS n_removed, CAST(n1 AS BIGINT) AS n_out
+         |FROM c
+         |UNION ALL
+         |SELECT '2_fuzzy', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+         |       CAST(n2 AS BIGINT) FROM c
+         |UNION ALL
+         |SELECT '3_semantic', CAST(n2 AS BIGINT), CAST(r3 AS BIGINT),
+         |       CAST(n2 - r3 AS BIGINT) FROM c""".stripMargin
   }
 
   /** Embedding-space TOPIC CLUSTERING (k-means) with per-cluster

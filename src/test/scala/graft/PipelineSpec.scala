@@ -339,6 +339,48 @@ class PipelineSpec extends SparkSpec {
       "target-source docs must never appear in the resampled output")
   }
 
+  test("dedupCascadeReport: stage accounting chains exactly and each " +
+      "stage's count replays from its standalone operator (r18)") {
+    import graft.text.TextOps
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Pipeline.dedupCascadeReport(docs, emb).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set("1_exact", "2_fuzzy", "3_semantic"))
+    // accounting: in − removed = out, and stages chain
+    got.values.foreach { case (in, rem, out) => assert(in - rem == out) }
+    assert(got("1_exact")._3 == got("2_fuzzy")._1)
+    assert(got("2_fuzzy")._3 == got("3_semantic")._1)
+    // stage 1 replays from the fingerprint operator
+    val nAll = docs.count()
+    val nKeep = docs.select(TextOps.fingerprintCol(col("text")).as("fp"))
+      .distinct().count()
+    assert(got("1_exact") == ((nAll, nAll - nKeep, nKeep)))
+    // stage 2 replays from ngramJaccard over the exact survivors
+    val keepers = docs
+      .select(col("doc_id"), col("text"), TextOps.fingerprintCol(col("text")).as("fp"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("keep")).select("doc_id", "text")
+    val fzRemoved = Dedup.ngramJaccard(keepers, 3, 0.8)
+      .select("b_id").distinct().count()
+    assert(got("2_fuzzy")._2 == fzRemoved)
+    // stage 3 replays from semDedup over the fuzzy survivors
+    val s2 = keepers.select("doc_id")
+      .join(Dedup.ngramJaccard(keepers, 3, 0.8)
+        .select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    val semRemoved = Pipeline.semDedup(
+      emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id")), 8, 0.4)
+      .count()
+    assert(got("3_semantic")._2 == semRemoved)
+    // the cascade is non-vacuous at this SF: every stage removes
+    assert(got.values.forall(_._2 > 0),
+      s"a stage removed nothing: $got")
+  }
+
   test("rakeKeywords: the textbook example scores exactly; repeated " +
       "phrases keep their single-occurrence score; real-table replay (r18)") {
     import graft.text.TextOps
