@@ -1573,6 +1573,27 @@ object SparkEntry {
     "pipe_hard_negatives" -> ((s, dir) =>
       similarity.Ann.hardNegatives(Tables.embeddings(s, dir), 10, 5)),
 
+    // hard negatives SERVED FROM THE MAINTAINED IVF INDEX (r19,
+    // VERDICT r18 #2 — the mmrRerank poolSource template): the
+    // candidate pool comes from the versioned index probe (nprobe=8,
+    // pool=50 — 10x oversample so the label-mismatch filter at the
+    // survivor grain still fills k), partition-pruned to the probed
+    // cent_id lists, never a full corpus scan per query batch. Shares
+    // ann_ivf_indexed's memoized index. Rows-only (index-approximate
+    // pool); AnnIndexSpec pins full-probe pool == brute force +
+    // wired-probe recall.
+    "pipe_hard_negatives_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val root = indexRoot("ann", dir) { r =>
+        similarity.AnnIndex.trainCentroids(emb.filter(col("vec_id") % 3 === 0), 0L, r)
+        (0L until 3L).foreach(b =>
+          similarity.AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, r))
+      }
+      similarity.Ann.hardNegativesFromPool(emb, 10, 5, pool = 50,
+        poolSource = (e, nq, p) =>
+          similarity.AnnIndex.ivfTopKIndexed(s, root, e, nq, p, nprobe = 8))
+    }),
+
     "ann_l2_topk" -> ((s, dir) =>
       similarity.Ann.l2TopK(Tables.embeddings(s, dir), 10, 5)),
 
@@ -1885,6 +1906,15 @@ object SparkEntry {
     // similarity band)
     "pipe_semdedup" -> ((s, dir) =>
       pipeline.Pipeline.semDedup(Tables.embeddings(s, dir), 8, 0.4)),
+
+    // SemDeDup's PRODUCTION path (r19, VERDICT r18 #1): Lloyd-TRAINED
+    // centroids at the paper's k ∝ n regime (k = ceil(sqrt(n))) — the
+    // balanced-occupancy form whose within-cluster pair work stays
+    // ~n^1.5; same semPrune, same exact-cosine confirm, so pruned ⊆
+    // exact at any centroid quality (SemDedupSpec). Rows-only (Lloyd
+    // argmax); the frozen form above stays the oracle twin.
+    "pipe_semdedup_trained" -> ((s, dir) =>
+      pipeline.Pipeline.semDedupTrained(Tables.embeddings(s, dir), 0.4)),
 
     // the dedup-cascade audit: per-stage removal counts for the
     // exact → fuzzy → semantic pipeline order

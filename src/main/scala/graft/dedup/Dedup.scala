@@ -534,15 +534,24 @@ object Dedup {
       .select("a_id", "b_id", "cos_sim")
   }
 
-  /** The [[ngramJaccard]] DuckDB twin (3-gram shingles, df-bounded
+  /** The [[ngramJaccard]] DuckDB twin (n-gram shingles, df-bounded
     * min-shingle buckets, exact Jaccard confirm), parameterized by the
     * (doc_id, text) source so the same program can run over the whole
     * documents table (the `dedup_ngram_jaccard` oracle) or a cascade
-    * stage's survivor set (`pipe_dedup_report`). */
+    * stage's survivor set (`pipe_dedup_report`), and by the shingle
+    * size `n` so a caller-chosen width cannot drift from the Spark
+    * form (r18 ADVICE). SHAPE DIVERGENCE, deliberate: this twin
+    * materializes the hot-shingle set as ONE list and runs
+    * list_contains per shingle per doc — O(|sh|·|hot|), the exact
+    * broadcast-gauge shape the Spark-side [[ngramJaccard]] docstring
+    * rejects for Zipfian corpora (there the hot exclusion is an
+    * anti-join). Fine for the BOUNDED verify oracle (|hot| ≤ a few
+    * hundred at every verify SF); it is the oracle's simplicity trade,
+    * not the scale recipe. */
   def ngramJaccardSql(src: String, tau: Double = 0.8,
-      maxDf: Long = 16): String =
+      maxDf: Long = 16, n: Int = 3): String =
     raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
-         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh FROM t),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS sh FROM t),
          |hs AS (SELECT shingle FROM (SELECT unnest(sh) AS shingle FROM s) GROUP BY shingle HAVING count(*) > $maxDf),
          |hotl AS (SELECT coalesce(list(shingle), CAST([] AS VARCHAR[])) AS hot FROM hs),
          |b AS (SELECT doc_id, sh,

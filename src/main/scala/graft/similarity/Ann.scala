@@ -117,7 +117,9 @@ object Ann {
     * TopKPairs (never a corpus window), survivors re-join their label
     * at k·nQueries scale. At 10⁹ vectors the candidate stage swaps for
     * the maintained IVF probe exactly like mmrRerank's poolSource —
-    * the predicate composes with any candidate generator. */
+    * the predicate composes with any candidate generator
+    * ([[hardNegativesFromPool]] is that composition; this form stays
+    * the exact oracle twin). */
   def hardNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -135,8 +137,56 @@ object Ann {
       .select(col("query_id"), (col("i") + 1).as("rank"),
         col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
     // label decoration: k·nQueries survivor rows broadcast against the
-    // corpus projection — never the other way around
-    top.join(emb.select(col("vec_id").as("cand_id"),
+    // corpus projection — never the other way around (hint pinned, r18
+    // ADVICE: post-agg size estimates must not let the optimizer
+    // shuffle the corpus instead)
+    broadcast(top).join(emb.select(col("vec_id").as("cand_id"),
+        col("label").as("neg_label")), Seq("cand_id"))
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("neg_label"), col("cos_sim"))
+  }
+
+  /** HARD-NEGATIVE MINING over an ARBITRARY candidate pool (r19,
+    * VERDICT r18 #2 — the mmrRerank `poolSource` template): the
+    * label-mismatch predicate applied at the SURVIVOR grain of any
+    * (query_id, rank, cand_id, cos_sim) candidate generator — wire the
+    * maintained IVF/IVFADC probe (`AnnIndex.ivfTopKIndexed`) and the
+    * pool build partition-prunes to the probed `cent_id=` lists
+    * instead of [[hardNegatives]]'s full-corpus scan per query batch.
+    * The pool must OVERSAMPLE (`pool` ≫ k): same-label neighbors and
+    * the self-match are filtered AFTER generation, so only pool-depth
+    * survivors feed the final top-k. With an exhaustive pool
+    * (full-probe, pool = corpus) the output is bit-identical to
+    * [[hardNegatives]] — the pool-equivalence spec in `AnnIndexSpec`;
+    * a wired index pool is recall-bounded instead (rows-only gate).
+    *
+    * Scale shape: the pool is ≤ pool·nQueries slim rows (broadcast
+    * side everywhere), label decoration joins the corpus's two-column
+    * (vec_id, label) projection with the survivor side hinted, and the
+    * final rank is a TopKPairs fold over ≤ pool rows per query — no
+    * corpus window, no corpus shuffle. */
+  def hardNegativesFromPool(emb: DataFrame, nQueries: Int, k: Int,
+      pool: Int,
+      poolSource: (DataFrame, Int, Int) => DataFrame): DataFrame = {
+    val cand = poolSource(emb, nQueries, pool)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"))
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qLab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val decorated = broadcast(cand)
+      .join(labels.select(col("vec_id").as("cand_id"),
+        col("label").as("neg_label")), Seq("cand_id"))
+    val top = decorated.join(broadcast(qLab), Seq("query_id"))
+      .filter(col("neg_label") =!= col("q_label") &&
+        col("cand_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("cos_sim"), col("cand_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (col("i") + 1).as("rank"),
+        col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
+    // survivor side broadcasts against the slim corpus label projection
+    // — the hardNegatives decoration shape, hint pinned
+    broadcast(top).join(labels.select(col("vec_id").as("cand_id"),
         col("label").as("neg_label")), Seq("cand_id"))
       .select(col("query_id"), col("rank"), col("cand_id"),
         col("neg_label"), col("cos_sim"))

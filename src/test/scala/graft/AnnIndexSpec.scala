@@ -111,6 +111,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(page.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 50)
   }
 
+  test("hard-negatives pool-source equivalence (r19 #2): an exhaustive pool " +
+      "reproduces brute force exactly; the wired index pool keeps recall") {
+    val root = tmp("ann-hn-idx")
+    buildIndex(root)
+    def rows(df: DataFrame): Set[(Long, Int, Long, Int, Double)] =
+      df.collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("cand_id")),
+        r.getInt(r.fieldIndex("neg_label")), r.getDouble(r.fieldIndex("cos_sim"))))
+        .toSet
+    // exhaustive pool (every candidate ranked) ⇒ the survivor-grain
+    // label filter sees exactly what the fused brute-force predicate
+    // sees — outputs must be bit-identical
+    val n = emb.count().toInt
+    val viaExhaustive = rows(Ann.hardNegativesFromPool(emb, 10, 5, pool = n,
+      poolSource = Ann.bruteForceTopKAgg))
+    val viaBrute = rows(Ann.hardNegatives(emb, 10, 5))
+    assert(viaExhaustive == viaBrute && viaBrute.nonEmpty)
+    // full-probe INDEX pool at exhaustive depth: same contract through
+    // the maintained index read path
+    val viaIndexFull = rows(Ann.hardNegativesFromPool(emb, 10, 5, pool = n,
+      poolSource = (e, nq, p) =>
+        AnnIndex.ivfTopKIndexed(spark, root, e, nq, p, nprobe = 16)))
+    assert(viaIndexFull == viaBrute)
+    // the wired shape (nprobe=8, pool=50): full pages, usable recall of
+    // the exact hard-negative set
+    val wired = rows(Ann.hardNegativesFromPool(emb, 10, 5, pool = 50,
+      poolSource = (e, nq, p) =>
+        AnnIndex.ivfTopKIndexed(spark, root, e, nq, p, nprobe = 8)))
+    assert(wired.map(t => (t._1, t._2)).size == 50, "10 full pages of 5")
+    val exactSet = viaBrute.map(t => (t._1, t._3))
+    val recall = wired.map(t => (t._1, t._3)).count(exactSet) / 50.0
+    assert(recall >= 0.6, s"hard-negative recall $recall")
+    // the mined negatives must actually mismatch their anchor's label
+    val qLab = emb.filter(col("vec_id") < 10).select("vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    wired.foreach(t => assert(t._4 != qLab(t._1), s"same-label negative $t"))
+  }
+
   test("streaming maintenance converges to the batch-built index") {
     val root = tmp("ann-idx")
     val src = tmp("ann-idx-src")

@@ -32,7 +32,8 @@ class SurveyBijectionSpec extends AnyFunSuite {
     "dedup_incremental_minhash", "dedup_incremental_minhash_indexed",
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_indexed", "ann_pq_topk",
     "ann_ivfpq_indexed", "ann_mmr_indexed", "pipe_bpe_train",
-    "pipe_cluster_topics")
+    "pipe_cluster_topics", "pipe_semdedup_trained",
+    "pipe_hard_negatives_indexed")
 
   private lazy val section2: String = {
     val text = new String(
