@@ -36,7 +36,15 @@ import graft.similarity.{Ann, AnnIndex}
   *     pq40      — the flat-PQ ks=256/refine=40 working point alone,
   *                 a cheap re-check without the full `pq` grid;
   *     ivfadc256 — the IVFADC ks=256-word rung (r17's named next
-  *                 step): full index build + probe sweep, expensive.
+  *                 step): full index build + probe sweep, expensive;
+  *     semdedup  — SemDeDup centroid-source comparison (r19, VERDICT
+  *                 r18 #1): occupancy skew (max/mean), within-cluster
+  *                 pair work Σn_c² vs the n²/k model, prune wall, and
+  *                 planted-pair prune agreement for frozen-random k=8
+  *                 (the r18 wiring), frozen-random k=⌈√n⌉, and
+  *                 Lloyd-trained k=⌈√n⌉ — on the uniform corpus AND a
+  *                 Zipf-clustered one (real embeddings concentrate;
+  *                 random centroids make hot cells there).
   */
 object AnnScaleProbe {
 
@@ -314,6 +322,98 @@ object AnnScaleProbe {
             .groupBy("c").count().count())
         log(f"assign $label nCent=$nCent lists-hit=$cnt wall=$t%.1f s")
       }
+    }
+
+    if (probes("semdedup")) {
+      import graft.pipeline.Pipeline
+      log("--- SemDeDup centroid sources: occupancy / pair work / prune ---")
+      val tau = 0.6
+      // centroid sources under test: the r18 frozen wiring (k=8), the
+      // same frozen RNG at the production k, and Lloyd at production k
+      def frozenSrc(k: Int): Seq[(Int, Seq[Double])] =
+        Pipeline.frozenCentroids(k, Dim).zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }
+      def occStats(e: DataFrame, cents: Seq[(Int, Seq[Double])]):
+          (Long, Double, Long) = {
+        val assign = Ann.centroidAssigner(spark, Ann.centMatrix(cents))
+        val occ = e.select(assign(col("embedding"), 1).getItem(0).as("c"))
+          .groupBy("c").count().collect().map(_.getLong(1))
+        val tot = occ.sum
+        val mean = tot.toDouble / cents.size // empty cells count: k is the model divisor
+        val pairWork = occ.map(m => m * (m - 1) / 2).sum
+        (occ.max, occ.max / mean, pairWork)
+      }
+      def probeSrc(name: String, e: DataFrame, nRows: Long,
+          cents: Seq[(Int, Seq[Double])],
+          planted: Seq[(Long, Long, Double)]): Unit = {
+        val k = cents.size
+        val (maxOcc, skew, pairWork) = occStats(e, cents)
+        val model = nRows.toDouble * nRows / (2.0 * k)
+        log(f"$name k=$k%5d max-occ=$maxOcc%7d skew(max/mean)=$skew%6.1f " +
+          f"pair-work=$pairWork%12d n2/2k-model=$model%.3e ratio=${pairWork / model}%5.2f")
+        // prune wall only where the candidate volume is affordable on
+        // this box — a skip line IS the measurement (that volume is the
+        // operator's cost)
+        if (pairWork <= 2_000_000_000L) {
+          val (pruned, t) = timeIt(
+            Pipeline.semDedupWith(e, cents, tau).persist())
+          val nPruned = pruned.count()
+          val rec =
+            if (planted.isEmpty) -1.0
+            else {
+              val eligible = planted.filter(_._3 > tau)
+              val prunedIds = pruned.select("doc_id").collect()
+                .map(_.getLong(0)).toSet
+              eligible.count(p => prunedIds(p._2)).toDouble /
+                math.max(1, eligible.size)
+            }
+          log(f"$name prune: wall=$t%7.1f s pruned=$nPruned%7d " +
+            (if (rec >= 0) f"planted-prune-recall=$rec%.3f" else ""))
+          pruned.unpersist()
+        } else
+          log(f"$name prune: SKIPPED (pair work $pairWork%d past the 2e9 box bound)")
+      }
+      val planted0 = plantedPairs(n, planted)
+      log(s"[uniform corpus, n=${n + planted}] tau=$tau " +
+        s"(${planted0.count(_._3 > tau)} planted pairs eligible)")
+      probeSrc("frozen-r18 ", emb, n + planted, frozenSrc(8), planted0)
+      probeSrc("frozen-prod", emb, n + planted, frozenSrc(nCent), planted0)
+      val (lloydU, tLU) = timeIt(Ann.lloydCentroids(
+        emb.select(col("vec_id"), col("embedding")), nCent, 2))
+      log(f"lloyd train (uniform): k=$nCent wall=$tLU%.1f s")
+      probeSrc("lloyd-prod ", emb, n + planted, lloydU, planted0)
+
+      // Zipf-clustered corpus: 128 hash-seeded centers, cell mass
+      // ∝ 1/√rank (u² index), tight spread — the CONCENTRATED regime
+      // real embedding models produce, where random centroids make hot
+      // cells (the r18 verdict's scale failure)
+      val g = 128
+      val spread = 0.08 // within-blob cosine ≈ 0.66 — coherent topics
+      val dirC = s"/tmp/annscale/v3c$n"
+      if (!new java.io.File(s"$dirC/_SUCCESS").exists()) {
+        import spark.implicits._
+        spark.range(0, n, 1, 32).map { idL =>
+          val id = idL.longValue
+          val u = (mix(id * 31L + 17L) >>> 11).toDouble / (1L << 53).toDouble
+          val c = math.min(g - 1, (u * u * g).toInt)
+          val cent = unitVec(1000003L + c, 7)
+          val rnd = new java.util.Random(mix(id * 2654435761L + 3))
+          val v = cent.map(x => x + spread * rnd.nextGaussian())
+          val nn = math.sqrt(v.map(x => x * x).sum)
+          (id, v.map(x => (x / nn).toFloat).toSeq)
+        }.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dirC)
+      }
+      val embC = spark.read.parquet(dirC).persist()
+      log(s"[zipf-clustered corpus, n=${embC.count()}, $g latent centers] tau=$tau")
+      probeSrc("frozen-r18 ", embC, n, frozenSrc(8), Seq.empty)
+      probeSrc("frozen-prod", embC, n, frozenSrc(nCent), Seq.empty)
+      for (rounds <- Seq(2, 5)) {
+        val (lloydC, tLC) = timeIt(Ann.lloydCentroids(
+          embC.select(col("vec_id"), col("embedding")), nCent, rounds))
+        log(f"lloyd train (clustered): k=$nCent rounds=$rounds wall=$tLC%.1f s")
+        probeSrc(f"lloyd-r$rounds%-3d ", embC, n, lloydC, Seq.empty)
+      }
+      embC.unpersist()
     }
 
     if (probes("dedup")) {

@@ -1796,6 +1796,15 @@ object SparkEntry {
 
     // fasttext-style hashed linear quality classifier INFERENCE with a
     // frozen fixed-point model: exact BIGINT scores, md5-bucket hash
+    // classifier TRAINING stage (r19, VERDICT r18 #4): per-bucket
+    // integer count stats + fixed-point Laplace keep-rate weights from
+    // a 10% seed sample labeled by the library's own frozen filter (a
+    // self-contained distillation loop; production passes real labels
+    // through trainFromLabels). All-integer → hash-green.
+    "pipe_quality_train" -> ((s, dir) =>
+      pipeline.Pipeline.qualityClassifierTrain(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))),
+
     "pipe_quality_classifier" -> ((s, dir) =>
       pipeline.Pipeline.qualityClassifier(Tables.documents(s, dir))),
 
@@ -4740,6 +4749,7 @@ object SparkEntry {
     "pipe_tokenizer_fertility" -> pipeline.Pipeline.tokenizerFertilitySql,
 
     "pipe_quality_classifier" -> pipeline.Pipeline.qualityClassifierSql(),
+    "pipe_quality_train" -> pipeline.Pipeline.qualityClassifierTrainSql(),
 
     "pipe_curriculum" -> pipeline.Pipeline.curriculumOrderSql(7, 100),
 

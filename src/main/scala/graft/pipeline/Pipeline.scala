@@ -1763,19 +1763,22 @@ object Pipeline {
     * weight lookup → map-side-combinable per-doc BIGINT sum; the
     * model is nBuckets longs of plan metadata, no join at all. */
   def qualityClassifier(docs: DataFrame, nBuckets: Int = 1024,
-      seed: Long = 424242L): DataFrame = {
-    val w = frozenClassifierWeights(nBuckets, seed)
-    val wLit = typedlit(w)
-    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-    val bigrams = when(size(col("tk")) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
-        i => concat(element_at(col("tk"), i), lit(" "),
-          element_at(col("tk"), i + 1))))
+      seed: Long = 424242L): DataFrame =
+    qualityClassifierWith(docs, frozenClassifierWeights(nBuckets, seed))
+
+  /** [[qualityClassifier]] inference over an ARBITRARY weight vector —
+    * the seam [[qualityClassifierTrain]]'s learned weights plug into
+    * (train → `trainedWeights` → here is the self-contained loop; the
+    * frozen seeded vector stays the wired hash-green form). Same
+    * zero-join shape: the model rides the plan as `size(weights)`
+    * longs of metadata. */
+  def qualityClassifierWith(docs: DataFrame,
+      weights: IndexedSeq[Long]): DataFrame = {
+    val nBuckets = weights.size
+    val wLit = typedlit(weights)
     val bucket = (conv(substring(md5(col("f").cast("binary")), 1, 6),
       16, 10).cast("long") % nBuckets).cast("int")
-    docs.select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"),
-        explode(concat(col("tk"), bigrams)).as("f"))
+    qualityFeatureRows(docs)
       .select(col("doc_id"), element_at(wLit, bucket + 1).as("wt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("score_fp"))
@@ -1783,6 +1786,76 @@ object Pipeline {
         (col("score_fp").cast("double") / lit(1048576.0)).as("score"),
         when(col("score_fp") > 0L, lit("keep")).otherwise(lit("drop"))
           .as("label"))
+  }
+
+  /** The classifier's feature grain — one (doc_id, f) row per unigram
+    * and space-joined bigram — shared by inference and training so the
+    * two stages cannot hash different features. */
+  private def qualityFeatureRows(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val bigrams = when(size(col("tk")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(" "),
+          element_at(col("tk"), i + 1))))
+    docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(concat(col("tk"), bigrams)).as("f"))
+  }
+
+  /** Quality-classifier TRAINING stage (r19 — VERDICT r18 #4): derive
+    * the per-bucket weights from a LABELED seed sample as exact integer
+    * count statistics, making the classifier self-contained rather
+    * than model-by-fiat. Per feature bucket b over the seed's feature
+    * instances: n_pos (occurrences in keep-labeled docs), n_neg, and a
+    * Laplace-smoothed fixed-point (2⁻²⁰) CENTERED keep-rate weight
+    *
+    *   weight_fp = ⌊(n_pos+1)·2²⁰ / (n_pos+n_neg+2)⌋ − 2¹⁹
+    *
+    * — positive iff the bucket's features skew keep. All-integer: the
+    * division is non-negative over a positive denominator, so floor =
+    * truncation in BOTH engines (no DuckDB `//` vs Spark `div`
+    * rounding hazard), and every intermediate fits BIGINT up to
+    * 2⁴³ ≈ 8.8·10¹² feature instances per bucket — beyond that the
+    * DSIR discipline applies (compute in DECIMAL(38,0)/HUGEINT).
+    *
+    * The wired query labels its seed with the library's OWN frozen
+    * filter (a distillation loop — self-contained and hash-green); a
+    * production run passes human/LLM labels in the `pos` column.
+    * Scale shape: one feature explode over the SEED (a sample, not the
+    * corpus), map-side-combinable integer agg keyed by ≤ nBuckets
+    * values — the train stage is strictly cheaper than one corpus
+    * inference pass. */
+  def qualityClassifierTrain(seed: DataFrame, nBuckets: Int = 1024,
+      labelerSeed: Long = 424242L): DataFrame = {
+    val labeled = qualityClassifier(seed, nBuckets, labelerSeed)
+      .select(col("doc_id"), (col("score_fp") > 0L).cast("int").as("pos"))
+    trainFromLabels(seed, labeled, nBuckets)
+  }
+
+  /** Training over EXPLICIT labels (doc_id, pos ∈ {0,1}) — the
+    * production entry the wired distillation query composes with. */
+  def trainFromLabels(seed: DataFrame, labels: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val bucket = (conv(substring(md5(col("f").cast("binary")), 1, 6),
+      16, 10).cast("long") % nBuckets).cast("int")
+    qualityFeatureRows(seed)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .join(labels, Seq("doc_id"))
+      .groupBy("bucket")
+      .agg(sum(col("pos").cast("long")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_pos"), col("n_neg"),
+        expr("((n_pos + 1) * 1048576) div (n_pos + n_neg + 2) - 524288")
+          .as("weight_fp"))
+  }
+
+  /** Densify trained per-bucket stats into the inference weight vector
+    * (unseen buckets get weight 0 — no evidence, no vote). The collect
+    * is ≤ nBuckets rows — model metadata, not data. */
+  def trainedWeights(stats: DataFrame, nBuckets: Int): IndexedSeq[Long] = {
+    val m = stats.select(col("bucket").cast("int"), col("weight_fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    IndexedSeq.tabulate(nBuckets)(b => m.getOrElse(b, 0L))
   }
 
   /** Frozen seeded classifier weights: integers in [−2¹⁹, 2¹⁹) — the
@@ -1796,7 +1869,7 @@ object Pipeline {
   /** The DuckDB twin of [[qualityClassifier]] — same weights, same
     * md5-bucket hash (base-16 horner over strpos, ≡ Spark's conv). */
   def qualityClassifierSql(nBuckets: Int = 1024,
-      seed: Long = 424242L): String = {
+      seed: Long = 424242L, src: String = "documents"): String = {
     val w = frozenClassifierWeights(nBuckets, seed)
     val wList = w.mkString("[", ", ", "]")
     // base-16 horner over the 6-hex md5 prefix: strpos is 1-based
@@ -1806,7 +1879,7 @@ object Pipeline {
       .mkString(" + ")
     raw"""WITH d AS (SELECT doc_id,
          |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-         |      FROM documents),
+         |      FROM $src),
          |f AS (SELECT doc_id, unnest(tk) AS f FROM d
          |      UNION ALL
          |      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
@@ -1821,6 +1894,42 @@ object Pipeline {
          |       CAST(score_fp AS DOUBLE) / 1048576.0 AS score,
          |       CASE WHEN score_fp > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM s""".stripMargin
+  }
+
+  /** The DuckDB twin of [[qualityClassifierTrain]] — the same feature
+    * grain, the same md5-horner buckets, the frozen labeler run via
+    * [[qualityClassifierSql]] over the same seed predicate, and the
+    * same all-integer weight formula (`//` = Spark `div`: both
+    * truncate, and the dividend is non-negative so floor ≡ trunc). */
+  def qualityClassifierTrainSql(nBuckets: Int = 1024,
+      seed: Long = 424242L, seedWhere: String = "doc_id % 10 = 0"): String = {
+    val labeler = qualityClassifierSql(nBuckets, seed,
+      src = s"(SELECT * FROM documents WHERE $seedWhere) sd")
+    val hx = "0123456789abcdef"
+    val horner = (1 to 6).map(i =>
+      s"(strpos('$hx', substr(h, $i, 1)) - 1) * ${1L << (4 * (6 - i))}")
+      .mkString(" + ")
+    raw"""WITH lab AS (SELECT doc_id,
+         |        CASE WHEN score_fp > 0 THEN 1 ELSE 0 END AS pos
+         |      FROM ($labeler) lq),
+         |sd AS (SELECT doc_id,
+         |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+         |      FROM documents WHERE $seedWhere),
+         |f AS (SELECT doc_id, unnest(tk) AS f FROM sd
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |               i -> tk[i] || ' ' || tk[i+1])) AS f
+         |      FROM sd WHERE len(tk) >= 2),
+         |b AS (SELECT doc_id, ($horner) % $nBuckets AS bkt
+         |      FROM (SELECT doc_id, substr(md5(f), 1, 6) AS h FROM f) t),
+         |agg AS (SELECT bkt, sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+         |        FROM b JOIN lab USING (doc_id) GROUP BY bkt)
+         |SELECT CAST(bkt AS BIGINT) AS bucket,
+         |       CAST(n_pos AS BIGINT) AS n_pos,
+         |       CAST(n_neg AS BIGINT) AS n_neg,
+         |       CAST(((n_pos + 1) * 1048576) // (n_pos + n_neg + 2) - 524288
+         |            AS BIGINT) AS weight_fp
+         |FROM agg""".stripMargin
   }
 
   /** DEDUP-CASCADE audit report (round 18 — the per-stage removal

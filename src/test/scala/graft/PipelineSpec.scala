@@ -467,6 +467,78 @@ class PipelineSpec extends SparkSpec {
       s"expected both labels under the seeded model, got $labels")
   }
 
+  test("qualityClassifierTrain: bucket stats replay naively; the weight " +
+      "formula is the exact integer form (r19)") {
+    val seed = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0)
+    val got = Pipeline.qualityClassifierTrain(seed).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // naive recompute: teacher labels from the frozen classifier, then
+    // per-bucket feature-instance counts and the Laplace weight
+    val w = {
+      val rnd = new java.util.Random(424242L)
+      IndexedSeq.fill(1024)((rnd.nextInt(1 << 20) - (1 << 19)).toLong)
+    }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bkt(f: String): Int =
+      (java.lang.Long.parseLong(md5hex(f).take(6), 16) % 1024).toInt
+    val docs = seed.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    docs.foreach { case (_, text) =>
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = tk ++ tk.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      if (feats.nonEmpty) {
+        val pos = feats.map(f => w(bkt(f))).sum > 0
+        feats.foreach { f =>
+          val b = bkt(f)
+          val (p, n) = counts.getOrElse(b, (0L, 0L))
+          counts(b) = if (pos) (p + 1, n) else (p, n + 1)
+        }
+      }
+    }
+    val expect = counts.map { case (b, (p, n)) =>
+      b.toLong -> (p, n, (p + 1) * 1048576L / (p + n + 2) - 524288L) }.toMap
+    assert(got == expect && got.nonEmpty)
+    // the learned signal is non-vacuous: weights of both signs
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 0))
+  }
+
+  test("train→infer round trip (r19): weights distilled from the frozen " +
+      "teacher reproduce its decisions on a crafted fixture") {
+    import spark.implicits._
+    // single-token docs: the teacher's decision for each doc is exactly
+    // the sign of its token's frozen bucket weight, so a faithful
+    // student must recover the decision wherever the bucket's evidence
+    // is unanimous (hash collisions with conflicting teachers are the
+    // only sanctioned disagreement — computed, not assumed)
+    val fx = (0 until 300)
+      .map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+    val teacher = Pipeline.qualityClassifier(fx).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val stats = Pipeline.qualityClassifierTrain(fx)
+    val weights = Pipeline.trainedWeights(stats, 1024)
+    val student = Pipeline.qualityClassifierWith(fx, weights).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // unanimity at the bucket grain, from the fixture itself
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val byBucket = (0 until 300).groupBy(i =>
+      (java.lang.Long.parseLong(md5hex(s"tok$i").take(6), 16) % 1024).toInt)
+    val unanimous = byBucket.values.filter(ids =>
+      ids.map(i => teacher(i.toLong)).toSet.size == 1).flatten.toSet
+    assert(unanimous.size >= 250, s"fixture too collided: ${unanimous.size}")
+    unanimous.foreach { i =>
+      assert(student(i.toLong) == teacher(i.toLong),
+        s"doc $i: student ${student(i.toLong)} != teacher ${teacher(i.toLong)}")
+    }
+    assert(teacher.values.toSet == Set("keep", "drop"),
+      "fixture must exercise both teacher labels")
+  }
+
   test("semDedup: pruned set replays naively under the frozen " +
       "assignment; pruning is within-cluster only; keeper rule is " +
       "(max cos, min id) (r18)") {
