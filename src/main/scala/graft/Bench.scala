@@ -166,7 +166,12 @@ object Bench {
     }
     // the HOST floor gates the brackets (data-independent)
     def hostRef: Option[Double] = hostCalibs.reduceOption(_ min _)
-    def dirtyCalib(c: Double): Boolean = BenchGuard.dirtyCalib(c, hostRef)
+    // margin adapts to THIS run's probe spread (r18 ADVICE: the 0.2 s
+    // constant was calibrated to one box's distribution; the estimator
+    // only ever widens past that floor)
+    def margin: Double = BenchGuard.absMargin(hostCalibs.toSeq)
+    def dirtyCalib(c: Double): Boolean =
+      BenchGuard.dirtyCalib(c, hostRef, margin)
 
     // untimed warm pass of the calibration query + host probe: the
     // very first execution pays whole-stage-codegen JIT (~1 s), which
@@ -277,7 +282,8 @@ object Bench {
     // query floor and let host stalls up to ~2×(ref/hostRef) the probe
     // floor stamp clean (and the gap widens with SF, since q6 scales
     // with data and the probe does not).
-    val dirtyNames = BenchGuard.dirtyQueries(allBrackets.toSeq, names, hostRef)
+    val dirtyNames = BenchGuard.dirtyQueries(allBrackets.toSeq, names,
+      hostRef, margin)
     val contaminated = dirtyNames.nonEmpty
 
     // The driver captures only the last 2000 chars of the build log

@@ -45,17 +45,40 @@ object BenchGuard {
     * NOISE as host dirt (80 phantom-dirty queries in the first r18
     * full run). A reading is dirty only when it exceeds the floor by
     * BOTH the ratio and this margin; genuine contention still trips it
-    * easily (the r18 leaked-JVM incident held the probe at ×3–10). */
+    * easily (the r18 leaked-JVM incident held the probe at ×3–10).
+    *
+    * r19 (ADVICE r18): this constant is the FLOOR, calibrated to the
+    * r18 reference box's probe distribution (min 0.040 / p90 0.110 /
+    * max 0.221 over 78 probes → 3·(p90−min) = 0.21). [[absMargin]]
+    * re-derives the margin from THIS run's own probe spread by the
+    * same estimator, so a host class with a wider idle distribution
+    * widens its gate instead of minting phantom dirt — the margin only
+    * ever grows past the floor, never loosens below it. */
   val AbsMargin = 0.2
 
-  def dirtyCalib(c: Double, ref: Option[Double]): Boolean =
-    c >= 0 && ref.exists(r => c > math.max(2 * r, r + AbsMargin))
+  /** Margin derived from the observed host-probe spread: 3 × (p90 −
+    * min) of this run's calibrations, floored at [[AbsMargin]]. Under
+    * 8 observations the quantile is noise — keep the floor. */
+  def absMargin(calibs: Seq[Double]): Double = {
+    val clean = calibs.filter(_ >= 0)
+    if (clean.size < 8) AbsMargin
+    else {
+      val sorted = clean.sorted
+      val p90 = sorted(math.round(0.9 * (sorted.size - 1)).toInt)
+      math.max(AbsMargin, 3.0 * (p90 - sorted.head))
+    }
+  }
+
+  def dirtyCalib(c: Double, ref: Option[Double],
+      margin: Double = AbsMargin): Boolean =
+    c >= 0 && ref.exists(r => c > math.max(2 * r, r + margin))
 
   /** Names with NO clean bracket under the final ref (v3 rule). */
   def dirtyQueries(all: Seq[Bracket], names: Seq[String],
-      ref: Option[Double]): Seq[String] = {
+      ref: Option[Double], margin: Double = AbsMargin): Seq[String] = {
     val clean = all
-      .filter(b => !dirtyCalib(b.calibBefore, ref) && !dirtyCalib(b.calibAfter, ref))
+      .filter(b => !dirtyCalib(b.calibBefore, ref, margin) &&
+        !dirtyCalib(b.calibAfter, ref, margin))
       .flatMap(_.queries).toSet
     names.filterNot(clean).sorted
   }

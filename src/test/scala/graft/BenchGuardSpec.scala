@@ -91,6 +91,29 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.dirtyCalib(0.55, Some(0.30)))
   }
 
+  test("absMargin derives from the run's own probe spread (r19, ADVICE " +
+      "r18): wide idle distributions widen the gate, narrow ones keep " +
+      "the floor, small samples keep the floor") {
+    // the r18 reference distribution reproduces its own constant:
+    // 3 * (p90 - min) = 3 * (0.110 - 0.040) = 0.21 ~ the 0.2 floor
+    val r18ish = Seq(0.040, 0.045, 0.050, 0.055, 0.060, 0.070, 0.080,
+      0.090, 0.110, 0.221)
+    assert(math.abs(BenchGuard.absMargin(r18ish) - 0.21) < 1e-9)
+    // a host class with double the spread doubles its margin instead of
+    // minting phantom dirt
+    val wide = r18ish.map(_ * 2)
+    assert(math.abs(BenchGuard.absMargin(wide) - 0.42) < 1e-9)
+    assert(!BenchGuard.dirtyCalib(0.44, Some(0.08), BenchGuard.absMargin(wide)),
+      "idle reading inside the wide host's own spread must stamp clean")
+    // tight distributions never LOOSEN the gate below the floor
+    val tight = Seq.fill(20)(0.040) ++ Seq(0.041, 0.042)
+    assert(BenchGuard.absMargin(tight) == BenchGuard.AbsMargin)
+    // under 8 observations the quantile is noise — floor
+    assert(BenchGuard.absMargin(Seq(0.04, 9.9)) == BenchGuard.AbsMargin)
+    // errored sentinels are excluded from the estimator
+    assert(BenchGuard.absMargin(Seq.fill(10)(-1.0)) == BenchGuard.AbsMargin)
+  }
+
   test("parseRef round-trips the machine-written reference file") {
     val json = """{"calib_ref":0.135,"sf":"/x/sf0.1","queries":{"q1":0.5,"dedup_exact":0.140}}"""
     val Some((floor, qs)) = BenchGuard.parseRef(json)
