@@ -355,9 +355,10 @@ object AnnScaleProbe {
         // this box — a skip line IS the measurement (that volume is the
         // operator's cost)
         if (pairWork <= 2_000_000_000L) {
-          val (pruned, t) = timeIt(
-            Pipeline.semDedupWith(e, cents, tau).persist())
-          val nPruned = pruned.count()
+          val pruned = Pipeline.semDedupWith(e, cents, tau).persist()
+          // the count MATERIALIZES the prune (assignment + within-
+          // cluster join) — that is the wall being measured
+          val (nPruned, t) = timeIt(pruned.count())
           val rec =
             if (planted.isEmpty) -1.0
             else {
@@ -407,13 +408,54 @@ object AnnScaleProbe {
       log(s"[zipf-clustered corpus, n=${embC.count()}, $g latent centers] tau=$tau")
       probeSrc("frozen-r18 ", embC, n, frozenSrc(8), Seq.empty)
       probeSrc("frozen-prod", embC, n, frozenSrc(nCent), Seq.empty)
-      for (rounds <- Seq(2, 5)) {
+      // r5 ≈ r2 on occupancy (measured 10⁴–10⁶); pay it only below 10⁶
+      for (rounds <- if (n >= 1000000L) Seq(2) else Seq(2, 5)) {
         val (lloydC, tLC) = timeIt(Ann.lloydCentroids(
           embC.select(col("vec_id"), col("embedding")), nCent, rounds))
         log(f"lloyd train (clustered): k=$nCent rounds=$rounds wall=$tLC%.1f s")
         probeSrc(f"lloyd-r$rounds%-3d ", embC, n, lloydC, Seq.empty)
       }
       embC.unpersist()
+    }
+
+    if (probes("maintcost")) {
+      // maintain() cost under CONCURRENT ingest+probe (r19, VERDICT r18
+      // #6 stretch): the serving story is spec'd for correctness
+      // (probe-during-retrain sees complete committed eras, never a
+      // torn mix) — this measures its COST: probe latency while an
+      // appendBatch ingests a 10% delta, vs quiet-index latency.
+      log(s"--- maintain() under concurrent ingest+probe: nCentroids=$nCent ---")
+      val root = s"/tmp/annscale/mc$n"
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val corpus90 = emb.filter(col("vec_id") % 10 =!= 3)
+      val delta10 = emb.filter(col("vec_id") % 10 === 3)
+      val (_, tTrain) = timeIt(AnnIndex.trainCentroids(corpus90, 0L, root, nCent, 3))
+      val (_, tIngest0) = timeIt(AnnIndex.appendBatch(corpus90, 0L, root))
+      log(f"build: train=$tTrain%.1f s ingest(90%%)=$tIngest0%.1f s")
+      def probeOnce(): Double = {
+        val (_, t) = timeIt(
+          AnnIndex.ivfTopKIndexed(spark, root, emb, NQueries, K, nprobe = 8).count())
+        t
+      }
+      val quiet = (1 to 3).map(_ => probeOnce())
+      log(f"probe latency quiet index: ${quiet.map(t => f"$t%.1f").mkString("/")} s")
+      // concurrent: one thread ingests the delta while probes loop
+      @volatile var ingestWall = -1.0
+      val ingester = new Thread(() => {
+        val (_, t) = timeIt(AnnIndex.appendBatch(delta10, 1L, root))
+        ingestWall = t
+      })
+      ingester.start()
+      val during = scala.collection.mutable.ArrayBuffer[Double]()
+      while (ingester.isAlive) during += probeOnce()
+      ingester.join()
+      log(f"ingest(10%% delta) under probes: wall=$ingestWall%.1f s; " +
+        f"probe latency during: ${during.map(t => f"$t%.1f").mkString("/")} s " +
+        f"(quiet best ${quiet.min}%.1f s)")
+      val after = (1 to 2).map(_ => probeOnce())
+      log(f"probe latency after commit: ${after.map(t => f"$t%.1f").mkString("/")} s " +
+        s"(index rows ${AnnIndex.assignments(spark, root).count()})")
     }
 
     if (probes("dedup")) {
