@@ -269,8 +269,18 @@ object AnnScaleProbe {
       val root256 = s"/tmp/annscale/idx256s$n"
       org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(root256), true)
+      // At 10⁷ the COARSE quantizer also trains on the 10% sample: the
+      // r17 under-training finding (coarse needs ≥ ~100 vectors/list;
+      // the 10⁵ sample gave 31/list and halved recall) INVERTS once the
+      // sample itself is big — 10⁶ sampled vectors over ⌈√10⁷⌉=3163
+      // lists is 316/list, above the floor — and full-frame coarse
+      // Lloyd at n·k = 10⁷·3163 extrapolates to ~3 h on this box (the
+      // r19 first attempt ran >1.7 h without completing; the n·k cost
+      // law measured at 10⁶ predicts ×31.6). Sampled-coarse is also
+      // the faiss default at this scale.
+      val coarseOn = if (n >= 10000000L) sample256 else emb
       val (_, tTrain256) = timeIt(
-        AnnIndex.trainCentroids(emb, 0L, root256, nCent, 3, pqM = 16,
+        AnnIndex.trainCentroids(coarseOn, 0L, root256, nCent, 3, pqM = 16,
           pqKs = 256, pqTrainOn = sample256))
       val (_, tIngest256) = timeIt(
         (0L until 3L).foreach(b =>
