@@ -296,6 +296,23 @@ object AnnScaleProbe {
       }
     }
 
+    if (probes("ivfadc256probe")) {
+      // probe an ALREADY-BUILT ks=256 index (skip the 50-min build):
+      // the refine ladder at 10⁷ — the r17 law says refine must scale
+      // with the corpus (ADC noise admits more false candidates as the
+      // sphere densifies; a fixed survivor budget then evicts true
+      // neighbors before the exact rescore sees them)
+      val root256 = s"/tmp/annscale/idx256s$n"
+      for ((nprobe, refine) <- Seq((64, 400), (128, 400), (64, 40))) {
+        val (got, t) = timeIt(
+          AnnIndex.ivfpqTopKIndexed(spark, root256, emb, NQueries, K,
+            nprobe, refine).persist())
+        got.count()
+        log(f"ivfadc256 nprobe=$nprobe%2d refine=$refine%3d recall@5=${recallOf(got, truth)}%.3f wall=$t%.1f s")
+        got.unpersist()
+      }
+    }
+
     if (probes("quant")) {
       log("--- scalar/binary quantization floors ---")
       val (i8, t8) = timeIt(Ann.int8TopK(emb, NQueries, K).persist())
