@@ -365,10 +365,18 @@ object AnnScaleProbe {
         val assign = Ann.centroidAssigner(spark, Ann.centMatrix(cents))
         val occ = e.select(assign(col("embedding"), 1).getItem(0).as("c"))
           .groupBy("c").count().collect().map(_.getLong(1))
-        val tot = occ.sum
-        val mean = tot.toDouble / cents.size // empty cells count: k is the model divisor
-        val pairWork = occ.map(m => m * (m - 1) / 2).sum
-        (occ.max, occ.max / mean, pairWork)
+        // r20 (ADVICE r19): a degenerate source (empty frame or null
+        // clusters from a bad centroid set) must log zeros, not abort
+        // the whole sweep on occ.max over an empty array
+        if (occ.isEmpty) {
+          log("occStats: DEGENERATE source (no assignments) — zeros")
+          (0L, 0.0, 0L)
+        } else {
+          val tot = occ.sum
+          val mean = tot.toDouble / cents.size // empty cells count: k is the model divisor
+          val pairWork = occ.map(m => m * (m - 1) / 2).sum
+          (occ.max, occ.max / mean, pairWork)
+        }
       }
       def probeSrc(name: String, e: DataFrame, nRows: Long,
           cents: Seq[(Int, Seq[Double])],

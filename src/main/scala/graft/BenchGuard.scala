@@ -56,16 +56,27 @@ object BenchGuard {
     * ever grows past the floor, never loosens below it. */
   val AbsMargin = 0.2
 
-  /** Margin derived from the observed host-probe spread: 3 × (p90 −
+  /** Margin derived from the observed host-probe spread: 3 × (median −
     * min) of this run's calibrations, floored at [[AbsMargin]]. Under
-    * 8 observations the quantile is noise — keep the floor. */
+    * 8 observations the quantile is noise — keep the floor.
+    *
+    * r20 (ADVICE r19): the r19 estimator used 3·(p90 − min), which is
+    * NOT contention-robust — intermittent contention (the r18
+    * leaked-JVM class) inflates the upper tail while min stays clean,
+    * so the gate widened exactly when contention occurred (min 0.04 /
+    * p90 0.4 gave a 1.2 s margin that stamped the dirt it should
+    * catch as clean). The median needs MOST probes contended before
+    * it moves, and a majority-contended run is caught by the bracket
+    * rule and the ref guard anyway; a genuinely-wide idle host class
+    * (median well off its min) still widens its gate. Spec-pinned
+    * both ways in `BenchGuardSpec`. */
   def absMargin(calibs: Seq[Double]): Double = {
     val clean = calibs.filter(_ >= 0)
     if (clean.size < 8) AbsMargin
     else {
       val sorted = clean.sorted
-      val p90 = sorted(math.round(0.9 * (sorted.size - 1)).toInt)
-      math.max(AbsMargin, 3.0 * (p90 - sorted.head))
+      val p50 = sorted(math.round(0.5 * (sorted.size - 1)).toInt)
+      math.max(AbsMargin, 3.0 * (p50 - sorted.head))
     }
   }
 

@@ -1680,18 +1680,39 @@ object Pipeline {
     * oracle twin (the clusterCard precedent).
     *
     * Index construction cost, not query cost: one count (k sizing),
-    * `lloydRounds` broadcast-assign/mean rounds, then the bounded
-    * prune. At 100 TB the centroid snapshot comes from
-    * `AnnIndex.trainCentroids`' versioned store instead of training
-    * inline — pass its centroids through `k`/`centroids` wiring via
-    * [[semDedupWith]]. */
+    * `lloydRounds` broadcast-assign/mean rounds over a BOUNDED
+    * training sample, then the bounded prune. Lloyd trains on at most
+    * `trainPerCentroid`·k vectors (r20 — VERDICT r19 #3: full-frame
+    * Lloyd at n=10⁷/k=√n is the ~3 h n·k wall the IVFADC probe
+    * measured and avoided by sampling; the faiss ~100–300
+    * vectors/centroid rule, the pqTrainOn discipline). Membership is
+    * the md5(vec_id) 6-hex band — deterministic, no RNG state; at the
+    * verify SFs n ≤ the cap so the wired query trains full-frame,
+    * unchanged. `trainPerCentroid = 0` forces full-frame training.
+    * At 100 TB the centroid snapshot instead comes from
+    * `AnnIndex.trainCentroids`' versioned store — read it with
+    * `AnnIndex.readCentroids(spark, root)` and pass the snapshot as
+    * [[semDedupWith]]'s `centroids` argument (the seam `SemDedupSpec`
+    * drives end-to-end over a real trained index). */
   def semDedupTrained(emb: DataFrame, tau: Double, k: Int = 0,
-      lloydRounds: Int = 2): DataFrame = {
+      lloydRounds: Int = 2, trainPerCentroid: Int = 200): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
+    val n = e.count()
     val kk =
       if (k > 0) k
-      else math.max(1, math.ceil(math.sqrt(e.count().toDouble)).toInt)
-    val cents = graft.similarity.Ann.lloydCentroids(e, kk, lloydRounds)
+      else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cap = trainPerCentroid.toLong * kk
+    val train =
+      if (trainPerCentroid <= 0 || n <= cap) e
+      else {
+        // 6-hex md5 band at rate cap/n (the weightedMix discipline):
+        // expected cap vectors ≈ trainPerCentroid per centroid
+        val thr = "%06x".format(math.min(0xffffffL,
+          math.round(0xffffffL * (cap.toDouble / n))))
+        e.filter(substring(md5(col("vec_id").cast("string")
+          .cast("binary")), 1, 6) < lit(thr))
+      }
+    val cents = graft.similarity.Ann.lloydCentroids(train, kk, lloydRounds)
     semDedupWith(emb, cents, tau)
   }
 

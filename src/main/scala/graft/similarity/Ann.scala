@@ -168,12 +168,20 @@ object Ann {
   def hardNegativesFromPool(emb: DataFrame, nQueries: Int, k: Int,
       pool: Int,
       poolSource: (DataFrame, Int, Int) => DataFrame): DataFrame = {
-    val cand = poolSource(emb, nQueries, pool)
+    val cand0 = poolSource(emb, nQueries, pool)
       .select(col("query_id"), col("cand_id"), col("cos_sim"))
+    // r20 (ADVICE r19): the broadcast hint is only safe while the pool
+    // frame is genuinely slim — the contract allows pool up to the
+    // corpus size (the exhaustive-pool equivalence spec uses pool = n),
+    // where an unconditional hint would force corpus-scale rows through
+    // the driver. Past the bound the optimizer picks the join side.
+    val cand =
+      if (pool.toLong * nQueries <= BroadcastPoolRowBound) broadcast(cand0)
+      else cand0
     val labels = emb.select(col("vec_id"), col("label"))
     val qLab = labels.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"))
-    val decorated = broadcast(cand)
+    val decorated = cand
       .join(labels.select(col("vec_id").as("cand_id"),
         col("label").as("neg_label")), Seq("cand_id"))
     val top = decorated.join(broadcast(qLab), Seq("query_id"))
@@ -185,12 +193,21 @@ object Ann {
       .select(col("query_id"), (col("i") + 1).as("rank"),
         col("s.id").as("cand_id"), col("s.score").as("cos_sim"))
     // survivor side broadcasts against the slim corpus label projection
-    // — the hardNegatives decoration shape, hint pinned
-    broadcast(top).join(labels.select(col("vec_id").as("cand_id"),
+    // — the hardNegatives decoration shape; k·nQueries rows, gated by
+    // the same bound (k ≤ pool so this trips strictly later)
+    val topH =
+      if (k.toLong * nQueries <= BroadcastPoolRowBound) broadcast(top) else top
+    topH.join(labels.select(col("vec_id").as("cand_id"),
         col("label").as("neg_label")), Seq("cand_id"))
       .select(col("query_id"), col("rank"), col("cand_id"),
         col("neg_label"), col("cos_sim"))
   }
+
+  /** Row bound under which the hard-negative pool/survivor frames keep
+    * their explicit broadcast hint (slim 3–4 column rows — ~4M rows is
+    * well inside executor broadcast budgets; past it the optimizer's
+    * own size estimate decides the join side). */
+  private[graft] val BroadcastPoolRowBound = 4L * 1000 * 1000
 
   /** INT8 scalar-quantized top-k (r15 — the Lucene/ES 8.14
     * `int8_hnsw` quantization primitive re-expressed): each vector
@@ -603,20 +620,29 @@ object Ann {
     }
   }
 
-  /** Deterministic-seeded Lloyd refinement: seeds are the first
-    * `nCentroids` vectors by id, then `rounds` FIXED assign-to-nearest /
-    * recompute-mean iterations. Assignment is the [[graft.functions
-    * .TopCentroids]] expression (k=1) — one tight per-row loop against
-    * the constant centroid matrix, NO broadcast-join row explosion:
-    * the join + per-vector-argmax form materialized n·nCent rows whose
-    * struct-buffered aggregate plans as SortAggregate, which at ×100
-    * (7·10⁸ rows) sort-spilled the disk to death. Each round is one
-    * corpus scan + a (list, dim) mean agg; only nCentroids × dim
-    * doubles come back to the driver per round (metadata, not data).
-    * Empty clusters keep their previous centroid. Mean doubles are not
-    * bit-pinned across partitionings — an index-construction detail
-    * only; the search re-ranks with exact cosine inside the probed
-    * lists. */
+  /** Deterministic-seeded Lloyd refinement: seeds are the frame's
+    * FIRST `nCentroids` rows by id (`orderBy(vec_id).limit(k)` — r20,
+    * ADVICE r19: the previous `vec_id < k` prefix FILTER assumed dense
+    * 0-based ids; over a survivor frame (the cascade's semStage wiring)
+    * it silently collapsed the seed count to however many survivors
+    * happened to carry small ids — possibly zero, degrading effective k
+    * far below ⌈√n⌉ and reintroducing the quadratic hot-cell regime.
+    * On dense 0-based frames the two seedings are identical, so every
+    * wired query/spec is unchanged), then `rounds` FIXED
+    * assign-to-nearest / recompute-mean iterations. Assignment is the
+    * [[graft.functions.TopCentroids]] expression (k=1) — one tight
+    * per-row loop against the constant centroid matrix, NO
+    * broadcast-join row explosion: the join + per-vector-argmax form
+    * materialized n·nCent rows whose struct-buffered aggregate plans as
+    * SortAggregate, which at ×100 (7·10⁸ rows) sort-spilled the disk to
+    * death. Each round is one corpus scan + a (list, dim) mean agg;
+    * only nCentroids × dim doubles come back to the driver per round
+    * (metadata, not data). Empty clusters keep their previous centroid.
+    * A seed shortfall (n < k) is logged — downstream k degrades to n,
+    * which is the correct model (k clusters need k points). Mean
+    * doubles are not bit-pinned across partitionings — an
+    * index-construction detail only; the search re-ranks with exact
+    * cosine inside the probed lists. */
   private[graft] def lloydCentroids(emb: DataFrame, nCentroids: Int,
       rounds: Int): Seq[(Int, Seq[Double])] = {
     def toDoubles(a: Any): Seq[Double] = a.asInstanceOf[scala.collection.Seq[Any]].map {
@@ -624,9 +650,13 @@ object Ann {
       case d: Double => d
       case x => x.toString.toDouble
     }.toSeq
-    var cents: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
-      .map(r => (r.getLong(0).toInt, toDoubles(r.get(1)))).toSeq
+    var cents: Seq[(Int, Seq[Double])] = emb
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .limit(nCentroids).collect().zipWithIndex
+      .map { case (r, i) => (i, toDoubles(r.get(1))) }.toSeq
+    if (cents.size < nCentroids)
+      System.err.println(s"[lloydCentroids] seed shortfall: ${cents.size} " +
+        s"rows for k=$nCentroids — effective k degrades to ${cents.size}")
     (0 until rounds).foreach { _ =>
       // fresh assigner per round (the matrix changes every round); at
       // broadcast scale that is one broadcast per Lloyd round — index
@@ -650,14 +680,16 @@ object Ann {
   /** Deterministic-seeded Lloyd refinement over an arbitrary
     * (vec_id, e: array<double>) frame — the [[lloydCentroids]] loop
     * generalized so PQ can train per-SUBSPACE codebooks on sliced
-    * vectors. Same discipline: seeds are the first `ks` vectors by id,
-    * fixed `rounds` assign/mean iterations, empty clusters keep their
-    * previous centroid, only ks × dim doubles return per round. */
+    * vectors. Same discipline: seeds are the frame's first `ks` rows
+    * by id (orderBy+limit, not an absolute-id filter — the ADVICE r19
+    * sparse-id fix, identical on dense frames), fixed `rounds`
+    * assign/mean iterations, empty clusters keep their previous
+    * centroid, only ks × dim doubles return per round. */
   private def lloydOn(vecs: DataFrame, ks: Int, rounds: Int): Array[Array[Double]] = {
-    var cents: Seq[(Int, Seq[Double])] = vecs.filter(col("vec_id") < ks)
-      .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Double](r.fieldIndex("e")).toSeq)).toSeq
+    var cents: Seq[(Int, Seq[Double])] = vecs
+      .orderBy("vec_id").limit(ks).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Double](r.fieldIndex("e")).toSeq) }.toSeq
     (0 until rounds).foreach { _ =>
       val assign = centroidAssigner(vecs.sparkSession, centMatrix(cents))
       val means = vecs

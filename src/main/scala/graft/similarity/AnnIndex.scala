@@ -380,19 +380,35 @@ object AnnIndex {
     vsOld.unionByName(vsNew).dropDuplicates("a_id", "b_id")
   }
 
+  /** Probe-width law (r20 — VERDICT r19 #1, codifying the 10⁷
+    * measurement): CONSTANT COVERAGE DOES NOT TRANSFER ACROSS DECADES.
+    * At 10⁷ vectors / k=√n=3163 lists, refine saturates and the coarse
+    * probe MASS binds — recall holds ≥ 0.65 only once nprobe grows
+    * ~∝ k (the measured working point: nprobe 128 of 3163 lists,
+    * SCALING.md r19). A flat nprobe=8 that works at 10⁴–10⁵ (8 of 16
+    * lists = half the corpus) collapses to 8/3163 = 0.25% coverage at
+    * 10⁷ — the 0.36-recall cliff the probe measured. Default: an
+    * EXPLICIT nprobe > 0 is honored verbatim (the flat override);
+    * nprobe = 0 (auto) resolves per centroid VERSION to
+    * max(8, ⌈nLists/25⌉), so a retrained era with more lists probes
+    * proportionally wider while small indexes keep the wired floor. */
+  private[graft] def autoNprobe(nLists: Int): Int =
+    math.max(8, math.ceil(nLists / 25.0).toInt)
+
   def ivfTopKIndexed(spark: SparkSession, root: String, emb: DataFrame,
-      nQueries: Int, k: Int, nprobe: Int = 4): DataFrame = {
+      nQueries: Int, k: Int, nprobe: Int = 0): DataFrame = {
     val versions = centroidVersions(spark, root)
     require(versions.nonEmpty, s"no centroid snapshot under $root — train first")
     val all = assignments(spark, root)
     // per version: probe with that version's centroids, prune to its
     // cv= partitions — candidates from every era of the index
     val sim = versions.map { v =>
-      val assign = Ann.centroidAssigner(spark,
-        Ann.centMatrix(readCentroidsV(spark, root, v)))
+      val cents = readCentroidsV(spark, root, v)
+      val np = if (nprobe > 0) nprobe else autoNprobe(cents.size)
+      val assign = Ann.centroidAssigner(spark, Ann.centMatrix(cents))
       val queries = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(assign(col("embedding"), nprobe)).as("cent_id"))
+          explode(assign(col("embedding"), np)).as("cent_id"))
       val probed = queries.select("cent_id").distinct()
         .collect().map(_.getInt(0)).sorted // bounded: ≤ nQueries × nprobe
       val cand = all
@@ -443,7 +459,7 @@ object AnnIndex {
     * frame (sweep contract). Rows-only gate + recall/candidate-ratio
     * specs in `AnnIndexSpec`. */
   def ivfpqTopKIndexed(spark: SparkSession, root: String, emb: DataFrame,
-      nQueries: Int, k: Int, nprobe: Int = 4, refine: Int = 10): DataFrame = {
+      nQueries: Int, k: Int, nprobe: Int = 0, refine: Int = 10): DataFrame = {
     import graft.functions.TopKPairs
     val versions = centroidVersions(spark, root)
     require(versions.nonEmpty, s"no centroid snapshot under $root — train first")
@@ -465,11 +481,14 @@ object AnnIndex {
       else {
         val m = cbs.length
         val sub = cbs(0)(0).length
-        val assign = Ann.centroidAssigner(spark,
-          Ann.centMatrix(readCentroidsV(spark, root, v)))
+        val cents = readCentroidsV(spark, root, v)
+        // the probe-width law (see [[autoNprobe]]): explicit > 0 wins,
+        // auto scales with this version's trained list count
+        val np = if (nprobe > 0) nprobe else autoNprobe(cents.size)
+        val assign = Ann.centroidAssigner(spark, Ann.centMatrix(cents))
         val queries = emb.filter(col("vec_id") < nQueries)
           .select(col("vec_id").as("query_id"),
-            explode(assign(col("embedding"), nprobe)).as("cent_id"))
+            explode(assign(col("embedding"), np)).as("cent_id"))
           .withColumn("qi", element_at(qiMap, col("query_id")))
         val probed = queries.select("cent_id").distinct()
           .collect().map(_.getInt(0)).sorted // bounded: ≤ nQueries × nprobe

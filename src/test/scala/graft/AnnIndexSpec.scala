@@ -58,15 +58,18 @@ class AnnIndexSpec extends SparkSpec {
     buildIndex(root)
     val got = AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    // index-free recompute: same matrix, same probe, corpus assigned by
-    // the pure expression instead of read from the bucketed table
+    // index-free recompute: same matrix, same probe WIDTH as the auto
+    // default resolves for this index (the r20 nprobe law — the default
+    // is no longer a flat constant), corpus assigned by the pure
+    // expression instead of read from the bucketed table
     val mat = Ann.centMatrix(AnnIndex.readCentroids(spark, root))
+    val np = AnnIndex.autoNprobe(mat.length)
     val corpus = emb.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb"),
       GraftFunctions.topCentroids(col("embedding"), mat, 1).getItem(0).as("cent_id"))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(GraftFunctions.topCentroids(col("embedding"), mat, 4)).as("cent_id"))
+        explode(GraftFunctions.topCentroids(col("embedding"), mat, np)).as("cent_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("cand_id"))
     val expect = broadcast(queries).join(corpus, Seq("cent_id"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -75,6 +78,41 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
         r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("cand_id")))).toSet
     assert(got == expect && got.nonEmpty)
+  }
+
+  test("probe-width law (r20 — VERDICT r19 #1): the auto default scales " +
+      "nprobe with the trained list count; flat override still honored") {
+    // the floor: small indexes keep the wired nprobe=8 (8 of 16 lists)
+    assert(AnnIndex.autoNprobe(16) == 8)
+    assert(AnnIndex.autoNprobe(200) == 8)
+    // past the floor the law is nprobe = ceil(k/25) — the measured 10^7
+    // working point (SCALING.md r19: 128 of 3163 lists holds recall
+    // 0.656 where the flat 8 measured 0.36)
+    assert(AnnIndex.autoNprobe(1000) == 40)
+    assert(AnnIndex.autoNprobe(3163) == 127)
+    // the default CALL resolves through the law: auto == explicit at
+    // the resolved width, and an explicit flat value is honored verbatim
+    val root = tmp("ann-law")
+    buildIndex(root)
+    val nLists = AnnIndex.readCentroids(spark, root).size
+    def page(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val auto = page(AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 5))
+    val explicit = page(AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 5,
+      nprobe = AnnIndex.autoNprobe(nLists)))
+    assert(auto == explicit && auto.nonEmpty)
+    // flat override honored verbatim: width-1 candidates are each
+    // query's single nearest list only — a strict subset of the auto
+    // width's candidate pool, so every width-1 candidate id must also
+    // be reachable at the auto width
+    val cand1 = AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 100000, nprobe = 1)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candAuto = AnnIndex.ivfTopKIndexed(spark, root, emb, 10, 100000)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand1.nonEmpty && cand1.subsetOf(candAuto),
+      "width-1 override must probe a subset of the auto width's lists")
   }
 
   test("MMR pool-source equivalence (r16 #1): a full-probe index pool " +
@@ -218,12 +256,14 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     def eraCands(v: Long, corpusEra: DataFrame) = {
       val mat = Ann.centMatrix(AnnIndex.readCentroidsV(spark, root, v))
+      // the recompute mirrors the auto probe-width law per era (r20)
+      val np = AnnIndex.autoNprobe(mat.length)
       val corpus = corpusEra.select(col("vec_id").as("cand_id"),
         col("embedding").as("c_emb"),
         GraftFunctions.topCentroids(col("embedding"), mat, 1).getItem(0).as("cent_id"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(GraftFunctions.topCentroids(col("embedding"), mat, 4)).as("cent_id"))
+          explode(GraftFunctions.topCentroids(col("embedding"), mat, np)).as("cent_id"))
       broadcast(queries).join(corpus, Seq("cent_id"))
         .filter(col("query_id") =!= col("cand_id"))
         .withColumn("cos_sim", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))

@@ -91,20 +91,30 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.dirtyCalib(0.55, Some(0.30)))
   }
 
-  test("absMargin derives from the run's own probe spread (r19, ADVICE " +
-      "r18): wide idle distributions widen the gate, narrow ones keep " +
-      "the floor, small samples keep the floor") {
-    // the r18 reference distribution reproduces its own constant:
-    // 3 * (p90 - min) = 3 * (0.110 - 0.040) = 0.21 ~ the 0.2 floor
+  test("absMargin derives from the run's own probe spread (r20, ADVICE " +
+      "r19): median-based so intermittent contention cannot widen its " +
+      "own gate; wide idle hosts still widen, small samples keep the floor") {
+    // the ADVICE r19 scenario: min clean, upper tail contaminated by
+    // intermittent contention (min 0.04 / p90 0.4). The r19 p90
+    // estimator gave margin 3*(0.4-0.04) = 1.08 — looser exactly when
+    // contention occurred; the median estimator keeps the floor.
+    val contended = Seq(0.040, 0.045, 0.050, 0.055, 0.060, 0.065, 0.070,
+      0.300, 0.400, 0.450)
+    assert(BenchGuard.absMargin(contended) == BenchGuard.AbsMargin)
+    assert(BenchGuard.dirtyCalib(0.40, Some(0.045),
+      BenchGuard.absMargin(contended)),
+      "a contended probe must stamp dirty under the contaminated run's own gate")
+    // the r18 reference distribution (median 0.070) keeps the floor too
+    // (its own 3*(p90-min)=0.21 calibrated the floor in the first place)
     val r18ish = Seq(0.040, 0.045, 0.050, 0.055, 0.060, 0.070, 0.080,
       0.090, 0.110, 0.221)
-    assert(math.abs(BenchGuard.absMargin(r18ish) - 0.21) < 1e-9)
-    // a host class with double the spread doubles its margin instead of
-    // minting phantom dirt
-    val wide = r18ish.map(_ * 2)
-    assert(math.abs(BenchGuard.absMargin(wide) - 0.42) < 1e-9)
-    assert(!BenchGuard.dirtyCalib(0.44, Some(0.08), BenchGuard.absMargin(wide)),
-      "idle reading inside the wide host's own spread must stamp clean")
+    assert(BenchGuard.absMargin(r18ish) == BenchGuard.AbsMargin)
+    // a host class whose BULK is wide (median far off min — genuinely
+    // slow-and-noisy idle, not a contaminated tail) widens its gate
+    val wide = Seq(0.10, 0.12, 0.14, 0.16, 0.18, 0.20, 0.22, 0.24, 0.26, 0.30)
+    assert(math.abs(BenchGuard.absMargin(wide) - 0.30) < 1e-9)
+    assert(!BenchGuard.dirtyCalib(0.38, Some(0.10), BenchGuard.absMargin(wide)),
+      "idle reading inside the wide host's own bulk spread must stamp clean")
     // tight distributions never LOOSEN the gate below the floor
     val tight = Seq.fill(20)(0.040) ++ Seq(0.041, 0.042)
     assert(BenchGuard.absMargin(tight) == BenchGuard.AbsMargin)

@@ -145,6 +145,85 @@ class SemDedupSpec extends SparkSpec {
     assert(rep(1)._4 == frozenRep("2_fuzzy"))
   }
 
+  test("semDedupWith over a real AnnIndex.readCentroids snapshot (r20 — " +
+      "VERDICT r19 #3): the 100 TB seam end-to-end — train the index, " +
+      "read its centroids, prune through them; subset-of-exact holds and " +
+      "the result equals semDedupTrained at matched centroids") {
+    val tau = 0.4
+    val root = java.nio.file.Files.createTempDirectory("semdedup-seam")
+      .toString
+    // a REAL maintained index: centroids trained on the full corpus at
+    // the library defaults (k=16, 3 Lloyd rounds), corpus ingested in
+    // deterministic batches — the ann_ivf_indexed wiring shape
+    graft.similarity.AnnIndex.trainCentroids(emb, 0L, root)
+    (0L until 3L).foreach(b => graft.similarity.AnnIndex.appendBatch(
+      emb.filter(col("vec_id") % 3 === b), b, root))
+    val snapshot = graft.similarity.AnnIndex.readCentroids(spark, root)
+    assert(snapshot.size == 16, s"snapshot carries ${snapshot.size} centroids")
+    val viaIndex = rows(Pipeline.semDedupWith(emb, snapshot, tau))
+    assert(viaIndex.nonEmpty, "index-snapshot prune must fire at the verify SF")
+    // reuse-not-retrain: identical to training Lloyd inline at the same
+    // k/rounds (trainCentroids runs the same lloydCentroids machinery —
+    // the parquet round-trip must not perturb a double)
+    val viaInline = rows(Pipeline.semDedupTrained(emb, tau, k = 16,
+      lloydRounds = 3))
+    assert(viaIndex == viaInline,
+      "index-snapshot centroids must reproduce the inline-trained prune")
+    // the safety contract is centroid-source-independent: subset of the
+    // exact all-pairs prune, every reported mate a real > tau pair
+    val exactPairs = graft.dedup.Dedup.embeddingNearDup(emb, tau)
+      .filter(col("cos_sim") > tau)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Pipeline.semDedupWith(emb, snapshot, tau)
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    pairs.foreach(p => assert(exactPairs.contains(p), s"phantom pair $p"))
+    // and the CASCADE's semantic stage runs through the same seam
+    val docs = Tables.documents(spark, sfDir)
+    val rep = Pipeline.dedupCascadeReport(docs, emb,
+        semStage = Pipeline.semDedupWith(_, snapshot, tau))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rep.map(_._1).toSeq == Seq("1_exact", "2_fuzzy", "3_semantic"))
+    rep.foreach { case (_, in, rm, out) => assert(in - rm == out) }
+  }
+
+  test("sampled-train default (r20 — VERDICT r19 #3): past the " +
+      "trainPerCentroid cap Lloyd trains on the md5-band sample, and the " +
+      "subset-of-exact contract still holds") {
+    import spark.implicits._
+    // the 8-blob fixture at 50 points each: n=400 > cap=8*20, so the
+    // trained path samples ~160 vectors instead of the full frame
+    val pts = for {
+      g <- 0 until 8
+      i <- 0 until 50
+    } yield {
+      val v = Array.fill(64)(0.0f)
+      (0 until 4).foreach(d => v(8 * g + d) = 1.0f)
+      v(8 * g + 4 + i % 4) = 0.2f + 0.01f * (i % 5)
+      ((i * 8 + g).toLong, v.toSeq)
+    }
+    val fx = pts.toDF("vec_id", "embedding")
+    val tau = 0.4
+    val sampled = Pipeline.semDedupTrained(fx, tau, k = 8,
+      lloydRounds = 2, trainPerCentroid = 20)
+    val got = sampled.select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+    assert(got.nonEmpty, "sampled-train prune must fire on the blob fixture")
+    val exactPairs = graft.dedup.Dedup.embeddingNearDup(fx, tau)
+      .filter(col("cos_sim") > tau)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach(p => assert(exactPairs.contains(p), s"phantom pair $p"))
+    // trainPerCentroid=0 forces the full frame — the r19 behavior stays
+    // reachable and agrees with the default at verify scale (n <= cap)
+    val full = Pipeline.semDedupTrained(emb, tau, trainPerCentroid = 0)
+    val dflt = Pipeline.semDedupTrained(emb, tau)
+    assert(rows(full) == rows(dflt),
+      "below the cap the default must BE the full-frame train")
+  }
+
   test("empty corpus degrades to an empty frame with the semDedup schema") {
     val none = Pipeline.semDedupTrained(emb.limit(0), 0.4)
     assert(none.columns.toSeq ==
