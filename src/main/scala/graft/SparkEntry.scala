@@ -1416,6 +1416,14 @@ object SparkEntry {
     "text_ngrams" -> ((s, dir) =>
       text.TextOps.topNgrams(Tables.documents(s, dir), 20)),
 
+    // ES analyzer chain (r20, VERDICT r19 #6): stem → broadcast
+    // synonym token-map, same chain on both sides — "merges" stems to
+    // "merge" then maps to "join"; docs containing only "merge" match.
+    // Load-bearing both directions at every verify SF (spec-checked).
+    "text_analyzer_search" -> ((s, dir) =>
+      text.TextOps.analyzerSearch(Tables.documents(s, dir),
+        "merges big tables quickly sorting")),
+
     // ----- dedup (SURVEY §2 group 4) -----
 
     "dedup_exact" -> ((s, dir) =>
@@ -1807,6 +1815,14 @@ object SparkEntry {
 
     "pipe_quality_classifier" -> ((s, dir) =>
       pipeline.Pipeline.qualityClassifier(Tables.documents(s, dir))),
+
+    // classifier EVAL (r20, VERDICT r19 #4 — train→infer→MEASURE):
+    // exact TP/FP/FN/TN + precision/recall/F1 of the doc_id%10=0-seed
+    // distilled weights on the DISJOINT doc_id%10=5 held-out split,
+    // truth from the frozen labeler. Each ratio one IEEE division of
+    // two exact BIGINTs → hash-green.
+    "pipe_quality_eval" -> ((s, dir) =>
+      pipeline.Pipeline.qualityEval(Tables.documents(s, dir))),
 
     // curriculum schedule head: cleanest docs first (quality-rule
     // failure count as stage), seeded shuffle within stage
@@ -4135,6 +4151,9 @@ object SparkEntry {
         |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS ngram FROM t)
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
+    "text_analyzer_search" -> text.TextOps.analyzerSearchSql(
+      "merges big tables quickly sorting"),
+
     "mm_frame_sample" ->
       """WITH t AS (SELECT doc_id, text, length(text) // 256 + 1 AS n_frames FROM documents),
         |e AS (SELECT doc_id, text, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx FROM t)
@@ -4750,6 +4769,7 @@ object SparkEntry {
 
     "pipe_quality_classifier" -> pipeline.Pipeline.qualityClassifierSql(),
     "pipe_quality_train" -> pipeline.Pipeline.qualityClassifierTrainSql(),
+    "pipe_quality_eval" -> pipeline.Pipeline.qualityEvalSql(),
 
     "pipe_curriculum" -> pipeline.Pipeline.curriculumOrderSql(7, 100),
 

@@ -2244,4 +2244,121 @@ object TextOps {
          |       CAST(score_fp AS DOUBLE) / 1000000.0 AS score
          |FROM r WHERE rk <= $perDoc""".stripMargin
   }
+  /** ES ANALYZER CHAIN (r20 — VERDICT r19 #6, the scoped analyzer
+    * decision): lowercase+whitespace tokenize → light STEMMER → SYNONYM
+    * token map, the two ES token filters the repo's text surface
+    * lacked (`HBaseRiver.java:74-116` rivers raw qualifiers into ES
+    * where an index-time analyzer chain would run; this is that chain
+    * re-expressed as pure column expressions). The stemmer is the
+    * classic light S-stemmer plus -ly/-ing/-ed suffix rules with
+    * minimum stem lengths (no Porter table — deterministic, engine-
+    * mirrorable, and enough to conflate the query-side inflections a
+    * search user types). The synonym map is the ES synonym-filter
+    * shape: a BROADCAST-scale token→canonical table folded into the
+    * expression as a literal CASE chain (at 100 TB the map is plan
+    * metadata — zero joins, the analyzer streams through the scan
+    * inside whole-stage codegen). ASCII folding is deliberately out of
+    * scope: the synthetic corpus is pure ASCII, so a fold stage would
+    * be the identity — untestable here (SURVEY §2 records the
+    * decision).
+    *
+    * Order matters and is pinned: stem BEFORE synonym, so inflections
+    * land on the map's keys ("merges" → "merge" → "join"). Both sides
+    * of a search run the SAME chain (ES semantics): the corpus side
+    * exercises the synonym map (the fixed corpus vocabulary is
+    * uninflected), the query side exercises the stemmer. */
+  val analyzerSynonyms: Seq[(String, String)] = Seq(
+    "merge" -> "join", "agg" -> "aggregate", "dup" -> "duplicate",
+    "big" -> "large", "fast" -> "quick", "slow" -> "sluggish")
+
+  /** Driver-side reference analyzer (one rule set, three compiles: this
+    * Scala form analyzes QUERY strings and is the spec oracle for the
+    * Column and SQL forms). */
+  private[graft] def stemTerm(w: String): String =
+    if (w.length > 4 && w.endsWith("ies")) w.dropRight(3) + "y"
+    else if (w.length > 4 && w.endsWith("ly")) w.dropRight(2)
+    else if (w.length > 5 && w.endsWith("ing")) w.dropRight(3)
+    else if (w.length > 4 && w.endsWith("ed")) w.dropRight(2)
+    else if (w.endsWith("ss")) w
+    else if (w.length > 3 && w.endsWith("s")) w.dropRight(1)
+    else w
+
+  private[graft] def analyzeTerm(w: String): String = {
+    val s = stemTerm(w.toLowerCase)
+    analyzerSynonyms.toMap.getOrElse(s, s)
+  }
+
+  /** The stemmer as a column expression — rule-for-rule the
+    * [[stemTerm]] reference (equality spec-pinned over the corpus
+    * vocabulary plus crafted inflections in `TextHygieneSpec`). */
+  private def stemCol(t: Column): Column = {
+    val len = length(t)
+    when(len > 4 && t.endsWith("ies"),
+        concat(t.substr(lit(1), len - 3), lit("y")))
+      .when(len > 4 && t.endsWith("ly"), t.substr(lit(1), len - 2))
+      .when(len > 5 && t.endsWith("ing"), t.substr(lit(1), len - 3))
+      .when(len > 4 && t.endsWith("ed"), t.substr(lit(1), len - 2))
+      .when(t.endsWith("ss"), t)
+      .when(len > 3 && t.endsWith("s"), t.substr(lit(1), len - 1))
+      .otherwise(t)
+  }
+
+  private def synonymCol(t: Column): Column = {
+    val head = analyzerSynonyms.head
+    analyzerSynonyms.tail
+      .foldLeft(when(t === head._1, lit(head._2))) {
+        case (acc, (f, to)) => acc.when(t === f, lit(to))
+      }.otherwise(t)
+  }
+
+  /** Analyzed token array of a text column: tokenize → stem → synonym. */
+  def analyzedTokens(textCol: Column): Column =
+    transform(
+      filter(split(lower(textCol), "\\s+"), t => t =!= ""),
+      t => synonymCol(stemCol(t)))
+
+  /** Match search THROUGH the analyzer chain: the query string runs the
+    * same chain driver-side, docs match on canonical terms, score =
+    * distinct canonical query terms hit. Load-bearing both ways: a doc
+    * containing only "merge" matches the query term "joins", which no
+    * raw-token match would. Scale shape: explode → literal IN-filter →
+    * map-side-combinable distinct count; no join (the query is plan
+    * metadata). */
+  def analyzerSearch(docs: DataFrame, query: String): DataFrame = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(analyzeTerm).distinct.toSeq
+    docs
+      .select(col("doc_id"), explode(analyzedTokens(col("text"))).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_matched"))
+  }
+
+  /** DuckDB twin of [[analyzerSearch]] — same stem CASE ladder, same
+    * synonym CASE map, same driver-analyzed query terms. */
+  def analyzerSearchSql(query: String): String = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(analyzeTerm).distinct.toSeq
+    val qList = qTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val stem =
+      """CASE WHEN len(w) > 4 AND w LIKE '%ies'
+        |          THEN substr(w, 1, len(w) - 3) || 'y'
+        |        WHEN len(w) > 4 AND w LIKE '%ly' THEN substr(w, 1, len(w) - 2)
+        |        WHEN len(w) > 5 AND w LIKE '%ing' THEN substr(w, 1, len(w) - 3)
+        |        WHEN len(w) > 4 AND w LIKE '%ed' THEN substr(w, 1, len(w) - 2)
+        |        WHEN w LIKE '%ss' THEN w
+        |        WHEN len(w) > 3 AND w LIKE '%s' THEN substr(w, 1, len(w) - 1)
+        |        ELSE w END""".stripMargin
+    val syn = "CASE " + analyzerSynonyms
+      .map { case (f, t) => s"WHEN s = '$f' THEN '$t'" }.mkString(" ") +
+      " ELSE s END"
+    raw"""WITH t AS (SELECT doc_id, unnest(list_filter(
+         |        string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+         |      FROM documents),
+         |st AS (SELECT doc_id, ($stem) AS s FROM t),
+         |a AS (SELECT doc_id, ($syn) AS term FROM st),
+         |m AS (SELECT doc_id, count(DISTINCT term) AS n_matched
+         |      FROM a WHERE term IN ($qList) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched FROM m""".stripMargin
+  }
 }

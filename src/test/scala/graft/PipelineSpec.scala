@@ -539,6 +539,50 @@ class PipelineSpec extends SparkSpec {
       "fixture must exercise both teacher labels")
   }
 
+  test("qualityEval (r20 — VERDICT r19 #4): eval of weights trained on a " +
+      "separable fixture is PERFECT (fp=fn=0, precision=recall=f1=1); " +
+      "the wired split eval is internally consistent") {
+    import spark.implicits._
+    // class-disjoint vocab: pos docs draw from {alpha..}, neg from
+    // {omega..} — no shared features, so (barring md5 bucket collisions
+    // ACROSS the two vocabularies, absent for this fixed vocab) every
+    // bucket's evidence is pure and the trained sign reproduces the
+    // label on every doc
+    val fx = ((0 until 40).map(i =>
+        (i.toLong, s"alpha bravo charlie delta${i % 4}", 1)) ++
+      (40 until 80).map(i =>
+        (i.toLong, s"omega sigma lambda kappa${i % 4}", 0)))
+      .toDF("doc_id", "text", "pos")
+    val labels = fx.select("doc_id", "pos")
+    val stats = Pipeline.trainFromLabels(fx.select("doc_id", "text"),
+      labels, 1024)
+    val weights = Pipeline.trainedWeights(stats, 1024)
+    val row = Pipeline.qualityEvalFrom(fx.select("doc_id", "text"),
+      weights, labels).collect()(0)
+    assert(row.getLong(row.fieldIndex("tp")) == 40, row.toString)
+    assert(row.getLong(row.fieldIndex("tn")) == 40, row.toString)
+    assert(row.getLong(row.fieldIndex("fp")) == 0, row.toString)
+    assert(row.getLong(row.fieldIndex("fn")) == 0, row.toString)
+    assert(row.getLong(row.fieldIndex("n_eval")) == 80)
+    assert(row.getDouble(row.fieldIndex("prec")) == 1.0)
+    assert(row.getDouble(row.fieldIndex("rec")) == 1.0)
+    assert(row.getDouble(row.fieldIndex("f1")) == 1.0)
+    // the wired held-out eval: one row, counts partition n_eval, ratios
+    // in [0,1], and the held-out split is genuinely disjoint from train
+    val docs = Tables.documents(spark, sfDir)
+    val wired = Pipeline.qualityEval(docs).collect()(0)
+    val (tp, fp, fn, tn) = (wired.getLong(0), wired.getLong(1),
+      wired.getLong(2), wired.getLong(3))
+    assert(tp + fp + fn + tn == wired.getLong(wired.fieldIndex("n_eval")))
+    assert(wired.getLong(wired.fieldIndex("n_eval")) ==
+      docs.filter(col("doc_id") % 10 === 5).count(),
+      "every held-out doc with features must be evaluated exactly once")
+    Seq("prec", "rec", "f1").foreach { c =>
+      val v = wired.getDouble(wired.fieldIndex(c))
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+    }
+  }
+
   test("semDedup: pruned set replays naively under the frozen " +
       "assignment; pruning is within-cluster only; keeper rule is " +
       "(max cos, min id) (r18)") {
