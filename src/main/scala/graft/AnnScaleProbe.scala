@@ -37,6 +37,13 @@ import graft.similarity.{Ann, AnnIndex}
   *                 a cheap re-check without the full `pq` grid;
   *     ivfadc256 — the IVFADC ks=256-word rung (r17's named next
   *                 step): full index build + probe sweep, expensive;
+  *     nprobelaw — probe-width law constant on uniform vs
+  *                 zipf-clustered corpora at matched k=⌈√n⌉ (r20,
+  *                 VERDICT r19 #1): plain-IVF recall per nprobe
+  *                 including the autoNprobe default;
+  *     coarsebound — sampled-COARSE penalty vs the r19 full-coarse
+  *                 ks=256 reference at matched k/nprobe/refine (r20,
+  *                 VERDICT r19 #2 — bounds the 10⁷ rung's confound);
   *     semdedup  — SemDeDup centroid-source comparison (r19, VERDICT
   *                 r18 #1): occupancy skew (max/mean), within-cluster
   *                 pair work Σn_c² vs the n²/k model, prune wall, and
@@ -113,6 +120,31 @@ object AnnScaleProbe {
       val nb = math.sqrt(wf.map(x => x * x).sum)
       (baseId, n + j, dot / (na * nb))
     }
+  }
+
+  /** Zipf-clustered corpus: 128 hash-seeded centers, cell mass
+    * ∝ 1/√rank (u² index), spread 0.08 (within-blob cosine ≈ 0.66 —
+    * coherent topics): the CONCENTRATED regime real embedding models
+    * produce, where random centroids make hot cells. Written once per
+    * n, shared by the semdedup and nprobelaw probes. */
+  private def clusteredCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val g = 128
+    val spread = 0.08
+    val dirC = s"/tmp/annscale/v3c$n"
+    if (!new java.io.File(s"$dirC/_SUCCESS").exists()) {
+      import spark.implicits._
+      spark.range(0, n, 1, 32).map { idL =>
+        val id = idL.longValue
+        val u = (mix(id * 31L + 17L) >>> 11).toDouble / (1L << 53).toDouble
+        val c = math.min(g - 1, (u * u * g).toInt)
+        val cent = unitVec(1000003L + c, 7)
+        val rnd = new java.util.Random(mix(id * 2654435761L + 3))
+        val v = cent.map(x => x + spread * rnd.nextGaussian())
+        val nn = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(x => (x / nn).toFloat).toSeq)
+      }.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dirC)
+    }
+    spark.read.parquet(dirC)
   }
 
   private def groundTruth(emb: DataFrame): Map[Long, Set[Long]] =
@@ -419,28 +451,8 @@ object AnnScaleProbe {
       log(f"lloyd train (uniform): k=$nCent wall=$tLU%.1f s")
       probeSrc("lloyd-prod ", emb, n + planted, lloydU, planted0)
 
-      // Zipf-clustered corpus: 128 hash-seeded centers, cell mass
-      // ∝ 1/√rank (u² index), tight spread — the CONCENTRATED regime
-      // real embedding models produce, where random centroids make hot
-      // cells (the r18 verdict's scale failure)
-      val g = 128
-      val spread = 0.08 // within-blob cosine ≈ 0.66 — coherent topics
-      val dirC = s"/tmp/annscale/v3c$n"
-      if (!new java.io.File(s"$dirC/_SUCCESS").exists()) {
-        import spark.implicits._
-        spark.range(0, n, 1, 32).map { idL =>
-          val id = idL.longValue
-          val u = (mix(id * 31L + 17L) >>> 11).toDouble / (1L << 53).toDouble
-          val c = math.min(g - 1, (u * u * g).toInt)
-          val cent = unitVec(1000003L + c, 7)
-          val rnd = new java.util.Random(mix(id * 2654435761L + 3))
-          val v = cent.map(x => x + spread * rnd.nextGaussian())
-          val nn = math.sqrt(v.map(x => x * x).sum)
-          (id, v.map(x => (x / nn).toFloat).toSeq)
-        }.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dirC)
-      }
-      val embC = spark.read.parquet(dirC).persist()
-      log(s"[zipf-clustered corpus, n=${embC.count()}, $g latent centers] tau=$tau")
+      val embC = clusteredCorpus(spark, n).persist()
+      log(s"[zipf-clustered corpus, n=${embC.count()}, 128 latent centers] tau=$tau")
       probeSrc("frozen-r18 ", embC, n, frozenSrc(8), Seq.empty)
       probeSrc("frozen-prod", embC, n, frozenSrc(nCent), Seq.empty)
       // r5 ≈ r2 on occupancy (measured 10⁴–10⁶); pay it only below 10⁶
@@ -451,6 +463,73 @@ object AnnScaleProbe {
         probeSrc(f"lloyd-r$rounds%-3d ", embC, n, lloydC, Seq.empty)
       }
       embC.unpersist()
+    }
+
+    if (probes("nprobelaw")) {
+      // r20 (VERDICT r19 #1): the probe-width law's constant on
+      // CLUSTERED data vs the uniform worst case, at matched k=⌈√n⌉ —
+      // uniform derived nprobe ∝ k from the shrinking-angular-cap
+      // argument; a concentrated corpus keeps a query's neighbors in
+      // nearby cells, so the law's constant should be the cheap side.
+      // Plain IVF (exact cosine inside probed lists): isolates COARSE
+      // PROBE MASS, the knob the 10⁷ finding says binds.
+      log(s"--- nprobe law: uniform vs zipf-clustered, k=$nCent ---")
+      val auto = AnnIndex.autoNprobe(nCent)
+      def lawRun(name: String, e: DataFrame, root: String): Unit = {
+        org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        // ≥ 10⁷: sampled coarse (the 10⁷ discipline — full-frame Lloyd
+        // is the ~3 h n·k wall; the sample keeps ≥ ~300 vectors/list)
+        val coarseOn = if (n >= 10000000L) e.filter(col("vec_id") % 10 === 0) else e
+        val (_, tT) = timeIt(AnnIndex.trainCentroids(coarseOn, 0L, root, nCent, 3))
+        val (_, tI) = timeIt((0L until 3L).foreach(b =>
+          AnnIndex.appendBatch(e.filter(col("vec_id") % 3 === b), b, root)))
+        val (tr, tG) = timeIt(groundTruth(e))
+        log(f"$name build: train=$tT%.1f s ingest=$tI%.1f s truth=$tG%.1f s")
+        for (np <- Seq(8, 16, auto, 2 * auto).distinct) {
+          val (got, t) = timeIt(
+            AnnIndex.ivfTopKIndexed(spark, root, e, NQueries, K, np).persist())
+          got.count()
+          val tag = if (np == auto) " <- autoNprobe" else ""
+          log(f"$name ivf k=$nCent nprobe=$np%3d coverage=${np.toDouble / nCent}%.4f " +
+            f"recall@5=${recallOf(got, tr)}%.3f wall=$t%.1f s$tag")
+          got.unpersist()
+        }
+      }
+      lawRun("uniform  ", emb, s"/tmp/annscale/law$n")
+      val embC = clusteredCorpus(spark, n).persist()
+      embC.count()
+      lawRun("clustered", embC, s"/tmp/annscale/lawc$n")
+      embC.unpersist()
+    }
+
+    if (probes("coarsebound")) {
+      // r20 (VERDICT r19 #2): bound the sampled-COARSE confound the 10⁷
+      // rung named — the r19 10⁶ ks=256 reference trained coarse on the
+      // FULL frame (recall 0.962 at nprobe=8/refine=40); this builds the
+      // identical index with coarse trained on the 10% sample (what the
+      // 10⁷ rung was forced into) and probes at the matched grid. The
+      // recall delta IS the confound's bound at this decade.
+      log(s"--- sampled-coarse bound: k=$nCent, pqM=16 ks=256, codebooks sampled ---")
+      val sample = emb.filter(col("vec_id") % 10 === 0)
+      val root = s"/tmp/annscale/idxsc$n"
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val (_, tT) = timeIt(AnnIndex.trainCentroids(sample, 0L, root, nCent, 3,
+        pqM = 16, pqKs = 256, pqTrainOn = sample))
+      val (_, tI) = timeIt((0L until 3L).foreach(b =>
+        AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, root)))
+      log(f"index build (sampled coarse + sampled codebooks): " +
+        f"train=$tT%.1f s ingest=$tI%.1f s")
+      for ((nprobe, refine) <- Seq((8, 40), (16, 40), (8, 10))) {
+        val (got, t) = timeIt(
+          AnnIndex.ivfpqTopKIndexed(spark, root, emb, NQueries, K,
+            nprobe, refine).persist())
+        got.count()
+        log(f"ivfadc256 SAMPLED-COARSE nprobe=$nprobe%2d refine=$refine%2d " +
+          f"recall@5=${recallOf(got, truth)}%.3f wall=$t%.1f s")
+        got.unpersist()
+      }
     }
 
     if (probes("maintcost")) {
