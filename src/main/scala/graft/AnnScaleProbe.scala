@@ -503,6 +503,50 @@ object AnnScaleProbe {
       embC.unpersist()
     }
 
+    if (probes("nprobelaw7")) {
+      // the law at the FIFTH decade (r20): uniform reuses the r19
+      // ks=256 IVFADC index (same k=⌈√n⌉ sampled-coarse centroids, same
+      // corpus — ivfTopKIndexed reads its embedding column, codes
+      // ignored, so this IS the plain-IVF read of that index: exact
+      // cosine inside probed lists isolates coarse probe mass from ADC
+      // noise); clustered builds a plain IVF index on the Zipf corpus
+      // with the same sampled-coarse discipline.
+      val auto = AnnIndex.autoNprobe(nCent)
+      val grid = Seq(8, auto / 4, auto / 2, auto, 2 * auto)
+        .map(math.max(8, _)).distinct.sorted
+      def lawProbe(name: String, e: DataFrame, root: String): Unit = {
+        val (tr, tG) = timeIt(groundTruth(e))
+        log(f"$name truth wall=$tG%.1f s")
+        for (np <- grid) {
+          val (got, t) = timeIt(
+            AnnIndex.ivfTopKIndexed(spark, root, e, NQueries, K, np).persist())
+          got.count()
+          val tag = if (np == auto) " <- autoNprobe" else ""
+          log(f"$name ivf k=$nCent nprobe=$np%3d coverage=${np.toDouble / nCent}%.4f " +
+            f"recall@5=${recallOf(got, tr)}%.3f wall=$t%.1f s$tag")
+          got.unpersist()
+        }
+      }
+      log(s"--- nprobe law, fifth decade: k=$nCent grid=${grid.mkString("/")} ---")
+      val root256 = s"/tmp/annscale/idx256s$n"
+      if (new java.io.File(root256).exists())
+        lawProbe("uniform/r19-index", emb, root256)
+      else log(s"uniform: $root256 absent — run ivfadc256 first (skipping)")
+      val embC = clusteredCorpus(spark, n).persist()
+      log(s"clustered corpus rows: ${embC.count()}")
+      val rootC = s"/tmp/annscale/lawc$n"
+      if (!new java.io.File(s"$rootC/centroids/v=0/_SUCCESS").exists()) {
+        val coarseOn =
+          if (n >= 10000000L) embC.filter(col("vec_id") % 10 === 0) else embC
+        val (_, tT) = timeIt(AnnIndex.trainCentroids(coarseOn, 0L, rootC, nCent, 3))
+        val (_, tI) = timeIt((0L until 3L).foreach(b =>
+          AnnIndex.appendBatch(embC.filter(col("vec_id") % 3 === b), b, rootC)))
+        log(f"clustered build (sampled coarse at ≥1e7): train=$tT%.1f s ingest=$tI%.1f s")
+      }
+      lawProbe("clustered", embC, rootC)
+      embC.unpersist()
+    }
+
     if (probes("coarsebound")) {
       // r20 (VERDICT r19 #2): bound the sampled-COARSE confound the 10⁷
       // rung named — the r19 10⁶ ks=256 reference trained coarse on the
@@ -512,23 +556,35 @@ object AnnScaleProbe {
       // recall delta IS the confound's bound at this decade.
       log(s"--- sampled-coarse bound: k=$nCent, pqM=16 ks=256, codebooks sampled ---")
       val sample = emb.filter(col("vec_id") % 10 === 0)
-      val root = s"/tmp/annscale/idxsc$n"
-      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(root), true)
-      val (_, tT) = timeIt(AnnIndex.trainCentroids(sample, 0L, root, nCent, 3,
-        pqM = 16, pqKs = 256, pqTrainOn = sample))
-      val (_, tI) = timeIt((0L until 3L).foreach(b =>
-        AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, root)))
-      log(f"index build (sampled coarse + sampled codebooks): " +
-        f"train=$tT%.1f s ingest=$tI%.1f s")
-      for ((nprobe, refine) <- Seq((8, 40), (16, 40), (8, 10))) {
-        val (got, t) = timeIt(
-          AnnIndex.ivfpqTopKIndexed(spark, root, emb, NQueries, K,
-            nprobe, refine).persist())
-        got.count()
-        log(f"ivfadc256 SAMPLED-COARSE nprobe=$nprobe%2d refine=$refine%2d " +
-          f"recall@5=${recallOf(got, truth)}%.3f wall=$t%.1f s")
-        got.unpersist()
+      // two coarse-training masses: the 10% sample (what a naive scale-up
+      // uses — n/10/k vectors per list) and a per-list-MATCHED sample
+      // giving ~316 vectors/list, the training mass the 10⁷ rung's 10%
+      // sample actually provided — the confound bound at the metric that
+      // matters (vectors per trained list), not the sample fraction
+      val perListMatched = math.min(n, 316L * nCent)
+      val frac = math.max(1L, n / perListMatched) // keep 1-in-frac ids
+      val sample316 = emb.filter(col("vec_id") % frac === 0)
+      for ((tag, coarseOn) <- Seq(
+          (f"10%%-sample (${n / 10 / nCent}%d vec/list)", sample),
+          (f"matched (${perListMatched / nCent}%d vec/list)", sample316))) {
+        val root = s"/tmp/annscale/idxsc${n}_${frac}_$tag".replaceAll("[^A-Za-z0-9/_]", "")
+        org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val (_, tT) = timeIt(AnnIndex.trainCentroids(coarseOn, 0L, root, nCent, 3,
+          pqM = 16, pqKs = 256, pqTrainOn = sample))
+        val (_, tI) = timeIt((0L until 3L).foreach(b =>
+          AnnIndex.appendBatch(emb.filter(col("vec_id") % 3 === b), b, root)))
+        log(f"index build (coarse on $tag, codebooks sampled): " +
+          f"train=$tT%.1f s ingest=$tI%.1f s")
+        for ((nprobe, refine) <- Seq((8, 40), (16, 40), (8, 10))) {
+          val (got, t) = timeIt(
+            AnnIndex.ivfpqTopKIndexed(spark, root, emb, NQueries, K,
+              nprobe, refine).persist())
+          got.count()
+          log(f"ivfadc256 COARSE-ON-$tag nprobe=$nprobe%2d refine=$refine%2d " +
+            f"recall@5=${recallOf(got, truth)}%.3f wall=$t%.1f s")
+          got.unpersist()
+        }
       }
     }
 
