@@ -84,6 +84,22 @@ object AnnIndex {
     import spark.implicits._
     if (!centroidVersions(spark, root).contains(batchId)) {
       if (pqM > 0) {
+        // r20 (SCALING.md coarsebound): for PQ-composed indexes the
+        // coarse quantizer's training mass drives recall hard — at
+        // 10⁶/ks=256 a ~316 vec/list sample costs −0.47 recall vs the
+        // 1000 vec/list full frame; the r17 "~100/list floor" does not
+        // transfer to this regime. Warn (train-time, stderr) so a
+        // scaled-up user sees the trade the probe measured.
+        val nTrain = trainEmb.count()
+        if (nTrain > 0 && nTrain < 1000L * nCentroids)
+          System.err.println(s"[AnnIndex] coarse quantizer training on " +
+            s"$nTrain vectors for $nCentroids lists " +
+            s"(~${nTrain / math.max(1, nCentroids)}/list): below the " +
+            s"1000/list full-frame regime — measured recall penalty at " +
+            s"10^6/ks=256 is -0.47 at ~316/list (SCALING.md r20); " +
+            s"prefer a larger coarse-train sample where affordable")
+      }
+      if (pqM > 0) {
         // `pqTrainOn` decouples the codebook sample from the centroid
         // training frame: at scale codebooks train well on a ~10%
         // sample (faiss discipline; r17 probe: −0.04 recall at 10⁵)
