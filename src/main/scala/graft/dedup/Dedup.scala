@@ -358,19 +358,27 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
+    var ckpt = labels
     var changed = 1L
     while (changed > 0) {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("min_nbr"))
+      // fused convergence test (r21, guide §2.4): the new label and the
+      // did-it-change flag come out of the SAME left join (changed ⟺
+      // min_nbr < cluster, null-safe: a no-neighbor null never counts),
+      // so the per-round count is a filter over the checkpointed round
+      // output — the previous next⨝labels re-join paid one more
+      // exchange + hash join per round just to recompute that flag.
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("min_nbr"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("min_nbr"), col("cluster"))).as("cluster"),
+          (col("min_nbr") < col("cluster")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      ckpt.unpersist()
+      ckpt = next
+      labels = next.select("id", "cluster")
     }
     edges.unpersist()
     labels
@@ -478,14 +486,18 @@ object Dedup {
     // literal-array struct-sort form drops out of whole-stage codegen
     // past ~100 centroids and interprets every cosine (~15× slower).
     // List keys are centroid matrix row indices.
-    val assigned = e.select(col("vec_id"),
-      explode(GraftFunctions.topCentroids(
-        col("embedding"), Ann.centMatrix(cents), nprobe)).as("cent_id"))
     // same confirm-in-stage shape as the LSH twin: embeddings ride the
     // (corpus × nprobe)-sized list table, pairs materialize and confirm
-    // inside the join stage, only τ-survivors shuffle on
-    val lists = assigned.join(e, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // inside the join stage, only τ-survivors shuffle on. The list
+    // table comes straight off the persisted scan — assignment and
+    // embedding in ONE Generate (r21, guide §2.4): the previous
+    // slim-assignment frame re-attached embeddings with a vec_id
+    // equi-join, which shuffled the embedding bytes (plus the slim
+    // side) just to recover columns the scan already had in-row.
+    // 2 Exchange + SMJ → 0 below the persist; rows identical.
+    val lists = e.select(col("vec_id"), col("embedding"),
+        explode(GraftFunctions.topCentroids(
+          col("embedding"), Ann.centMatrix(cents), nprobe)).as("cent_id"))
       .persist()
     lists.select(col("cent_id"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       .join(lists.select(col("cent_id"), col("vec_id").as("b_id"),

@@ -1697,7 +1697,10 @@ object Pipeline {
   def semDedupTrained(emb: DataFrame, tau: Double, k: Int = 0,
       lloydRounds: Int = 2, trainPerCentroid: Int = 200): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
-    val n = e.count()
+    // lazy (r20 ADVICE): callers passing explicit k AND full-frame
+    // training (trainPerCentroid = 0) never need the corpus count —
+    // eager, they paid one extra corpus pass per call
+    lazy val n = e.count()
     val kk =
       if (k > 0) k
       else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -2095,14 +2098,25 @@ object Pipeline {
     val semRun: DataFrame => DataFrame =
       if (semStage != null) semStage else semDedup(_, semK, semTau)
     val all0 = docs.select(col("doc_id"), col("text"))
+    // stage survivor frames persist across their fan-out (r21): keepers
+    // feeds the s1 join AND the n1 gauge, s1 feeds the fuzzy stage AND
+    // the s2 anti-join, s2 feeds the semantic join AND the n2 gauge —
+    // unpersisted, each gauge count re-ran the whole upstream lineage
+    // inside the one assembled plan (fingerprint md5 over the corpus
+    // recomputed per consumer). Same rows, strictly less work; the
+    // ngramJaccard/semDedup internals already persist their own
+    // intermediates (library precedent — a production run materializes
+    // each survivor set as a table instead).
     val keepers = all0
       .select(col("doc_id"), graft.text.TextOps.fingerprintCol(col("text")).as("fp"))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val s1 = all0.join(keepers, Seq("doc_id"))
+      .persist()
+    val s1 = all0.join(keepers, Seq("doc_id")).persist()
     val fzRemoved = graft.dedup.Dedup.ngramJaccard(s1, n, jTau)
       .select(col("b_id").as("doc_id")).distinct()
     val s2 = s1.select("doc_id").join(fzRemoved, Seq("doc_id"), "left_anti")
+      .persist()
     val semEmb = emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val semRemoved = semRun(semEmb).select("doc_id")
     val gauges = all0.agg(count(lit(1)).as("n_in"))

@@ -677,49 +677,81 @@ object Ann {
     cents
   }
 
-  /** Deterministic-seeded Lloyd refinement over an arbitrary
-    * (vec_id, e: array<double>) frame — the [[lloydCentroids]] loop
-    * generalized so PQ can train per-SUBSPACE codebooks on sliced
-    * vectors. Same discipline: seeds are the frame's first `ks` rows
-    * by id (orderBy+limit, not an absolute-id filter — the ADVICE r19
-    * sparse-id fix, identical on dense frames), fixed `rounds`
-    * assign/mean iterations, empty clusters keep their previous
-    * centroid, only ks × dim doubles return per round. */
-  private def lloydOn(vecs: DataFrame, ks: Int, rounds: Int): Array[Array[Double]] = {
-    var cents: Seq[(Int, Seq[Double])] = vecs
-      .orderBy("vec_id").limit(ks).collect().zipWithIndex
-      .map { case (r, i) =>
-        (i, r.getSeq[Double](r.fieldIndex("e")).toSeq) }.toSeq
-    (0 until rounds).foreach { _ =>
-      val assign = centroidAssigner(vecs.sparkSession, centMatrix(cents))
-      val means = vecs
-        .select(assign(col("e"), 1).getItem(0).as("ci"),
-          posexplode(col("e")).as(Seq("dim", "v")))
-        .groupBy("ci", "dim").agg(avg(col("v")).as("m"))
-        .collect().groupBy(_.getInt(0))
-      cents = cents.zipWithIndex.map { case ((id, old), i) =>
-        id -> means.get(i)
-          .map(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          .getOrElse(old)
-      }
-    }
-    centMatrix(cents)
-  }
-
-  /** Per-subspace PQ codebooks on the sliced corpus: `m` independent
-    * [[lloydOn]] runs over `slice(e, j·sub+1, sub)` — deterministic
-    * seeds + fixed rounds, `ks` entries each. Shared by the flat
-    * [[pqTopK]] and the maintained IVFADC index
-    * ([[AnnIndex.trainCentroids]] with `pqM > 0`). */
+  /** Per-subspace PQ codebooks on the sliced corpus — the
+    * [[lloydCentroids]] discipline per subspace (seeds are the frame's
+    * first `ks` rows by id, fixed assign/mean rounds, empty cells keep
+    * their previous centroid) over `slice(e, j·sub+1, sub)`, `ks`
+    * entries each.
+    * Shared by the flat [[pqTopK]] and the maintained IVFADC index
+    * ([[AnnIndex.trainCentroids]] with `pqM > 0`).
+    *
+    * FUSED (r21, guide §1.2 "the distributed algorithm" / §2.4 "remove
+    * shuffles outright"): the m per-subspace trainings ran as m
+    * separate seed collects plus m·rounds separate scan+aggregate jobs
+    * — 16 × (1 + rounds) corpus scans at the defaults, the dominant
+    * cost of `ann_pq_topk` and of every IVFADC index build. The
+    * subspace runs are data-independent, so one job per round now
+    * carries ALL m subspaces: each corpus row emits (subspace,
+    * assigned-cell, dim, value) rows for every subspace — the same
+    * n × dim aggregate rows the m jobs produced in total — into one
+    * (j, ci, dim) mean aggregate, and one seed collect of the first
+    * `ks` FULL vectors serves every subspace (each subspace's seeds
+    * are those rows sliced — identical rows, identical order). Group
+    * contents are unchanged, so the means equal the per-subspace ones
+    * up to partial-aggregation merge order (already non-bit-pinned
+    * across partitionings, see [[lloydCentroids]]). */
   private[graft] def pqTrainCodebooks(emb: DataFrame, dim: Int, m: Int,
-      ks: Int, lloydRounds: Int): IndexedSeq[Array[Array[Double]]] = {
+      ks: Int, lloydRounds: Int): IndexedSeq[Array[Array[Double]]] =
+    pqTrainCodebooksCounted(emb, dim, m, ks, lloydRounds)._1
+
+  /** [[pqTrainCodebooks]] plus the training-frame row count, read off
+    * the first fused Lloyd round's own aggregate (Σ over cells of the
+    * subspace-0, dim-0 group counts = n) — so callers that need the
+    * count (the [[AnnIndex.trainCentroids]] coarse-mass warning, r20
+    * ADVICE: its dedicated `count()` added a full extra corpus pass
+    * per train) get it for free. `None` when no round ran
+    * (`lloydRounds == 0`). */
+  private[graft] def pqTrainCodebooksCounted(emb: DataFrame, dim: Int, m: Int,
+      ks: Int, lloydRounds: Int): (IndexedSeq[Array[Array[Double]]], Option[Long]) = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val e64 = col("embedding").cast("array<double>")
-    (0 until m).map { j =>
-      lloydOn(emb.select(col("vec_id"), slice(e64, j * sub + 1, sub).as("e")),
-        ks, lloydRounds)
+    // one seed collect for all m subspaces (was m orderBy+limit jobs)
+    val seedRows = emb.select(col("vec_id"), e64.as("e"))
+      .orderBy("vec_id").limit(ks).collect()
+      .map(_.getSeq[Double](1))
+    var cbs: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      seedRows.zipWithIndex
+        .map { case (e, i) => (i, e.slice(j * sub, (j + 1) * sub)) }.toSeq
     }
+    var counted: Option[Long] = None
+    (0 until lloydRounds).foreach { _ =>
+      val assigns =
+        cbs.map(cb => centroidAssigner(emb.sparkSession, centMatrix(cb)))
+      val rows = emb.select(e64.as("e"))
+        .select(posexplode(array((0 until m).map { j =>
+          struct(
+            assigns(j)(slice(col("e"), j * sub + 1, sub), 1).getItem(0).as("ci"),
+            slice(col("e"), j * sub + 1, sub).as("se"))
+        }: _*)).as(Seq("j", "s")))
+        .select(col("j"), col("s.ci").as("ci"),
+          posexplode(col("s.se")).as(Seq("dim", "v")))
+        .groupBy("j", "ci", "dim")
+        .agg(avg(col("v")).as("m"), count(lit(1)).as("cnt"))
+        .collect()
+      counted = Some(rows.iterator
+        .filter(r => r.getInt(0) == 0 && r.getInt(2) == 0).map(_.getLong(4)).sum)
+      val byJ = rows.groupBy(_.getInt(0))
+      cbs = (0 until m).map { j =>
+        val means = byJ.getOrElse(j, Array.empty).groupBy(_.getInt(1))
+        cbs(j).zipWithIndex.map { case ((id, old), i) =>
+          id -> means.get(i)
+            .map(rs => rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+            .getOrElse(old)
+        }
+      }
+    }
+    (cbs.map(centMatrix), counted)
   }
 
   /** Encode a vector to its `m` nearest-codebook-entry codes (the

@@ -84,22 +84,6 @@ object AnnIndex {
     import spark.implicits._
     if (!centroidVersions(spark, root).contains(batchId)) {
       if (pqM > 0) {
-        // r20 (SCALING.md coarsebound): for PQ-composed indexes the
-        // coarse quantizer's training mass drives recall hard — at
-        // 10⁶/ks=256 a ~316 vec/list sample costs −0.47 recall vs the
-        // 1000 vec/list full frame; the r17 "~100/list floor" does not
-        // transfer to this regime. Warn (train-time, stderr) so a
-        // scaled-up user sees the trade the probe measured.
-        val nTrain = trainEmb.count()
-        if (nTrain > 0 && nTrain < 1000L * nCentroids)
-          System.err.println(s"[AnnIndex] coarse quantizer training on " +
-            s"$nTrain vectors for $nCentroids lists " +
-            s"(~${nTrain / math.max(1, nCentroids)}/list): below the " +
-            s"1000/list full-frame regime — measured recall penalty at " +
-            s"10^6/ks=256 is -0.47 at ~316/list (SCALING.md r20); " +
-            s"prefer a larger coarse-train sample where affordable")
-      }
-      if (pqM > 0) {
         // `pqTrainOn` decouples the codebook sample from the centroid
         // training frame: at scale codebooks train well on a ~10%
         // sample (faiss discipline; r17 probe: −0.04 recall at 10⁵)
@@ -110,17 +94,37 @@ object AnnIndex {
         val firstDim = pqFrame.select(size(col("embedding"))).limit(1).collect()
         // empty training batch → commit EMPTY codebooks (the empty-
         // corpus sweep contract: probes return no neighbors, no crash)
-        val rows: Seq[(Int, Int, Seq[Double])] =
-          if (firstDim.isEmpty) Seq.empty
+        val (rows: Seq[(Int, Int, Seq[Double])], counted: Option[Long]) =
+          if (firstDim.isEmpty) (Seq.empty, Some(0L))
           else {
-            val cbs = Ann.pqTrainCodebooks(pqFrame, firstDim(0).getInt(0),
-              pqM, pqKs, lloydRounds)
-            for { (cb, j) <- cbs.zipWithIndex.toSeq
-                  (cent, c) <- cb.zipWithIndex }
-              yield (j, c, cent.toSeq)
+            val (cbs, cnt) = Ann.pqTrainCodebooksCounted(pqFrame,
+              firstDim(0).getInt(0), pqM, pqKs, lloydRounds)
+            (for { (cb, j) <- cbs.zipWithIndex.toSeq
+                   (cent, c) <- cb.zipWithIndex }
+              yield (j, c, cent.toSeq), cnt)
           }
         rows.toDF("subspace", "code", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"${pqDir(root)}/v=$batchId")
+        // r20 (SCALING.md coarsebound): for PQ-composed indexes the
+        // coarse quantizer's training mass drives recall hard — at
+        // 10⁶/ks=256 a ~316 vec/list sample costs −0.47 recall vs the
+        // 1000 vec/list full frame; the r17 "~100/list floor" does not
+        // transfer to this regime. Warn (train-time, stderr) so a
+        // scaled-up user sees the trade the probe measured. The count
+        // rides the fused codebook-training aggregate when the
+        // codebooks trained on `trainEmb` itself (r20 ADVICE: the
+        // dedicated count() here was a full extra corpus pass per
+        // train); only a decoupled `pqTrainOn` still pays one.
+        val nTrain =
+          if (pqTrainOn == null) counted.getOrElse(trainEmb.count())
+          else trainEmb.count()
+        if (nTrain > 0 && nTrain < 1000L * nCentroids)
+          System.err.println(s"[AnnIndex] coarse quantizer training on " +
+            s"$nTrain vectors for $nCentroids lists " +
+            s"(~${nTrain / math.max(1, nCentroids)}/list): below the " +
+            s"1000/list full-frame regime — measured recall penalty at " +
+            s"10^6/ks=256 is -0.47 at ~316/list (SCALING.md r20); " +
+            s"prefer a larger coarse-train sample where affordable")
       }
       val cents = Ann.lloydCentroids(trainEmb, nCentroids, lloydRounds)
       cents.toDF("cent_id", "centroid")

@@ -2290,7 +2290,7 @@ object TextOps {
 
   /** The stemmer as a column expression — rule-for-rule the
     * [[stemTerm]] reference (equality spec-pinned over the corpus
-    * vocabulary plus crafted inflections in `TextHygieneSpec`). */
+    * vocabulary plus crafted inflections in `AnalyzerSpec`). */
   private def stemCol(t: Column): Column = {
     val len = length(t)
     when(len > 4 && t.endsWith("ies"),
@@ -2303,6 +2303,14 @@ object TextOps {
       .otherwise(t)
   }
 
+  /** Synonym map as a literal CASE chain — right for the wired
+    * 6-entry map, but plan size grows linearly with the map and this
+    * repo has measured that cliff class twice (BPE replace chain died
+    * in Catalyst at 160–320 rules, percolator CASE chain at 800–3000
+    * queries — SCALING.md probes). Real ES synonym tables run
+    * 10³–10⁵ entries: at that size swap this fold for a
+    * `BpeTokenCount`-style broadcast-map Expression — same contract,
+    * plan-size-constant. */
   private def synonymCol(t: Column): Column = {
     val head = analyzerSynonyms.head
     analyzerSynonyms.tail
@@ -2339,7 +2347,13 @@ object TextOps {
   def analyzerSearchSql(query: String): String = {
     val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .map(analyzeTerm).distinct.toSeq
-    val qList = qTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    // zero analyzed terms must degrade to the empty result like the
+    // Spark side's empty isin() — a bare `IN ()` is a DuckDB syntax
+    // error (r20 ADVICE; unreachable via the wired fixed query)
+    val qPred =
+      if (qTerms.isEmpty) "1=0"
+      else qTerms.map(t => s"'${t.replace("'", "''")}'")
+        .mkString("term IN (", ", ", ")")
     val stem =
       """CASE WHEN len(w) > 4 AND w LIKE '%ies'
         |          THEN substr(w, 1, len(w) - 3) || 'y'
@@ -2358,7 +2372,7 @@ object TextOps {
          |st AS (SELECT doc_id, ($stem) AS s FROM t),
          |a AS (SELECT doc_id, ($syn) AS term FROM st),
          |m AS (SELECT doc_id, count(DISTINCT term) AS n_matched
-         |      FROM a WHERE term IN ($qList) GROUP BY doc_id)
+         |      FROM a WHERE $qPred GROUP BY doc_id)
          |SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched FROM m""".stripMargin
   }
 }
