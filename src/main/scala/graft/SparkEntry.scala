@@ -294,7 +294,14 @@ object SparkEntry {
     "river_normalize_fields" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val raw = concat(lit("Type#"), upper(col("event_type")), lit(".props:K"))
-      ev.select(raw.as("raw"),
+      // r21 (guide §1.2): raw/norm are pure functions of event_type, so
+      // dedup the narrow column FIRST (map-side-combining hash agg) and
+      // run the two regex normalizations on the handful of survivors —
+      // the old order paid 2 regex evals per corpus row before its
+      // distinct. upper() is not injective, so the final distinct on
+      // the derived strings stays; the row set is identical.
+      ev.select(col("event_type")).distinct()
+        .select(raw.as("raw"),
           River.normalizeField(raw).as("norm_plain"),
           River.normalizeField(raw, Some(".")).as("norm_sep"))
         .distinct()
