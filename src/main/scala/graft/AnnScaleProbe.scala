@@ -566,7 +566,11 @@ object AnnScaleProbe {
       val sample316 = emb.filter(col("vec_id") % frac === 0)
       for ((tag, coarseOn) <- Seq(
           (f"10%%-sample (${n / 10 / nCent}%d vec/list)", sample),
-          (f"matched (${perListMatched / nCent}%d vec/list)", sample316),
+          // label from the ACTUAL kept-row estimate n/frac, not the
+          // perListMatched target: frac truncates, so 1-in-frac keeps
+          // more than the target (333 vs 316 at 10⁶ — r20 ADVICE, the
+          // log under-reported the training mass the delta is blamed on)
+          (f"matched (${n / frac / nCent}%d vec/list)", sample316),
           // brackets the parity point between the matched leg and the
           // full frame (r20: 333/list read −0.47; where does it heal?)
           (f"two-thirds (${n * 2 / 3 / nCent}%d vec/list)",
