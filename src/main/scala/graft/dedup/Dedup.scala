@@ -315,20 +315,43 @@ object Dedup {
     * the dup volume, not the corpus. */
   def substringDedup(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (doc_id, pos) rides as ONE bit-packed BIGINT (r22, guide §2.3
+    // narrower types + §2.4): the previous `min(struct(doc_id, pos))`
+    // has an immutable struct buffer, which forces the repeat
+    // detection out of HashAggregate into SORT aggregation — the
+    // entire corpus token-window stream was sorted by window hash
+    // TWICE (partial + final, plans/r22/dedup_substring_before.txt
+    // operators 11–15). A primitive min is hash-aggregable and
+    // map-side-combinable, and min over the encoding IS the
+    // lexicographic (doc_id, pos) min the struct computed, because
+    // doc_id ≥ 0 and pos < 2²⁰ (the MinHash.ParaIdxBits encoding
+    // discipline, same fail-loud overflow guard). The join legs also
+    // slim to (h, enc) — doc_id/pos decode after the filter.
+    val posBits = 20
+    val cap = 1L << posBits
+    val docCap = 1L << (63 - posBits)
+    val enc = when(col("pos") >= cap ||
+        col("doc_id") < 0 || col("doc_id") >= docCap,
+        expr("raise_error(concat('window-position encoding overflow at doc '," +
+          " CAST(doc_id AS STRING), ' pos ', CAST(pos AS STRING)))")
+          .cast("bigint"))
+      .otherwise(shiftleft(col("doc_id"), posBits) + col("pos"))
     val wh = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         posexplode(positionalWindows(col("toks"), k)).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(col("win")).as("h"))
+      .select(enc.as("enc"), col("h"))
     val repeated = wh.groupBy("h").agg(
         count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
+        min(col("enc")).as("first"))
       .filter(col("n_occ") >= 2)
-      .select(col("h"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+      .select(col("h"), col("first"))
     val flagged = wh.join(repeated, "h")
-      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
-      .select(col("doc_id"), col("pos"))
+      .filter(col("enc") =!= col("first"))
+      .select(shiftright(col("enc"), posBits).as("doc_id"),
+        (col("enc") % cap).as("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     flagged
       .withColumn("grp", col("pos") - row_number().over(byDoc))

@@ -110,6 +110,22 @@ object GraftFunctions {
       k: Int): Column =
     Glue.column(TopCentroidsBcast(Glue.expression(emb), bc, k))
 
+  /** All-queries PQ ADC scores against a constant LUT stack — see
+    * [[PqAdcScores]]. `lut(q)(j)(code)` indexing, [[graft.similarity
+    * .Ann.pqLut]]'s layout. */
+  def pqAdcScores(codes: Column, lut: Seq[Seq[Seq[Double]]]): Column = {
+    val (flat, nQ, m, ks) = PqAdc.flatten(lut)
+    Glue.column(PqAdcScores(Glue.expression(codes), flat, nQ, m, ks))
+  }
+
+  /** Single-query PQ ADC score `pq_adc_score(codes, qi)` — see
+    * [[PqAdcScore]]. */
+  def pqAdcScore(codes: Column, qi: Column, lut: Seq[Seq[Seq[Double]]]): Column = {
+    val (flat, nQ, m, ks) = PqAdc.flatten(lut)
+    Glue.column(PqAdcScore(Glue.expression(codes), Glue.expression(qi),
+      flat, nQ, m, ks))
+  }
+
   /** Register all graft functions so `spark.sql("SELECT cosine_sim(...)")`
     * works (SURVEY §2: FunctionRegistry registration). */
   def register(spark: SparkSession): Unit = {

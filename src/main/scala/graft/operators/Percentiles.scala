@@ -66,14 +66,28 @@ object Percentiles {
     require(fractions.nonEmpty && fractions.forall(p => p > 0 && p <= 1),
       "fractions must lie in (0, 1]")
     require(buckets > 0 && depth >= 1)
-    // pass 1: per-group count feeds the target ranks k = ceil(p·n) —
-    // the exact expression the window forms and the oracle share
-    val targets = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-      .select(col(groupCol).as("__tg"), col("__n"),
-        explode(typedlit(fractions)).as("__p"))
+    // pass 1, FUSED (r22, guide §2.4/§5): ONE per-group aggregate
+    // carries both the count (feeding the target ranks k = ceil(p·n) —
+    // the exact expression the window forms and the oracle share) and
+    // the min/max span selectRanks buckets against, materialized ONCE
+    // (localCheckpoint — the frame is facet-sized, the whole point of
+    // this operator is few huge groups). The previous separate count
+    // and min/max aggregates each paid their own full corpus scan; a
+    // lazy fused aggregate does not fix that — the column pruner
+    // splits the consumers' copies back into count-only and
+    // min/max-only subtrees (3 references → 3 scans, observed in the
+    // r22 plan dumps) — so the eager tiny materialization is the shape
+    // that guarantees one pass-1 scan.
+    val pinned = df.select(col(groupCol).as("__tg"), col(valueCol).as("__v"),
+      col(idCol).as("__id"))
+    val base = pinned.groupBy("__tg").agg(count(lit(1)).as("__n"),
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .localCheckpoint()
+    val targets = base
+      .select(col("__tg"), col("__n"), explode(typedlit(fractions)).as("__p"))
       .withColumn("__k", ceil(col("__p") * col("__n")))
-    selectRanks(df.select(col(groupCol).as("__tg"), col(valueCol).as("__v"),
-        col(idCol).as("__id")), targets, buckets, depth)
+    selectRanks(pinned, targets, buckets, depth,
+        statsIn = base.select(col("__tg"), col("__lo"), col("__hi")))
       .select(col("__tg").as(groupCol), col("__p").as("p"),
         col("__v").as(valueCol), col("__n").as("n"))
   }
@@ -84,12 +98,17 @@ object Percentiles {
     * bucket folded into a struct group key and `__k` rebased by the
     * ranks below it. */
   private def selectRanks(df: DataFrame, targets: DataFrame,
-      buckets: Int, depth: Int): DataFrame = {
+      buckets: Int, depth: Int, statsIn: DataFrame = null): DataFrame = {
     val v = col("__v")
 
     // per-group span. The group table is facet-sized (the whole point
     // of this operator is few, huge groups), so it broadcasts.
-    val stats = df.groupBy("__tg").agg(min(v).as("__lo"), max(v).as("__hi"))
+    // `statsIn` is the fused pass-1 frame when the caller already
+    // aggregated it (rankSelect entry); the recursive descent computes
+    // its own over the sub-bucket frame.
+    val stats =
+      if (statsIn != null) statsIn
+      else df.groupBy("__tg").agg(min(v).as("__lo"), max(v).as("__hi"))
 
     // monotone bucket id: floor((v − lo)/width) clamped to [0, B−1].
     // IEEE subtraction and division by a positive constant are monotone

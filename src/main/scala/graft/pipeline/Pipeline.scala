@@ -349,8 +349,10 @@ object Pipeline {
   def releaseManifestV2(docs: DataFrame, benchmarkSources: Seq[String], n: Int,
       minQuality: Double, tau: Double = 0.8): DataFrame = {
     import graft.dedup.{Dedup, MinHash}
+    // checkpointed stage boundary, not bare persist — the v3Keepers
+    // planning-cost rationale (r22, guide §5/§3.3)
     val fpKeepers = fingerprintKeepers(docs, benchmarkSources)
-      .persist() // feeds the pair join, the label join, and the tail
+      .localCheckpoint() // feeds the pair join, the label join, and the tail
     val pairs = MinHash.nearDupPairs(fpKeepers, n = 3, numHashes = 32,
       bands = 16, tau = tau)
     val labels = Dedup.nearDupClusters(pairs).withColumnRenamed("id", "doc_id")
@@ -404,15 +406,29 @@ object Pipeline {
       benchmarkSources: Seq[String], tau: Double,
       cosTau: Double): DataFrame = {
     import graft.dedup.{Dedup, MinHash}
+    // Stage keepers are localCheckpoint'ed, not merely persisted (r22,
+    // guide §5 "localCheckpoint is a cheaper way to cut lineage" +
+    // §3.3 "planning time itself can become the bottleneck"): the
+    // chain runs ~90 eager executions (band builds, cluster-loop
+    // rounds, Lloyd collects, gauge counts), and with bare persist
+    // every one of them re-analyzed the full upstream logical tree
+    // (injectPii → fingerprint window → MinHash signatures → …) plus
+    // paid the cache-manager's canonicalized-plan lookups — measured
+    // ~2.7 s of between-job driver gaps per v3 run at sf0.01 (JobTrace,
+    // plans/r22/). A checkpointed stage boundary is a LogicalRDD leaf:
+    // same rows, same storage footprint (persist stored the frame
+    // anyway), O(1) analysis for every downstream execution. At scale
+    // a release run materializes each stage as a table — this is that
+    // materialization, in-session.
     val fpKeepers = fingerprintKeepers(docs, benchmarkSources)
-      .persist() // feeds the pair join, the label join, and the next stage
+      .localCheckpoint() // feeds the pair join, the label join, and the next stage
     val pairs = MinHash.nearDupPairs(fpKeepers, n = 3, numHashes = 32,
       bands = 16, tau = tau)
     val strLabels = Dedup.nearDupClusters(pairs).withColumnRenamed("id", "doc_id")
     val strKeepers = fpKeepers.join(strLabels, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .drop("cluster")
-      .persist() // feeds the embedding join and the tail
+      .localCheckpoint() // feeds the embedding join and the tail
     val keeperEmb = emb.select(col("vec_id"), col("embedding"))
       .join(strKeepers.select(col("doc_id").as("vec_id")), "vec_id")
     // ivfNprobe=4: recall-first, like the 16×2 banding above — the
@@ -772,8 +788,15 @@ object Pipeline {
       .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
     val counts = tagged.groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("cnt"))
+    // max_long_str, not max(struct(cnt, gram)) (r22): the struct
+    // buffer forced this per-doc fold into SortAggregate — the whole
+    // (doc, n, gram) count stream sorted twice (partial + final) for
+    // one running pair per doc. Same lexicographic (cnt, gram) max,
+    // same NULL-skip via the when-gate, hash plan
+    // (see [[graft.functions.MaxLongStr]]).
     val perDoc = counts.groupBy("doc_id").agg(
-      max(when(col("n") === 2, struct(col("cnt"), col("gram")))).as("top2"),
+      graft.functions.MaxLongStr.maxPair(
+        when(col("n") === 2, col("cnt")), col("gram")).as("top2"),
       sum(when(col("n") === 5 && col("cnt") >= 2,
         col("cnt") * length(col("gram")).cast("long")).otherwise(lit(0L)))
         .as("dup5_chars"))
@@ -2107,16 +2130,25 @@ object Pipeline {
     // ngramJaccard/semDedup internals already persist their own
     // intermediates (library precedent — a production run materializes
     // each survivor set as a table instead).
+    // localCheckpoint, not bare persist (r22 — the v3Keepers rationale,
+    // guide §5/§3.3): each stage frame fans out to 2+ eager consumers
+    // (gauge counts, the fuzzy/semantic stage internals' own actions),
+    // and a checkpointed boundary makes every one of those plan against
+    // a leaf instead of re-analyzing the corpus-md5 lineage. Storage
+    // footprint is the persist's; the blocks stay referenced by the
+    // returned gauges plan until the caller's action, then the harness
+    // sweep (or ContextCleaner, once the frame is unreachable) reclaims
+    // them — the r21 ADVICE leak note, bounded the same way persist was.
     val keepers = all0
       .select(col("doc_id"), graft.text.TextOps.fingerprintCol(col("text")).as("fp"))
       .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-      .persist()
-    val s1 = all0.join(keepers, Seq("doc_id")).persist()
+      .localCheckpoint()
+    val s1 = all0.join(keepers, Seq("doc_id")).localCheckpoint()
     val fzRemoved = graft.dedup.Dedup.ngramJaccard(s1, n, jTau)
       .select(col("b_id").as("doc_id")).distinct()
     val s2 = s1.select("doc_id").join(fzRemoved, Seq("doc_id"), "left_anti")
-      .persist()
+      .localCheckpoint()
     val semEmb = emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val semRemoved = semRun(semEmb).select("doc_id")
     val gauges = all0.agg(count(lit(1)).as("n_in"))

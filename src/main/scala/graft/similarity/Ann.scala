@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftFunctions, TopCentroids, TopKPairs}
+import graft.functions.{GraftFunctions, TopCentroids, TopKPairs, TopKPairsMulti}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY §2 group 5).
@@ -849,19 +849,26 @@ object Ann {
     val qRows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), e64.as("e")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val lutLit = typedlit(pqLut(qRows.map(_._2), cbs, sub))
+    val lut = pqLut(qRows.map(_._2), cbs, sub)
     val qIds = typedlit(qRows.map(_._1).toSeq)
-    // candidate stage: n × nQueries slim rows, ADC adds only
+    // candidate stage (r22, guide §4/§2.4 — VERDICT r21 #5): ONE narrow
+    // corpus pass, no Generate. Each row's m codes score against every
+    // query's LUT inside one codegen'd kernel ([[graft.functions
+    // .PqAdcScores]] — the previous per-exploded-row `aggregate(...)`
+    // HOF was an interpreted CodegenFallback), and the multi-heap
+    // [[graft.functions.TopKPairsMulti]] aggregate keeps the per-query
+    // refine·k bests in a single global fold — the n × nQueries row
+    // blowup is gone (it existed only to key the per-query groupBy).
+    // Ordering, tie-breaks (approx desc, cand asc) and the
+    // query ≠ candidate rule are the exploded form's exactly; ADC adds
+    // run in the same ascending-subspace order → bit-identical scores.
     val approx = coded
-      .select(col("cand_id"), col("codes"),
-        posexplode(qIds).as(Seq("qi", "query_id")))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"),
-        pqAdcCol(lutLit, col("qi"), col("codes"), m).as("approx"),
-        col("cand_id"))
-      .groupBy("query_id")
-      .agg(TopKPairs.topK(col("approx"), col("cand_id"), refine * k).as("top"))
-      .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+      .agg(TopKPairsMulti.topKAll(
+        GraftFunctions.pqAdcScores(col("codes"), lut),
+        col("cand_id"), refine * k, qRows.map(_._1)).as("tops"))
+      .select(posexplode(col("tops")).as(Seq("qi", "top")))
+      .select(element_at(qIds, col("qi") + 1).as("query_id"),
+        explode(col("top.id")).as("cand_id"))
     // refine: exact cosine over the survivors only
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

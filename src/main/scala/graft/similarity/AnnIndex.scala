@@ -514,14 +514,19 @@ object AnnIndex {
           .collect().map(_.getInt(0)).sorted // bounded: ≤ nQueries × nprobe
         val probedPred = col("cv") === v &&
           col("cent_id").isin(probed.map(Int.box): _*)
-        val lutLit = typedlit(Ann.pqLut(qRows.map(_._2).toSeq, cbs, sub))
+        // codegen'd ADC kernel (r22, guide §4): the previous
+        // `aggregate(...)` HOF over a nested LUT literal evaluated as an
+        // interpreted lambda per candidate row — see
+        // [[graft.functions.PqAdcScore]]; same add order, bit-identical
+        val lut = Ann.pqLut(qRows.map(_._2).toSeq, cbs, sub)
         val scored = broadcast(queries)
           .join(all.filter(probedPred)
             .select(col("vec_id").as("cand_id"), col("codes"), col("cent_id")),
             Seq("cent_id"))
           .filter(col("query_id") =!= col("cand_id"))
           .select(col("query_id"),
-            Ann.pqAdcCol(lutLit, col("qi"), col("codes"), m).as("approx"),
+            graft.functions.GraftFunctions.pqAdcScore(
+              col("codes"), col("qi"), lut).as("approx"),
             col("cand_id"))
         Some((scored, probedPred))
       }

@@ -171,8 +171,20 @@ object Bpe {
     *     the application side uses (leftmost non-overlapping;
     *     injective, since the symbol char is fresh — distinct words
     *     stay distinct, so no re-aggregation);
-    *  4. localCheckpoint per round truncates the iterative lineage
-    *     (the label-propagation discipline).
+    *  4. merges accumulate as a LAZY replace chain over the one
+    *     checkpointed vocab (r22, guide §2.4): unlike the
+    *     label-propagation loop — whose per-round SELF-JOIN lineage
+    *     grows exponentially without truncation — the merge apply is a
+    *     linear chain of narrow `replace` expressions, so
+    *     checkpointing it per round bought nothing and cost one
+    *     eager vocab job per merge (the round-i argmax re-evaluates i
+    *     replaces over the vocab instead: k²/2 cheap string ops on
+    *     VOCAB-sized data vs k extra jobs — at any corpus scale the
+    *     vocab is the small side, that trade only widens). Each round
+    *     is now exactly ONE Spark job (the 1-row TakeOrdered argmax);
+    *     the learned sequence is unchanged because round i's argmax
+    *     input — the replace chain of merges 1..i−1 applied to the
+    *     base vocab — is the same values the checkpointed frame held.
     *
     * Determinism: the tie-break orders on the current symbol-string
     * pair, and symbols are assigned in learned order — same corpus,
@@ -213,7 +225,6 @@ object Bpe {
         learned += ((i + 1L, tokOf(best(0)), tokOf(best(1)), top(0).getLong(1)))
         words = words
           .withColumn("w", replace(col("w"), lit(best), lit(symc.toString)))
-          .localCheckpoint()
       }
     }
     learned.toSeq.toDF("rank", "left", "right", "pair_count")
