@@ -34,15 +34,13 @@ object Dedup {
   /** All n-token windows of a token array, in position order (the
     * non-distinct positional form of [[shingleSetFromTokens]]; window i
     * of the result covers tokens i..i+n-1, 1-based). Docs shorter than
-    * n yield the empty array. */
-  def positionalWindows(toks: Column, n: Int): Column = {
-    val chained = (1 until n).foldLeft(toks) { (acc, j) =>
-      zip_with(acc, slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(toks) >= n, slice(chained, lit(1), size(toks) - (n - 1)))
-      .otherwise(array())
-  }
+    * n yield the empty array. One codegen'd kernel since r22
+    * ([[graft.functions.PositionalWindows]], guide §4 — the zip_with
+    * string-concat chain it replaces was an interpreted
+    * CodegenFallback per window); bit-identical output
+    * (ShingleKernelsSpec). */
+  def positionalWindows(toks: Column, n: Int): Column =
+    graft.functions.ShingleKernels.positionalWindows(toks, n)
 
   /** Convenience form over raw text — only for small inputs/specs; the
     * operators materialize the token column first. */

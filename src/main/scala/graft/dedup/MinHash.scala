@@ -22,33 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** Per-token 64-bit hashes. Materialize this as its own column before
-    * calling [[shinglesFromTokenHashes]] — if the token-hash expression
-    * is inlined there, every shingle's lambda re-evaluates it and the
-    * shingling degrades to O(tokens²) per doc. */
+  /** Per-token 64-bit hashes — one codegen'd kernel since r22
+    * ([[graft.functions.TokenHashes]], guide §4: the transform-lambda
+    * form was an interpreted CodegenFallback per token); bit-identical
+    * output (ShingleKernelsSpec). */
   def tokenHashes(textCol: Column): Column =
-    transform(split(textCol, " "), t => xxhash64(t))
+    graft.functions.ShingleKernels.tokenHashes(textCol)
 
-  /** Distinct hashed word n-gram shingles over a *materialized*
-    * token-hash column: a shingle hash chains its n consecutive token
-    * hashes via zip_with over shifted copies (array-at-a-time; ~3×
-    * faster than per-index element_at lambdas). Docs shorter than n
-    * tokens yield the empty set. */
-  def shinglesFromTokenHashes(th: Column, n: Int): Column = {
-    val chained = (1 until n).foldLeft(th) { (acc, j) =>
-      zip_with(acc, slice(th, lit(j + 1), greatest(size(th) - j, lit(0))),
-        (a, b) => xxhash64(a, b))
-    }
-    array_distinct(
-      when(size(th) >= n, slice(chained, lit(1), size(th) - (n - 1)))
-        .otherwise(array().cast("array<bigint>")))
-  }
+  /** Distinct hashed word n-gram shingles over a token-hash column: a
+    * shingle hash chains its n consecutive token hashes
+    * (xxhash64-fold, first occurrence kept in position order). Docs
+    * shorter than n tokens yield the empty set. One codegen'd kernel
+    * since r22 ([[graft.functions.HashShingles]] — the zip_with
+    * shifted-copy chain it replaces was interpreted per element);
+    * bit-identical output (ShingleKernelsSpec). */
+  def shinglesFromTokenHashes(th: Column, n: Int): Column =
+    graft.functions.ShingleKernels.hashShingles(th, n)
 
   /** Slot i of the signature = min over shingle hashes of xxhash64(h, i):
-    * mixing the 8-byte hash per slot instead of re-hashing strings. */
+    * mixing the 8-byte hash per slot instead of re-hashing strings.
+    * One codegen'd kernel (r22, guide §4 — see
+    * [[graft.functions.MinHashSig]]): the previous nested-transform
+    * form was an interpreted CodegenFallback that re-hashed every
+    * shingle once PER SLOT; bit-identical output (MinHashSigSpec). */
   def signature(shingleHashCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleHashCol, h => xxhash64(h, i))))
+    graft.functions.MinHashSig.sig(shingleHashCol, numHashes)
 
   /** Banded signature table (band, band_hash, doc_id) — the shape of
     * the PERSISTED LSH index a production corpus maintains alongside

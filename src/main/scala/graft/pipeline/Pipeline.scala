@@ -16,16 +16,14 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Word n-grams of `text` as an array column: whitespace-split, then
-    * positional slices joined with spaces. Narrow (no shuffle, no UDF);
-    * the per-row cost is O(words · n) string building, all codegen. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val words = split(text, " ", -1)
-    // sequence(1, 0) would DESCEND ([1, 0] — Spark sequences run either
-    // direction), so texts shorter than n need the explicit empty case
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(words) - lit(n - 1)),
-        i => array_join(slice(words, i, lit(n)), " ")))
-  }
+    * positional slices joined with spaces. Narrow (no shuffle, no UDF).
+    * One codegen'd kernel since r22 (guide §4 — see
+    * [[graft.functions.WordNgrams]]): the transform/slice/array_join
+    * HOF form this replaces was an interpreted CodegenFallback lambda
+    * per gram — the dominant per-row cost of the decontamination and
+    * repetition operators; bit-identical output (WordNgramsSpec). */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.WordNgrams.ngrams(text, n)
 
   /** Benchmark decontamination: documents sharing at least one word
     * `n`-gram with the benchmark set are flagged (with how many distinct
