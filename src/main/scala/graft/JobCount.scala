@@ -16,7 +16,14 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
   * Job count includes index/training construction actions a query's
   * thunk performs before its final plan (exactly what Bench times),
   * so a "m separate Lloyd jobs fused into one" change is visible here
-  * as a job-count drop even when the final query plan is unchanged. */
+  * as a job-count drop even when the final query plan is unchanged.
+  *
+  * Known limitation (r21 ADVICE, acceptable for a diagnostic): the
+  * fixed 600 ms sleeps drain the async listener bus by delay, not by
+  * handshake — a straggler task can leak an event or two across a
+  * counter reset. Treat ±1-job deltas as noise; the before/after
+  * claims in the OPTIMIZATION notes all ride 5+-job drops, and
+  * repeated runs reproduce the counts. */
 object JobCount {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

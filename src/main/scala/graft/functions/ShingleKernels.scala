@@ -105,7 +105,12 @@ case class HashShingles(child: Expression, n: Int) extends UnaryExpression {
     val size = arr.numElements()
     val m = size - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    // order-preserving primitive dedup: docs are short (m ~ tokens per
+    // doc), so a linear first-occurrence scan over the kept prefix
+    // beats boxing every hash into a java.util set (zero allocation
+    // beyond the output buffer; the kernel runs once per corpus row)
+    val out = new Array[Long](m)
+    var kept = 0
     var i = 0
     while (i < m) {
       var acc = arr.getLong(i)
@@ -114,14 +119,13 @@ case class HashShingles(child: Expression, n: Int) extends UnaryExpression {
         acc = XXH64.hashLong(arr.getLong(i + j), XXH64.hashLong(acc, 42L))
         j += 1
       }
-      seen.add(acc): Unit
+      var p = 0
+      while (p < kept && out(p) != acc) p += 1
+      if (p == kept) { out(kept) = acc; kept += 1 }
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(
+      if (kept == m) out else java.util.Arrays.copyOf(out, kept))
   }
 
   override def nullSafeEval(input: Any): Any =

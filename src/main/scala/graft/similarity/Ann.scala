@@ -710,7 +710,12 @@ object Ann {
     * count (the [[AnnIndex.trainCentroids]] coarse-mass warning, r20
     * ADVICE: its dedicated `count()` added a full extra corpus pass
     * per train) get it for free. `None` when no round ran
-    * (`lloydRounds == 0`). */
+    * (`lloydRounds == 0`). Caveat (r21 ADVICE): the rides-the-aggregate
+    * count tallies rows with a USABLE embedding (non-null, length ≥ 1
+    * — the rows that emit a dim-0 value), not raw frame rows; on a
+    * corpus with null/empty embeddings the coarse-mass warning
+    * threshold reads the trainable mass, which is the quantity the
+    * warning is about. */
   private[graft] def pqTrainCodebooksCounted(emb: DataFrame, dim: Int, m: Int,
       ks: Int, lloydRounds: Int): (IndexedSeq[Array[Array[Double]]], Option[Long]) = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
